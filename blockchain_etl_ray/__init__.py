@@ -1,0 +1,15 @@
+"""blockchain_etl_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch re-imagining of the data-processing capabilities of
+``jsvisa/blockchain-etl`` (reference, read-only at /root/reference) on top of
+``ray.data.Dataset`` pipelines: change events flow through ``map_batches`` over
+zero-copy Arrow into a hash-partitioned upsert/merge stage with last-writer-wins
+conflict resolution by commit ordinal, a schema-evolution reconciler, and an
+exactly-once idempotent Parquet sink keyed by (partition_id, epoch) manifest
+commits.
+
+Capability map to the reference lives in SURVEY.md §2; each module's docstring
+cites the reference file:line whose semantics it reproduces.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,5 @@
+"""Deterministic synthetic CDC corpora and the pure-Python replay oracle.
+
+Everything derives from ``(seed, row_index)`` only (FIXTURES.md) — two
+generations are byte-identical.  No wall clock, no external data.
+"""

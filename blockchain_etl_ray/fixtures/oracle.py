@@ -1,0 +1,74 @@
+"""Single-process pure-Python replay oracle (FIXTURES F3).
+
+Folds the change log in global ordinal order into a dict keyed ``(repo, path)``
+— the semantic ground truth the distributed engine must converge to.  Mirrors
+the reference's serial range-by-range apply with PK upserts
+(``blockchainetl/streaming/postgres_utils.py:28-88``).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _normalize_oracle_table(t: pa.Table) -> pa.Table:
+    """Apply the same declared schema evolution the engine applies."""
+    names = list(t.column_names)
+    if "filepath" in names and "path" not in names:
+        t = t.rename_columns([("path" if c == "filepath" else c) for c in names])
+    if "size" not in t.column_names:
+        t = t.append_column("size", pa.nulls(t.num_rows, type=pa.int64()))
+    return t
+
+
+def fold_events(events_dir: str) -> dict[tuple[str, str], dict]:
+    """Replay all event files in ordinal order; return final per-key rows.
+
+    Tombstones are kept (``deleted=True``) so the result can also be compared
+    against engine state that retains tombstones.
+    """
+    files = sorted(glob.glob(str(Path(events_dir) / "epoch=*.parquet")))
+    tables = [_normalize_oracle_table(pq.read_table(f)) for f in files]
+    t = pa.concat_tables(tables, promote_options="default")
+    # (ordinal asc, epoch asc): with the `o <= cur.ordinal` guard below this
+    # realizes the engine's conflict order — LWW by ordinal, first-delivery
+    # (min epoch) wins among equal-ordinal redeliveries (see schema.py).
+    t = t.sort_by([("ordinal", "ascending"), ("epoch", "ascending")])
+    cols = t.to_pydict()
+    state: dict[tuple[str, str], dict] = {}
+    n = t.num_rows
+    for i in range(n):
+        key = (cols["repo"][i], cols["path"][i])
+        o = cols["ordinal"][i]
+        cur = state.get(key)
+        if cur is not None and o <= cur["ordinal"]:
+            continue  # LWW by ordinal; duplicates share the ordinal -> no-op
+        content = cols["content"][i]
+        state[key] = {
+            "repo": key[0],
+            "path": key[1],
+            "commit": cols["commit"][i],
+            "lang": cols["lang"][i],
+            "content": content,
+            "size": cols["size"][i],
+            "ordinal": o,
+            "deleted": cols["op"][i] == "delete",
+            "content_sha256": (
+                hashlib.sha256(content.encode()).hexdigest()
+                if content is not None
+                else None
+            ),
+        }
+    return state
+
+
+def live_rows(state: dict[tuple[str, str], dict]) -> list[dict]:
+    return sorted(
+        (r for r in state.values() if not r["deleted"]),
+        key=lambda r: (r["repo"], r["path"]),
+    )

@@ -1,0 +1,6 @@
+"""Vectorized per-batch helper functions (no Ray dependencies).
+
+The analogs of the reference's converter/calculator layer
+(``blockchainetl/jobs/exporters/converters/*.py``,
+``ethereumetl/streaming/eth_item_id_calculator.py``).
+"""

@@ -1,0 +1,86 @@
+"""Deterministic row hashing: content digests, event ids, key partitioning.
+
+Reference analogs:
+- deterministic item id = md5(prefix + natural key)
+  (``ethereumetl/streaming/eth_item_id_calculator.py:28-108``) → ``event_ids``;
+- PK-hash table placement (GreenPlum distributes by PK) → ``partition_ids``.
+
+All functions are pure and stable across processes / machines / runs — the
+partitioner is part of the on-disk layout contract, so it must never depend on
+``hash()`` randomization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_pylist(arr: pa.Array | pa.ChunkedArray | Sequence) -> list:
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        return arr.to_pylist()
+    return list(arr)
+
+
+def sha256_hex(values: pa.Array | pa.ChunkedArray | Sequence) -> pa.Array:
+    """Null-safe per-row sha256 hex digest of a utf8 column.
+
+    This is the per-row invariant required of the final table
+    (BASELINE.json ``input_hint``: content sha256 equality).
+    """
+    sha = hashlib.sha256
+    out = [
+        None if v is None else sha(v.encode("utf-8")).hexdigest()
+        for v in _as_pylist(values)
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def md5_hex(values: pa.Array | pa.ChunkedArray | Sequence) -> pa.Array:
+    md5 = hashlib.md5
+    out = [
+        None if v is None else md5(v.encode("utf-8")).hexdigest()
+        for v in _as_pylist(values)
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def event_ids(
+    repo: Iterable, path: Iterable, commit: Iterable, op: Iterable
+) -> pa.Array:
+    """event_id = sha256(f"{repo}:{path}:{commit}:{op}") (FIXTURES.md F2)."""
+    sha = hashlib.sha256
+    out = [
+        sha(f"{r}:{p}:{c}:{o}".encode("utf-8")).hexdigest()
+        for r, p, c, o in zip(_as_pylist(repo), _as_pylist(path), _as_pylist(commit), _as_pylist(op))
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def key_hash_u64(repo: Iterable, path: Iterable) -> np.ndarray:
+    """Stable 64-bit hash of the upsert key (repo, path).
+
+    blake2b(8 bytes) per row; used for both hash partitioning and salting.
+    """
+    b2 = hashlib.blake2b
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                b2(f"{r}\x00{p}".encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for r, p in zip(_as_pylist(repo), _as_pylist(path))
+        ),
+        dtype=np.uint64,
+    )
+    return out
+
+
+def partition_ids(
+    repo: Iterable, path: Iterable, num_partitions: int
+) -> pa.Array:
+    """part = H(repo, path) % P — the shuffle/placement key of the upsert stage."""
+    h = key_hash_u64(repo, path)
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32), type=pa.int32())

@@ -1,0 +1,1 @@
+"""End-to-end pipelines: CDC replay engine, chain tail, and the query catalog."""

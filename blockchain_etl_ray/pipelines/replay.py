@@ -1,0 +1,187 @@
+"""The CDC replay engine: epochs → normalize → compact → partitioned merge.
+
+The Ray-Data re-imagining of the reference's streamer + adapter + exporter
+loop (``blockchainetl/streaming/streamer.py:94-163`` driving
+``eth_streamer_adapter.export_all`` and the postgres upsert exporters).  Where
+the reference keeps the range sequence serial and parallelizes *inside* a range
+on threads, this engine shards each apply cycle into hash partitions processed
+in parallel across the cluster, and recovers ordering *per key* by LWW on the
+commit ordinal inside each partition — legal because every merge rule (U1-U7)
+depends only on per-key order, never global order (SURVEY.md §4).
+
+One apply cycle (``epoch_batch_size`` epochs) is ONE lazy Dataset pipeline:
+
+    read epoch files ──┐  (per-file read tasks; column-complete, self-describing)
+                       ├→ map_batches(normalize)   stateless, Arrow, vectorized
+                       ├→ map_batches(compact)     combiner: per-key net effect
+                       └→ groupby(part).map_groups(merge)   the ONLY shuffle
+                          → lineage rows (P tiny rows) → cycle commit marker
+
+The shuffle moves only compacted change rows — never the state table, which
+each merge task reads/writes as its own partition file (copy-on-write lake).
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..schema import DEFAULT_RENAMES, LINEAGE_SCHEMA, STATE_SCHEMA
+from ..stages.compact import compact_batch
+from ..stages.merge import MergeSpec, merge_partition
+from ..stages.normalize import make_normalizer
+from ..state.manifest import StateStore, epochs_hash
+
+_EPOCH_FILE_RE = re.compile(r"epoch=(\d+)(?:-[^.]*)?\.parquet$")
+
+
+def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
+    """Map epoch -> delivered files (supports many files per epoch)."""
+    out: dict[int, list[str]] = {}
+    for f in sorted(glob.glob(str(Path(events_dir) / "epoch=*.parquet"))):
+        m = _EPOCH_FILE_RE.search(f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(f)
+    return out
+
+
+@dataclass
+class ReplayConfig:
+    num_partitions: int = 32
+    epoch_batch_size: int = 8
+    rename_map: dict = field(default_factory=lambda: dict(DEFAULT_RENAMES))
+
+    def as_dict(self) -> dict:
+        return {
+            "num_partitions": self.num_partitions,
+            "epoch_batch_size": self.epoch_batch_size,
+            "rename_map": self.rename_map,
+        }
+
+
+class ReplayEngine:
+    """Replays a change log directory into a partitioned Parquet state table."""
+
+    def __init__(self, state_root: str, config: ReplayConfig | None = None):
+        self.config = config or ReplayConfig()
+        self.store = StateStore(state_root)
+        self.store.load_or_init_config(self.config.as_dict())
+        self._normalize = make_normalizer(
+            self.config.rename_map, self.config.num_partitions
+        )
+
+    # ------------------------------------------------------------------ apply
+    def apply_step(
+        self, files: list[str], version: int, epochs: list[int]
+    ) -> list[dict]:
+        """Apply one step's event files as apply-version ``version``; returns
+        per-partition lineage rows.  Idempotent under task retries and driver
+        crashes (see state/manifest.py protocol)."""
+        P = self.config.num_partitions
+        # Per-file datasets normalized first, then unioned: files on either
+        # side of a schema-evolution boundary have different physical schemas,
+        # and normalize() makes them identical before the union.
+        parts = [
+            rd.read_parquet(f).map_batches(self._normalize, batch_format="pyarrow")
+            for f in files
+        ]
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        ds = ds.map_batches(compact_batch, batch_format="pyarrow")
+        spec = MergeSpec(
+            state_root=str(self.store.root),
+            version=version,
+            epochs_hash=epochs_hash(epochs),
+            max_epoch=max(epochs),
+        )
+        lineage = ds.groupby("part", num_partitions=min(P, 64)).map_groups(
+            partial(merge_partition, spec=spec), batch_format="pyarrow"
+        )
+        rows = lineage.take_all()  # P tiny rows — safe to materialize
+        # json-sanitize (take_all may hand back numpy scalars)
+        return [
+            {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()}
+            for r in rows
+        ]
+
+    # ----------------------------------------------------------------- replay
+    def replay(self, events_dir: str, upto_epoch: int | None = None) -> dict:
+        """Replay all delivered-but-unapplied epochs (optionally only those
+        ``<= upto_epoch``), batched ``epoch_batch_size`` per apply step.
+
+        The checkpoint/resume analog of ``streamer.py:144-163`` +
+        ``last_synced_block``: the committed cycle markers are the checkpoint,
+        and the unit of idempotence is the epoch, so resuming is invariant to
+        where a previous run stopped and late-delivered gap epochs are picked
+        up automatically.
+        """
+        by_epoch = discover_epoch_files(events_dir)
+        delivered = sorted(e for e in by_epoch if upto_epoch is None or e <= upto_epoch)
+        already = self.store.applied_epochs()
+        pending = [e for e in delivered if e not in already]
+        B = self.config.epoch_batch_size
+
+        applied_steps: list[int] = []
+        t0 = time.perf_counter()
+        total_events = 0
+        for i in range(0, len(pending), B):
+            chunk = pending[i : i + B]
+            version = self.store.next_version()
+            files = [f for e in chunk for f in by_epoch[e]]
+            rows = self.apply_step(files, version, chunk)
+            total_events += sum(r["events_in"] for r in rows if not r["cached"])
+            self.store.commit_cycle(
+                version,
+                {
+                    "version": version,
+                    "epochs": chunk,
+                    "files": files,
+                    "lineage": rows,
+                },
+            )
+            applied_steps.append(version)
+        return {
+            "steps_applied": applied_steps,
+            "epochs_applied": pending,
+            "epochs_skipped": sorted(set(delivered) & already),
+            "events_applied": total_events,
+            "wall_s": time.perf_counter() - t0,
+        }
+
+    # ------------------------------------------------------------------ reads
+    def read_state(
+        self, upto: int | None = None, include_deleted: bool = False
+    ) -> rd.Dataset:
+        """The materialized table as a Dataset (latest committed version)."""
+        files = self.store.latest_files(self.config.num_partitions, upto=upto)
+        if not files:
+            return rd.from_arrow(STATE_SCHEMA.empty_table())
+        # partitioning=None: state files live under part=NNNNN/ dirs — don't
+        # let hive-partitioning inference graft a string `part` column on.
+        ds = rd.read_parquet(files, partitioning=None)
+        if not include_deleted:
+            ds = ds.map_batches(
+                lambda t: t.filter(pa.compute.invert(t.column("deleted"))),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    def lineage_table(self) -> pa.Table:
+        """All per-partition lineage records across committed apply steps."""
+        rows = []
+        for v in self.store.committed_versions():
+            rows.extend(self.store.read_cycle(v)["lineage"])
+        if not rows:
+            return LINEAGE_SCHEMA.empty_table()
+        rows = [{k: r[k] for k in LINEAGE_SCHEMA.names} for r in rows]
+        return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+
+    def gaps(self, events_dir: str) -> list[int]:
+        """Epochs delivered upstream but never applied (J9 anti-join)."""
+        return self.store.gaps(sorted(discover_epoch_files(events_dir)))

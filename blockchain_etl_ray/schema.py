@@ -1,0 +1,105 @@
+"""Canonical schemas and rename maps.
+
+The reference declares per-entity schemas statically, three times (CSV dtypes
+``ethereumetl/enumeration/column_type.py:7-199``, PostgreSQL tables
+``ethereumetl/streaming/postgres_tables.py``, TSDB tables
+``ethereumetl/streaming/tsdb_tables.py``) and evolves them with declarative
+old-name→new-name maps (``blockchainetl/enumeration/entity_type.py:138-204``,
+converter chain ``blockchainetl/jobs/exporters/item_exporter_builder.py:55-93``).
+
+Here the same ideas collapse to: one Arrow schema per logical table, plus a
+rename map applied by the normalize stage (the schema-evolution reconciler).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# CDC change-event schema (FIXTURES.md F2).  `ordinal` plays the role of
+# `blknum` in LWW merges (reference `cond_upsert_on_blknum`,
+# blockchainetl/streaming/postgres_utils.py:80-88); `event_id` is the analog of
+# item_id (ethereumetl/streaming/eth_item_id_calculator.py:105-108).
+# ---------------------------------------------------------------------------
+EVENT_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("ordinal", pa.int64()),
+    ("epoch", pa.int64()),
+    ("op", pa.string()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.large_string()),
+    ("size", pa.int64()),  # nullable; only delivered after schema evolution (F4)
+    ("event_id", pa.string()),
+]
+EVENT_SCHEMA = pa.schema(EVENT_FIELDS)
+
+# Extra bookkeeping columns added by the normalize/compact stages.  `part` is
+# the hash partition (analog of the PK-indexed target table), `n_folded` the
+# number of raw events a compacted row represents (combiner bookkeeping),
+# `n_dupes` the number of exact event_id redeliveries folded so far.
+NORM_EXTRA_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("content_sha256", pa.string()),
+    ("part", pa.int32()),
+    ("n_folded", pa.int64()),
+    ("n_dupes", pa.int64()),
+]
+NORM_FIELDS = EVENT_FIELDS + NORM_EXTRA_FIELDS
+NORM_SCHEMA = pa.schema(NORM_FIELDS)
+
+# ---------------------------------------------------------------------------
+# Materialized state-table schema (the lake table being replayed into).
+# Tombstones are retained (`deleted=True`) so late lower-ordinal events cannot
+# resurrect a deleted key — the analog of the reference's reorg delete guard
+# (ethereumetl/streaming/eth_reorg_adapter.py:116-142 + LWW condition).
+# ---------------------------------------------------------------------------
+STATE_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.large_string()),
+    ("size", pa.int64()),
+    ("ordinal", pa.int64()),
+    ("src_epoch", pa.int64()),
+    ("deleted", pa.bool_()),
+    ("content_sha256", pa.string()),
+]
+STATE_SCHEMA = pa.schema(STATE_FIELDS)
+
+#: Conflict resolution total order: max ``ordinal`` wins (LWW,
+#: `cond_upsert_on_blknum` analog); equal ordinals are redeliveries of the same
+#: logical event and the FIRST delivery (min ``src_epoch``) wins — the analog of
+#: `ON CONFLICT DO NOTHING` (postgres_utils.py:28-68).  Needed because a
+#: redelivery straddling a schema-evolution boundary is not byte-identical.
+
+#: Declarative schema-evolution rename map (old delivered name -> canonical
+#: name).  Mirrors ENTITY_TYPE_RENAMES (entity_type.py:138-204) in spirit:
+#: renames are data-free metadata operations applied at the pipeline boundary.
+DEFAULT_RENAMES: dict[str, str] = {"filepath": "path"}
+
+OPS: tuple[str, ...] = ("insert", "update", "delete")
+
+#: Key columns of the state table — the upsert identity, like the reference's
+#: per-table primary keys (postgres_tables.py:28,60,90-92,...).
+KEY_COLUMNS: tuple[str, ...] = ("repo", "path")
+
+LINEAGE_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("partition_id", pa.int32()),
+    ("epoch", pa.int64()),
+    ("events_in", pa.int64()),
+    ("rows_upserted", pa.int64()),
+    ("rows_deleted", pa.int64()),
+    ("dupes_dropped", pa.int64()),
+    ("rows_live", pa.int64()),
+    ("tombstones", pa.int64()),
+    ("bytes_out", pa.int64()),
+    ("wall_s", pa.float64()),
+    ("cached", pa.bool_()),
+]
+LINEAGE_SCHEMA = pa.schema(LINEAGE_FIELDS)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()

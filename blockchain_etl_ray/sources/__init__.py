@@ -1,0 +1,1 @@
+"""Sources: change-log discovery and the chain-tail (frontier-polling) reader."""

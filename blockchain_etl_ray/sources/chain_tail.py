@@ -1,0 +1,68 @@
+"""Chain-tail reader: frontier poll + lag + bounded take + checkpoint loop.
+
+The S1 analog of the reference's ``Streamer``
+(``blockchainetl/streaming/streamer.py:35-163``): discover the source frontier
+(max delivered epoch), stay ``lag`` epochs behind it (reorg-safety watermark,
+``streamer.py:151-156``), take at most ``max_cycles_per_poll`` apply cycles per
+iteration, commit the checkpoint (the cycle markers ARE the checkpoint — no
+separate last_synced file can disagree with the data), and sleep
+``period_seconds`` when caught up (``--period-seconds``,
+``blockchainetl/cli/dump.py:122-128``).
+
+The heavy lifting per poll is the ReplayEngine's Dataset pipeline; this loop is
+driver-side control flow only, as in the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from ..pipelines.replay import ReplayEngine, discover_epoch_files
+
+
+class ChainTail:
+    def __init__(
+        self,
+        engine: ReplayEngine,
+        events_dir: str,
+        lag: int = 0,
+        period_seconds: float = 0.5,
+        head_fn: Callable[[], int | None] | None = None,
+    ):
+        self.engine = engine
+        self.events_dir = events_dir
+        self.lag = lag
+        self.period_seconds = period_seconds
+        self._head_fn = head_fn
+
+    def head_epoch(self) -> int | None:
+        if self._head_fn is not None:
+            return self._head_fn()
+        epochs = discover_epoch_files(self.events_dir)
+        return max(epochs) if epochs else None
+
+    def poll_once(self) -> dict:
+        """One streamer cycle: frontier → target → replay-up-to → checkpoint."""
+        head = self.head_epoch()
+        if head is None:
+            return {"head": None, "caught_up": True, "steps_applied": []}
+        target = head - self.lag
+        if target < 0:
+            return {"head": head, "caught_up": True, "steps_applied": []}
+        summary = self.engine.replay(self.events_dir, upto_epoch=target)
+        summary.update({"head": head, "target": target,
+                        "caught_up": not summary["steps_applied"]})
+        return summary
+
+    def run(self, max_polls: int = 100, stop_when_caught_up: bool = True) -> list[dict]:
+        """Poll until caught up (or ``max_polls``); sleeps between idle polls."""
+        results = []
+        for _ in range(max_polls):
+            r = self.poll_once()
+            results.append(r)
+            if r["caught_up"]:
+                if stop_when_caught_up:
+                    break
+                time.sleep(self.period_seconds)
+        return results

@@ -1,0 +1,2 @@
+"""Pipeline stages: vectorized ``map_batches`` bodies and ``map_groups`` merge
+functions.  Every stage is Arrow-in / Arrow-out unless it documents why not."""

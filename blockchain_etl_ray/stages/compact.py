@@ -1,0 +1,61 @@
+"""Per-batch change-log compaction (the combiner before the upsert shuffle).
+
+The merge semantics (LWW by ordinal + tombstones, reference
+``cond_upsert_on_blknum`` ``blockchainetl/streaming/postgres_utils.py:80-88``)
+are associative per key, so the net effect of a batch on one key is just its
+max-ordinal event.  Folding that *inside* ``map_batches`` before the
+``groupby(part)`` shuffle bounds both the shuffled byte volume and the
+irreducibly-serial per-key work in the merge stage — the same reason the
+reference pre-aggregates holder/balance deltas before upserting
+(``ethereumetl/streaming/postgres_hooks.py:43-96``).
+
+Exact event_id duplicates (at-least-once redelivery,
+``blockchainetl/cli/load.py:210-231`` analog) are folded here too and counted
+in ``n_dupes``.
+
+Uses polars for the within-batch group-fold: zero-copy from Arrow, multithread
+C kernels, deterministic `maintain_order` semantics.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import polars as pl
+
+from ..schema import NORM_FIELDS
+
+
+def compact_batch(batch: pa.Table) -> pa.Table:
+    if batch.num_rows <= 1:
+        return batch
+    df = pl.from_arrow(batch)
+
+    # fold exact redeliveries (same event_id; keep the FIRST delivery, i.e.
+    # min epoch — see schema.py conflict-resolution order)
+    before = df.height
+    df = df.sort(["ordinal", "epoch"], maintain_order=True)
+    df = df.unique(subset=["event_id"], keep="first", maintain_order=True)
+    dupes = before - df.height
+
+    # per-key net effect: max ordinal wins, min epoch among equal ordinals
+    # (sort epoch DESC so `.last()` lands on min epoch within the ordinal tie)
+    df = df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
+    value_cols = [
+        c for c, _ in NORM_FIELDS if c not in ("repo", "path", "n_folded", "n_dupes")
+    ]
+    df = df.group_by(["repo", "path"], maintain_order=True).agg(
+        *[pl.col(c).last() for c in value_cols],
+        pl.col("n_folded").sum(),
+        pl.col("n_dupes").sum(),
+    )
+    if dupes:
+        # attribute batch-level dupe count to the first surviving row
+        df = df.with_columns(
+            pl.when(pl.int_range(pl.len()) == 0)
+            .then(pl.col("n_dupes") + dupes)
+            .otherwise(pl.col("n_dupes"))
+            .alias("n_dupes")
+        )
+    out = df.select([c for c, _ in NORM_FIELDS]).to_arrow()
+    # polars emits its own arrow types (e.g. large_utf8 everywhere); cast back
+    return out.cast(pa.schema(NORM_FIELDS))

@@ -1,0 +1,150 @@
+"""Per-partition upsert/merge (the CDC core), run as ``groupby("part").map_groups``.
+
+Reproduces the reference's upsert family U1-U7 (SURVEY.md §2.5) for the
+code-repo table:
+
+- U1 PK upsert (``blockchainetl/streaming/postgres_utils.py:28-68``): key =
+  (repo, path);
+- U2 last-writer-wins by ordinal (``postgres_utils.py:80-88``
+  ``cond_upsert_on_blknum``): the max-ordinal event per key wins; equal
+  ordinals are redeliveries of the same event and collapse;
+- U7 retraction (``ethereumetl/streaming/eth_reorg_adapter.py:116-142``):
+  deletes flow through the same stage as tombstone rows, retained in state so
+  a late lower-ordinal event can never resurrect a deleted key;
+- U8 exact dedup on event_id (``blockchainetl/cli/gp_autofix.py:219-307``).
+
+Physical shape: each group = all compacted changes for one hash partition.
+The task reads its partition's current state file (copy-on-write lake layout,
+J7-style "state co-located with merge" — the previous version is this
+partition's own file, no shuffle of state), merges with polars, and commits the
+new version atomically via the StateStore (exactly-once under task retries:
+deterministic content + atomic rename + manifest-as-truth).  The group output
+is a single lineage row — the per-partition lineage record required by the
+north rule.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import LINEAGE_SCHEMA, STATE_FIELDS, STATE_SCHEMA
+from ..state.manifest import StateStore
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    state_root: str
+    version: int  # monotone apply-step number; versions the output file
+    epochs_hash: str  # hash of the epoch set this step applies (crash guard)
+    max_epoch: int  # recorded in lineage
+
+
+def _lineage_row(part: int, spec: MergeSpec, **kw) -> pa.Table:
+    base = {
+        "partition_id": part,
+        "epoch": spec.max_epoch,
+        "events_in": 0,
+        "rows_upserted": 0,
+        "rows_deleted": 0,
+        "dupes_dropped": 0,
+        "rows_live": 0,
+        "tombstones": 0,
+        "bytes_out": 0,
+        "wall_s": 0.0,
+        "cached": False,
+    }
+    base.update(kw)
+    return pa.Table.from_pylist([base], schema=LINEAGE_SCHEMA)
+
+
+def merge_partition(changes: pa.Table, spec: MergeSpec) -> pa.Table:
+    """Merge one partition's compacted changes into its state file."""
+    t0 = time.perf_counter()
+    part = changes.column("part")[0].as_py()
+    store = StateStore(spec.state_root)
+
+    events_in = int(
+        pc.sum(changes.column("n_folded")).as_py() or 0
+    ) + int(pc.sum(changes.column("n_dupes")).as_py() or 0)
+
+    # idempotent replay / retried task: the (part, version) output already
+    # written for the SAME epoch set -> reuse the manifest (load.py:210-231
+    # result-key analog).  A stale file from a crashed driver that was
+    # applying a different epoch set at this version is recomputed and
+    # atomically overwritten instead.
+    final = store.state_file(part, spec.version)
+    if final.exists():
+        m = store.read_manifest(part, spec.version)
+        if m.get("epochs_hash") == spec.epochs_hash:
+            return _lineage_row(
+                part,
+                spec,
+                **{k: m[k] for k in m if k in LINEAGE_SCHEMA.names and k != "cached"},
+                cached=True,
+            )
+
+    # cross-batch redelivery fold (same event_id arriving in different
+    # batches; keep the first delivery = min epoch, see schema.py)
+    df = pl.from_arrow(changes)
+    pre = df.height
+    df = df.sort(["ordinal", "epoch"], maintain_order=True)
+    df = df.unique(subset=["event_id"], keep="first", maintain_order=True)
+    cross_dupes = pre - df.height
+    dupes = int(df["n_dupes"].sum() or 0) + cross_dupes
+
+    chg = (
+        df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
+        .unique(subset=["repo", "path"], keep="last", maintain_order=True)
+        .with_columns(
+            (pl.col("op") == "delete").alias("deleted"),
+            pl.col("epoch").alias("src_epoch"),
+        )
+        .select([c for c, _ in STATE_FIELDS])
+        .with_columns(pl.lit(True).alias("_chg"))
+    )
+
+    prev_path = store.latest_state_file(part, upto=spec.version - 1)
+    if prev_path is not None:
+        prev = pl.from_arrow(pq.read_table(prev_path)).with_columns(
+            pl.lit(False).alias("_chg")
+        )
+        merged = pl.concat([prev, chg], how="vertical_relaxed")
+    else:
+        merged = chg
+
+    resolved = merged.sort(
+        ["ordinal", "src_epoch"], descending=[False, True], maintain_order=True
+    ).unique(subset=["repo", "path"], keep="last", maintain_order=True)
+
+    winners = resolved.filter(pl.col("_chg"))
+    rows_deleted = int(winners["deleted"].sum() or 0)
+    rows_upserted = winners.height - rows_deleted
+    out = (
+        resolved.sort(["repo", "path"], maintain_order=True)
+        .select([c for c, _ in STATE_FIELDS])
+        .to_arrow()
+        .cast(STATE_SCHEMA)
+    )
+    tombstones = int(pc.sum(out.column("deleted")).as_py() or 0)
+    lineage = {
+        "partition_id": int(part),
+        "epoch": spec.max_epoch,
+        "epochs_hash": spec.epochs_hash,
+        "events_in": events_in,
+        "rows_upserted": int(rows_upserted),
+        "rows_deleted": int(rows_deleted),
+        "dupes_dropped": int(dupes),
+        "rows_live": out.num_rows - tombstones,
+        "tombstones": tombstones,
+        "wall_s": 0.0,
+        "cached": False,
+    }
+    lineage = store.commit_partition(part, spec.version, out, lineage)
+    lineage["wall_s"] = time.perf_counter() - t0
+    return _lineage_row(part, spec, **lineage)

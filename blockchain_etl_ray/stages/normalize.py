@@ -1,0 +1,81 @@
+"""Normalize + schema-evolution reconcile stage (``map_batches``, Arrow in/out).
+
+The analog of the reference's sink-side converter chain — RenameField /
+AppendField / type coercion (``blockchainetl/jobs/exporters/converters/*.py``,
+composed at ``blockchainetl/jobs/exporters/item_exporter_builder.py:55-93``)
+and of its declarative rename maps
+(``blockchainetl/enumeration/entity_type.py:138-204``), fused into ONE
+vectorized projection so each event batch is touched once:
+
+1. apply the declared rename map (old->canonical; coalesce when both exist);
+2. add missing nullable columns, cast to the canonical event schema;
+3. validate ``op`` ∈ {insert, update, delete} (fail fast, like the reference's
+   enrich cardinality assertions ``ethereumetl/streaming/enrich.py:42-69``);
+4. compute ``event_id`` where absent (eth_item_id_calculator analog);
+5. compute ``content_sha256`` (the per-row invariant column);
+6. assign the hash partition ``part = H(repo, path) % P``;
+7. init combiner bookkeeping ``n_folded = 1``, ``n_dupes = 0``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import event_ids, partition_ids, sha256_hex
+from ..schema import EVENT_FIELDS, NORM_FIELDS, OPS
+
+
+def make_normalizer(rename_map: dict[str, str], num_partitions: int):
+    """Return a picklable ``map_batches`` function closed over the config."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        names = list(batch.column_names)
+
+        # 1. declared renames / coalesce (schema-evolution reconciler)
+        for src, dst in rename_map.items():
+            if src in names and dst not in names:
+                batch = batch.rename_columns(
+                    [(dst if c == src else c) for c in names]
+                )
+            elif src in names and dst in names:
+                merged = pc.coalesce(batch.column(dst), batch.column(src))
+                batch = batch.set_column(
+                    batch.schema.get_field_index(dst), dst, merged
+                ).drop_columns([src])
+            names = list(batch.column_names)
+
+        # 2. add missing nullable columns + cast
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+        n = batch.num_rows
+        for name, typ in EVENT_FIELDS:
+            if name in names:
+                col = batch.column(name)
+                if col.type != typ:
+                    col = col.cast(typ)
+            else:
+                col = pa.nulls(n, type=typ)
+            cols[name] = col
+
+        # 3. validate ops
+        ok = pc.is_in(cols["op"], value_set=pa.array(OPS))
+        if n > 0 and not pc.all(ok).as_py():
+            bad = pc.unique(pc.filter(cols["op"], pc.invert(ok))).to_pylist()
+            raise ValueError(f"unknown op values: {bad!r}")
+
+        # 4. event ids where absent
+        eid = cols["event_id"]
+        if n > 0 and pc.any(pc.is_null(eid)).as_py():
+            computed = event_ids(cols["repo"], cols["path"], cols["commit"], cols["op"])
+            eid = pc.coalesce(eid, computed)
+        cols["event_id"] = eid
+
+        # 5-7. invariant digest, partition, combiner bookkeeping
+        cols["content_sha256"] = sha256_hex(cols["content"])
+        cols["part"] = partition_ids(cols["repo"], cols["path"], num_partitions)
+        cols["n_folded"] = pa.array([1] * n, type=pa.int64())
+        cols["n_dupes"] = pa.array([0] * n, type=pa.int64())
+
+        return pa.table({name: cols[name] for name, _ in NORM_FIELDS})
+
+    return normalize

@@ -1,0 +1,1 @@
+"""State store: partitioned Parquet lake + manifests + lineage + checkpoints."""

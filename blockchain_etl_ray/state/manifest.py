@@ -1,0 +1,208 @@
+"""Exactly-once state store: copy-on-write Parquet partitions + manifest commits.
+
+Reproduces the reference's exactly-once recipe — at-least-once work +
+deterministic output names + idempotent commit markers
+(``blockchainetl/service/redis_stream_service.py:46-90`` write-once XADD,
+``blockchainetl/cli/load.py:210-231`` result-key skip,
+``blockchainetl/streaming/streamer.py:158-196`` last_synced checkpoint) — as a
+filesystem protocol that works under Ray task retries AND driver crashes:
+
+- the unit of idempotence is the **epoch** (the reference's block range): a
+  cycle commit marker ``cycles/version=K.json`` records the exact set of
+  epochs applied in apply-step K; the union of committed markers is the
+  replay frontier (so resume is invariant to where a previous run stopped,
+  and late-delivered gap epochs are picked up in a later step);
+- state partition files are versioned by the monotone apply-step number:
+  ``parts/part=P/version=K.parquet``, written via tmp + fsync + atomic
+  ``os.replace``; content is deterministic given (previous version, epoch
+  set), so a retried or duplicate writer converges;
+- each (partition, version) manifest records an ``epochs_hash``; a merge task
+  that finds an existing output for its version but a *different* epoch set
+  (possible only for uncommitted steps left by a crashed driver) recomputes
+  and atomically overwrites instead of reusing stale state;
+- gap detection = anti-join of delivered epochs vs applied epochs (analog of
+  the missing-block checker, ``ethereumetl/jobs/checkers/block_checker.py``).
+
+On a multi-node cluster this root lives on shared storage (S3 / NFS); the
+protocol only needs atomic rename-or-overwrite and listing, both of which
+object stores provide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import tempfile
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_PART_RE = re.compile(r"^version=(\d+)\.parquet$")
+_CYCLE_RE = re.compile(r"^version=(\d+)\.json$")
+
+
+def epochs_hash(epochs: list[int]) -> str:
+    return hashlib.sha256(
+        ",".join(str(e) for e in sorted(epochs)).encode()
+    ).hexdigest()[:16]
+
+
+def atomic_write_bytes(path: Path, data: bytes) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, prefix="._tmp_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def atomic_write_json(path: Path, obj: dict) -> None:
+    atomic_write_bytes(path, json.dumps(obj, sort_keys=True).encode())
+
+
+def atomic_write_table(path: Path, table: pa.Table) -> int:
+    """Write a Parquet file atomically; return its byte size."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, prefix="._tmp_", suffix=".parquet")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        size = os.path.getsize(tmp)
+        os.replace(tmp, path)
+        return size
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class StateStore:
+    """Filesystem layout + commit protocol for one logical state table."""
+
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+
+    # -- paths ---------------------------------------------------------------
+    def part_dir(self, part: int) -> Path:
+        return self.root / "parts" / f"part={part:05d}"
+
+    def state_file(self, part: int, version: int) -> Path:
+        return self.part_dir(part) / f"version={version:012d}.parquet"
+
+    def manifest_file(self, part: int, version: int) -> Path:
+        return self.root / "manifest" / f"part={part:05d}-version={version:012d}.json"
+
+    def cycle_file(self, version: int) -> Path:
+        return self.root / "cycles" / f"version={version:012d}.json"
+
+    def config_file(self) -> Path:
+        return self.root / "config.json"
+
+    # -- config --------------------------------------------------------------
+    def load_or_init_config(self, cfg: dict) -> dict:
+        """Persist engine config on first run; on resume, validate the
+        layout-critical fields match (the partitioner is part of the on-disk
+        contract — the analog of the reference refusing to start when the
+        checkpoint disagrees with the requested range, ``streamer.py:177-191``)."""
+        f = self.config_file()
+        if f.exists():
+            stored = json.loads(f.read_text())
+            for k in ("num_partitions",):
+                if stored.get(k) != cfg.get(k):
+                    raise ValueError(
+                        f"state store at {self.root} was created with {k}="
+                        f"{stored.get(k)}; refusing to resume with {cfg.get(k)}"
+                    )
+            return stored
+        atomic_write_json(f, cfg)
+        return cfg
+
+    # -- listings ------------------------------------------------------------
+    def state_versions(self, part: int) -> list[int]:
+        d = self.part_dir(part)
+        if not d.is_dir():
+            return []
+        out = []
+        for name in os.listdir(d):
+            m = _PART_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_state_file(self, part: int, upto: int | None = None) -> Path | None:
+        versions = self.state_versions(part)
+        if upto is not None:
+            versions = [v for v in versions if v <= upto]
+        if not versions:
+            return None
+        return self.state_file(part, versions[-1])
+
+    def committed_versions(self) -> list[int]:
+        d = self.root / "cycles"
+        if not d.is_dir():
+            return []
+        out = []
+        for name in os.listdir(d):
+            m = _CYCLE_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def next_version(self) -> int:
+        """Apply steps must be contiguous 0..K-1 — a hole means a manually
+        damaged store, which we refuse to extend silently."""
+        vs = self.committed_versions()
+        if vs != list(range(len(vs))):
+            missing = sorted(set(range(vs[-1] + 1)) - set(vs))
+            raise ValueError(
+                f"state store {self.root} has non-contiguous apply steps: "
+                f"missing versions {missing}"
+            )
+        return len(vs)
+
+    def applied_epochs(self) -> set[int]:
+        out: set[int] = set()
+        for v in self.committed_versions():
+            out.update(self.read_cycle(v)["epochs"])
+        return out
+
+    # -- commits -------------------------------------------------------------
+    def commit_partition(
+        self, part: int, version: int, table: pa.Table, lineage: dict
+    ) -> dict:
+        size = atomic_write_table(self.state_file(part, version), table)
+        lineage = dict(lineage, bytes_out=size)
+        atomic_write_json(self.manifest_file(part, version), lineage)
+        return lineage
+
+    def read_manifest(self, part: int, version: int) -> dict:
+        return json.loads(self.manifest_file(part, version).read_text())
+
+    def commit_cycle(self, version: int, info: dict) -> None:
+        atomic_write_json(self.cycle_file(version), info)
+
+    def read_cycle(self, version: int) -> dict:
+        return json.loads(self.cycle_file(version).read_text())
+
+    # -- integrity -----------------------------------------------------------
+    def gaps(self, delivered_epochs: list[int]) -> list[int]:
+        """Anti-join: delivered epochs never applied (J9 analog)."""
+        applied = self.applied_epochs()
+        return [e for e in delivered_epochs if e not in applied]
+
+    def latest_files(self, num_partitions: int, upto: int | None = None) -> list[str]:
+        out = []
+        for p in range(num_partitions):
+            f = self.latest_state_file(p, upto=upto)
+            if f is not None:
+                out.append(str(f))
+        return out

@@ -1,0 +1,40 @@
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """Deterministic 10^4-event CDC corpus (FIXTURES t1 smoke scale)."""
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus") / "events"
+    info = write_corpus(d, n_events=10_000, seed=42, n_epochs=16)
+    return info
+
+
+@pytest.fixture(scope="session")
+def evo_corpus(tmp_path_factory):
+    """Schema-evolution corpus: v2 schema (filepath + size) from epoch 8 on."""
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus_evo") / "events"
+    info = write_corpus(d, n_events=6_000, seed=43, n_epochs=16, schema_evolution_at=8)
+    return info

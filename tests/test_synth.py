@@ -1,0 +1,49 @@
+"""Corpus generator determinism + fixture-property tests (FIXTURES F1/F2)."""
+
+import numpy as np
+import pyarrow as pa
+
+from blockchain_etl_ray.fixtures.synth import generate_events
+
+
+def test_deterministic():
+    a = generate_events(2000, seed=42)
+    b = generate_events(2000, seed=42)
+    assert a.equals(b)
+
+
+def test_fixture_properties():
+    t = generate_events(20_000, seed=42)
+    ops = t.column("op").to_pylist()
+    n = len(ops)
+    frac_ins = ops.count("insert") / n
+    frac_del = ops.count("delete") / n
+    assert 0.5 < frac_ins < 0.7
+    assert 0.05 < frac_del < 0.15
+
+    # duplicates exist (same event_id twice) — redelivery fixture
+    eids = t.column("event_id").to_pylist()
+    assert len(set(eids)) < len(eids)
+
+    # ordinals strictly increasing per distinct event
+    ords = sorted(set(t.column("ordinal").to_pylist()))
+    assert ords == list(range(len(ords)))
+
+    # out-of-order delivery: some events land in a later epoch than their home
+    epoch = np.array(t.column("epoch").to_pylist())
+    ordinal = np.array(t.column("ordinal").to_pylist())
+    epoch_size = int(np.ceil(20_000 / 16))
+    assert (epoch > ordinal // epoch_size).any()
+    # ...but never earlier
+    assert not (epoch < ordinal // epoch_size).any()
+
+    # deletes carry null content
+    d = t.filter(pa.compute.equal(t.column("op"), "delete"))
+    assert d.column("content").null_count == d.num_rows
+
+    # skew: top repo has many more events than the median repo
+    repos = t.column("repo").to_pylist()
+    from collections import Counter
+
+    counts = sorted(Counter(repos).values())
+    assert counts[-1] > 10 * counts[len(counts) // 2]
