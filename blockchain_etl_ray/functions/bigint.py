@@ -1,0 +1,52 @@
+"""Arbitrary-precision integer aggregation (the ``vsum`` analog).
+
+The reference sums wei values (uint256, up to 78 decimal digits) as Python
+ints inside pandas aggs (``vsum``, ``blockchainetl/misc/pandas_extra.py:18-21``)
+and stringifies them at the sink (``IntToStringItemConverter``,
+``blockchainetl/jobs/exporters/item_exporter_builder.py:89``).  Same approach
+here: per-batch partial sums as Python ints carried as decimal strings (exact,
+mergeable), final combine per group, output as strings.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def batch_partial_vsum(
+    batch: pa.Table, group_col: str, value_col: str, multiplier: int = 1
+) -> pa.Table:
+    """Combiner: one (group, partial-sum-string, count) row per group per batch.
+
+    ``multiplier`` widens each value in exact Python-int space — int64 columns
+    stay un-overflowed in Arrow and the widening happens here (the reference
+    stores uint256 as strings for the same reason).
+    """
+    groups: dict[str, tuple[int, int]] = {}
+    for g, v in zip(
+        batch.column(group_col).to_pylist(), batch.column(value_col).to_pylist()
+    ):
+        if v is None:
+            continue
+        s, c = groups.get(g, (0, 0))
+        groups[g] = (s + int(v) * multiplier, c + 1)
+    return pa.table(
+        {
+            group_col: pa.array(list(groups.keys()), type=pa.string()),
+            "partial_sum": pa.array([str(s) for s, _ in groups.values()], type=pa.string()),
+            "partial_count": pa.array([c for _, c in groups.values()], type=pa.int64()),
+        }
+    )
+
+
+def merge_partials(group: pa.Table, group_col: str) -> pa.Table:
+    """Final combine of partial vsums for one group (exact Python-int sum)."""
+    total = sum(int(s) for s in group.column("partial_sum").to_pylist())
+    n = sum(group.column("partial_count").to_pylist())
+    return pa.table(
+        {
+            group_col: pa.array([group.column(group_col)[0].as_py()], type=pa.string()),
+            "vsum": pa.array([str(total)], type=pa.string()),
+            "n": pa.array([n], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,37 @@
+"""Cross-engine numeric parity helpers.
+
+The driver compares Ray results against DuckDB oracle SQL with an
+order-insensitive value hash, so float aggregates must be bit-identical across
+engines.  Summing doubles in different orders differs in final ulps; the fix is
+to aggregate in exact integer domains:
+
+    Ray : sum(int64(round_half_away(x * 10^s)))
+    SQL : SUM(CAST(ROUND(x * 10^s) AS BIGINT))
+
+``pyarrow.compute.round(round_mode="half_towards_infinity")`` matches DuckDB's
+``ROUND`` (half away from zero) for all signs.  Dividing the exact integer back
+by the scale with the same double division on both sides yields identical
+doubles.
+
+The reference dodges the same class of problem by summing wei values as Python
+ints (``vsum``, ``blockchainetl/misc/pandas_extra.py:18-21``) and storing
+uint256 as strings (``item_exporter_builder.py:89``); see functions/bigint.py
+for that analog.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def scaled_int(col: pa.ChunkedArray | pa.Array, scale: int = 2) -> pa.ChunkedArray:
+    """Exact int64 representation of a double column at 10^-scale resolution."""
+    x = pc.multiply(col, pa.scalar(float(10**scale)))
+    r = pc.round(x, ndigits=0, round_mode="half_towards_infinity")
+    return pc.cast(r, pa.int64())
+
+
+def sql_scaled_int(expr: str, scale: int = 2) -> str:
+    """The DuckDB expression matching :func:`scaled_int`."""
+    return f"CAST(ROUND(({expr}) * {10**scale}) AS BIGINT)"

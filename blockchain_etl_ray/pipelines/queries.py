@@ -1,0 +1,857 @@
+"""Query/operator catalog over the driver testdata tables.
+
+Each entry demonstrates one operator family from SURVEY.md §2 (reference
+citations on each function) as an idiomatic Ray Data pipeline, paired with the
+ANSI-SQL oracle the driver runs through DuckDB on the same Parquet tables.
+
+Cross-engine parity contract (see functions/parity.py):
+- double aggregates are computed as exact scaled int64 (``*_x100`` cents /
+  ``*_x1m`` micros) with half-away-from-zero rounding on both sides;
+- timestamps cross the boundary as epoch-microsecond int64;
+- every computed column carries the same name in Ray and SQL;
+- ties in rankings/first-last are always broken by a unique key column.
+
+Entries without SQL (``sql=None``) are non-SQL-expressible (probabilistic LSH
+recall, heuristic language-ID, engine-internal state) — the driver records a
+rows-only check and pytest covers them against brute-force oracles.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.bigint import batch_partial_vsum, merge_partials
+from ..functions.parity import scaled_int
+from ..stages import ann, dedup, text, windows
+from ..stages.joins import broadcast_enrich, broadcast_semi_join
+
+QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _tbl(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _ts_us(batch: pa.Table, col: str, out: str) -> pa.Table:
+    return batch.append_column(out, pc.cast(batch.column(col), pa.int64()))
+
+
+def _mod(col, k: int):
+    """int64 modulo (pyarrow ships no modulo kernel): a - (a // k) * k."""
+    c = pc.cast(col, pa.int64())
+    return pc.subtract(c, pc.multiply(pc.divide(c, k), k))
+
+
+# ===========================================================================
+# Relational core (A1/A10 aggregations, J1-J3 joins, J9 anti-joins, A2 ranks,
+# A8 top-k, U2/U8 dedup/LWW)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_x100,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_x100,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregation (A1/A10 analog: the reference's
+    groupby sums over token holder/balance deltas,
+    ``ethereumetl/streaming/eth_token_holder_adapter.py:179-198``).
+    Filter + derived columns vectorized in one Arrow pass; pre-aggregation
+    happens inside Ray's hash aggregate."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_x100": scaled_int(t.column("l_quantity")),
+                "base_x100": scaled_int(t.column("l_extendedprice")),
+                "disc_x100": scaled_int(disc),
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_x100", alias_name="sum_qty_x100"),
+            Sum("base_x100", alias_name="sum_base_x100"),
+            Sum("disc_x100", alias_name="sum_disc_x100"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+@register(
+    "enrich_orders_customer",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def enrich_orders_customer(sf_dir: str):
+    """J2/J3 enrich join: broadcast small dimension, strict cardinality check
+    (``ethereumetl/streaming/enrich.py:122-171`` — result must preserve the
+    left count, mismatches reported as key sets)."""
+    dim = _tbl(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return broadcast_enrich(ds, dim, left_on=["o_custkey"], right_on=["c_custkey"], strict=True)
+
+
+@register(
+    "revenue_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_x100,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def revenue_by_segment(sf_dir: str):
+    """J1 multi-way join collapsed to ONE broadcast lookup: the two small
+    dimensions are pre-joined driver-side into an order→segment map shipped
+    once via ``ray.put``; the fact table never shuffles (the reference enriches
+    traces from the tiny blocks table the same way, ``enrich.py:331-375``)."""
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    dim = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"]).select(
+        ["o_orderkey", "c_mktsegment"]
+    )
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_x100": scaled_int(disc)}
+        )
+
+    enriched = broadcast_enrich(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        dim,
+        left_on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        strict=True,
+    )
+    return enriched.groupby("c_mktsegment").aggregate(
+        Sum("rev_x100", alias_name="revenue_x100"), Count(alias_name="n_items")
+    )
+
+
+@register(
+    "missing_user_ids",
+    """
+    SELECT r AS user_id FROM range(0, 200) t(r)
+    WHERE r NOT IN (SELECT user_id FROM events)
+    """,
+)
+def missing_user_ids(sf_dir: str):
+    """J9 gap-detection anti-join, literally the missing-block checker shape
+    (``ethereumetl/jobs/checkers/block_checker.py``: generate_series LEFT JOIN
+    blocks WHERE NULL): expected key range vs keys present in the log."""
+    keys = _tbl(sf_dir, "events", ["user_id"])
+    expected = rd.range(200).map_batches(
+        lambda t: pa.table({"user_id": pc.cast(t.column("id"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return broadcast_semi_join(expected, keys, on=["user_id"], anti=True)
+
+
+@register(
+    "top_parts_by_quantity",
+    """
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY sum_qty_x100 DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def top_parts_by_quantity(sf_dir: str):
+    """A8 top-k with deterministic tie-break (top-holder analog,
+    ``ethereumetl/cli/export_top_holders.py:134-212``): grouped aggregate →
+    sort desc → limit; the sort input is already one row per key."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_partkey": t.column("l_partkey"), "qty_x100": scaled_int(t.column("l_quantity"))}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_x100", alias_name="sum_qty_x100"), Count(alias_name="n"))
+    )
+    # deterministic top-k: sort by (sum desc, key asc)
+    out = agg.sort(["sum_qty_x100", "l_partkey"], descending=[True, False]).limit(10)
+    return out
+
+
+@register(
+    "rank_orders_within_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def rank_orders_within_customer(sf_dir: str):
+    """A2 partition_rank (``blockchainetl/misc/pandas_extra.py:7-21``):
+    row_number over sorted per-key groups via groupby().map_groups."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ranked = windows.partition_rank(
+        ds, by=["o_custkey"], order=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    )
+    return ranked.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+@register(
+    "first_last_order_per_customer",
+    """
+    WITH f AS (
+      SELECT o_custkey, o_orderkey AS first_orderkey,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS first_date_us
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1),
+    l AS (
+      SELECT o_custkey, o_orderkey AS last_orderkey,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS last_date_us
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    n AS (SELECT o_custkey, COUNT(*) AS n_events FROM orders GROUP BY o_custkey)
+    SELECT f.o_custkey, f.first_orderkey, f.first_date_us,
+           l.last_orderkey, l.last_date_us, n.n_events
+    FROM f JOIN l USING (o_custkey) JOIN n USING (o_custkey)
+    """,
+)
+def first_last_order_per_customer(sf_dir: str):
+    """A3 first/last-touch extraction (first_xfer/last_xfer semantics,
+    ``ethereumetl/streaming/eth_token_holder_adapter.py:258-268``)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: _ts_us(t, "o_orderdate", "date_us"), batch_format="pyarrow"
+    )
+    return windows.grouped_first_last(
+        ds,
+        by=["o_custkey"],
+        order=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+        first_cols={"o_orderkey": "first_orderkey", "date_us": "first_date_us"},
+        last_cols={"o_orderkey": "last_orderkey", "date_us": "last_date_us"},
+    ).select_columns(
+        ["o_custkey", "first_orderkey", "first_date_us", "last_orderkey", "last_date_us", "n_events"]
+    )
+
+
+@register(
+    "nation_region_counts",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def nation_region_counts(sf_dir: str):
+    """J3 chained dimension enrich (nation/region = the label/price dimension
+    joins, ``blockchainetl/service/label_service.py``)."""
+    nation = _tbl(sf_dir, "nation")
+    region = _tbl(sf_dir, "region")
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"]).select(
+        ["n_nationkey", "n_name", "r_name"]
+    )
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return (
+        broadcast_enrich(ds, dim, left_on=["c_nationkey"], right_on=["n_nationkey"], strict=True)
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+# ===========================================================================
+# Event-stream operators (U2 LWW, U8 dedup, §2.7 unions/filters, §2.9 windows)
+# ===========================================================================
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_x100
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(sf_dir: str):
+    """U2 last-writer-wins by ordinal (``cond_upsert_on_blknum``,
+    ``blockchainetl/streaming/postgres_utils.py:80-88``) expressed as a
+    per-key max-ordinal fold — the same resolve the CDC merge stage runs."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        g = group.take(idx[:1])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "event_type": g.column("event_type"),
+                "value_x100": scaled_int(g.column("value")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+@register(
+    "dedup_first_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def dedup_first_event_per_user_type(sf_dir: str):
+    """U8 exact dedup: hash-partition on the key, keep the deterministic first
+    row per group (``blockchainetl/cli/gp_autofix.py:219-307`` duplicate
+    cleanup semantics)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx[:1])
+        return _ts_us(g, "ts", "ts_us").select(["user_id", "event_type", "event_id", "ts_us"])
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pyarrow")
+
+
+@register(
+    "union_value_extremes",
+    """
+    SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_x100, 'high' AS tag
+    FROM events WHERE value >= 150
+    UNION ALL
+    SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_x100, 'low' AS tag
+    FROM events WHERE value < 10
+    """,
+)
+def union_value_extremes(sf_dir: str):
+    """§2.7 union-all of filtered item streams (the adapter's 9-entity concat,
+    ``ethereumetl/streaming/eth_streamer_adapter.py:227-237``)."""
+
+    def mk(pred, tag):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pred(t))
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "value_x100": scaled_int(t.column("value")),
+                    "tag": pa.array([tag] * t.num_rows, type=pa.string()),
+                }
+            )
+
+        return f
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    high = ds.map_batches(mk(lambda t: pc.greater_equal(t.column("value"), 150.0), "high"), batch_format="pyarrow")
+    low = ds.map_batches(mk(lambda t: pc.less(t.column("value"), 10.0), "low"), batch_format="pyarrow")
+    return high.union(low)
+
+
+@register(
+    "rule_filter_events",
+    """
+    SELECT event_id, user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_x100
+    FROM events
+    WHERE event_type IN ('purchase', 'signup') AND value > 50
+    """,
+)
+def rule_filter_events(sf_dir: str):
+    """§2.10 rule-DSL surface: a compiled predicate over the item stream (the
+    alert rule `type in (...) and value > X`, ``blockchainetl/alert/rule.py``)
+    evaluated as vectorized Arrow kernels, not per-row Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "signup"])),
+            pc.greater(t.column("value"), 50.0),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_x100,
+           MIN(CAST(epoch_us(ts) AS BIGINT)) AS min_ts_us,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_stats(sf_dir: str):
+    """A1 grouped min/max/sum/count (holder first-touch aggregation shape,
+    ``eth_token_holder_adapter.py:179-198``)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_x100", alias_name="sum_value_x100"),
+            Min("ts_us", alias_name="min_ts_us"),
+            Max("ts_us", alias_name="max_ts_us"),
+        )
+    )
+
+
+@register(
+    "vsum_by_event_type",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS HUGEINT) * 1000000000000) AS VARCHAR) AS vsum,
+           COUNT(value) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def vsum_by_event_type(sf_dir: str):
+    """A4 arbitrary-precision sum (``vsum``,
+    ``blockchainetl/misc/pandas_extra.py:18-21``): per-batch Python-int partial
+    sums carried as decimal strings (exceeding int64), merged per group —
+    exactly the reference's wei-value aggregation strategy."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micros = scaled_int(t.column("value"), scale=6)
+        return pa.table({"event_type": t.column("event_type"), "micros": micros})
+
+    partials = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda t: batch_partial_vsum(
+            t, "event_type", "micros", multiplier=1_000_000_000_000
+        ),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("event_type").map_groups(
+        lambda g: merge_partials(g, "event_type"), batch_format="pyarrow"
+    )
+
+
+@register(
+    "sessionize_users",
+    """
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) GROUP BY user_id
+    """,
+)
+def sessionize_users(sf_dir: str):
+    """§2.9 session windows: per-key sorted gap detection in map_groups (Ray
+    Data has no watermarks; ordering restored per key exactly like the
+    reference sorts (blknum, logpos) before ranked aggs,
+    ``eth_token_holder_adapter.py:272``)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return windows.sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0, tie_col="event_id")
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, event_type, COUNT(*) AS n
+    FROM events GROUP BY bucket, event_type
+    """,
+)
+def hourly_event_counts(sf_dir: str):
+    """§2.9 tumbling window = vectorized bucket column + groupby (the `_st_day`
+    derived-date pattern, ``item_exporter_builder.py:171-216``)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return windows.tumbling_count(ds, ts_col="ts", width_seconds=3600, extra_keys=["event_type"])
+
+
+@register(
+    "users_without_big_purchase",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id NOT IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase' AND value > 180)
+    """,
+)
+def users_without_big_purchase(sf_dir: str):
+    """Anti-join on a derived key set (negative membership filter — the erc20
+    exclusion-set pattern, ``ethereumetl/service/erc721_transfer_extractor.py``)."""
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type", "value"])
+    big = ev.filter(
+        pc.and_(pc.equal(ev.column("event_type"), "purchase"), pc.greater(ev.column("value"), 180.0))
+    ).select(["user_id"])
+    ds = _read(sf_dir, "events", ["user_id"])
+    return (
+        broadcast_semi_join(ds, big, on=["user_id"], anti=True)
+        .groupby("user_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+# ===========================================================================
+# Text / training-data operators (documents table)
+# ===========================================================================
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS sum_tokens,
+           SUM(length(text)) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(sf_dir: str):
+    """Token counting (whitespace tokenizer) + per-language profile — M12-style
+    derived columns vectorized in Arrow."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return (
+        ds.map_batches(text.token_stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("n_chars_calc", alias_name="sum_chars"),
+        )
+    )
+
+
+@register(
+    "doc_stopword_profile",
+    """
+    SELECT lang,
+           SUM(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('a', 'and', 'of', 'the', 'to')))) AS sum_stopwords,
+           SUM(len(string_split(text, ' '))) AS sum_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_stopword_profile(sf_dir: str):
+    """Quality-scoring building block: stopword counts per doc, aggregated per
+    language (exact-int parity; the ratio is derivable downstream)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return (
+        ds.map_batches(text.token_stats, batch_format="pyarrow")
+        .map_batches(text.stopword_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_stopwords", alias_name="sum_stopwords"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT doc_id, md5(text) AS fingerprint
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def doc_exact_dedup(sf_dir: str):
+    """Exact dedup by content fingerprint: hash-partition + per-group first
+    (U8; `event_id` dedup in the CDC engine is the same operator)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = ds.map_batches(text.fingerprint_md5, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+    return dedup.exact_dedup(fp, fingerprint_col="fingerprint", order_col="doc_id")
+
+
+@register("doc_langid", None)
+def doc_langid(sf_dir: str):
+    """Heuristic n-gram language ID (actor-pool stage; rows-only check —
+    deterministic but not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+@register("doc_fingerprints", None)
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash (winnowing) document fingerprints — deterministic,
+    non-SQL; covered by pytest determinism checks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.rolling_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+@register("minhash_neardup_pairs", None)
+def minhash_neardup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup detection with planted near-duplicates: every
+    doc_id % 5 == 0 gets a perturbed copy (id + 1_000_000).  Probabilistic
+    recall ⇒ rows-only here; pytest verifies precision (all reported pairs
+    have true Jaccard ≥ τ) and planted-pair recall against brute force."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 5), 0))
+    planted = pa.table(
+        {
+            "doc_id": pc.add(planted.column("doc_id"), 1_000_000),
+            "text": pc.binary_join_element_wise(
+                planted.column("text"), " extra tail words appended", ""
+            ),
+        }
+    )
+    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
+    ds = rd.from_arrow(all_docs)
+    return dedup.minhash_near_dups(ds, all_docs, threshold=0.5)
+
+
+@register("simhash_signatures", None)
+def simhash_signatures(sf_dir: str):
+    """64-bit SimHash signatures + band keys (near-dup bucketing building
+    block) — deterministic, rows-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+
+
+# ===========================================================================
+# Embedding similarity (embeddings table)
+# ===========================================================================
+
+
+@register(
+    "ann_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_x1m,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q.query_id, v.vec_id,
+             list_cosine_similarity(q.qe, v.ve) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qe, v.ve) DESC,
+                                         v.vec_id ASC) AS rank
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q.query_id)
+    WHERE rank <= 10
+    """,
+)
+def ann_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+    matmul emitting LOCAL top-k (combiner), global top-k per query in
+    map_groups.  The exact baseline for ANN; IVF keeps the same shape."""
+    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pc.less(pc.field("vec_id"), 5)
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"])
+
+
+@register(
+    "cosine_exact_dup_pairs",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         extra AS (SELECT vec_id + 1000000 AS vec_id, e FROM base WHERE vec_id % 100 = 0),
+         allv AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS cos_x1m
+    FROM allv a JOIN allv b ON b.vec_id > a.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.999999
+    """,
+)
+def cosine_exact_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs with planted exact duplicates
+    (vec_id % 100 == 0 re-inserted at id + 1_000_000).  Threshold ≈ 1.0 keeps
+    the decision boundary away from float noise so the SQL oracle matches."""
+    base = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    extra = base.filter(pc.equal(_mod(base.column("vec_id"), 100), 0))
+    extra = extra.set_column(
+        0, "vec_id", pc.add(extra.column("vec_id"), 1_000_000)
+    )
+    allv = pa.concat_tables([base, extra])
+    ds = rd.from_arrow(allv)
+    return dedup_pairs_select(
+        ann.cosine_neardup_pairs(ds, allv, threshold=0.999999)
+    )
+
+
+def dedup_pairs_select(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["a", "b", "cos_x1m"])
+
+
+# ===========================================================================
+# The flagship: CDC replay through the full engine, SQL-checkable
+# ===========================================================================
+
+_CDC_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS lang,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) = 1)
+    SELECT repo, path, commit_id, lang, content,
+           sha256(content) AS content_sha256, ordinal
+    FROM latest WHERE op <> 'delete'
+"""
+
+
+@register("cdc_replay_state", _CDC_SQL)
+def cdc_replay_state(sf_dir: str):
+    """END-TO-END flagship: derive a CDC change log from the events table
+    (ordinal = event_id, key = (user, event-type), op by event_id % 10,
+    tombstones for % 10 == 9), run it through the FULL replay engine
+    (normalize → compact → partitioned LWW merge → exactly-once state store)
+    and read back the converged live state.  The SQL oracle is the
+    LWW-by-ordinal window fold — U1/U2/U7 semantics in one query."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    ev = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
+    n = ev.num_rows
+    eid = ev.column("event_id")
+    opsel = _mod(eid, 10)
+    op = pc.if_else(
+        pc.less_equal(opsel, 5),
+        pa.scalar("insert"),
+        pc.if_else(pc.less_equal(opsel, 8), pa.scalar("update"), pa.scalar("delete")),
+    )
+    is_del = pc.equal(opsel, 9)
+    content = pc.if_else(is_del, pa.scalar(None, type=pa.string()), ev.column("props"))
+    repo = pc.binary_join_element_wise(
+        pa.array(["user"] * n), pc.cast(ev.column("user_id"), pa.string()), ""
+    )
+    path = pc.binary_join_element_wise(
+        pc.cast(ev.column("event_type"), pa.string()), pa.array([".log"] * n), ""
+    )
+    epoch_size = max(1, n // 10)
+    log = pa.table(
+        {
+            "ordinal": pc.cast(eid, pa.int64()),
+            "epoch": pc.cast(pc.divide(eid, epoch_size), pa.int64()),
+            "op": op,
+            "repo": repo,
+            "path": path,
+            "commit": pc.cast(eid, pa.string()),
+            "lang": ev.column("event_type"),
+            "content": pc.cast(content, pa.large_string()),
+            "event_id": pc.cast(eid, pa.string()),
+        }
+    )
+
+    workdir = Path(tempfile.mkdtemp(prefix="cdc_replay_"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    for e in pc.unique(log.column("epoch")).to_pylist():
+        sub = log.filter(pc.equal(log.column("epoch"), e))
+        pq.write_table(sub, events_dir / f"epoch={e:06d}.parquet")
+
+    engine = ReplayEngine(
+        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+    state = engine.read_state().to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables([_ray.get(r) for r in state])
+    return pa.table(
+        {
+            "repo": tbl.column("repo"),
+            "path": tbl.column("path"),
+            "commit_id": tbl.column("commit"),
+            "lang": tbl.column("lang"),
+            "content": pc.cast(tbl.column("content"), pa.string()),
+            "content_sha256": tbl.column("content_sha256"),
+            "ordinal": tbl.column("ordinal"),
+        }
+    )
+
+
+def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    return dict(QUERIES)

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (training-data extension).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is broadcast
+once (``ray.put``), each ``map_batches`` task computes a numpy matmul of its
+batch against all queries and emits only its LOCAL top-k rows per query (a
+combiner — the per-batch partial keeps the shuffle tiny), then a per-query
+``map_groups`` selects the global top-k.  The scale path (IVF: coarse k-means
+centroids, probe nearest lists) keeps the same two-stage shape with a
+centroid-bucket groupby in between.
+
+Float parity: cosine is computed in float64 from the float32-exact inputs and
+returned as an exact scaled int (cos_x1m = round(cos * 1e6)); ranking ties are
+broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def brute_force_topk(
+    vectors: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Top-k cosine neighbors for each row of ``queries`` (id, vector)."""
+    qids = queries.column(id_col).to_pylist()
+    qm = _to_matrix(queries.column(vec_col))
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qm))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm_ @ m.T  # (Q, B)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids_):
+            s = sims[qi]
+            mask = ids != qid if exclude_self else np.ones_like(ids, dtype=bool)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # local top-k: order by (-cos, neighbor id) for deterministic ties
+            order = np.lexsort((ids[idx], -s[idx]))[:k]
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(ids[sel].tolist())
+            out_c.extend([int(round(c * 1_000_000)) for c in s[sel]])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos_x1m": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = vectors.map_batches(partial_topk, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cos_x1m", "descending"), ("neighbor_id", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs(
+    vectors: rd.Dataset,
+    all_vectors: pa.Table,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    Broadcast-matrix variant: each batch multiplies against the full (small)
+    normalized matrix; at scale, bucket by LSH of the embedding first.
+    """
+    ids_all = np.asarray(all_vectors.column(id_col).to_pylist(), dtype=np.int64)
+    m_all = _to_matrix(all_vectors.column(vec_col))
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, m_a = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m_a.T
+        a_out, b_out, c_out = [], [], []
+        for i in range(len(ids)):
+            hits = np.nonzero((sims[i] >= threshold) & (ids_a > ids[i]))[0]
+            for j in hits:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids_a[j]))
+                c_out.append(int(round(sims[i, j] * 1_000_000)))
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "cos_x1m": pa.array(c_out, type=pa.int64()),
+            }
+        )
+
+    return vectors.map_batches(pairs, batch_format="pyarrow")

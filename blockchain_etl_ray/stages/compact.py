@@ -25,37 +25,57 @@ import polars as pl
 from ..schema import NORM_FIELDS
 
 
-def compact_batch(batch: pa.Table) -> pa.Table:
-    if batch.num_rows <= 1:
-        return batch
-    df = pl.from_arrow(batch)
+def fold_changes(df: pl.DataFrame) -> pl.DataFrame:
+    """Associative two-stage fold of normalized change rows.
 
-    # fold exact redeliveries (same event_id; keep the FIRST delivery, i.e.
-    # min epoch — see schema.py conflict-resolution order)
-    before = df.height
-    df = df.sort(["ordinal", "epoch"], maintain_order=True)
-    df = df.unique(subset=["event_id"], keep="first", maintain_order=True)
-    dupes = before - df.height
+    Invariant: sum(n_folded) + sum(n_dupes) is conserved — every raw delivered
+    event stays counted exactly once, so lineage `events_in` survives any
+    re-compaction (proved by the associativity test in tests/test_operators.py).
 
-    # per-key net effect: max ordinal wins, min epoch among equal ordinals
-    # (sort epoch DESC so `.last()` lands on min epoch within the ordinal tie)
-    df = df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
+    Stage 1 — redelivery fold: rows sharing an event_id are copies; keep the
+    first delivery (min epoch; see schema.py conflict order) and absorb the
+    dropped copies' weights into the survivor's ``n_dupes``.
+    Stage 2 — key fold: per (repo, path) the max-ordinal event wins (min epoch
+    among equal ordinals); weights accumulate.
+    """
     value_cols = [
-        c for c, _ in NORM_FIELDS if c not in ("repo", "path", "n_folded", "n_dupes")
+        c
+        for c, _ in NORM_FIELDS
+        if c not in ("event_id", "repo", "path", "n_folded", "n_dupes")
     ]
+
+    df = df.sort(["ordinal", "epoch"], maintain_order=True)
+    df = (
+        df.group_by("event_id", maintain_order=True)
+        .agg(
+            *[pl.col(c).first() for c in value_cols],
+            pl.col("repo").first(),
+            pl.col("path").first(),
+            pl.col("n_folded").first().alias("_nf_keep"),
+            (pl.col("n_folded").sum() + pl.col("n_dupes").sum()).alias("_total"),
+        )
+        .with_columns(
+            pl.col("_nf_keep").alias("n_folded"),
+            (pl.col("_total") - pl.col("_nf_keep")).alias("n_dupes"),
+        )
+        .drop(["_nf_keep", "_total"])
+    )
+
+    # key fold: max ordinal wins, min epoch among equal ordinals (epoch DESC so
+    # `.last()` after the ascending-ordinal sort lands on min epoch in the tie)
+    df = df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
     df = df.group_by(["repo", "path"], maintain_order=True).agg(
         *[pl.col(c).last() for c in value_cols],
+        pl.col("event_id").last(),
         pl.col("n_folded").sum(),
         pl.col("n_dupes").sum(),
     )
-    if dupes:
-        # attribute batch-level dupe count to the first surviving row
-        df = df.with_columns(
-            pl.when(pl.int_range(pl.len()) == 0)
-            .then(pl.col("n_dupes") + dupes)
-            .otherwise(pl.col("n_dupes"))
-            .alias("n_dupes")
-        )
-    out = df.select([c for c, _ in NORM_FIELDS]).to_arrow()
+    return df
+
+
+def compact_batch(batch: pa.Table) -> pa.Table:
+    if batch.num_rows <= 1:
+        return batch
+    out = fold_changes(pl.from_arrow(batch)).select([c for c, _ in NORM_FIELDS]).to_arrow()
     # polars emits its own arrow types (e.g. large_utf8 everywhere); cast back
     return out.cast(pa.schema(NORM_FIELDS))

@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Exact dedup mirrors the reference's PK `DO NOTHING` + duplicate cleanup
+(U1/U8, ``blockchainetl/streaming/postgres_utils.py:28-68``,
+``blockchainetl/cli/gp_autofix.py:219-307``): hash-partition on the fingerprint
+and keep the first row per group.  The near-dup family is the training-data
+extension (no analog in the reference): candidate generation is fully
+distributed (shingle → signature per batch, explode to (band, band_hash)
+rows, groupby band bucket); candidate *verification* joins the pair ids back
+to their shingle sets.  At sandbox scale the verify step broadcasts the doc
+set; at 100 TB it becomes a partitioned join on doc_id — the candidate volume,
+not the corpus, bounds that join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+# deterministic 64-bit universal-hash parameters for minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the k-word shingles of ``text``."""
+    words = text.split(" ")
+    if len(words) < k:
+        shingles = [" ".join(words)]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hs = {
+        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 3
+        for s in shingles
+    }
+    return np.fromiter(hs, dtype=np.int64, count=len(hs))
+
+
+class MinHasher:
+    """Actor-pool stage: doc → (num_perm minhash signature, banded LSH keys).
+
+    Permutation parameters are built once per actor (``__init__``), batches are
+    signed in ``__call__`` — the ST1 stateful-stage pattern.
+    Emits exploded (band_id, band_hash, doc_id) rows ready for the bucket
+    groupby; one doc yields ``bands`` rows.
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)
+        # (num_perm, n_shingles) universal hashes, min over shingles
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(h, "big") >> 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.int64()),
+            }
+        )
+
+
+def lsh_candidate_pairs(buckets: rd.Dataset) -> rd.Dataset:
+    """(band_id, band_hash) groupby → unordered candidate pairs (a < b)."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
+
+    return buckets.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset, docs: pa.Table, threshold: float, shingle_k: int = 5
+) -> rd.Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    ``docs`` (doc_id, text) is broadcast; at scale replace with a partitioned
+    join of pair-ids → shingle sets.  Jaccard is returned as an exact scaled
+    int (j_pct_x100) for cross-engine comparability.
+    """
+    docs_ref = ray.put(docs)
+
+    class Verifier:
+        def __init__(self):
+            d = ray.get(docs_ref)
+            self.text = dict(
+                zip(d.column("doc_id").to_pylist(), d.column("text").to_pylist())
+            )
+            self.cache: dict[int, np.ndarray] = {}
+
+        def shingles(self, did: int) -> np.ndarray:
+            if did not in self.cache:
+                self.cache[did] = np.sort(shingle_hashes(self.text[did], shingle_k))
+            return self.cache[did]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_a, keep_b, jpct = [], [], []
+            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+                sa, sb = self.shingles(a), self.shingles(b)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 1.0
+                if j >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jpct.append(int(round(j * 10000)))
+            return pa.table(
+                {
+                    "a": pa.array(keep_a, type=pa.int64()),
+                    "b": pa.array(keep_b, type=pa.int64()),
+                    "j_pct_x100": pa.array(jpct, type=pa.int64()),
+                }
+            )
+
+    return pairs.map_batches(Verifier, batch_format="pyarrow", concurrency=2)
+
+
+def minhash_near_dups(
+    docs: rd.Dataset,
+    docs_small: pa.Table,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """Full MinHash-LSH near-dup pipeline: sign → bucket → pairs → dedup →
+    Jaccard-verify.  Returns (a, b, j_pct_x100) with a < b, unique."""
+    buckets = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    cand = lsh_candidate_pairs(buckets)
+    # dedup candidate pairs discovered in multiple bands before the expensive verify
+    cand = cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    return verify_pairs_jaccard(cand, docs_small, threshold, shingle_k)
+
+
+class SimHasher:
+    """64-bit SimHash per doc (actor-pool stage) + band keys for bucketing."""
+
+    def __init__(self, bands: int = 4):
+        self.bands = bands
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set(text.split(" ")):
+            digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        return int("".join("1" if x > 0 else "0" for x in acc), 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        out = batch.select(["doc_id"]).append_column(
+            "simhash", pa.array([h - (1 << 63) for h in hs], type=pa.int64())
+        )
+        for b in range(self.bands):
+            band = [(h >> (b * 64 // self.bands)) & 0xFFFF for h in hs]
+            out = out.append_column(f"band{b}", pa.array(band, type=pa.int64()))
+        return out
+
+
+def exact_dedup(ds: rd.Dataset, fingerprint_col: str, order_col: str) -> rd.Dataset:
+    """Keep the min-``order_col`` row per fingerprint (U8: hash-partition +
+    per-group first; deterministic winner)."""
+
+    def first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        return group.take(idx[:1])
+
+    return ds.groupby(fingerprint_col).map_groups(first, batch_format="pyarrow")

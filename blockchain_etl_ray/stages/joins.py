@@ -1,0 +1,123 @@
+"""Join operators: broadcast enrich joins with strict cardinality checks,
+broadcast semi/anti joins.
+
+Reference semantics reproduced:
+- J1 generic in-memory hash join with projection
+  (``ethereumetl/streaming/enrich.py:72-119``);
+- J2 strict cardinality assertion — an enrich join must preserve the left row
+  count, and on mismatch report the left-only/right-only key sets
+  (``enrich.py:42-69,122-171``);
+- J3 enrich-against-small-dimension (blocks are tiny vs traces; here the
+  dimension table is broadcast once via ``ray.put`` and each ``map_batches``
+  task joins its Arrow batch against it — no shuffle,
+  ``enrich.py:174-207`` etc.);
+- J9 missing-key anti-join (``ethereumetl/jobs/checkers/block_checker.py``).
+
+Scale note: the broadcast side must fit in one object-store object (dimension
+tables, key sets, Bloom-filter-sized artifacts).  For large×large joins use
+``Dataset.join`` (hash shuffle on both sides) — exposed via
+:func:`partitioned_join` so call sites document the choice.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class EnrichMismatch(ValueError):
+    """Left row count not preserved by an enrich join (J2 diagnostics)."""
+
+    def __init__(self, left_only: list, right_only: list):
+        self.left_only = left_only
+        self.right_only = right_only
+        super().__init__(
+            f"enrich cardinality mismatch: {len(left_only)} left-only keys "
+            f"(e.g. {left_only[:5]}), {len(right_only)} right-only keys "
+            f"(e.g. {right_only[:5]})"
+        )
+
+
+def _join_keys_array(t: pa.Table, keys: list[str]) -> pa.Array:
+    """Composite key as a single string column (for set membership ops)."""
+    if len(keys) == 1:
+        return pc.cast(t.column(keys[0]), pa.string())
+    parts = [pc.cast(t.column(k), pa.string()) for k in keys]
+    return pc.binary_join_element_wise(*parts, "\x00")
+
+
+def broadcast_enrich(
+    ds: rd.Dataset,
+    dim: pa.Table,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    strict: bool = True,
+) -> rd.Dataset:
+    """Left-enrich ``ds`` with columns of the small table ``dim`` (J1/J3).
+
+    With ``strict=True`` every left row must find exactly one match (J2): the
+    per-batch check raises :class:`EnrichMismatch` listing the offending keys.
+    The dimension table ships to workers once via ``ray.put`` and is joined
+    zero-copy per Arrow batch.
+    """
+    right_on = right_on or left_on
+    dim_ref = ray.put(dim)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        joined = batch.join(
+            d, keys=left_on, right_keys=right_on, join_type="left outer"
+        )
+        if strict:
+            if joined.num_rows != batch.num_rows:
+                raise EnrichMismatch(left_only=[], right_only=["<dup keys in dim>"])
+            # a row that found no match has nulls in every right column; detect
+            # via membership of the left key in the dim key set
+            member = pc.is_in(
+                _join_keys_array(batch, left_on),
+                value_set=pc.unique(_join_keys_array(d, right_on)),
+            )
+            if not pc.all(member).as_py() and batch.num_rows > 0:
+                missing = pc.unique(
+                    pc.filter(_join_keys_array(batch, left_on), pc.invert(member))
+                ).to_pylist()
+                raise EnrichMismatch(left_only=missing, right_only=[])
+        return joined
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
+
+
+def broadcast_semi_join(
+    ds: rd.Dataset, keys: pa.Table, on: list[str], anti: bool = False
+) -> rd.Dataset:
+    """Semi (or anti) join against a broadcast key set (J9 / membership filters,
+    e.g. the erc20 exclusion set ``ethereumetl/service/erc721_transfer_extractor.py``)."""
+    key_set = pc.unique(_join_keys_array(keys, on))
+    ref = ray.put(key_set)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        member = pc.is_in(_join_keys_array(batch, on), value_set=ray.get(ref))
+        return batch.filter(pc.invert(member) if anti else member)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def partitioned_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Large×large hash join: both sides shuffled on the key (use only when
+    neither side fits a broadcast — every block moves)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )

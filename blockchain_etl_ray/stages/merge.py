@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import LINEAGE_SCHEMA, STATE_FIELDS, STATE_SCHEMA
+from ..stages.compact import fold_changes
 from ..state.manifest import StateStore
 
 
@@ -89,19 +90,14 @@ def merge_partition(changes: pa.Table, spec: MergeSpec) -> pa.Table:
                 cached=True,
             )
 
-    # cross-batch redelivery fold (same event_id arriving in different
-    # batches; keep the first delivery = min epoch, see schema.py)
-    df = pl.from_arrow(changes)
-    pre = df.height
-    df = df.sort(["ordinal", "epoch"], maintain_order=True)
-    df = df.unique(subset=["event_id"], keep="first", maintain_order=True)
-    cross_dupes = pre - df.height
-    dupes = int(df["n_dupes"].sum() or 0) + cross_dupes
+    # cross-batch fold: the same associative compaction once more over the
+    # whole partition group (absorbs redeliveries that landed in different
+    # batches; conservation invariant documented in stages/compact.py)
+    df = fold_changes(pl.from_arrow(changes))
+    dupes = int(df["n_dupes"].sum() or 0)
 
     chg = (
-        df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
-        .unique(subset=["repo", "path"], keep="last", maintain_order=True)
-        .with_columns(
+        df.with_columns(
             (pl.col("op") == "delete").alias("deleted"),
             pl.col("epoch").alias("src_epoch"),
         )

@@ -1,0 +1,123 @@
+"""Text-analysis operators over document tables (training-data pipeline ops).
+
+The per-record scalar-transform analog of the reference's extractor/converter
+layer (M1-M12, e.g. ``ethereumetl/service/token_transfer_extractor.py:56-109``
+decode-per-log → here score-per-document), expressed as vectorized
+``map_batches`` bodies.  Stateful variants (compiled regexes, language
+profiles) are callable CLASSES for actor pools — setup once per actor in
+``__init__`` (ST1 analog, ``ethereumetl/service/eth_token_service.py:44-130``).
+
+SQL-parity notes: token counting and ratio features are defined on single-space
+splitting so the DuckDB oracle (`string_split(text, ' ')`) computes the same
+values; ratios are returned as exact scaled integers (see functions/parity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: tiny stopword list shared with the oracle SQL (keep sorted + lowercase)
+STOPWORDS: tuple[str, ...] = ("a", "and", "of", "the", "to")
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_tokens (single-space split) and n_chars_calc columns."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    return batch.append_column(
+        "n_tokens", pc.cast(pc.list_value_length(toks), pa.int64())
+    ).append_column(
+        "n_chars_calc", pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64())
+    )
+
+
+def stopword_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_stopwords: tokens ∈ STOPWORDS (exact-match, case-sensitive —
+    mirrored by the oracle's list_filter)."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
+    # re-aggregate per row: offsets of the list array give row boundaries
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    stops = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.repeat(np.arange(len(lengths)), lengths)
+    per_row = np.bincount(idx, weights=stops, minlength=len(lengths)).astype(np.int64)
+    return batch.append_column("n_stopwords", pa.array(per_row))
+
+
+class LangId:
+    """Character-n-gram language-ID heuristic (actor-pool stage).
+
+    Builds per-language trigram profiles ONCE per actor from the seeded
+    profile text, then scores each document by profile overlap.  Deterministic
+    and dependency-free (no fasttext in this container) — the Ray-side shape
+    (actor pool, batch scoring) is the part that matters at 100 TB.
+    """
+
+    PROFILES = {
+        "en": "the quick brown fox jumps over the lazy dog and this is a test of english text with common words",
+        "de": "der schnelle braune fuchs springt über den faulen hund und dies ist ein deutscher beispieltext mit wörtern",
+        "es": "el rápido zorro marrón salta sobre el perro perezoso y este es un texto de ejemplo en español con palabras",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et ceci est un exemple de texte français avec des mots",
+        "zh": "快速的棕色狐狸跳过懒狗这是一个中文示例文本包含常用词",
+    }
+
+    def __init__(self):
+        self.profiles = {
+            lang: self._trigrams(text) for lang, text in self.PROFILES.items()
+        }
+
+    @staticmethod
+    def _trigrams(s: str) -> set[str]:
+        s = s.lower()
+        return {s[i : i + 3] for i in range(max(0, len(s) - 2))}
+
+    def _score(self, text: str) -> str:
+        grams = self._trigrams(text[:500])
+        best, best_lang = -1.0, "unknown"
+        for lang, prof in sorted(self.profiles.items()):
+            inter = len(grams & prof)
+            score = inter / max(1, len(grams))
+            if score > best:
+                best, best_lang = score, lang
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._score(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact-dup fingerprint = md5(text) (matches DuckDB ``md5``)."""
+    md5 = hashlib.md5
+    fp = [md5(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fp, type=pa.string()))
+
+
+def rolling_fingerprints(
+    batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
+) -> pa.Table:
+    """Rabin-Karp-style rolling-hash document fingerprint: the ``keep``
+    smallest window hashes per doc (winnowing sketch), hex-joined.  Non-SQL;
+    deterministic."""
+    out = []
+    B, M = 131, (1 << 61) - 1
+    pow_b = pow(B, window - 1, M)
+    for t in batch.column(text_col).to_pylist():
+        data = t.encode()
+        if len(data) < window:
+            out.append(hashlib.md5(data).hexdigest()[:16])
+            continue
+        h = 0
+        for b in data[:window]:
+            h = (h * B + b) % M
+        mins = [h]
+        for i in range(window, len(data)):
+            h = ((h - data[i - window] * pow_b) * B + data[i]) % M
+            mins.append(h)
+        mins = sorted(set(mins))[:keep]
+        out.append("-".join(f"{m:016x}" for m in mins))
+    return batch.append_column("fingerprint", pa.array(out, type=pa.string()))

@@ -1,0 +1,118 @@
+"""Windowed / ordered-group operators: rank, first-last, sessionize, tumbling.
+
+The reference's window machinery is pandas-on-sorted-groups:
+``partition_rank`` = row_number over (partition by k order by blknum, logpos)
+(``blockchainetl/misc/pandas_extra.py:7-21``) feeding the holder/balance
+ranked aggregations (``ethereumetl/streaming/eth_token_holder_adapter.py:
+201-308``).  Same shape here: ``groupby(key).map_groups`` over
+deterministically sorted groups.  Ray Data has no event-time windows; tumbling
+windows are a vectorized bucket column + groupby, sessions are per-key sorted
+gap detection (SURVEY.md §2.9: every window is a batch + stored state, not a
+watermarked stream).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def partition_rank(
+    ds: rd.Dataset, by: list[str], order: list[tuple[str, str]], rank_col: str = "rn"
+) -> rd.Dataset:
+    """row_number() over (partition by ``by`` order by ``order``) (A2)."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=order)
+        g = group.take(idx)
+        return g.append_column(
+            rank_col, pa.array(range(1, g.num_rows + 1), type=pa.int64())
+        )
+
+    return ds.groupby(by).map_groups(rank, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    tie_col: str | None = None,
+) -> rd.Dataset:
+    """Per-key session assignment: a new session starts when the gap since the
+    previous event exceeds ``gap_seconds``.  Returns per-key session stats.
+
+    Ordering contract: rows are processed per key sorted by (ts, tie_col) —
+    state the tie-break so the oracle window ORDER BY matches exactly.
+    """
+    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(sort_cols, kind="mergesort")
+        gaps = g[ts_col].diff().dt.total_seconds()
+        new_sess = (gaps > gap_seconds) | gaps.isna()
+        n_sessions = int(new_sess.sum())
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+
+
+def tumbling_count(
+    ds: rd.Dataset, ts_col: str, width_seconds: int, extra_keys: list[str] | None = None
+) -> rd.Dataset:
+    """Tumbling-window counts: bucket = floor(epoch_seconds / width).
+
+    The bucket column is computed vectorized in ``map_batches``; the groupby
+    is over (bucket, *extra_keys).  Bucket returned as int64 for exact
+    cross-engine comparison.
+    """
+    extra_keys = extra_keys or []
+    us = width_seconds * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column(ts_col), pa.int64())  # timestamp[us] -> us
+        b = pc.floor(pc.divide(micros, pa.scalar(us, type=pa.int64())))
+        return batch.append_column("bucket", pc.cast(b, pa.int64()))
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["bucket"] + extra_keys)
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def grouped_first_last(
+    ds: rd.Dataset,
+    by: list[str],
+    order: list[tuple[str, str]],
+    first_cols: dict[str, str],
+    last_cols: dict[str, str],
+) -> rd.Dataset:
+    """First/last-touch extraction per group (A3 first/last row semantics,
+    ``eth_token_holder_adapter.py:258-268``): output one row per group with
+    renamed first_*/last_* columns."""
+
+    def fl(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=order)
+        g = group.take(idx)
+        row = {}
+        for b in by:
+            row[b] = g.column(b)[0].as_py()
+        for src, dst in first_cols.items():
+            row[dst] = g.column(src)[0].as_py()
+        for src, dst in last_cols.items():
+            row[dst] = g.column(src)[g.num_rows - 1].as_py()
+        row["n_events"] = g.num_rows
+        return pa.Table.from_pylist([row])
+
+    return ds.groupby(by).map_groups(fl, batch_format="pyarrow")

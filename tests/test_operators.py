@@ -1,0 +1,120 @@
+"""Operator-level unit tests: brute-force oracles for the non-SQL operators
+(MinHash-LSH, ANN), combiner associativity, enrich-join diagnostics."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from blockchain_etl_ray.stages import ann, dedup
+from blockchain_etl_ray.stages.compact import compact_batch
+from blockchain_etl_ray.stages.joins import EnrichMismatch, broadcast_enrich
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_precision_and_planted_recall():
+    """Every reported pair must truly exceed the Jaccard threshold (precision
+    is exact); every planted near-dup must be found (their Jaccard >> τ, so
+    LSH recall there is certain)."""
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    fn, _ = registry()["minhash_neardup_pairs"]
+    pairs = fn(SF).to_pandas()
+    assert len(pairs) > 0
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    full = dict(text)
+    for did, t in text.items():
+        if did % 5 == 0:
+            full[did + 1_000_000] = t + " extra tail words appended"
+
+    def jaccard(a, b):
+        sa = set(zip(*[a.split(" ")[i:] for i in range(5)])) or {tuple(a.split(" "))}
+        sb = set(zip(*[b.split(" ")[i:] for i in range(5)])) or {tuple(b.split(" "))}
+        return len(sa & sb) / len(sa | sb)
+
+    # precision: reported pairs genuinely >= tau (on word-5-gram jaccard)
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert jaccard(full[a], full[b]) >= 0.5, (a, b)
+
+    # planted recall: (d, d+1M) found for every planted doc with high jaccard
+    reported = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    for did, t in text.items():
+        if did % 5 == 0 and jaccard(t, full[did + 1_000_000]) >= 0.7:
+            assert (did, did + 1_000_000) in reported, did
+
+
+def test_ann_matches_numpy_bruteforce():
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    queries = emb.filter(pc.less(pc.field("vec_id"), 3))
+    out = (
+        ann.brute_force_topk(rd.from_arrow(emb), queries, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+
+    ids = np.array(emb.column("vec_id").to_pylist())
+    m = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        sims = m[ids == q] @ m.T
+        s = sims[0]
+        mask = ids != q
+        order = np.lexsort((ids[mask], -s[mask]))[:5]
+        expect = ids[mask][order].tolist()
+        got = out[out["query_id"] == q]["neighbor_id"].tolist()
+        assert got == expect, (q, got, expect)
+
+
+def test_compact_associative():
+    """Compacting halves then compacting the union == compacting the whole —
+    the property that makes the combiner sound before the shuffle."""
+    from blockchain_etl_ray.fixtures.synth import generate_events
+    from blockchain_etl_ray.stages.normalize import make_normalizer
+
+    t = generate_events(2000, seed=5)
+    norm = make_normalizer({"filepath": "path"}, 8)
+    nt = norm(t)
+    whole = compact_batch(nt)
+    a, b = nt.slice(0, 1000), nt.slice(1000)
+    halves = compact_batch(
+        pa.concat_tables([compact_batch(a), compact_batch(b)])
+    )
+
+    def canon(x):
+        return (
+            x.select(["repo", "path", "ordinal", "op", "event_id"])
+            .sort_by([("repo", "ascending"), ("path", "ascending")])
+            .to_pylist()
+        )
+
+    assert canon(whole) == canon(halves)
+    # conservation: n_folded + n_dupes sums to the raw row count
+    for c in (whole, halves):
+        total = pc.sum(c.column("n_folded")).as_py() + pc.sum(c.column("n_dupes")).as_py()
+        assert total == nt.num_rows
+
+
+def test_enrich_mismatch_reports_keys():
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    dim = pa.table({"k": [1, 2], "w": ["x", "y"]})
+    ds = broadcast_enrich(left, dim, left_on=["k"], strict=True)
+    with pytest.raises(Exception) as ei:
+        ds.take_all()
+    assert "enrich cardinality mismatch" in str(ei.value) and "3" in str(ei.value)
+
+
+def test_simhash_hamming_close_for_neardups():
+    h1 = dedup.SimHasher.simhash("the quick brown fox jumps over the lazy dog " * 5)
+    h2 = dedup.SimHasher.simhash("the quick brown fox jumps over the lazy dogs " * 5)
+    h3 = dedup.SimHasher.simhash("completely different words entirely unrelated text corpus")
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13 and d12 <= 16

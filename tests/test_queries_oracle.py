@@ -1,0 +1,70 @@
+"""Every SQL-paired query must match its DuckDB oracle at sf0.001 —
+row count, schema (column names) and order-insensitive values (mirrors the
+driver's CORRECTNESS gate)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from blockchain_etl_ray.pipelines.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        df = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        df = res.to_pandas()
+    else:
+        df = res
+    return df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+SQL_QUERIES = sorted(n for n, (_f, s) in registry().items() if s is not None)
+ROWS_ONLY = sorted(n for n, (_f, s) in registry().items() if s is None)
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name):
+    fn, sql = registry()[name]
+    got = _canon(_to_pandas(fn(SF_DIR)))
+    con = _duck()
+    exp = _canon(con.execute(sql).fetchdf())
+    con.close()
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != oracle {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    fn, _ = registry()[name]
+    df = _to_pandas(fn(SF_DIR))
+    assert df is not None and len(df) >= 0
+    # determinism: a second run yields identical rows
+    df2 = _to_pandas(fn(SF_DIR))
+    pd.testing.assert_frame_equal(_canon(df), _canon(df2), check_dtype=False)
