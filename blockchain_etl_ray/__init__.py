@@ -12,4 +12,14 @@ Capability map to the reference lives in SURVEY.md §2; each module's docstring
 cites the reference file:line whose semantics it reproduces.
 """
 
+import os as _os
+
+# Polars sizes its global thread pool to ALL cores at import time.  Our batch
+# kernels run inside many CONCURRENT Ray tasks (one core each), so an uncapped
+# pool oversubscribes the node ~32x and collapses throughput (measured: the
+# per-partition resolve went from 53 s to seconds).  Must be set before the
+# first `import polars` in each worker process — importing this package is
+# the first thing Ray workers do when unpickling our stage functions.
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
 __version__ = "0.1.0"

@@ -1,0 +1,121 @@
+"""Command-line surface — the analog of the reference's ``etl`` click registry
+(``blockchainetl/cli/__init__.py:1-90``, 25 commands on a group).
+
+Commands:
+  synth    generate a deterministic CDC corpus (fixtures)
+  replay   replay a change-log directory into a state store (dump+load analog)
+  tail     follow the directory like a chain tail (stream analog)
+  state    show the converged table (head)
+  lineage  print per-partition lineage records
+  gaps     delivered-but-unapplied epochs (checker analog)
+  bench    alias for bench.py's headline run
+
+Owns the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="blockchain-etl-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate a deterministic CDC corpus")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--epochs", type=int, default=32)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--schema-evolution-at", type=int, default=None)
+
+    for name in ("replay", "tail"):
+        rp = sub.add_parser(name)
+        rp.add_argument("--events", required=True, help="change-log directory")
+        rp.add_argument("--state", required=True, help="state-store root")
+        rp.add_argument("--partitions", type=int, default=32)
+        rp.add_argument("--epoch-batch-size", type=int, default=8)
+        if name == "tail":
+            rp.add_argument("--lag", type=int, default=0)
+            rp.add_argument("--period-seconds", type=float, default=2.0)
+            rp.add_argument("--max-polls", type=int, default=1000)
+
+    for name in ("state", "lineage", "gaps"):
+        xp = sub.add_parser(name)
+        xp.add_argument("--state", required=True)
+        xp.add_argument("--partitions", type=int, default=32)
+        if name == "state":
+            xp.add_argument("--limit", type=int, default=10)
+        if name == "gaps":
+            xp.add_argument("--events", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from blockchain_etl_ray.fixtures.synth import write_corpus
+
+        info = write_corpus(
+            args.out, args.events, seed=args.seed, n_epochs=args.epochs,
+            schema_evolution_at=args.schema_evolution_at,
+        )
+        print(json.dumps({k: v for k, v in info.items() if k != "files"}))
+        return 0
+
+    _ray_init()
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+    cfg = ReplayConfig(
+        num_partitions=getattr(args, "partitions", 32),
+        epoch_batch_size=getattr(args, "epoch_batch_size", 8),
+    )
+    engine = ReplayEngine(args.state, cfg)
+
+    if args.cmd == "replay":
+        summary = engine.replay(args.events)
+        print(json.dumps(summary))
+    elif args.cmd == "tail":
+        from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+        tail = ChainTail(engine, args.events, lag=args.lag,
+                         period_seconds=args.period_seconds)
+        results = tail.run(max_polls=args.max_polls)
+        print(json.dumps({"polls": len(results), "last": results[-1] if results else None}))
+    elif args.cmd == "state":
+        ds = engine.read_state()
+        print(json.dumps({"rows": ds.count()}))
+        for row in ds.take(args.limit):
+            row = {k: (v if not isinstance(v, str) or len(v) < 60 else v[:57] + "...")
+                   for k, v in row.items()}
+            print(json.dumps(row, default=str))
+    elif args.cmd == "lineage":
+        print(engine.lineage_table().to_pandas().to_string())
+    elif args.cmd == "gaps":
+        print(json.dumps({"gaps": engine.gaps(args.events)}))
+
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

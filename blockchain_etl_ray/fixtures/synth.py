@@ -3,28 +3,32 @@
 Generates a change-event log over a table of source-code repositories
 ``(repo, path, commit, lang, content)`` keyed on ``(repo, path)`` with a global
 strictly-increasing commit ``ordinal`` — the analog of the reference's
-block-range item batches (``blockchainetl/streaming/streamer.py:144-147``,
+per-block-range item batches (``blockchainetl/streaming/streamer.py:144-147``,
 ``blknum`` ordering).
 
 Fixture properties (FIXTURES.md F2):
 - op mix ≈ 60% insert / 30% update / 10% delete; updates & deletes only target
   previously-inserted keys;
 - ~1% exact duplicate redeliveries (same event_id — at-least-once fixture,
-  analog of the reference's redelivered Redis-stream messages,
-  ``blockchainetl/cli/load.py:210-231``);
+  analog of redelivered Redis-stream messages, ``blockchainetl/cli/load.py:210-231``);
 - ~0.5% of events are delivered in a *later* epoch than their ordinal's home
-  epoch (out-of-order fixture — must still converge by LWW-on-ordinal,
+  epoch (out-of-order fixture — must converge by LWW-on-ordinal,
   ``blockchainetl/streaming/postgres_utils.py:80-88``);
 - Zipfian repo popularity (hot-key / skew fixture);
-- content length log-normal, median ~800 B — wide-row fixture (analog of
-  bytecode/input blobs).
+- content length log-normal, median ~800 B, p99 ~64 KiB — wide-row fixture.
 
-Schema evolution (F4): from ``schema_evolution_at`` (an epoch index) onward the
-delivered files carry an added ``size:int64`` column and use ``filepath``
-instead of ``path`` (declared rename, ``schema.DEFAULT_RENAMES``).
+Schema evolution (F4): files from ``schema_evolution_at`` (an epoch index)
+onward carry an added ``size:int64`` column and use ``filepath`` instead of
+``path`` (declared rename, ``schema.DEFAULT_RENAMES``).
+
+Structure: ALL randomness is drawn in :func:`_plan` (one seeded driver-side
+pass, vectorized numpy); the expensive per-row string/hash building
+(:func:`_build_epoch`) is a pure function of the plan, so per-epoch building
+can fan out as Ray tasks (``write_corpus(parallel=True)``) with a
+deterministic result.
 
 Layout: one Parquet file per epoch, ``events/epoch=%06d.parquet``, with the
-``epoch`` column kept *inside* the file (so a file list is self-describing).
+``epoch`` column kept *inside* the file (a file list is self-describing).
 """
 
 from __future__ import annotations
@@ -40,7 +44,6 @@ import pyarrow.parquet as pq
 
 _LANGS = [("py", "python"), ("rs", "rust"), ("go", "go"), ("ts", "typescript"), ("md", "markdown"), ("toml", "toml")]
 
-# word pool for content synthesis (seeded once below)
 _POOL_WORDS = [
     "fn", "def", "let", "mut", "struct", "class", "import", "return", "match",
     "async", "await", "impl", "trait", "interface", "const", "static", "pub",
@@ -57,35 +60,27 @@ def _content_pool(seed: int, pool_bytes: int = 1 << 20) -> str:
     return " ".join(_POOL_WORDS[i] for i in idx)
 
 
-def generate_events(
+def _plan(
     n_events: int,
-    seed: int = 42,
-    n_epochs: int = 16,
-    n_repos: int = 679,
-    content_median: int = 800,
-    content_sigma: float = 1.883,  # -> p99 ≈ 64 KiB at median 800 B
-    content_cap: int = 131072,
-    dup_rate: float = 0.01,
-    ooo_rate: float = 0.005,
-    schema_evolution_at: int | None = None,
-) -> pa.Table:
-    """Build the full event log as one Arrow table (delivery order = epoch, ordinal).
-
-    The returned table always uses the *canonical* column names; schema
-    evolution is applied at file-writing time by :func:`write_corpus`.
-    """
+    seed: int,
+    n_epochs: int,
+    n_repos: int,
+    content_median: int,
+    content_sigma: float,
+    content_cap: int,
+    dup_rate: float,
+    ooo_rate: float,
+) -> dict[str, np.ndarray]:
+    """Draw every random choice once, driver-side; return per-ROW plan arrays
+    (originals followed by duplicate redeliveries)."""
     rng = np.random.default_rng(seed)
     n = n_events
 
-    # --- ops ---------------------------------------------------------------
     draw = rng.random(n)
-    op_code = np.where(draw < 0.6, 0, np.where(draw < 0.9, 1, 2))  # 0=ins,1=upd,2=del
+    op_code = np.where(draw < 0.6, 0, np.where(draw < 0.9, 1, 2))  # ins/upd/del
     op_code[0] = 0  # first event must be an insert so targets always exist
     ins_before = np.concatenate(([0], np.cumsum(op_code == 0)[:-1]))
 
-    # --- key assignment ----------------------------------------------------
-    # inserts mint fresh key ids in order; updates/deletes target a uniformly
-    # chosen earlier-inserted key id.
     key_id = np.empty(n, dtype=np.int64)
     is_ins = op_code == 0
     key_id[is_ins] = np.arange(int(is_ins.sum()))
@@ -93,92 +88,116 @@ def generate_events(
     key_id[~is_ins] = tgt[~is_ins]
 
     n_keys = int(is_ins.sum())
-    # Zipfian repo per key (hot-head skew fixture)
-    z = rng.zipf(1.2, size=n_keys)
+    z = rng.zipf(1.2, size=n_keys)  # hot-head repo skew
     repo_idx = (z - 1) % n_repos
     key_repo = np.array([f"org{r % 7}/repo{r}" for r in repo_idx])
     ext_idx = rng.integers(0, len(_LANGS), size=n_keys)
     key_path = np.array(
-        [
-            f"src/d{k % 13}/d{k % 29}/file_{k}.{_LANGS[e][0]}"
-            for k, e in enumerate(ext_idx)
-        ]
+        [f"src/d{k % 13}/d{k % 29}/file_{k}.{_LANGS[e][0]}" for k, e in enumerate(ext_idx)]
     )
     key_lang = np.array([_LANGS[e][1] for e in ext_idx])
 
-    repo = key_repo[key_id]
-    path = key_path[key_id]
-    lang = key_lang[key_id]
     ordinal = np.arange(n, dtype=np.int64)
-
-    # --- commit: sha1(f"{seed}:{repo}:{ordinal}") (F1) ---------------------
-    sha1 = hashlib.sha1
-    commit = [
-        sha1(f"{seed}:{r}:{o}".encode()).hexdigest() for r, o in zip(repo, ordinal)
-    ]
-
-    # --- content -----------------------------------------------------------
-    pool = _content_pool(seed)
-    pool_n = len(pool)
     ln = rng.lognormal(math.log(content_median), content_sigma, size=n)
     length = np.minimum(ln.astype(np.int64) + 1, content_cap)
-    offset = rng.integers(0, pool_n - content_cap - 1, size=n)
-    ops = np.array(["insert", "update", "delete"])[op_code]
-    content: list[str | None] = [
-        None
-        if oc == 2
-        else f"// {r}/{p}@{c}\n" + pool[int(off) : int(off) + int(ln_)]
-        for oc, r, p, c, off, ln_ in zip(op_code, repo, path, commit, offset, length)
-    ]
+    offset = rng.integers(0, (1 << 20) - content_cap - 1, size=n)
 
-    # --- epochs + out-of-order delivery ------------------------------------
     epoch_size = max(1, -(-n // n_epochs))
     epoch = ordinal // epoch_size
     max_epoch = int(epoch.max())
     ooo = rng.random(n) < ooo_rate
     epoch = np.where(ooo, np.minimum(epoch + rng.integers(1, 3, size=n), max_epoch), epoch)
 
-    # --- event ids ----------------------------------------------------------
-    sha256 = hashlib.sha256
-    event_id = [
-        sha256(f"{r}:{p}:{c}:{o}".encode()).hexdigest()
-        for r, p, c, o in zip(repo, path, commit, ops)
+    plan = {
+        "ordinal": ordinal,
+        "epoch": epoch.astype(np.int64),
+        "op_code": op_code.astype(np.int8),
+        "repo": key_repo[key_id],
+        "path": key_path[key_id],
+        "lang": key_lang[key_id],
+        "offset": offset,
+        "length": length,
+    }
+
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        dup_idx = rng.integers(0, n, size=n_dup)
+        bump = (rng.random(n_dup) < 0.5).astype(np.int64)
+        dup_epoch = np.minimum(plan["epoch"][dup_idx] + bump, max_epoch)
+        for k in plan:
+            plan[k] = np.concatenate(
+                [plan[k], dup_epoch if k == "epoch" else plan[k][dup_idx]]
+            )
+    return plan
+
+
+def _build_rows(plan: dict[str, np.ndarray], seed: int, pool: str) -> pa.Table:
+    """Pure per-row string/hash building from a plan slice (delivery order =
+    (epoch, ordinal, insertion order))."""
+    order = np.lexsort((np.arange(len(plan["ordinal"])), plan["ordinal"], plan["epoch"]))
+    p = {k: v[order] for k, v in plan.items()}
+    sha1, sha256 = hashlib.sha1, hashlib.sha256
+    ops = np.array(["insert", "update", "delete"])[p["op_code"]]
+    commit = [
+        sha1(f"{seed}:{r}:{o}".encode()).hexdigest()
+        for r, o in zip(p["repo"], p["ordinal"])
     ]
-
+    content: list[str | None] = [
+        None
+        if oc == 2
+        else f"// {r}/{pth}@{c}\n" + pool[int(off) : int(off) + int(ln)]
+        for oc, r, pth, c, off, ln in zip(
+            p["op_code"], p["repo"], p["path"], commit, p["offset"], p["length"]
+        )
+    ]
+    event_id = [
+        sha256(f"{r}:{pth}:{c}:{o}".encode()).hexdigest()
+        for r, pth, c, o in zip(p["repo"], p["path"], commit, ops)
+    ]
     size = np.array([len(c) if c is not None else -1 for c in content], dtype=np.int64)
-
-    t = pa.table(
+    return pa.table(
         {
-            "ordinal": pa.array(ordinal),
-            "epoch": pa.array(epoch.astype(np.int64)),
+            "ordinal": pa.array(p["ordinal"]),
+            "epoch": pa.array(p["epoch"]),
             "op": pa.array(ops.tolist(), type=pa.string()),
-            "repo": pa.array(repo.tolist(), type=pa.string()),
-            "path": pa.array(path.tolist(), type=pa.string()),
+            "repo": pa.array(p["repo"].tolist(), type=pa.string()),
+            "path": pa.array(p["path"].tolist(), type=pa.string()),
             "commit": pa.array(commit, type=pa.string()),
-            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "lang": pa.array(p["lang"].tolist(), type=pa.string()),
             "content": pa.array(content, type=pa.large_string()),
             "size": pa.array(np.where(size < 0, 0, size), mask=(size < 0)),
             "event_id": pa.array(event_id, type=pa.string()),
         }
     )
 
-    # --- duplicate redeliveries (same event_id, possibly next epoch) -------
-    n_dup = int(n * dup_rate)
-    if n_dup:
-        dup_idx = rng.integers(0, n, size=n_dup)
-        dup = t.take(pa.array(dup_idx))
-        bump = rng.random(n_dup) < 0.5
-        new_epoch = np.minimum(
-            dup.column("epoch").to_numpy() + bump.astype(np.int64), max_epoch
-        )
-        dup = dup.set_column(
-            dup.schema.get_field_index("epoch"), "epoch", pa.array(new_epoch)
-        )
-        t = pa.concat_tables([t, dup])
 
-    # delivery order: by (epoch, ordinal)
-    t = t.sort_by([("epoch", "ascending"), ("ordinal", "ascending")])
-    return t
+def _apply_schema_variant(t: pa.Table, epoch: int, schema_evolution_at: int | None) -> pa.Table:
+    if schema_evolution_at is None or epoch < schema_evolution_at:
+        return t.drop_columns(["size"])  # v1 schema: no size column
+    return t.rename_columns(
+        [("filepath" if c == "path" else c) for c in t.column_names]
+    )
+
+
+def _build_and_write_epoch(
+    plan_slice: dict, seed: int, pool: str, epoch: int,
+    schema_evolution_at: int | None, out_path: str,
+) -> int:
+    t = _build_rows(plan_slice, seed, pool)
+    t = _apply_schema_variant(t, epoch, schema_evolution_at)
+    pq.write_table(t, out_path)
+    return t.num_rows
+
+
+def generate_events(n_events: int, seed: int = 42, n_epochs: int = 16,
+                    n_repos: int = 679, content_median: int = 800,
+                    content_sigma: float = 1.883, content_cap: int = 131072,
+                    dup_rate: float = 0.01, ooo_rate: float = 0.005,
+                    schema_evolution_at: int | None = None) -> pa.Table:
+    """Whole event log as one Arrow table in delivery order (test-scale)."""
+    plan = _plan(n_events, seed, n_epochs, n_repos, content_median,
+                 content_sigma, content_cap, dup_rate, ooo_rate)
+    return _build_rows(plan, seed, _content_pool(seed))
 
 
 def write_corpus(
@@ -187,37 +206,61 @@ def write_corpus(
     seed: int = 42,
     n_epochs: int = 16,
     schema_evolution_at: int | None = None,
+    parallel: bool = False,
     **kw,
 ) -> dict:
-    """Write the corpus as one Parquet file per epoch under ``out_dir``.
+    """Write the corpus as one Parquet file per delivery epoch.
 
-    Files from ``schema_evolution_at`` onward are delivered in the *evolved*
-    schema: column ``path`` renamed to ``filepath`` and ``size`` present; files
-    before it are delivered in the v1 schema *without* the ``size`` column
-    (F4: rows written before the boundary must end with ``size = null``).
+    ``parallel=True`` fans the per-epoch build+write out as Ray tasks (plan is
+    still a single seeded driver pass, so the result is deterministic).
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    t = generate_events(
-        n_events, seed=seed, n_epochs=n_epochs,
-        schema_evolution_at=schema_evolution_at, **kw,
-    )
-    epochs = t.column("epoch").to_numpy()
-    files = []
-    for e in np.unique(epochs):
-        sub = t.filter(pa.compute.equal(t.column("epoch"), pa.scalar(int(e))))
-        if schema_evolution_at is None or e < schema_evolution_at:
-            sub = sub.drop_columns(["size"])  # v1 schema: no size column
-        else:
-            names = [("filepath" if c == "path" else c) for c in sub.column_names]
-            sub = sub.rename_columns(names)
-        f = out / f"epoch={int(e):06d}.parquet"
-        pq.write_table(sub, f)
-        files.append(str(f))
+    defaults = dict(n_repos=679, content_median=800, content_sigma=1.883,
+                    content_cap=131072, dup_rate=0.01, ooo_rate=0.005)
+    defaults.update(kw)
+    plan = _plan(n_events, seed, n_epochs, **defaults)
+    pool = _content_pool(seed)
+    epochs = np.unique(plan["epoch"])
+    slices = {
+        int(e): {k: v[plan["epoch"] == e] for k, v in plan.items()} for e in epochs
+    }
+    files, rows = [], 0
+
+    use_ray = False
+    if parallel:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+
+    if use_ray:
+        import ray
+
+        pool_ref = ray.put(pool)
+        build = ray.remote(
+            lambda sl, e, path: _build_and_write_epoch(
+                sl, seed, ray.get(pool_ref), e, schema_evolution_at, path
+            )
+        )
+        futs = []
+        for e, sl in slices.items():
+            f = out / f"epoch={e:06d}.parquet"
+            files.append(str(f))
+            futs.append(build.remote(sl, e, str(f)))
+        rows = sum(ray.get(futs))
+    else:
+        for e, sl in slices.items():
+            f = out / f"epoch={e:06d}.parquet"
+            files.append(str(f))
+            rows += _build_and_write_epoch(sl, seed, pool, e, schema_evolution_at, str(f))
+
     return {
         "dir": str(out),
         "files": files,
-        "n_rows": t.num_rows,
+        "n_rows": rows,
         "n_events": n_events,
         "n_epochs": int(epochs.max()) + 1,
         "seed": seed,
@@ -231,16 +274,17 @@ def cached_corpus(
     seed: int = 42,
     n_epochs: int = 16,
     schema_evolution_at: int | None = None,
+    parallel: bool = False,
     **kw,
 ) -> str:
     """Idempotently materialize a corpus keyed by its parameters; return its dir."""
-    key = f"n{n_events}_s{seed}_e{n_epochs}_evo{schema_evolution_at}"
+    key = f"v2_n{n_events}_s{seed}_e{n_epochs}_evo{schema_evolution_at}"
     if kw:
         key += "_" + "_".join(f"{k}{v}" for k, v in sorted(kw.items()))
     d = Path(base_dir) / key
     marker = d / "_COMPLETE"
     if not marker.exists():
         write_corpus(d, n_events, seed=seed, n_epochs=n_epochs,
-                     schema_evolution_at=schema_evolution_at, **kw)
+                     schema_evolution_at=schema_evolution_at, parallel=parallel, **kw)
         marker.write_text("ok")
     return str(d)

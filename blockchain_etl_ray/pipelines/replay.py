@@ -9,22 +9,26 @@ in parallel across the cluster, and recovers ordering *per key* by LWW on the
 commit ordinal inside each partition — legal because every merge rule (U1-U7)
 depends only on per-key order, never global order (SURVEY.md §4).
 
-One apply cycle (``epoch_batch_size`` epochs) is ONE lazy Dataset pipeline:
+One apply cycle (``epoch_batch_size`` epochs) is ONE lazy Dataset pipeline of
+pure map stages — NO all-to-all (see stages/merge.py for why the exchange
+lives in the storage layout instead):
 
-    read epoch files ──┐  (per-file read tasks; column-complete, self-describing)
-                       ├→ map_batches(normalize)   stateless, Arrow, vectorized
-                       ├→ map_batches(compact)     combiner: per-key net effect
-                       └→ groupby(part).map_groups(merge)   the ONLY shuffle
-                          → lineage rows (P tiny rows) → cycle commit marker
+    read epoch files      one read op per physical schema
+      → map_batches(normalize)        stateless, Arrow, vectorized
+      → map_batches(compact)          combiner: per-key net effect
+      → map_batches(write_fragment)   sort-by-part + one row group per
+                                      partition, zstd; emits per-part stats
+      → driver: aggregate lineage, commit cycle marker
 
-The shuffle moves only compacted change rows — never the state table, which
-each merge task reads/writes as its own partition file (copy-on-write lake).
+The state table is never moved by apply steps; reads and the periodic
+compaction job open only their partition's row groups.
 """
 
 from __future__ import annotations
 
 import glob
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -35,11 +39,17 @@ import ray.data as rd
 
 from ..schema import DEFAULT_RENAMES, LINEAGE_SCHEMA, STATE_SCHEMA
 from ..stages.compact import compact_batch
-from ..stages.merge import MergeSpec, merge_partition
+from ..stages.merge import FragmentSpec, resolve_plan, write_fragment
 from ..stages.normalize import make_normalizer
-from ..state.manifest import StateStore, epochs_hash
+from ..state.manifest import StateStore
 
 _EPOCH_FILE_RE = re.compile(r"epoch=(\d+)(?:-[^.]*)?\.parquet$")
+
+#: Dataset CONSTRUCTION (read planning) is serialized across the inflight-step
+#: threads: Ray's path resolution probes optional fsspec modules, and a
+#: concurrent failed import races to a partial module (plain ImportError
+#: instead of the ModuleNotFoundError Ray catches).  Execution still overlaps.
+_PLAN_LOCK = threading.Lock()
 
 
 def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
@@ -56,12 +66,26 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
 class ReplayConfig:
     num_partitions: int = 32
     epoch_batch_size: int = 8
+    #: fold deltas into a new base every N apply steps (merge-on-read
+    #: amortization; None disables auto-compaction)
+    compact_every: int | None = 8
+    #: apply steps submitted concurrently (micro-batch pipelining).  Legal
+    #: because delta writes are order-independent — LWW resolves at read —
+    #: while COMMIT markers are still written strictly in version order, so
+    #: the checkpoint/resume contract is unchanged.  Overlaps each step's
+    #: fixed costs (planning, shuffle barriers) — the driver-side analog of
+    #: the reference keeping its thread pool saturated across batches
+    #: (``blockchainetl/executors/batch_work_executor.py:49-70``).  Measured
+    #: sweet spot on 32 CPUs is 2 — enough to overlap barriers without the
+    #: concurrent sorts fighting for the object store.
+    max_inflight_steps: int = 2
     rename_map: dict = field(default_factory=lambda: dict(DEFAULT_RENAMES))
 
     def as_dict(self) -> dict:
         return {
             "num_partitions": self.num_partitions,
             "epoch_batch_size": self.epoch_batch_size,
+            "compact_every": self.compact_every,
             "rename_map": self.rename_map,
         }
 
@@ -80,35 +104,84 @@ class ReplayEngine:
     # ------------------------------------------------------------------ apply
     def apply_step(
         self, files: list[str], version: int, epochs: list[int]
-    ) -> list[dict]:
+    ) -> tuple[list[dict], list[dict]]:
         """Apply one step's event files as apply-version ``version``; returns
-        per-partition lineage rows.  Idempotent under task retries and driver
-        crashes (see state/manifest.py protocol)."""
-        P = self.config.num_partitions
-        # Per-file datasets normalized first, then unioned: files on either
-        # side of a schema-evolution boundary have different physical schemas,
-        # and normalize() makes them identical before the union.
-        parts = [
-            rd.read_parquet(f).map_batches(self._normalize, batch_format="pyarrow")
-            for f in files
-        ]
-        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-        ds = ds.map_batches(compact_batch, batch_format="pyarrow")
-        spec = MergeSpec(
-            state_root=str(self.store.root),
-            version=version,
-            epochs_hash=epochs_hash(epochs),
-            max_epoch=max(epochs),
-        )
-        lineage = ds.groupby("part", num_partitions=min(P, 64)).map_groups(
-            partial(merge_partition, spec=spec), batch_format="pyarrow"
-        )
-        rows = lineage.take_all()  # P tiny rows — safe to materialize
-        # json-sanitize (take_all may hand back numpy scalars)
-        return [
+        (per-partition lineage rows, fragment descriptors).  Safe under task
+        retries and driver crashes: only fragments referenced by the committed
+        cycle marker are ever read (see state/manifest.py protocol)."""
+        # One read per PHYSICAL schema: files on either side of a
+        # schema-evolution boundary differ, and normalize() reconciles them to
+        # the canonical schema before the union.  Grouping by schema (instead
+        # of one dataset per file) keeps the plan to 1-2 read operators — the
+        # per-dataset fixed cost is significant at high cycle rates.
+        import pyarrow.parquet as pq_  # metadata-only schema probe
+
+        by_schema: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(pq_.read_schema(f).names)
+            by_schema.setdefault(key, []).append(f)
+        # ~32 MiB compressed per block: many tiny blocks quadruple the sort
+        # shuffle's fixed cost (measured: 200 blocks 10.9s vs 32 blocks 4.4s
+        # for the same 1.2 GB cycle), while huge blocks hurt pipelining.
+        import os as os_
+
+        with _PLAN_LOCK:
+            parts = []
+            for group in by_schema.values():
+                total = sum(os_.path.getsize(f) for f in group)
+                nb = max(16, total // (32 << 20))
+                parts.append(
+                    rd.read_parquet(group, override_num_blocks=nb).map_batches(
+                        self._normalize, batch_format="pyarrow"
+                    )
+                )
+            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            ds = ds.map_batches(compact_batch, batch_format="pyarrow")
+            spec = FragmentSpec(state_root=str(self.store.root), version=version)
+            stats_ds = ds.map_batches(
+                partial(write_fragment, spec=spec), batch_format="pyarrow"
+            )
+        rows = stats_ds.take_all()  # small: one row per (fragment, part)
+        rows = [
             {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()}
             for r in rows
         ]
+
+        # fragment descriptors for the commit marker
+        frags: dict[str, dict] = {}
+        for r in rows:
+            f = frags.setdefault(r["file"], {"file": r["file"], "parts": {}, "bytes": r["bytes"]})
+            f["parts"][str(r["part"])] = r["row_group"]
+
+        # per-partition lineage aggregation
+        by_part: dict[int, dict] = {}
+        for r in rows:
+            lp = by_part.setdefault(
+                r["part"],
+                {
+                    "partition_id": r["part"],
+                    "epoch": max(epochs),
+                    "events_in": 0,
+                    "rows_upserted": 0,
+                    "rows_deleted": 0,
+                    "dupes_dropped": 0,
+                    "rows_live": 0,
+                    "tombstones": 0,
+                    "bytes_out": 0,
+                    "wall_s": 0.0,
+                    "cached": False,
+                },
+            )
+            lp["events_in"] += r["events_in"]
+            lp["dupes_dropped"] += r["dupes_dropped"]
+            lp["tombstones"] += r["tombstones"]
+            lp["rows_deleted"] += r["tombstones"]
+            lp["rows_upserted"] += r["rows"] - r["tombstones"]
+            lp["rows_live"] += r["rows"] - r["tombstones"]
+            lp["wall_s"] = max(lp["wall_s"], r["wall_s"])
+        return sorted(by_part.values(), key=lambda d: d["partition_id"]), list(
+            frags.values()
+        )
 
     # ----------------------------------------------------------------- replay
     def replay(self, events_dir: str, upto_epoch: int | None = None) -> dict:
@@ -121,31 +194,68 @@ class ReplayEngine:
         where a previous run stopped and late-delivered gap epochs are picked
         up automatically.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         by_epoch = discover_epoch_files(events_dir)
         delivered = sorted(e for e in by_epoch if upto_epoch is None or e <= upto_epoch)
         already = self.store.applied_epochs()
         pending = [e for e in delivered if e not in already]
         B = self.config.epoch_batch_size
 
+        base_version = self.store.next_version()
+        plan: list[tuple[int, list[int], list[str]]] = []
+        for i in range(0, len(pending), B):
+            chunk = pending[i : i + B]
+            plan.append(
+                (base_version + len(plan), chunk, [f for e in chunk for f in by_epoch[e]])
+            )
+
         applied_steps: list[int] = []
         t0 = time.perf_counter()
         total_events = 0
-        for i in range(0, len(pending), B):
-            chunk = pending[i : i + B]
-            version = self.store.next_version()
-            files = [f for e in chunk for f in by_epoch[e]]
-            rows = self.apply_step(files, version, chunk)
-            total_events += sum(r["events_in"] for r in rows if not r["cached"])
-            self.store.commit_cycle(
-                version,
-                {
-                    "version": version,
-                    "epochs": chunk,
-                    "files": files,
-                    "lineage": rows,
-                },
-            )
-            applied_steps.append(version)
+        # Overlapping steps pays off only while a single step can't saturate
+        # the node: small cycles hide their fixed barriers behind each other,
+        # but two LARGE pipelines thrash the object store (measured 4M-event
+        # corpus @32 CPUs: inflight=1 36 s, inflight=2 66-89 s).
+        import os as os_
+
+        avg_bytes = (
+            sum(os_.path.getsize(f) for _, _, fs in plan for f in fs) / len(plan)
+            if plan
+            else 0
+        )
+        inflight = max(1, self.config.max_inflight_steps)
+        if avg_bytes > (256 << 20):
+            inflight = 1
+        with ThreadPoolExecutor(max_workers=inflight) as pool:
+            futures = [
+                (version, chunk, files, pool.submit(self.apply_step, files, version, chunk))
+                for version, chunk, files in plan
+            ]
+            # markers commit strictly in version order (checkpoint contract),
+            # even though the fragment writes themselves overlap
+            for version, chunk, files, fut in futures:
+                rows, frags = fut.result()
+                total_events += sum(r["events_in"] for r in rows)
+                self.store.commit_cycle(
+                    version,
+                    {
+                        "version": version,
+                        "epochs": chunk,
+                        "files": files,
+                        "fragments": frags,
+                        "lineage": rows,
+                    },
+                )
+                self.store.gc_orphan_fragments(
+                    version, {f["file"] for f in frags}
+                )
+                applied_steps.append(version)
+                if (
+                    self.config.compact_every
+                    and (version + 1) % self.config.compact_every == 0
+                ):
+                    self.compact_state(upto_version=version)
         return {
             "steps_applied": applied_steps,
             "epochs_applied": pending,
@@ -154,23 +264,73 @@ class ReplayEngine:
             "wall_s": time.perf_counter() - t0,
         }
 
+    # ------------------------------------------------------------- compaction
+    def compact_state(self, upto_version: int | None = None) -> list[dict]:
+        """Fold each partition's fragments into a new base (amortized rewrite),
+        then GC the folded fragments.  Idempotent; partitions without new
+        fragments are skipped."""
+        from ..stages.merge import compact_partition
+
+        if upto_version is None:
+            versions = self.store.committed_versions()
+            if not versions:
+                return []
+            upto_version = versions[-1]
+        root = str(self.store.root)
+        plans = self.store.partition_plans(self.config.num_partitions, upto=upto_version)
+        items = [{"plan": plan} for plan in plans.values()]
+        results = (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                lambda b: pa.Table.from_pylist(
+                    [
+                        {"result": repr(compact_partition(plan, root, upto_version))}
+                        for plan in b.column("plan").to_pylist()
+                    ]
+                ),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        self.store.gc_compacted(self.config.num_partitions, upto_version)
+        return results
+
     # ------------------------------------------------------------------ reads
     def read_state(
         self, upto: int | None = None, include_deleted: bool = False
     ) -> rd.Dataset:
-        """The materialized table as a Dataset (latest committed version)."""
-        files = self.store.latest_files(self.config.num_partitions, upto=upto)
-        if not files:
+        """The materialized table as a Dataset: one merge-on-read resolve task
+        per partition (reads that partition's base + fragment row groups,
+        LWW-folds them).  Defaults to the last COMMITTED apply step, and reads
+        only marker-referenced fragments — stale output from a crashed
+        half-step is never visible."""
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        plans = self.store.partition_plans(self.config.num_partitions, upto=upto)
+        items = [
+            {"plan": plan}
+            for plan in plans.values()
+            if plan["pieces"] or plan["base"]
+        ]
+        if not items:
             return rd.from_arrow(STATE_SCHEMA.empty_table())
-        # partitioning=None: state files live under part=NNNNN/ dirs — don't
-        # let hive-partitioning inference graft a string `part` column on.
-        ds = rd.read_parquet(files, partitioning=None)
-        if not include_deleted:
-            ds = ds.map_batches(
-                lambda t: t.filter(pa.compute.invert(t.column("deleted"))),
-                batch_format="pyarrow",
-            )
-        return ds
+
+        def resolve_batch(batch: pa.Table) -> pa.Table:
+            tables = []
+            for plan in batch.column("plan").to_pylist():
+                t = resolve_plan(plan)
+                if not include_deleted:
+                    t = t.filter(pa.compute.invert(t.column("deleted")))
+                tables.append(t)
+            return pa.concat_tables(tables, promote_options="default")
+
+        # one block per partition — from_items defaults to a single block,
+        # which would serialize all resolves into one task
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            resolve_batch, batch_size=1, batch_format="pyarrow"
+        )
 
     def lineage_table(self) -> pa.Table:
         """All per-partition lineage records across committed apply steps."""

@@ -1,31 +1,43 @@
-"""Per-partition upsert/merge (the CDC core), run as ``groupby("part").map_groups``.
+"""Per-partition upsert/merge (the CDC core): fragment writes + LWW resolve.
 
-Reproduces the reference's upsert family U1-U7 (SURVEY.md §2.5) for the
-code-repo table:
+Semantics reproduced from the reference's upsert family U1-U7 (SURVEY.md §2.5):
 
 - U1 PK upsert (``blockchainetl/streaming/postgres_utils.py:28-68``): key =
   (repo, path);
 - U2 last-writer-wins by ordinal (``postgres_utils.py:80-88``
-  ``cond_upsert_on_blknum``): the max-ordinal event per key wins; equal
-  ordinals are redeliveries of the same event and collapse;
+  ``cond_upsert_on_blknum``): max-ordinal event per key wins; equal ordinals
+  are redeliveries and resolve to the first delivery (min src_epoch);
 - U7 retraction (``ethereumetl/streaming/eth_reorg_adapter.py:116-142``):
-  deletes flow through the same stage as tombstone rows, retained in state so
-  a late lower-ordinal event can never resurrect a deleted key;
+  deletes are tombstone rows retained in state so late lower-ordinal events
+  never resurrect a deleted key;
 - U8 exact dedup on event_id (``blockchainetl/cli/gp_autofix.py:219-307``).
 
-Physical shape: each group = all compacted changes for one hash partition.
-The task reads its partition's current state file (copy-on-write lake layout,
-J7-style "state co-located with merge" — the previous version is this
-partition's own file, no shuffle of state), merges with polars, and commits the
-new version atomically via the StateStore (exactly-once under task retries:
-deterministic content + atomic rename + manifest-as-truth).  The group output
-is a single lineage row — the per-partition lineage record required by the
-north rule.
+Physical shape — measured evolution (BASELINE.md):
+1. copy-on-write merge re-reads/rewrites all state per step → quadratic I/O;
+2. merge-on-read deltas via ``groupby(part)`` removed that, but Ray's sort
+   all-to-all through the single-node object store costs ~5 s per 1.4 GB step
+   regardless of CPU count and collapses beyond ~2 GB — a shared-resource
+   bottleneck that caps scaling;
+3. (current) the exchange moved into the STORAGE LAYOUT: each compact task
+   sorts its block by ``part`` and writes ONE parquet fragment with one row
+   group per partition (zstd).  The apply path is a pure map pipeline — no
+   barrier, no all-to-all — and scales with cores/nodes.  Readers and the
+   periodic compaction job open only their partition's row groups (exact
+   pruning via the row-group index recorded in the commit marker).  This is
+   the classic clustered-write / zone-map shuffle-by-storage technique; on a
+   cluster the fragment files land on shared storage exactly like deltas.
+
+Read amplification is bounded by compaction cadence: resolve of one partition
+opens ≤ (fragments-per-step × steps-since-compaction) row groups; compaction
+folds them into the partition's base file and GC drops folded fragments.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
+import uuid
 from dataclasses import dataclass
 
 import polars as pl
@@ -33,114 +45,163 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..schema import LINEAGE_SCHEMA, STATE_FIELDS, STATE_SCHEMA
+from ..schema import STATE_FIELDS, STATE_SCHEMA
 from ..stages.compact import fold_changes
 from ..state.manifest import StateStore
 
 
 @dataclass(frozen=True)
-class MergeSpec:
+class FragmentSpec:
     state_root: str
-    version: int  # monotone apply-step number; versions the output file
-    epochs_hash: str  # hash of the epoch set this step applies (crash guard)
-    max_epoch: int  # recorded in lineage
+    version: int  # monotone apply-step number
 
 
-def _lineage_row(part: int, spec: MergeSpec, **kw) -> pa.Table:
-    base = {
-        "partition_id": part,
-        "epoch": spec.max_epoch,
-        "events_in": 0,
-        "rows_upserted": 0,
-        "rows_deleted": 0,
-        "dupes_dropped": 0,
-        "rows_live": 0,
-        "tombstones": 0,
-        "bytes_out": 0,
-        "wall_s": 0.0,
-        "cached": False,
-    }
-    base.update(kw)
-    return pa.Table.from_pylist([base], schema=LINEAGE_SCHEMA)
+def changes_to_state(df: pl.DataFrame) -> pl.DataFrame:
+    """Project folded change rows to the state schema + the part column."""
+    return df.with_columns(
+        (pl.col("op") == "delete").alias("deleted"),
+        pl.col("epoch").alias("src_epoch"),
+    ).select(["part"] + [c for c, _ in STATE_FIELDS])
 
 
-def merge_partition(changes: pa.Table, spec: MergeSpec) -> pa.Table:
-    """Merge one partition's compacted changes into its state file."""
+def write_fragment(changes: pa.Table, spec: FragmentSpec) -> pa.Table:
+    """Map task: fold this block, sort by partition, write one fragment file
+    with ONE ROW GROUP PER PARTITION; emit per-(fragment, part) stats rows.
+
+    Task retries write fresh uuid-named files; only the set returned by the
+    SUCCESSFUL attempt is referenced by the commit marker (orphans are GC'd at
+    commit), so the exactly-once story is manifest-as-truth.
+    """
     t0 = time.perf_counter()
-    part = changes.column("part")[0].as_py()
     store = StateStore(spec.state_root)
+    if changes.num_rows == 0:
+        return _stats_schema().empty_table()
 
-    events_in = int(
-        pc.sum(changes.column("n_folded")).as_py() or 0
-    ) + int(pc.sum(changes.column("n_dupes")).as_py() or 0)
-
-    # idempotent replay / retried task: the (part, version) output already
-    # written for the SAME epoch set -> reuse the manifest (load.py:210-231
-    # result-key analog).  A stale file from a crashed driver that was
-    # applying a different epoch set at this version is recomputed and
-    # atomically overwritten instead.
-    final = store.state_file(part, spec.version)
-    if final.exists():
-        m = store.read_manifest(part, spec.version)
-        if m.get("epochs_hash") == spec.epochs_hash:
-            return _lineage_row(
-                part,
-                spec,
-                **{k: m[k] for k in m if k in LINEAGE_SCHEMA.names and k != "cached"},
-                cached=True,
-            )
-
-    # cross-batch fold: the same associative compaction once more over the
-    # whole partition group (absorbs redeliveries that landed in different
-    # batches; conservation invariant documented in stages/compact.py)
     df = fold_changes(pl.from_arrow(changes))
-    dupes = int(df["n_dupes"].sum() or 0)
-
-    chg = (
-        df.with_columns(
-            (pl.col("op") == "delete").alias("deleted"),
-            pl.col("epoch").alias("src_epoch"),
+    stats_df = (
+        df.group_by("part")
+        .agg(
+            (pl.col("n_folded").sum() + pl.col("n_dupes").sum()).alias("events_in"),
+            pl.col("n_dupes").sum().alias("dupes_dropped"),
+            (pl.col("op") == "delete").sum().alias("tombstones"),
+            pl.len().alias("rows"),
         )
-        .select([c for c, _ in STATE_FIELDS])
-        .with_columns(pl.lit(True).alias("_chg"))
+        .sort("part")
+    )
+    state = changes_to_state(df).sort(["part", "repo", "path"], maintain_order=True)
+
+    frag_dir = store.frag_dir(spec.version)
+    frag_dir.mkdir(parents=True, exist_ok=True)
+    name = f"frag-{uuid.uuid4().hex}.parquet"
+    fd, tmp = tempfile.mkstemp(dir=frag_dir, prefix="._tmp_", suffix=".parquet")
+    os.close(fd)
+    parts = state["part"].to_numpy()
+    arrow = state.drop("part").to_arrow().cast(STATE_SCHEMA)
+    rg_of_part: dict[int, int] = {}
+    try:
+        import numpy as np
+
+        uniq = sorted(set(parts.tolist()))
+        writer = pq.ParquetWriter(
+            tmp, STATE_SCHEMA, compression="zstd", compression_level=3
+        )
+        rg = 0
+        for p in uniq:
+            idx = np.nonzero(parts == p)[0]
+            sub = arrow.slice(int(idx[0]), len(idx))  # contiguous (sorted by part)
+            writer.write_table(sub, row_group_size=max(1, sub.num_rows))
+            rg_of_part[int(p)] = rg
+            rg += 1
+        writer.close()
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        size = os.path.getsize(tmp)
+        os.replace(tmp, frag_dir / name)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    stats = stats_df.to_arrow()
+    n = stats.num_rows
+    return (
+        stats.append_column("file", pa.array([name] * n, type=pa.string()))
+        .append_column(
+            "row_group",
+            pa.array([rg_of_part[int(p)] for p in stats.column("part").to_pylist()],
+                     type=pa.int32()),
+        )
+        .append_column("bytes", pa.array([size] * n, type=pa.int64()))
+        .append_column("wall_s", pa.array([time.perf_counter() - t0] * n, type=pa.float64()))
+        .cast(_stats_schema())
     )
 
-    prev_path = store.latest_state_file(part, upto=spec.version - 1)
-    if prev_path is not None:
-        prev = pl.from_arrow(pq.read_table(prev_path)).with_columns(
-            pl.lit(False).alias("_chg")
-        )
-        merged = pl.concat([prev, chg], how="vertical_relaxed")
-    else:
-        merged = chg
 
+def _stats_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("part", pa.int32()),
+            ("events_in", pa.int64()),
+            ("dupes_dropped", pa.int64()),
+            ("tombstones", pa.int64()),
+            ("rows", pa.int64()),
+            ("file", pa.string()),
+            ("row_group", pa.int32()),
+            ("bytes", pa.int64()),
+            ("wall_s", pa.float64()),
+        ]
+    )
+
+
+# ---------------------------------------------------------------- resolution
+def resolve_tables(tables: list[pa.Table]) -> pa.Table:
+    """LWW-resolve state rows from base + fragment pieces (any order): per key
+    the max-ordinal row wins, min src_epoch among equal ordinals."""
+    merged = pl.concat([pl.from_arrow(t) for t in tables], how="vertical_relaxed")
     resolved = merged.sort(
         ["ordinal", "src_epoch"], descending=[False, True], maintain_order=True
     ).unique(subset=["repo", "path"], keep="last", maintain_order=True)
-
-    winners = resolved.filter(pl.col("_chg"))
-    rows_deleted = int(winners["deleted"].sum() or 0)
-    rows_upserted = winners.height - rows_deleted
-    out = (
+    return (
         resolved.sort(["repo", "path"], maintain_order=True)
         .select([c for c, _ in STATE_FIELDS])
         .to_arrow()
         .cast(STATE_SCHEMA)
     )
-    tombstones = int(pc.sum(out.column("deleted")).as_py() or 0)
-    lineage = {
-        "partition_id": int(part),
-        "epoch": spec.max_epoch,
-        "epochs_hash": spec.epochs_hash,
-        "events_in": events_in,
-        "rows_upserted": int(rows_upserted),
-        "rows_deleted": int(rows_deleted),
-        "dupes_dropped": int(dupes),
-        "rows_live": out.num_rows - tombstones,
-        "tombstones": tombstones,
-        "wall_s": 0.0,
-        "cached": False,
+
+
+def read_plan_tables(plan: dict) -> list[pa.Table]:
+    """Load a partition's read plan: optional base file + (fragment, row-group)
+    pieces.  Row-group pruning makes each open read only this partition's rows."""
+    tables: list[pa.Table] = []
+    if plan.get("base"):
+        tables.append(pq.read_table(plan["base"]))
+    for file, rgs in plan.get("pieces", []):
+        pf = pq.ParquetFile(file)
+        tables.append(pf.read_row_groups(list(rgs)))
+    return tables
+
+
+def resolve_plan(plan: dict) -> pa.Table:
+    tables = read_plan_tables(plan)
+    if not tables:
+        return STATE_SCHEMA.empty_table()
+    return resolve_tables(tables)
+
+
+def compact_partition(plan: dict, state_root: str, upto_version: int) -> dict:
+    """Fold one partition's base + fragments into a new base file (amortized
+    rewrite; reorg-style partition rewrite analog).  Idempotent."""
+    part = plan["part"]
+    store = StateStore(state_root)
+    final = store.base_file(part, upto_version)
+    if final.exists():
+        return {"part": part, "cached": True}
+    if not plan.get("pieces"):
+        return {"part": part, "skipped": True}
+    out = resolve_plan(plan)
+    size = store.commit_base(part, upto_version, out)
+    return {
+        "part": part,
+        "rows": out.num_rows,
+        "tombstones": int(pc.sum(out.column("deleted")).as_py() or 0),
+        "bytes": size,
     }
-    lineage = store.commit_partition(part, spec.version, out, lineage)
-    lineage["wall_s"] = time.perf_counter() - t0
-    return _lineage_row(part, spec, **lineage)

@@ -9,17 +9,18 @@ filesystem protocol that works under Ray task retries AND driver crashes:
 
 - the unit of idempotence is the **epoch** (the reference's block range): a
   cycle commit marker ``cycles/version=K.json`` records the exact set of
-  epochs applied in apply-step K; the union of committed markers is the
-  replay frontier (so resume is invariant to where a previous run stopped,
-  and late-delivered gap epochs are picked up in a later step);
-- state partition files are versioned by the monotone apply-step number:
-  ``parts/part=P/version=K.parquet``, written via tmp + fsync + atomic
-  ``os.replace``; content is deterministic given (previous version, epoch
-  set), so a retried or duplicate writer converges;
-- each (partition, version) manifest records an ``epochs_hash``; a merge task
-  that finds an existing output for its version but a *different* epoch set
-  (possible only for uncommitted steps left by a crashed driver) recomputes
-  and atomically overwrites instead of reusing stale state;
+  epochs applied in apply-step K, the fragment files it produced and their
+  per-partition row-group index, plus per-partition lineage; the union of
+  committed markers is the replay frontier (so resume is invariant to where a
+  previous run stopped, and late-delivered gap epochs are picked up later);
+- apply steps write uuid-named fragment files under ``frags/version=K/``;
+  READS GO ONLY THROUGH COMMITTED MARKERS, so output of crashed or retried
+  attempts is invisible until committed and orphans are GC'd at commit —
+  manifest-as-truth exactly-once (the reference's analog: deterministic CSV
+  names + Redis result keys + ``ON CONFLICT DO NOTHING``);
+- per-partition base files ``parts/part=P/version=K.parquet`` are produced by
+  the periodic compaction job via tmp + fsync + atomic ``os.replace``
+  (content deterministic given its inputs, so duplicate writers converge);
 - gap detection = anti-join of delivered epochs vs applied epochs (analog of
   the missing-block checker, ``ethereumetl/jobs/checkers/block_checker.py``).
 
@@ -30,7 +31,6 @@ object stores provide.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import re
@@ -40,14 +40,9 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_PART_RE = re.compile(r"^version=(\d+)\.parquet$")
+_BASE_RE = re.compile(r"^version=(\d+)\.parquet$")
+_FRAGDIR_RE = re.compile(r"^version=(\d+)$")
 _CYCLE_RE = re.compile(r"^version=(\d+)\.json$")
-
-
-def epochs_hash(epochs: list[int]) -> str:
-    return hashlib.sha256(
-        ",".join(str(e) for e in sorted(epochs)).encode()
-    ).hexdigest()[:16]
 
 
 def atomic_write_bytes(path: Path, data: bytes) -> None:
@@ -74,7 +69,10 @@ def atomic_write_table(path: Path, table: pa.Table) -> int:
     fd, tmp = tempfile.mkstemp(dir=path.parent, prefix="._tmp_", suffix=".parquet")
     os.close(fd)
     try:
-        pq.write_table(table, tmp)
+        # zstd: the apply path is write-bandwidth-bound on content bytes
+        # (state text compresses far better than snappy's ratio; ~250 MB/s
+        # disks make every byte count, and on object stores every byte is $)
+        pq.write_table(table, tmp, compression="zstd", compression_level=3)
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
         size = os.path.getsize(tmp)
@@ -95,11 +93,11 @@ class StateStore:
     def part_dir(self, part: int) -> Path:
         return self.root / "parts" / f"part={part:05d}"
 
-    def state_file(self, part: int, version: int) -> Path:
+    def base_file(self, part: int, version: int) -> Path:
         return self.part_dir(part) / f"version={version:012d}.parquet"
 
-    def manifest_file(self, part: int, version: int) -> Path:
-        return self.root / "manifest" / f"part={part:05d}-version={version:012d}.json"
+    def frag_dir(self, version: int) -> Path:
+        return self.root / "frags" / f"version={version:012d}"
 
     def cycle_file(self, version: int) -> Path:
         return self.root / "cycles" / f"version={version:012d}.json"
@@ -127,24 +125,99 @@ class StateStore:
         return cfg
 
     # -- listings ------------------------------------------------------------
-    def state_versions(self, part: int) -> list[int]:
+    def _versions(self, part: int, rx: re.Pattern) -> list[int]:
         d = self.part_dir(part)
         if not d.is_dir():
             return []
         out = []
         for name in os.listdir(d):
-            m = _PART_RE.match(name)
+            m = rx.match(name)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def latest_state_file(self, part: int, upto: int | None = None) -> Path | None:
-        versions = self.state_versions(part)
-        if upto is not None:
-            versions = [v for v in versions if v <= upto]
-        if not versions:
-            return None
-        return self.state_file(part, versions[-1])
+    def base_versions(self, part: int) -> list[int]:
+        return self._versions(part, _BASE_RE)
+
+    def read_markers(self, upto: int | None = None) -> dict[int, dict]:
+        return {
+            v: self.read_cycle(v)
+            for v in self.committed_versions()
+            if upto is None or v <= upto
+        }
+
+    def partition_plans(
+        self,
+        num_partitions: int,
+        upto: int | None = None,
+        markers: dict[int, dict] | None = None,
+    ) -> dict[int, dict]:
+        """Per-partition read plan (merge-on-read): latest base ≤ upto plus
+        every committed fragment row group for this partition in
+        (base_version, upto].  LWW-resolving a plan yields the partition's
+        state as of apply step ``upto``.  Reads go ONLY through commit
+        markers, so orphan fragments from crashed steps are never visible."""
+        if markers is None:
+            markers = self.read_markers(upto)
+        plans: dict[int, dict] = {}
+        for p in range(num_partitions):
+            bases = self.base_versions(p)
+            if upto is not None:
+                bases = [v for v in bases if v <= upto]
+            base_v = bases[-1] if bases else None
+            pieces: list[tuple[str, list[int]]] = []
+            for v in sorted(markers):
+                if (base_v is not None and v <= base_v) or (
+                    upto is not None and v > upto
+                ):
+                    continue
+                for frag in markers[v].get("fragments", []):
+                    rg = frag["parts"].get(str(p))
+                    if rg is not None:
+                        pieces.append((str(self.frag_dir(v) / frag["file"]), [rg]))
+            plans[p] = {"part": p, "base_version": base_v,
+                        "base": str(self.base_file(p, base_v)) if base_v is not None else None,
+                        "pieces": pieces}
+        return plans
+
+    def gc_orphan_fragments(self, version: int, referenced: set[str]) -> int:
+        """Remove fragment files of this step not referenced by its committed
+        marker (left by crashed/retried attempts)."""
+        d = self.frag_dir(version)
+        if not d.is_dir():
+            return 0
+        n = 0
+        for name in os.listdir(d):
+            if name not in referenced:
+                (d / name).unlink(missing_ok=True)
+                n += 1
+        return n
+
+    def gc_compacted(self, num_partitions: int, compacted_version: int) -> int:
+        """Once every partition's base covers all fragments ≤
+        ``compacted_version`` (its read plan at that version has no pieces),
+        drop the folded fragment dirs and superseded bases — all durable in
+        the new bases."""
+        plans = self.partition_plans(num_partitions, upto=compacted_version)
+        if any(plan["pieces"] for plan in plans.values()):
+            return 0  # incomplete compaction: keep everything
+        n = 0
+        d = self.root / "frags"
+        if d.is_dir():
+            for name in os.listdir(d):
+                m = _FRAGDIR_RE.match(name)
+                if m and int(m.group(1)) <= compacted_version:
+                    import shutil
+
+                    shutil.rmtree(d / name, ignore_errors=True)
+                    n += 1
+        for p in range(num_partitions):
+            keep = plans[p]["base_version"]
+            for v in self.base_versions(p):
+                if keep is not None and v < keep:
+                    self.base_file(p, v).unlink(missing_ok=True)
+                    n += 1
+        return n
 
     def committed_versions(self) -> list[int]:
         d = self.root / "cycles"
@@ -176,16 +249,8 @@ class StateStore:
         return out
 
     # -- commits -------------------------------------------------------------
-    def commit_partition(
-        self, part: int, version: int, table: pa.Table, lineage: dict
-    ) -> dict:
-        size = atomic_write_table(self.state_file(part, version), table)
-        lineage = dict(lineage, bytes_out=size)
-        atomic_write_json(self.manifest_file(part, version), lineage)
-        return lineage
-
-    def read_manifest(self, part: int, version: int) -> dict:
-        return json.loads(self.manifest_file(part, version).read_text())
+    def commit_base(self, part: int, version: int, table: pa.Table) -> int:
+        return atomic_write_table(self.base_file(part, version), table)
 
     def commit_cycle(self, version: int, info: dict) -> None:
         atomic_write_json(self.cycle_file(version), info)
@@ -199,10 +264,3 @@ class StateStore:
         applied = self.applied_epochs()
         return [e for e in delivered_epochs if e not in applied]
 
-    def latest_files(self, num_partitions: int, upto: int | None = None) -> list[str]:
-        out = []
-        for p in range(num_partitions):
-            f = self.latest_state_file(p, upto=upto)
-            if f is not None:
-                out.append(str(f))
-        return out

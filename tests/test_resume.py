@@ -26,12 +26,11 @@ def test_resume_from_partial_run(small_corpus, tmp_path):
     s1 = eng1.replay(small_corpus["dir"], upto_epoch=6)
     assert s1["epochs_applied"] == list(range(7))
     assert len(s1["steps_applied"]) == 2
+    frag_root = eng1.store.root / "frags"
     mtimes_before = {
-        str(f): f.stat().st_mtime_ns
-        for p in range(8)
-        for f in [eng1.store.latest_state_file(p)]
-        if f is not None
+        str(f): f.stat().st_mtime_ns for f in frag_root.rglob("*.parquet")
     }
+    assert mtimes_before  # committed fragments exist
 
     # fresh engine instance on the same root = restart after crash
     eng2 = ReplayEngine(tmp_path / "state", cfg)
@@ -50,6 +49,32 @@ def test_resume_from_partial_run(small_corpus, tmp_path):
     # counted exactly once
     lin = eng2.lineage_table().to_pandas()
     assert lin["events_in"].sum() == small_corpus["n_rows"]
+
+
+def test_compaction_preserves_state_and_gcs_fragments(small_corpus, tmp_path):
+    """Merge-on-read maintenance: folding fragments into bases leaves the
+    resolved table identical and GCs the folded fragments."""
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, compact_every=None),
+    )
+    engine.replay(small_corpus["dir"])
+    before = _state_df(engine)
+    frag_root = engine.store.root / "frags"
+    assert len(list(frag_root.rglob("*.parquet"))) > 4  # steps' fragments present
+
+    engine.compact_state()
+    after = _state_df(engine)
+    pd.testing.assert_frame_equal(before, after)
+    assert not list(frag_root.rglob("*.parquet"))  # folded + GC'd
+    assert all(len(engine.store.base_versions(p)) == 1 for p in range(8))
+
+    # idempotent: a second compaction is a no-op
+    engine.compact_state()
+    pd.testing.assert_frame_equal(_state_df(engine), after)
+
+    # and replay continues cleanly on top of the compacted base
+    assert_state_matches_oracle(engine, small_corpus["dir"])
 
 
 def test_config_mismatch_refused(small_corpus, tmp_path):
