@@ -185,7 +185,8 @@ def _build_and_write_epoch(
 ) -> int:
     t = _build_rows(plan_slice, seed, pool)
     t = _apply_schema_variant(t, epoch, schema_evolution_at)
-    pq.write_table(t, out_path)
+    # modest row groups so readers can split a file into parallel chunks
+    pq.write_table(t, out_path, row_group_size=16384)
     return t.num_rows
 
 
@@ -278,7 +279,7 @@ def cached_corpus(
     **kw,
 ) -> str:
     """Idempotently materialize a corpus keyed by its parameters; return its dir."""
-    key = f"v2_n{n_events}_s{seed}_e{n_epochs}_evo{schema_evolution_at}"
+    key = f"v3_n{n_events}_s{seed}_e{n_epochs}_evo{schema_evolution_at}"
     if kw:
         key += "_" + "_".join(f"{k}{v}" for k, v in sorted(kw.items()))
     d = Path(base_dir) / key

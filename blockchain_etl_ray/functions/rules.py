@@ -1,0 +1,167 @@
+"""Rule DSL: filter expressions compiled to vectorized Arrow predicates.
+
+The reference vendors a full expression language (``rule_engine/`` ~2.4k LoC,
+parser/AST/evaluator) to filter item streams for alerts
+(``blockchainetl/alert/rule_set.py:17-88``, ``rule.py:11-80``), with Python
+UDFs registered into the evaluation context (``blockchainetl/alert/rule_udf.py``
+— ``label_of``, ``wei2eth``, …).
+
+Ray-Data-first re-imagining: the rule string is parsed ONCE (Python ``ast``,
+restricted to a safe subset) and compiled to a function
+``pyarrow.Table -> BooleanArray`` built from ``pyarrow.compute`` kernels, so a
+rule evaluates vectorized per batch — no per-row Python in the hot path.  UDFs
+are vectorized column functions registered by name.
+
+Supported syntax: field refs, literals (num/str/bool/None), lists,
+comparisons (== != < <= > >=), ``in`` / ``not in`` (literal lists), boolean
+``and`` / ``or`` / ``not``, arithmetic (+ - * / %), and registered UDF calls.
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: vectorized UDF registry (rule_udf.py analog): name -> fn(*columns) -> array
+UDFS: dict[str, Callable] = {}
+
+
+def register_udf(name: str):
+    def deco(fn):
+        UDFS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_udf("length")
+def _udf_length(col):
+    return pc.utf8_length(col)
+
+
+@register_udf("lower")
+def _udf_lower(col):
+    return pc.utf8_lower(col)
+
+
+@register_udf("abs")
+def _udf_abs(col):
+    return pc.abs(col)
+
+
+class RuleError(ValueError):
+    pass
+
+
+_CMP = {
+    ast.Eq: pc.equal,
+    ast.NotEq: pc.not_equal,
+    ast.Lt: pc.less,
+    ast.LtE: pc.less_equal,
+    ast.Gt: pc.greater,
+    ast.GtE: pc.greater_equal,
+}
+_BINOP = {
+    ast.Add: pc.add,
+    ast.Sub: pc.subtract,
+    ast.Mult: pc.multiply,
+    ast.Div: pc.divide,
+}
+
+
+def compile_rule(expr: str) -> Callable[[pa.Table], pa.ChunkedArray]:
+    """Compile a rule string to a vectorized predicate over an Arrow batch."""
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as e:
+        raise RuleError(f"invalid rule syntax: {expr!r}: {e}") from e
+
+    def ev(node: ast.AST, batch: pa.Table):
+        if isinstance(node, ast.Expression):
+            return ev(node.body, batch)
+        if isinstance(node, ast.Name):
+            if node.id not in batch.column_names:
+                raise RuleError(
+                    f"unknown field {node.id!r}; batch has {batch.column_names}"
+                )
+            return batch.column(node.id)
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, (ast.List, ast.Tuple)):
+            vals = []
+            for elt in node.elts:
+                if not isinstance(elt, ast.Constant):
+                    raise RuleError("list literals must contain only constants")
+                vals.append(elt.value)
+            return vals
+        if isinstance(node, ast.BoolOp):
+            parts = [ev(v, batch) for v in node.values]
+            op = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
+            out = parts[0]
+            for p in parts[1:]:
+                out = op(out, p)
+            return out
+        if isinstance(node, ast.UnaryOp):
+            if isinstance(node.op, ast.Not):
+                return pc.invert(ev(node.operand, batch))
+            if isinstance(node.op, ast.USub):
+                v = ev(node.operand, batch)
+                return -v if isinstance(v, (int, float)) else pc.negate(v)
+            raise RuleError(f"unsupported unary op {ast.dump(node.op)}")
+        if isinstance(node, ast.BinOp):
+            if isinstance(node.op, ast.Mod):
+                # integer modulo (pyarrow ships no kernel): a - (a // b) * b
+                a, b = ev(node.left, batch), ev(node.right, batch)
+                return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+            fn = _BINOP.get(type(node.op))
+            if fn is None:
+                raise RuleError(f"unsupported operator {ast.dump(node.op)}")
+            return fn(ev(node.left, batch), ev(node.right, batch))
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1:
+                raise RuleError("chained comparisons are not supported")
+            left = ev(node.left, batch)
+            op, rhs = node.ops[0], node.comparators[0]
+            if isinstance(op, (ast.In, ast.NotIn)):
+                values = ev(rhs, batch)
+                if not isinstance(values, list):
+                    raise RuleError("`in` requires a literal list")
+                m = pc.is_in(left, value_set=pa.array(values))
+                return pc.invert(m) if isinstance(op, ast.NotIn) else m
+            fn = _CMP.get(type(op))
+            if fn is None:
+                raise RuleError(f"unsupported comparison {ast.dump(op)}")
+            return fn(left, ev(rhs, batch))
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in UDFS:
+                raise RuleError(
+                    f"unknown function {getattr(node.func, 'id', '?')!r}; "
+                    f"registered: {sorted(UDFS)}"
+                )
+            args = [ev(a, batch) for a in node.args]
+            return UDFS[node.func.id](*args)
+        raise RuleError(f"unsupported expression node {type(node).__name__}")
+
+    def predicate(batch: pa.Table):
+        out = ev(tree, batch)
+        if isinstance(out, (pa.Array, pa.ChunkedArray)) and pa.types.is_boolean(
+            out.type
+        ):
+            return out
+        raise RuleError(f"rule does not evaluate to a boolean predicate: {expr!r}")
+
+    predicate.rule = expr
+    return predicate
+
+
+def rule_filter(ds, expr: str):
+    """``ds.filter`` by a compiled rule, vectorized per Arrow batch."""
+    pred = compile_rule(expr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pred(batch))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

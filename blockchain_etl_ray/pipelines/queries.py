@@ -418,17 +418,15 @@ def union_value_extremes(sf_dir: str):
     """,
 )
 def rule_filter_events(sf_dir: str):
-    """§2.10 rule-DSL surface: a compiled predicate over the item stream (the
-    alert rule `type in (...) and value > X`, ``blockchainetl/alert/rule.py``)
-    evaluated as vectorized Arrow kernels, not per-row Python."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    """§2.10 rule-DSL surface: the alert-rule string (``rule_engine`` +
+    ``blockchainetl/alert/rule.py:11-80`` analog) is compiled ONCE to
+    vectorized Arrow kernels (functions/rules.py) — no per-row Python."""
+    from ..functions.rules import rule_filter
 
-    def filt(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "signup"])),
-            pc.greater(t.column("value"), 50.0),
-        )
-        t = t.filter(m)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    filtered = rule_filter(ds, "event_type in ['purchase', 'signup'] and value > 50")
+
+    def proj(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "event_id": t.column("event_id"),
@@ -438,7 +436,26 @@ def rule_filter_events(sf_dir: str):
             }
         )
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    return filtered.map_batches(proj, batch_format="pyarrow")
+
+
+@register(
+    "rule_filter_udf_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE length(text) > 300 AND lang NOT IN ('zh') AND (n_chars % 2) = 0
+    """,
+)
+def rule_filter_udf_docs(sf_dir: str):
+    """Rule DSL with a registered UDF call (``rule_udf.py`` analog) plus
+    arithmetic — still fully vectorized."""
+    from ..functions.rules import rule_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    filtered = rule_filter(
+        ds, "length(text) > 300 and lang not in ['zh'] and n_chars % 2 == 0"
+    )
+    return filtered.select_columns(["doc_id", "lang"])
 
 
 @register(

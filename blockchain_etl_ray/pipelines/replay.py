@@ -9,19 +9,25 @@ in parallel across the cluster, and recovers ordering *per key* by LWW on the
 commit ordinal inside each partition — legal because every merge rule (U1-U7)
 depends only on per-key order, never global order (SURVEY.md §4).
 
-One apply cycle (``epoch_batch_size`` epochs) is ONE lazy Dataset pipeline of
-pure map stages — NO all-to-all (see stages/merge.py for why the exchange
-lives in the storage layout instead):
+One apply cycle (``epoch_batch_size`` epochs) is ONE Dataset pipeline of pure
+map tasks — NO all-to-all (see stages/merge.py for why the exchange lives in
+the storage layout), and the event bytes NEVER ENTER THE OBJECT STORE: the
+driver plans ~32 MiB row-group chunks from parquet footers, and each task
+reads its chunk and runs the whole chain in-process —
 
-    read epoch files      one read op per physical schema
-      → map_batches(normalize)        stateless, Arrow, vectorized
-      → map_batches(compact)          combiner: per-key net effect
-      → map_batches(write_fragment)   sort-by-part + one row group per
-                                      partition, zstd; emits per-part stats
-      → driver: aggregate lineage, commit cycle marker
+    from_items(row-group chunks)            tiny control rows
+      → map_batches(read → normalize →      read straight from storage;
+                    compact → fragment)     vectorized Arrow; zstd fragment
+                                            with one row group per partition
+      → per-(fragment, part) stats rows → driver aggregates lineage,
+        commits the cycle marker
 
-The state table is never moved by apply steps; reads and the periodic
-compaction job open only their partition's row groups.
+Measured rationale: a separate read operator hands every byte through the
+plasma store to the next operator — a single shared resource (~700 MB/s here)
+that does not scale with CPUs and capped scaling efficiency at ~0.5; fusing
+the read into the processing task removes it entirely.  The state table is
+never moved by apply steps; reads and the periodic compaction job open only
+their partition's row groups.
 """
 
 from __future__ import annotations
@@ -60,6 +66,28 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
         if m:
             out.setdefault(int(m.group(1)), []).append(f)
     return out
+
+
+def plan_read_chunks(files: list[str], target_bytes: int = 32 << 20) -> list[dict]:
+    """Split input files into ~``target_bytes`` row-group chunk descriptors
+    from parquet footers only (column pruning/pushdown would hook in here).
+    A file whose row groups are huge simply yields row-group-sized chunks."""
+    import pyarrow.parquet as pq_
+
+    chunks: list[dict] = []
+    for f in files:
+        md = pq_.ParquetFile(f).metadata
+        cur: list[int] = []
+        cur_bytes = 0
+        for rg in range(md.num_row_groups):
+            cur.append(rg)
+            cur_bytes += md.row_group(rg).total_byte_size
+            if cur_bytes >= target_bytes:
+                chunks.append({"file": f, "row_groups": cur})
+                cur, cur_bytes = [], 0
+        if cur:
+            chunks.append({"file": f, "row_groups": cur})
+    return chunks
 
 
 @dataclass
@@ -109,38 +137,25 @@ class ReplayEngine:
         (per-partition lineage rows, fragment descriptors).  Safe under task
         retries and driver crashes: only fragments referenced by the committed
         cycle marker are ever read (see state/manifest.py protocol)."""
-        # One read per PHYSICAL schema: files on either side of a
-        # schema-evolution boundary differ, and normalize() reconciles them to
-        # the canonical schema before the union.  Grouping by schema (instead
-        # of one dataset per file) keeps the plan to 1-2 read operators — the
-        # per-dataset fixed cost is significant at high cycle rates.
-        import pyarrow.parquet as pq_  # metadata-only schema probe
+        chunks = plan_read_chunks(files)
+        spec = FragmentSpec(state_root=str(self.store.root), version=version)
+        normalize = self._normalize
 
-        by_schema: dict[tuple, list[str]] = {}
-        for f in files:
-            key = tuple(pq_.read_schema(f).names)
-            by_schema.setdefault(key, []).append(f)
-        # ~32 MiB compressed per block: many tiny blocks quadruple the sort
-        # shuffle's fixed cost (measured: 200 blocks 10.9s vs 32 blocks 4.4s
-        # for the same 1.2 GB cycle), while huge blocks hurt pipelining.
-        import os as os_
+        def process_chunk(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq_
+
+            outs = []
+            for row in batch.to_pylist():
+                t = pq_.ParquetFile(row["file"]).read_row_groups(
+                    list(row["row_groups"])
+                )
+                outs.append(write_fragment(compact_batch(normalize(t)), spec))
+            return pa.concat_tables(outs)
 
         with _PLAN_LOCK:
-            parts = []
-            for group in by_schema.values():
-                total = sum(os_.path.getsize(f) for f in group)
-                nb = max(16, total // (32 << 20))
-                parts.append(
-                    rd.read_parquet(group, override_num_blocks=nb).map_batches(
-                        self._normalize, batch_format="pyarrow"
-                    )
-                )
-            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-            ds = ds.map_batches(compact_batch, batch_format="pyarrow")
-            spec = FragmentSpec(state_root=str(self.store.root), version=version)
-            stats_ds = ds.map_batches(
-                partial(write_fragment, spec=spec), batch_format="pyarrow"
-            )
+            stats_ds = rd.from_items(
+                chunks, override_num_blocks=len(chunks)
+            ).map_batches(process_chunk, batch_size=1, batch_format="pyarrow")
         rows = stats_ds.take_all()  # small: one row per (fragment, part)
         rows = [
             {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()}

@@ -1,0 +1,70 @@
+"""Rule-DSL compiler tests (functions/rules.py, the rule_engine analog)."""
+
+import pyarrow as pa
+import pytest
+
+from blockchain_etl_ray.functions.rules import RuleError, compile_rule, register_udf
+
+BATCH = pa.table(
+    {
+        "event_type": ["purchase", "signup", "error", "purchase"],
+        "value": [100.0, 60.0, 200.0, 10.0],
+        "name": ["Alice", "Bob", "Carol", "Dave"],
+        "n": [4, 7, 10, 13],
+    }
+)
+
+
+def _mask(expr):
+    return compile_rule(expr)(BATCH).to_pylist()
+
+
+def test_comparisons_and_boolops():
+    assert _mask("value > 50") == [True, True, True, False]
+    assert _mask("event_type == 'purchase' and value > 50") == [True, False, False, False]
+    assert _mask("value > 150 or event_type == 'signup'") == [False, True, True, False]
+    assert _mask("not (value > 50)") == [False, False, False, True]
+
+
+def test_membership_and_arithmetic():
+    assert _mask("event_type in ['purchase', 'signup']") == [True, True, False, True]
+    assert _mask("event_type not in ['error']") == [True, True, False, True]
+    assert _mask("value * 2 + 1 > 121") == [True, False, True, False]
+    assert _mask("n % 3 == 1") == [True, True, True, True]
+    assert _mask("n % 2 == 0") == [True, False, True, False]
+
+
+def test_udfs():
+    assert _mask("length(name) == 5") == [True, False, True, False]
+    assert _mask("lower(name) in ['alice', 'dave']") == [True, False, False, True]
+
+    @register_udf("double")
+    def _double(col):
+        import pyarrow.compute as pc
+
+        return pc.multiply(col, 2)
+
+    assert _mask("double(value) >= 200") == [True, False, True, False]
+
+
+def test_errors_are_named():
+    with pytest.raises(RuleError, match="unknown field"):
+        _mask("nope > 1")
+    with pytest.raises(RuleError, match="unknown function"):
+        _mask("mystery(value) > 1")
+    with pytest.raises(RuleError, match="boolean"):
+        _mask("value + 1")
+    with pytest.raises(RuleError, match="syntax"):
+        compile_rule("value >")
+    # no arbitrary code execution surface
+    with pytest.raises(RuleError):
+        _mask("__import__('os').system('true')")
+
+
+def test_rule_filter_on_dataset():
+    import ray.data as rd
+
+    from blockchain_etl_ray.functions.rules import rule_filter
+
+    out = rule_filter(rd.from_arrow(BATCH), "value >= 60 and n % 2 == 0").to_pandas()
+    assert out["name"].tolist() == ["Alice", "Carol"]
