@@ -1,0 +1,135 @@
+"""Derived incremental state: per-repo additive aggregates (the holder/balance
+analog).
+
+The reference maintains cumulative per-key aggregates updated batch-by-batch
+with additive upserts — ``upsert_token_holders`` counters ``+=`` with
+first-touch (``exists_or_excluded``) / last-touch (``excluded_or_exists``)
+columns (``ethereumetl/streaming/postgres_hooks.py:43-96``,
+``postgres_utils.py:71-76``; A1-A7 in SURVEY.md §2.6).
+
+Ray-Data-first shape: every apply-step chunk task computes a TINY per-repo
+partial (a mergeable "sketch": counts, sums, min/max ordinals — all
+associative + commutative) and writes it next to its fragment file
+(``frag-X.parquet.repo_stats.parquet``).  Reading the derived table is a small
+``groupby(repo)`` over partials + the compacted base; compaction folds
+partials into a new base exactly like the main table.  This is the
+combiner-before-shuffle pattern at its purest: the shuffle input is bounded
+by (#repos × #chunks), never by event volume.
+
+Exactly-once inherits from the main protocol: partials are visible only
+through committed cycle markers (the partial's name is derived from its
+fragment's name), so a crashed step's partials are orphans and get GC'd.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import polars as pl
+import pyarrow as pa
+
+REPO_STATS_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("repo", pa.string()),
+    ("n_events", pa.int64()),
+    ("n_inserts", pa.int64()),
+    ("n_updates", pa.int64()),
+    ("n_deletes", pa.int64()),
+    ("sum_bytes", pa.int64()),
+    ("first_ordinal", pa.int64()),
+    ("last_ordinal", pa.int64()),
+]
+REPO_STATS_SCHEMA = pa.schema(REPO_STATS_FIELDS)
+
+PARTIAL_SUFFIX = ".repo_stats.parquet"
+
+
+def repo_stats_partial(norm_batch: pa.Table) -> pa.Table:
+    """Per-repo partial aggregate of one NORMALIZED (pre-compaction) batch —
+    raw delivered events count here, exactly like the reference counts every
+    transfer into holder stats before upserting."""
+    df = pl.from_arrow(
+        norm_batch.select(["repo", "op", "ordinal", "content"])
+    ).with_columns(
+        pl.col("content").str.len_chars().fill_null(0).alias("bytes"),
+    )
+    out = (
+        df.group_by("repo")
+        .agg(
+            pl.len().alias("n_events"),
+            (pl.col("op") == "insert").sum().alias("n_inserts"),
+            (pl.col("op") == "update").sum().alias("n_updates"),
+            (pl.col("op") == "delete").sum().alias("n_deletes"),
+            pl.col("bytes").sum().alias("sum_bytes"),
+            pl.col("ordinal").min().alias("first_ordinal"),
+            pl.col("ordinal").max().alias("last_ordinal"),
+        )
+        .sort("repo")
+    )
+    return out.to_arrow().cast(REPO_STATS_SCHEMA)
+
+
+def merge_repo_stats(tables: list[pa.Table]) -> pa.Table:
+    """Associative fold of partials/bases (U4 semantics: counters add,
+    first-touch min, last-touch max)."""
+    df = pl.concat([pl.from_arrow(t) for t in tables], how="vertical_relaxed")
+    out = (
+        df.group_by("repo")
+        .agg(
+            pl.col("n_events").sum(),
+            pl.col("n_inserts").sum(),
+            pl.col("n_updates").sum(),
+            pl.col("n_deletes").sum(),
+            pl.col("sum_bytes").sum(),
+            pl.col("first_ordinal").min(),
+            pl.col("last_ordinal").max(),
+        )
+        .sort("repo")
+    )
+    return out.to_arrow().cast(REPO_STATS_SCHEMA)
+
+
+def partial_path_for_fragment(frag_path: str | Path) -> Path:
+    return Path(str(frag_path) + PARTIAL_SUFFIX)
+
+
+def derived_files(store, upto: int | None = None) -> list[str]:
+    """All committed repo-stats inputs as of ``upto``: the latest derived base
+    plus every later committed partial (via cycle markers)."""
+    files: list[str] = []
+    base_dir = store.root / "derived" / "repo_stats"
+    base_v = None
+    if base_dir.is_dir():
+        versions = []
+        for f in base_dir.glob("base-version=*.parquet"):
+            v = int(f.stem.split("=")[1])
+            if upto is None or v <= upto:
+                versions.append(v)
+        if versions:
+            base_v = max(versions)
+            files.append(str(base_dir / f"base-version={base_v:012d}.parquet"))
+    for v, marker in store.read_markers(upto).items():
+        if base_v is not None and v <= base_v:
+            continue
+        for frag in marker.get("fragments", []):
+            p = partial_path_for_fragment(store.frag_dir(v) / frag["file"])
+            if p.exists():
+                files.append(str(p))
+    return files
+
+
+def compact_repo_stats(store, upto_version: int) -> Path | None:
+    """Fold partials + previous base into a new derived base (idempotent)."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import atomic_write_table
+
+    base_dir = store.root / "derived" / "repo_stats"
+    out_path = base_dir / f"base-version={upto_version:012d}.parquet"
+    if out_path.exists():
+        return out_path
+    files = derived_files(store, upto=upto_version)
+    if not files:
+        return None
+    merged = merge_repo_stats([pq.read_table(f) for f in files])
+    atomic_write_table(out_path, merged)
+    return out_path

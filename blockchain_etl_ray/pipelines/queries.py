@@ -706,6 +706,51 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
 
 
+@register("media_decode_stats", None)
+def media_decode_stats(sf_dir: str):
+    """Multimodal plumbing end-to-end (rows-only: binary payloads + actor-pool
+    decode are not SQL-expressible): synthesize a media table from documents,
+    decode images in an actor pool, sample + decode video frames, return
+    per-media metadata.  Deterministic (stages/multimodal.py)."""
+    from ..stages import multimodal as mm
+
+    ds = mm.synth_media_dataset(sf_dir)
+    images = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "image")),
+        batch_format="pyarrow",
+    )
+    decoded = images.map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+    videos = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
+        batch_format="pyarrow",
+    )
+    frames = videos.map_batches(
+        mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+    def tag(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": t.column("media_id"),
+                    "kind": pa.array([name] * t.num_rows, type=pa.string()),
+                    "width": pc.cast(t.column("width"), pa.int64()),
+                    "height": pc.cast(t.column("height"), pa.int64()),
+                    "mean_luma": pc.cast(t.column("mean_luma"), pa.int64()),
+                }
+            )
+
+        return f
+
+    return decoded.map_batches(tag("image"), batch_format="pyarrow").union(
+        frames.map_batches(tag("frame"), batch_format="pyarrow")
+    )
+
+
 # ===========================================================================
 # Embedding similarity (embeddings table)
 # ===========================================================================
@@ -800,16 +845,10 @@ _CDC_SQL = """
 """
 
 
-@register("cdc_replay_state", _CDC_SQL)
-def cdc_replay_state(sf_dir: str):
-    """END-TO-END flagship: derive a CDC change log from the events table
-    (ordinal = event_id, key = (user, event-type), op by event_id % 10,
-    tombstones for % 10 == 9), run it through the FULL replay engine
-    (normalize → compact → partitioned LWW merge → exactly-once state store)
-    and read back the converged live state.  The SQL oracle is the
-    LWW-by-ordinal window fold — U1/U2/U7 semantics in one query."""
-    from ..pipelines.replay import ReplayConfig, ReplayEngine
-
+def _write_cdc_log(sf_dir: str) -> tuple[Path, Path]:
+    """Derive a deterministic CDC change log from the events table (ordinal =
+    event_id, key = (user, event-type), op by event_id % 10, tombstones for
+    % 10 == 9) and write it as per-epoch parquet under a fresh workdir."""
     ev = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
     n = ev.num_rows
     eid = ev.column("event_id")
@@ -847,8 +886,20 @@ def cdc_replay_state(sf_dir: str):
     events_dir.mkdir()
     for e in pc.unique(log.column("epoch")).to_pylist():
         sub = log.filter(pc.equal(log.column("epoch"), e))
-        pq.write_table(sub, events_dir / f"epoch={e:06d}.parquet")
+        pq.write_table(sub, events_dir / f"epoch={e:06d}.parquet", row_group_size=16384)
+    return events_dir, workdir
 
+
+@register("cdc_replay_state", _CDC_SQL)
+def cdc_replay_state(sf_dir: str):
+    """END-TO-END flagship: derive a CDC change log from the events table,
+    run it through the FULL replay engine (normalize → compact → partitioned
+    fragment merge → exactly-once state store) and read back the converged
+    live state.  The SQL oracle is the LWW-by-ordinal window fold — U1/U2/U7
+    semantics in one query."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
     engine = ReplayEngine(
         workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
     )
@@ -868,6 +919,51 @@ def cdc_replay_state(sf_dir: str):
             "ordinal": tbl.column("ordinal"),
         }
     )
+
+
+_CDC_STATS_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events)
+    SELECT repo,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS n_inserts,
+           SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS n_updates,
+           SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes,
+           SUM(COALESCE(length(content), 0)) AS sum_bytes,
+           MIN(ordinal) AS first_ordinal,
+           MAX(ordinal) AS last_ordinal
+    FROM cdc GROUP BY repo
+"""
+
+
+@register("cdc_repo_stats", _CDC_STATS_SQL)
+def cdc_repo_stats(sf_dir: str):
+    """Derived incremental state end-to-end (A1-A7/U4 analog,
+    ``ethereumetl/streaming/postgres_hooks.py:43-96``): replay the derived CDC
+    log through the FULL engine with per-step additive partials, then read the
+    maintained per-repo table — checked against a plain GROUP BY oracle."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+    ds = engine.derived_repo_stats()
+
+    def cast_counts(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in t.column_names}
+        for c in ("n_events", "n_inserts", "n_updates", "n_deletes", "sum_bytes"):
+            cols[c] = pc.cast(cols[c], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(cast_counts, batch_format="pyarrow")
 
 
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:

@@ -107,6 +107,8 @@ class ReplayConfig:
     #: sweet spot on 32 CPUs is 2 — enough to overlap barriers without the
     #: concurrent sorts fighting for the object store.
     max_inflight_steps: int = 2
+    #: maintain the per-repo additive derived state (pipelines/derived.py)
+    derived_stats: bool = True
     rename_map: dict = field(default_factory=lambda: dict(DEFAULT_RENAMES))
 
     def as_dict(self) -> dict:
@@ -114,6 +116,7 @@ class ReplayConfig:
             "num_partitions": self.num_partitions,
             "epoch_batch_size": self.epoch_batch_size,
             "compact_every": self.compact_every,
+            "derived_stats": self.derived_stats,
             "rename_map": self.rename_map,
         }
 
@@ -140,16 +143,30 @@ class ReplayEngine:
         chunks = plan_read_chunks(files)
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
+        with_derived = self.config.derived_stats
 
         def process_chunk(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq_
+
+            from ..pipelines.derived import partial_path_for_fragment, repo_stats_partial
+            from ..state.manifest import StateStore as _SS
+            from ..state.manifest import atomic_write_table
 
             outs = []
             for row in batch.to_pylist():
                 t = pq_.ParquetFile(row["file"]).read_row_groups(
                     list(row["row_groups"])
                 )
-                outs.append(write_fragment(compact_batch(normalize(t)), spec))
+                nt = normalize(t)
+                stats = write_fragment(compact_batch(nt), spec)
+                if with_derived and stats.num_rows:
+                    frag = _SS(spec.state_root).frag_dir(spec.version) / stats.column(
+                        "file"
+                    )[0].as_py()
+                    atomic_write_table(
+                        partial_path_for_fragment(frag), repo_stats_partial(nt)
+                    )
+                outs.append(stats)
             return pa.concat_tables(outs)
 
         with _PLAN_LOCK:
@@ -262,9 +279,11 @@ class ReplayEngine:
                         "lineage": rows,
                     },
                 )
-                self.store.gc_orphan_fragments(
-                    version, {f["file"] for f in frags}
-                )
+                from ..pipelines.derived import PARTIAL_SUFFIX
+
+                referenced = {f["file"] for f in frags}
+                referenced |= {f + PARTIAL_SUFFIX for f in referenced}
+                self.store.gc_orphan_fragments(version, referenced)
                 applied_steps.append(version)
                 if (
                     self.config.compact_every
@@ -308,8 +327,39 @@ class ReplayEngine:
             )
             .take_all()
         )
+        if self.config.derived_stats:
+            from ..pipelines.derived import compact_repo_stats
+
+            compact_repo_stats(self.store, upto_version)
         self.store.gc_compacted(self.config.num_partitions, upto_version)
         return results
+
+    def derived_repo_stats(self, upto: int | None = None) -> rd.Dataset:
+        """The per-repo additive derived table (holder/balance analog): a
+        small groupby over committed partials + the compacted derived base."""
+        from ray.data.aggregate import Max, Min, Sum
+
+        from ..pipelines.derived import REPO_STATS_SCHEMA, derived_files
+
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        files = derived_files(self.store, upto=upto)
+        if not files:
+            return rd.from_arrow(REPO_STATS_SCHEMA.empty_table())
+        return (
+            rd.read_parquet(files, partitioning=None)
+            .groupby("repo")
+            .aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("n_inserts", alias_name="n_inserts"),
+                Sum("n_updates", alias_name="n_updates"),
+                Sum("n_deletes", alias_name="n_deletes"),
+                Sum("sum_bytes", alias_name="sum_bytes"),
+                Min("first_ordinal", alias_name="first_ordinal"),
+                Max("last_ordinal", alias_name="last_ordinal"),
+            )
+        )
 
     # ------------------------------------------------------------------ reads
     def read_state(

@@ -1,0 +1,204 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool ``map_batches`` stages (training-data pipeline extension).
+
+Design (the part that matters at 100 TB — and what the tests cover):
+- media travels as ``pa.large_binary()`` next to typed metadata columns
+  (``media_type``, ``width``/``height``/``duration_ms``…);
+- decode / feature-extract / resize / frame-sample are CALLABLE CLASSES run as
+  actor pools (codec init once per actor, ST1 pattern,
+  ``ethereumetl/service/eth_token_service.py:44-130`` analog);
+- batches stay small for wide binary rows (callers pass ``batch_size``;
+  blocks of ~100 MiB of media would otherwise pin workers);
+- stages degrade explicitly: real codecs (PIL / ffmpeg / torchaudio) are NOT
+  in this container, so each actor takes ``codec="synthetic"`` — a
+  deterministic stand-in documented below — and raises ``NotImplementedError``
+  naming the missing dependency when asked for a real codec.  The Ray-side
+  plumbing (schemas, actor signatures, batch shapes, output layout) is real.
+
+Synthetic codec format (deterministic, self-describing):
+  image:  b"IMG1" + uint16 width + uint16 height + width*height payload bytes
+  video:  b"VID1" + uint16 n_frames + per-frame (uint16 w, uint16 h, w*h bytes)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_MAGIC = b"IMG1"
+VIDEO_MAGIC = b"VID1"
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "video"
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def synth_image(seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic fake image: pseudo-pixels derived from sha256(seed)."""
+    n = width * height
+    out = bytearray()
+    h = hashlib.sha256(seed_text.encode()).digest()
+    while len(out) < n:
+        out.extend(h)
+        h = hashlib.sha256(h).digest()
+    return IMAGE_MAGIC + struct.pack("<HH", width, height) + bytes(out[:n])
+
+
+def synth_video(seed_text: str, n_frames: int, width: int, height: int) -> bytes:
+    frames = b"".join(
+        synth_image(f"{seed_text}:{i}", width, height)[8:]  # raw pixels
+        for i in range(n_frames)
+    )
+    head = VIDEO_MAGIC + struct.pack("<H", n_frames)
+    per = struct.pack("<HH", width, height)
+    out = bytearray(head)
+    off = 0
+    for _ in range(n_frames):
+        out += per + frames[off : off + width * height]
+        off += width * height
+    return bytes(out)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload[:4] != IMAGE_MAGIC:
+        raise ValueError("not a synthetic image payload")
+    w, h = struct.unpack("<HH", payload[4:8])
+    px = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+    return w, h, px
+
+
+class ImageDecoder:
+    """Actor stage: payload → (width, height, mean_luma, phash64).
+
+    ``codec="synthetic"`` decodes the deterministic stand-in; ``codec="pil"``
+    would decode real images — unavailable in this container."""
+
+    def __init__(self, codec: str = "synthetic"):
+        if codec != "synthetic":
+            raise NotImplementedError(
+                f"codec {codec!r}: real image decoding needs PIL/opencv, "
+                "not installed in this environment"
+            )
+        self.codec = codec
+
+    @staticmethod
+    def _phash(px: np.ndarray) -> int:
+        # 8x8 mean-threshold hash (perceptual-hash shaped, deterministic)
+        h, w = px.shape
+        tile = px[: h - h % 8, : w - w % 8].reshape(8, (h - h % 8) // 8, 8, -1)
+        small = tile.mean(axis=(1, 3))
+        bits = (small > small.mean()).astype(np.uint64).reshape(-1)
+        return int(bits @ (1 << np.arange(64, dtype=np.uint64)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, lumas, phashes = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            w, h, px = _decode_image(payload)
+            widths.append(w)
+            heights.append(h)
+            lumas.append(int(px.mean().round()))
+            phashes.append(self._phash(px) - (1 << 63))
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("width", pa.array(widths, type=pa.int32()))
+            .append_column("height", pa.array(heights, type=pa.int32()))
+            .append_column("mean_luma", pa.array(lumas, type=pa.int32()))
+            .append_column("phash64", pa.array(phashes, type=pa.int64()))
+        )
+
+
+class ImageResizer:
+    """Actor stage: payload → resized payload (nearest-neighbor on the
+    synthetic format; metadata columns updated).  Output stays binary so the
+    stage composes with further media stages."""
+
+    def __init__(self, target: tuple[int, int] = (8, 8), codec: str = "synthetic"):
+        if codec != "synthetic":
+            raise NotImplementedError(
+                f"codec {codec!r}: real resizing needs PIL/opencv"
+            )
+        self.tw, self.th = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            w, h, px = _decode_image(payload)
+            yi = (np.arange(self.th) * h // self.th)[:, None]
+            xi = (np.arange(self.tw) * w // self.tw)[None, :]
+            small = px[yi, xi]
+            out.append(
+                IMAGE_MAGIC
+                + struct.pack("<HH", self.tw, self.th)
+                + small.astype(np.uint8).tobytes()
+            )
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, type=pa.large_binary()))
+
+
+class FrameSampler:
+    """Actor stage: video payload → one row per sampled frame (flat_map
+    shape: explode inside map_batches, M2/erc1155 TransferBatch analog)."""
+
+    def __init__(self, every: int = 2, codec: str = "synthetic"):
+        if codec != "synthetic":
+            raise NotImplementedError(f"codec {codec!r}: real sampling needs ffmpeg")
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, payloads = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if payload[:4] != VIDEO_MAGIC:
+                raise ValueError("not a synthetic video payload")
+            (n_frames,) = struct.unpack("<H", payload[4:6])
+            off = 6
+            for i in range(n_frames):
+                w, h = struct.unpack("<HH", payload[off : off + 4])
+                sz = w * h
+                if i % self.every == 0:
+                    ids.append(mid)
+                    frame_idx.append(i)
+                    payloads.append(
+                        IMAGE_MAGIC
+                        + struct.pack("<HH", w, h)
+                        + payload[off + 4 : off + 4 + sz]
+                    )
+                off += 4 + sz
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+
+def synth_media_dataset(sf_dir: str):
+    """Deterministic media table derived from the documents table: text seeds
+    fake image payloads (doc_id % 10 == 0 becomes a short video instead)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        w, h = 16 + (did % 5) * 8, 16 + (did % 3) * 8
+        if did % 10 == 0:
+            rows.append(
+                {"media_id": did, "media_type": "video",
+                 "payload": synth_video(text[:64], 4 + did % 3, w, h)}
+            )
+        else:
+            rows.append(
+                {"media_id": did, "media_type": "image",
+                 "payload": synth_image(text[:64], w, h)}
+            )
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))

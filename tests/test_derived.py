@@ -1,0 +1,78 @@
+"""Derived incremental state (per-repo additive aggregates, U4 analog)."""
+
+import polars as pl
+import pyarrow.parquet as pq
+
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _expected_repo_stats(events_dir):
+    """Full recompute from raw delivered events (the non-incremental oracle)."""
+    import glob
+
+    import pyarrow as pa
+
+    tables = []
+    for f in sorted(glob.glob(f"{events_dir}/epoch=*.parquet")):
+        t = pq.read_table(f)
+        names = t.column_names
+        if "filepath" in names and "path" not in names:
+            t = t.rename_columns([("path" if c == "filepath" else c) for c in names])
+        tables.append(t.select(["repo", "op", "ordinal", "content"]))
+    df = pl.from_arrow(pa.concat_tables(tables, promote_options="default"))
+    return (
+        df.with_columns(pl.col("content").str.len_chars().fill_null(0).alias("bytes"))
+        .group_by("repo")
+        .agg(
+            pl.len().alias("n_events"),
+            (pl.col("op") == "insert").sum().alias("n_inserts"),
+            (pl.col("op") == "update").sum().alias("n_updates"),
+            (pl.col("op") == "delete").sum().alias("n_deletes"),
+            pl.col("bytes").sum().alias("sum_bytes"),
+            pl.col("ordinal").min().alias("first_ordinal"),
+            pl.col("ordinal").max().alias("last_ordinal"),
+        )
+        .sort("repo")
+        .to_pandas()
+    )
+
+
+def _got(engine):
+    return (
+        engine.derived_repo_stats()
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+        .astype({"n_events": "int64"})
+    )
+
+
+def test_derived_stats_match_full_recompute(small_corpus, tmp_path):
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(small_corpus["dir"])
+    got = _got(engine)
+    exp = _expected_repo_stats(small_corpus["dir"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ["n_events", "n_inserts", "n_deletes", "sum_bytes", "first_ordinal", "last_ordinal"]:
+        assert got[col].astype("int64").tolist() == exp[col].astype("int64").tolist(), col
+
+
+def test_derived_stats_survive_resume_and_compaction(small_corpus, tmp_path):
+    cfg = ReplayConfig(num_partitions=8, epoch_batch_size=2, compact_every=3)
+    eng1 = ReplayEngine(tmp_path / "state", cfg)
+    eng1.replay(small_corpus["dir"], upto_epoch=6)  # off every boundary
+
+    eng2 = ReplayEngine(tmp_path / "state", cfg)  # restart
+    eng2.replay(small_corpus["dir"])
+    eng2.compact_state()
+
+    got = _got(eng2)
+    exp = _expected_repo_stats(small_corpus["dir"]).reset_index(drop=True)
+    assert got["n_events"].astype("int64").tolist() == exp["n_events"].astype("int64").tolist()
+    assert got["sum_bytes"].astype("int64").tolist() == exp["sum_bytes"].astype("int64").tolist()
+
+    # partials were folded into the derived base and GC'd with their frag dirs
+    base_dir = eng2.store.root / "derived" / "repo_stats"
+    assert any(base_dir.glob("base-version=*.parquet"))

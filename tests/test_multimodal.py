@@ -1,0 +1,73 @@
+"""Multimodal actor-stage plumbing tests (binary columns, decode/resize/sample)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blockchain_etl_ray.stages import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_images_actor_pool():
+    ds = mm.synth_media_dataset(SF)
+    images = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("media_type"), "image")),
+        batch_format="pyarrow",
+    )
+    out = images.map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).to_pandas()
+    assert len(out) > 0 and "payload" not in out.columns
+    assert set(out.columns) >= {"media_id", "width", "height", "mean_luma", "phash64"}
+    assert (out["width"] >= 16).all() and (out["mean_luma"].between(0, 255)).all()
+
+    # determinism across runs
+    out2 = images.map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).to_pandas()
+    assert out.sort_values("media_id")["phash64"].tolist() == out2.sort_values("media_id")["phash64"].tolist()
+
+
+def test_resize_then_decode_composes():
+    ds = mm.synth_media_dataset(SF)
+    images = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("media_type"), "image")),
+        batch_format="pyarrow",
+    )
+    resized = images.map_batches(
+        mm.ImageResizer, fn_constructor_kwargs={"target": (8, 8)},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+    decoded = resized.map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).to_pandas()
+    assert (decoded["width"] == 8).all() and (decoded["height"] == 8).all()
+
+
+def test_frame_sampling_explodes_videos():
+    ds = mm.synth_media_dataset(SF)
+    videos = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("media_type"), "video")),
+        batch_format="pyarrow",
+    )
+    n_videos = videos.count()
+    frames = videos.map_batches(
+        mm.FrameSampler, fn_constructor_kwargs={"every": 2},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+    fdf = frames.to_pandas()
+    assert len(fdf) > n_videos  # exploded
+    assert (fdf["frame_idx"] % 2 == 0).all()
+    # sampled frames are decodable images
+    dec = rd.from_arrow(pa.Table.from_pandas(fdf)).map_batches(
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    assert dec.count() == len(fdf)
+
+
+def test_real_codecs_fail_loudly():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.ImageDecoder(codec="pil")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.FrameSampler(codec="ffmpeg")
