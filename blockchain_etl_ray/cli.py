@@ -8,7 +8,8 @@ Commands:
   state    show the converged table (head)
   lineage  print per-partition lineage records
   gaps     delivered-but-unapplied epochs (checker analog)
-  bench    alias for bench.py's headline run
+  compact  fold fragments into per-partition bases (maintenance)
+  stats    derived per-repo aggregates (holder/balance analog)
 
 Owns the Ray session (guarded init) — library code never does.
 """
@@ -59,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             rp.add_argument("--period-seconds", type=float, default=2.0)
             rp.add_argument("--max-polls", type=int, default=1000)
 
-    for name in ("state", "lineage", "gaps"):
+    for name in ("state", "lineage", "gaps", "compact", "stats"):
         xp = sub.add_parser(name)
         xp.add_argument("--state", required=True)
         xp.add_argument("--partitions", type=int, default=32)
@@ -110,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
         print(engine.lineage_table().to_pandas().to_string())
     elif args.cmd == "gaps":
         print(json.dumps({"gaps": engine.gaps(args.events)}))
+    elif args.cmd == "compact":
+        results = engine.compact_state()
+        print(json.dumps({"partitions": len(results)}))
+    elif args.cmd == "stats":
+        df = engine.derived_repo_stats().to_pandas().sort_values(
+            "n_events", ascending=False
+        )
+        print(df.head(20).to_string())
 
     import ray
 

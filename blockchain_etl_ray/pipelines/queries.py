@@ -788,6 +788,18 @@ def ann_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"])
 
 
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (the ANN scale path; rows-only — approximate by
+    design, recall vs brute force asserted in pytest)."""
+    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pc.less(pc.field("vec_id"), 5)
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
+    return out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"])
+
+
 @register(
     "cosine_exact_dup_pairs",
     """

@@ -84,6 +84,109 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
 
+def kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Small deterministic k-means (driver-side, on a bounded sample) for IVF
+    coarse quantization.  Inputs are L2-normalized; distance = cosine."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    vectors: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """IVF approximate top-k: the scale path for ANN.
+
+    Train ``n_lists`` centroids on a driver-side sample (bounded, one pass);
+    broadcast (centroids, queries) once; each batch task assigns its vectors
+    to their nearest centroid and scores them ONLY against queries probing
+    that centroid (each query probes its ``n_probe`` nearest lists), emitting
+    local top-k partials; a per-query ``map_groups`` selects the global top-k.
+    Same two-stage combiner shape as the brute-force baseline — the win at
+    scale is that each vector is scored against the ~n_probe/n_lists fraction
+    of queries probing its list (and on-disk IVF layouts can skip whole
+    partitions at the read).  Recall vs brute force is checked in pytest.
+    """
+    sample_tbl = queries  # queries are always included in training
+    sample = _to_matrix(sample_tbl.column(vec_col))
+    extra = vectors.limit(sample_size)
+    extra_m = _to_matrix(pa.table({vec_col: extra.to_pandas()[vec_col]}).column(vec_col))
+    train = np.vstack([sample, extra_m])
+    cent = kmeans_centroids(train, n_lists)
+
+    qids = queries.column(id_col).to_pylist()
+    qm = _to_matrix(queries.column(vec_col))
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # lists each query probes
+    q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qm, cent, q_probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, q_probes_ = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = (m @ cent_.T).argmax(axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids_):
+            probe_set = set(q_probes_[qi].tolist())
+            mask = np.isin(assign, list(probe_set))
+            if exclude_self:
+                mask &= ids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            s = m[idx] @ qm_[qi]
+            order = np.lexsort((ids[idx], -s))[:k]
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(ids[sel].tolist())
+            out_c.extend(
+                [int(round(c * 1_000_000)) for c in (m[sel] @ qm_[qi]).tolist()]
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos_x1m": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = vectors.map_batches(partial, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cos_x1m", "descending"), ("neighbor_id", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
 def cosine_neardup_pairs(
     vectors: rd.Dataset,
     all_vectors: pa.Table,

@@ -73,6 +73,41 @@ def test_ann_matches_numpy_bruteforce():
         assert got == expect, (q, got, expect)
 
 
+def test_ivf_recall_vs_bruteforce():
+    """IVF with generous probes must recover most of the exact top-10."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    queries = emb.filter(pc.less(pc.field("vec_id"), 5))
+    exact = (
+        ann.brute_force_topk(rd.from_arrow(emb), queries, k=10)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    approx = (
+        ann.ivf_topk(rd.from_arrow(emb), queries, k=10, n_lists=16, n_probe=6)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    # determinism
+    approx2 = (
+        ann.ivf_topk(rd.from_arrow(emb), queries, k=10, n_lists=16, n_probe=6)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    approx_sorted = (
+        ann.ivf_topk(rd.from_arrow(emb), queries, k=10, n_lists=16, n_probe=6)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert approx2["neighbor_id"].tolist() == approx_sorted["neighbor_id"].tolist()
+
+
 def test_compact_associative():
     """Compacting halves then compacting the union == compacting the whole —
     the property that makes the combiner sound before the shuffle."""
