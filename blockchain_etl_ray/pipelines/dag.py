@@ -1,0 +1,132 @@
+"""Dependency-closure planner for derived tables (M13 analog).
+
+The reference decides which upstream entities must be computed for the
+requested ones by walking a static dependency map
+(``_should_export``, ``ethereumetl/streaming/eth_streamer_adapter.py:354-403``;
+entity selection ``blockchainetl/enumeration/entity_type.py:118-135``).
+
+Here: derived tables register (name, deps, build_fn); ``closure`` returns the
+transitive dependency set, ``plan`` a topological build order, and ``build``
+executes it once per table with results cached and passed downstream.  Build
+functions receive ``(engine, inputs)`` and return a Dataset / Arrow table —
+so the planner prunes exactly like the reference: ask for ``top_repos`` and
+only ``repo_stats`` → ``top_repos`` run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TableDef:
+    name: str
+    deps: list[str]
+    build: Callable  # (engine, inputs: dict[str, Any]) -> Any
+
+
+@dataclass
+class Catalog:
+    tables: dict[str, TableDef] = field(default_factory=dict)
+
+    def register(self, name: str, deps: list[str] | None = None):
+        def deco(fn):
+            self.tables[name] = TableDef(name, deps or [], fn)
+            return fn
+
+        return deco
+
+    def closure(self, requested: list[str]) -> set[str]:
+        """Transitive dependency closure of the requested tables."""
+        out: set[str] = set()
+        stack = list(requested)
+        while stack:
+            name = stack.pop()
+            if name in out:
+                continue
+            if name not in self.tables:
+                raise KeyError(
+                    f"unknown table {name!r}; registered: {sorted(self.tables)}"
+                )
+            out.add(name)
+            stack.extend(self.tables[name].deps)
+        return out
+
+    def plan(self, requested: list[str]) -> list[str]:
+        """Topological build order over the closure (deps first)."""
+        need = self.closure(requested)
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(name: str):
+            if name in seen:
+                return
+            if name in visiting:
+                raise ValueError(f"dependency cycle through {name!r}")
+            visiting.add(name)
+            for d in self.tables[name].deps:
+                visit(d)
+            visiting.discard(name)
+            seen.add(name)
+            order.append(name)
+
+        for name in sorted(need):
+            visit(name)
+        return order
+
+    def build(self, engine, requested: list[str]) -> dict[str, object]:
+        """Execute the plan; each table built once, fed its dep results."""
+        results: dict[str, object] = {}
+        for name in self.plan(requested):
+            t = self.tables[name]
+            inputs = {d: results[d] for d in t.deps}
+            results[name] = t.build(engine, inputs)
+        return {k: v for k, v in results.items() if k in self.closure(requested)}
+
+
+#: The engine's built-in derived-table catalog.
+DEFAULT_CATALOG = Catalog()
+
+
+@DEFAULT_CATALOG.register("state")
+def _state(engine, inputs):
+    return engine.read_state()
+
+
+@DEFAULT_CATALOG.register("repo_stats")
+def _repo_stats(engine, inputs):
+    return engine.derived_repo_stats()
+
+
+@DEFAULT_CATALOG.register("top_repos", deps=["repo_stats"])
+def _top_repos(engine, inputs):
+    return (
+        inputs["repo_stats"]
+        .sort(["n_events", "repo"], descending=[True, False])
+        .limit(10)
+    )
+
+
+@DEFAULT_CATALOG.register("lang_stats", deps=["state"])
+def _lang_stats(engine, inputs):
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "bytes": pc.coalesce(t.column("size"), pc.utf8_length(t.column("content"))),
+            }
+        )
+
+    return (
+        inputs["state"]
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_files"), Sum("bytes", alias_name="sum_bytes"))
+    )

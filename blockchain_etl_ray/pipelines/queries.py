@@ -459,6 +459,62 @@ def rule_filter_udf_docs(sf_dir: str):
 
 
 @register(
+    "purchase_last_click_asof",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS click_value_x100
+      FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           c.click_value_x100 AS click_value_x100_asof,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_last_click_asof(sf_dir: str):
+    """J5 as-of join: each purchase looks up the user's most recent prior (or
+    simultaneous) click — the btc previous-output lookup shape
+    (``bitcoinetl/jobs/enrich_transactions_job.py:66-120``), vectorized via
+    per-key searchsorted against a broadcast sorted right side."""
+    from ..stages.joins import asof_join
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.filter(pc.equal(ev.column("event_type"), "click"))
+    clicks = pa.table(
+        {
+            "user_id": clicks.column("user_id"),
+            "ts": clicks.column("ts"),
+            "click_value_x100": scaled_int(clicks.column("value")),
+        }
+    )
+    purchases = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts", value_cols=["click_value_x100"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "click_value_x100_asof": t.column("click_value_x100_asof"),
+                "ts_asof": t.column("ts_asof"),
+            }
+        )
+
+    return joined.map_batches(proj, batch_format="pyarrow")
+
+
+@register(
     "event_type_stats",
     """
     SELECT event_type, COUNT(*) AS n,
@@ -492,6 +548,58 @@ def event_type_stats(sf_dir: str):
             Max("ts_us", alias_name="max_ts_us"),
         )
     )
+
+
+@register(
+    "user_value_flows",
+    """
+    WITH inflow AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS in_x100,
+             COUNT(*) AS n_in
+      FROM events WHERE event_type IN ('signup', 'click') GROUP BY user_id),
+    outflow AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS out_x100,
+             COUNT(*) AS n_out
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(i.user_id, o.user_id) AS user_id,
+           COALESCE(in_x100, 0) AS in_x100, COALESCE(n_in, 0) AS n_in,
+           COALESCE(out_x100, 0) AS out_x100, COALESCE(n_out, 0) AS n_out,
+           COALESCE(in_x100, 0) - COALESCE(out_x100, 0) AS net_x100
+    FROM inflow i FULL OUTER JOIN outflow o ON i.user_id = o.user_id
+    """,
+)
+def user_value_flows(sf_dir: str):
+    """A5 balance-style multi-branch aggregate: two grouped branches, outer
+    merge with zero-fill, derived net — the export_balances shape
+    (``ethereumetl/streaming/eth_balance_adapter.py:431-524``: vin/out/fee
+    branches ⋈ outer ⋈ net = vin + cnb − out − fee)."""
+
+    def branch(types: list[str], sum_name: str, n_name: str) -> pa.Table:
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("event_type"), value_set=pa.array(types)))
+            return pa.table(
+                {"user_id": t.column("user_id"), "v": scaled_int(t.column("value"))}
+            )
+
+        agg = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("v", alias_name=sum_name), Count(alias_name=n_name))
+        )
+        return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+    inflow = branch(["signup", "click"], "in_x100", "n_in")
+    outflow = branch(["purchase"], "out_x100", "n_out")
+    joined = inflow.join(
+        outflow, keys=["user_id"], join_type="full outer"
+    )
+    cols = {"user_id": joined.column("user_id")}
+    for c in ("in_x100", "n_in", "out_x100", "n_out"):
+        cols[c] = pc.coalesce(pc.cast(joined.column(c), pa.int64()), pa.scalar(0, type=pa.int64()))
+    cols["net_x100"] = pc.subtract(cols["in_x100"], cols["out_x100"])
+    return pa.table(cols)
 
 
 @register(
@@ -928,6 +1036,74 @@ def cdc_replay_state(sf_dir: str):
             "lang": tbl.column("lang"),
             "content": pc.cast(tbl.column("content"), pa.string()),
             "content_sha256": tbl.column("content_sha256"),
+            "ordinal": tbl.column("ordinal"),
+        }
+    )
+
+
+_CDC_EVO_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op,
+             event_id // ((SELECT COUNT(*) FROM events) // 10) AS epoch
+      FROM events),
+    latest AS (
+      SELECT * FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) = 1)
+    SELECT repo, path, commit_id, content,
+           CASE WHEN epoch >= 5 THEN length(content) ELSE NULL END AS size,
+           ordinal
+    FROM latest WHERE op <> 'delete'
+"""
+
+
+@register("cdc_replay_schema_evolution", _CDC_EVO_SQL)
+def cdc_replay_schema_evolution(sf_dir: str):
+    """F4 schema evolution through the driver gate: epochs ≥ 5 of the derived
+    CDC log are delivered in the EVOLVED physical schema (``filepath`` instead
+    of ``path``, added nullable ``size``); the engine's rename-map reconciler
+    (``blockchainetl/enumeration/entity_type.py:138-204`` analog) must unify
+    them, and survivors written before the boundary keep ``size`` null."""
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    # rewrite epochs >= 5 into the evolved physical schema
+    for f in sorted(events_dir.glob("epoch=*.parquet")):
+        e = int(f.stem.split("=")[1])
+        if e < 5:
+            continue
+        t = _pq.read_table(f)
+        size = pc.utf8_length(t.column("content"))
+        t = t.append_column("size", pc.cast(size, pa.int64()))
+        t = t.rename_columns(
+            [("filepath" if c == "path" else c) for c in t.column_names]
+        )
+        _pq.write_table(t, f, row_group_size=16384)
+
+    engine = ReplayEngine(
+        workdir / "state_evo", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+    import ray as _ray
+
+    tbl = pa.concat_tables(
+        [_ray.get(r) for r in engine.read_state().to_arrow_refs()]
+    )
+    return pa.table(
+        {
+            "repo": tbl.column("repo"),
+            "path": tbl.column("path"),
+            "commit_id": tbl.column("commit"),
+            "content": pc.cast(tbl.column("content"), pa.string()),
+            "size": tbl.column("size"),
             "ordinal": tbl.column("ordinal"),
         }
     )

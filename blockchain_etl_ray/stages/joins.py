@@ -104,6 +104,80 @@ def broadcast_semi_join(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: pa.Table,
+    key: str,
+    ts_col: str,
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> rd.Dataset:
+    """As-of join (J5/J7 analog: each btc tx input looks up its *previous*
+    output, ``bitcoinetl/jobs/enrich_transactions_job.py:66-120``): for every
+    left row, attach the greatest right row with the same key and
+    ``right_ts <= left_ts``.
+
+    Shape: right side broadcast (sorted per key once in each task via a cached
+    dict of numpy arrays), left streamed through ``map_batches`` with a
+    vectorized ``searchsorted`` per key group — no shuffle.  For large×large,
+    bucket both sides on the key and run the same kernel per bucket.
+    """
+    right_ts_col = right_ts_col or ts_col
+    value_cols = value_cols or [
+        c for c in right.column_names if c not in (key, right_ts_col)
+    ]
+    right_sorted = right.sort_by([(key, "ascending"), (right_ts_col, "ascending")])
+    ref = ray.put(right_sorted)
+
+    class AsOf:
+        def __init__(self):
+            import numpy as np
+
+            r = ray.get(ref)
+            self.np = np
+            keys = np.asarray(r.column(key).to_pylist())
+            self.ts = r.column(right_ts_col).cast(pa.int64()).to_numpy()
+            self.vals = {c: r.column(c) for c in value_cols}
+            # per-key contiguous ranges
+            self.ranges: dict = {}
+            uniq, starts = np.unique(keys, return_index=True)
+            bounds = list(starts) + [len(keys)]
+            for i, k in enumerate(uniq):
+                self.ranges[k] = (bounds[i], bounds[i + 1])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            np = self.np
+            lkeys = batch.column(key).to_pylist()
+            lts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+            take_idx = np.full(len(lkeys), -1, dtype=np.int64)
+            for i, (k, t) in enumerate(zip(lkeys, lts)):
+                rng = self.ranges.get(k)
+                if rng is None:
+                    continue
+                s, e = rng
+                j = np.searchsorted(self.ts[s:e], t, side="right") - 1
+                if j >= 0:
+                    take_idx[i] = s + j
+            mask = take_idx >= 0
+            idx_arr = pa.array(
+                [int(j) if j >= 0 else None for j in take_idx], type=pa.int64()
+            )
+            out = batch
+            for c in value_cols:
+                out = out.append_column(f"{c}{suffix}", self.vals[c].take(idx_arr))
+            out = out.append_column(
+                f"{right_ts_col}{suffix}",
+                pa.array(
+                    [int(self.ts[j]) if m else None for j, m in zip(take_idx, mask)],
+                    type=pa.int64(),
+                ),
+            )
+            return out
+
+    return left.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
+
+
 def partitioned_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1,0 +1,40 @@
+"""Dependency-closure planner tests (M13 analog)."""
+
+import pytest
+
+from blockchain_etl_ray.pipelines.dag import DEFAULT_CATALOG, Catalog
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def test_closure_and_plan_prune():
+    assert DEFAULT_CATALOG.closure(["top_repos"]) == {"top_repos", "repo_stats"}
+    assert DEFAULT_CATALOG.plan(["top_repos"]) == ["repo_stats", "top_repos"]
+    assert DEFAULT_CATALOG.plan(["repo_stats"]) == ["repo_stats"]
+    with pytest.raises(KeyError, match="unknown table"):
+        DEFAULT_CATALOG.plan(["nope"])
+
+
+def test_cycle_detection():
+    c = Catalog()
+    c.register("a", deps=["b"])(lambda e, i: 1)
+    c.register("b", deps=["a"])(lambda e, i: 1)
+    with pytest.raises(ValueError, match="cycle"):
+        c.plan(["a"])
+
+
+def test_build_executes_closure_only(small_corpus, tmp_path):
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=8)
+    )
+    engine.replay(small_corpus["dir"])
+
+    out = DEFAULT_CATALOG.build(engine, ["top_repos", "lang_stats"])
+    assert set(out) == {"top_repos", "repo_stats", "lang_stats", "state"}
+
+    top = out["top_repos"].to_pandas()
+    assert len(top) == 10
+    assert top["n_events"].is_monotonic_decreasing
+
+    langs = out["lang_stats"].to_pandas()
+    assert set(langs["lang"]) <= {"python", "rust", "go", "typescript", "markdown", "toml"}
+    assert (langs["sum_bytes"] > 0).all()
