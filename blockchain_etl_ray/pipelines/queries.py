@@ -806,6 +806,28 @@ def minhash_neardup_pairs(sf_dir: str):
     return dedup.minhash_near_dups(ds, all_docs, threshold=0.5)
 
 
+@register("shared_chunk_pairs", None)
+def shared_chunk_pairs_query(sf_dir: str):
+    """Content-defined-chunk dedup (rows-only: chunk boundaries are not
+    SQL-expressible): planted copies (doc_id % 7 == 0 duplicated at
+    id + 2_000_000 with a prepended line) must share most chunks with their
+    original; deterministic."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 7), 0))
+    planted = pa.table(
+        {
+            "doc_id": pc.add(planted.column("doc_id"), 2_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.array(["PREPENDED HEADER LINE "] * planted.num_rows),
+                planted.column("text"),
+                "",
+            ),
+        }
+    )
+    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
+    return dedup.shared_chunk_pairs(rd.from_arrow(all_docs), min_shared=2)
+
+
 @register("simhash_signatures", None)
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building

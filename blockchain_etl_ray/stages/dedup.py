@@ -203,6 +203,101 @@ class SimHasher:
         return out
 
 
+def content_defined_chunks(
+    text: str, min_len: int = 64, mask: int = 0x7F, max_len: int = 512
+) -> list[str]:
+    """Rabin-style content-defined chunking: a boundary lands wherever the
+    rolling hash of the last 16 bytes matches ``mask`` (expected chunk ≈
+    min_len + 128 B).  Insertions only shift boundaries locally, so shared
+    runs between near-identical documents chunk identically — the property
+    dedup-at-scale systems rely on."""
+    data = text.encode()
+    B, M = 131, (1 << 61) - 1
+    W = 16
+    pow_b = pow(B, W - 1, M)
+    chunks, start = [], 0
+    h = 0
+    for i, byte in enumerate(data):
+        if i - start >= W:
+            h = ((h - data[i - W] * pow_b) * B + byte) % M
+        else:
+            h = (h * B + byte) % M
+        length = i - start + 1
+        if (length >= min_len and (h & mask) == mask) or length >= max_len:
+            chunks.append(data[start : i + 1].decode(errors="ignore"))
+            start = i + 1
+            h = 0
+    if start < len(data):
+        chunks.append(data[start:].decode(errors="ignore"))
+    return chunks
+
+
+class ChunkFingerprinter:
+    """Actor stage: doc → exploded (doc_id, chunk_idx, chunk_hash) rows.
+    Shared-chunk detection = groupby(chunk_hash) downstream."""
+
+    def __init__(self, min_len: int = 64, mask: int = 0x7F, max_len: int = 512):
+        self.kw = dict(min_len=min_len, mask=mask, max_len=max_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, hashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for i, chunk in enumerate(content_defined_chunks(text, **self.kw)):
+                doc_ids.append(did)
+                idxs.append(i)
+                hashes.append(
+                    int.from_bytes(
+                        hashlib.blake2b(chunk.encode(), digest_size=8).digest(), "big"
+                    )
+                    >> 1
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "chunk_idx": pa.array(idxs, type=pa.int32()),
+                "chunk_hash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def shared_chunk_pairs(
+    docs: rd.Dataset,
+    min_shared: int = 2,
+    min_len: int = 32,
+    mask: int = 0x3F,
+    max_len: int = 512,
+) -> rd.Dataset:
+    """Doc pairs sharing ≥ ``min_shared`` content-defined chunks (a < b).
+    Default chunking (~96 B average) suits short documents; raise the sizes
+    for real source files."""
+    from ray.data.aggregate import Count
+
+    chunks = docs.map_batches(
+        ChunkFingerprinter,
+        fn_constructor_kwargs=dict(min_len=min_len, mask=mask, max_len=max_len),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
+
+    cand = chunks.groupby("chunk_hash").map_groups(pairs, batch_format="pyarrow")
+    counted = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_shared"), min_shared)),
+        batch_format="pyarrow",
+    )
+
+
 def exact_dedup(ds: rd.Dataset, fingerprint_col: str, order_col: str) -> rd.Dataset:
     """Keep the min-``order_col`` row per fingerprint (U8: hash-partition +
     per-group first; deterministic winner)."""

@@ -73,6 +73,35 @@ def test_ann_matches_numpy_bruteforce():
         assert got == expect, (q, got, expect)
 
 
+def test_content_defined_chunking_shift_invariance():
+    """A prepended line must not re-chunk the whole document: most chunk
+    hashes survive (the CDC-dedup property), and the planted-copy query
+    recovers most planted pairs."""
+    from blockchain_etl_ray.stages.dedup import content_defined_chunks
+
+    base = ("word salad of many tokens " * 40).strip()
+    shifted = "PREPENDED HEADER LINE " + base
+    a = set(content_defined_chunks(base, min_len=32, mask=0x3F))
+    b = set(content_defined_chunks(shifted, min_len=32, mask=0x3F))
+    assert len(a & b) / max(1, len(a)) >= 0.5
+
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    fn, _ = registry()["shared_chunk_pairs"]
+    df = fn(SF).to_pandas()
+    planted = df[(df["b"] - df["a"]) == 2_000_000]
+    import pyarrow.parquet as pq
+
+    n_planted = sum(
+        1
+        for d in pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+        if d % 7 == 0
+    )
+    assert len(planted) / n_planted >= 0.7
+
+
 def test_ivf_recall_vs_bruteforce():
     """IVF with generous probes must recover most of the exact top-10."""
     import pyarrow.parquet as pq

@@ -1,0 +1,67 @@
+"""Hot-key skew: a pathological corpus where most events target ONE key.
+
+The per-key fold is irreducibly serial per key (SURVEY.md §7.3); the design
+bounds it by compaction-before-anything — each chunk task folds its block's
+events for the hot key into ONE net-effect row, so the per-partition resolve
+sees at most (#chunks × steps) rows for the hot key, never the raw event
+count.  This test builds a 90%-one-key corpus and checks correctness plus
+that fragments actually carry the compacted volume.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _hot_corpus(tmp_path, n=20_000, n_epochs=8):
+    rng = np.random.default_rng(99)
+    d = tmp_path / "events"
+    d.mkdir()
+    hot = rng.random(n) < 0.9
+    repo = np.where(hot, "org0/hot", [f"org1/cold{i % 50}" for i in range(n)])
+    path = np.where(hot, "src/main.rs", [f"f{i % 200}.py" for i in range(n)])
+    ordinal = np.arange(n, dtype=np.int64)
+    epoch = ordinal // (n // n_epochs)
+    op = np.where(rng.random(n) < 0.05, "delete", "update")
+    op[0:300] = "insert"  # seed inserts
+    content = [None if o == "delete" else f"v{i}" for i, o in enumerate(op)]
+    t = pa.table(
+        {
+            "ordinal": pa.array(ordinal),
+            "epoch": pa.array(epoch),
+            "op": pa.array(op.tolist()),
+            "repo": pa.array(repo.tolist()),
+            "path": pa.array(path.tolist()),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["rust"] * n),
+            "content": pa.array(content, type=pa.large_string()),
+            "event_id": pa.array([f"e{i}" for i in range(n)]),
+        }
+    )
+    for e in np.unique(epoch):
+        sub = t.filter(pa.compute.equal(t.column("epoch"), int(e)))
+        pq.write_table(sub, d / f"epoch={int(e):06d}.parquet", row_group_size=2048)
+    return str(d)
+
+
+def test_hot_key_correct_and_compacted(tmp_path):
+    events = _hot_corpus(tmp_path)
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    summary = engine.replay(events)
+    assert summary["events_applied"] == 20_000
+
+    got = engine.read_state().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = live_rows(fold_events(events))
+    assert len(got) == len(exp)
+    assert got["content_sha256"].tolist() == [r["content_sha256"] for r in exp]
+
+    # combiner bound: total fragment rows across the run are a tiny fraction
+    # of the 18k raw events for the hot key (≈ one net row per chunk)
+    lin = engine.lineage_table().to_pandas()
+    total_frag_rows = (lin["rows_upserted"] + lin["rows_deleted"]).sum()
+    assert total_frag_rows < 2_500, total_frag_rows
