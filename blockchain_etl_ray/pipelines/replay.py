@@ -311,14 +311,22 @@ class ReplayEngine:
                 return []
             upto_version = versions[-1]
         root = str(self.store.root)
+        import json as _json
+
         plans = self.store.partition_plans(self.config.num_partitions, upto=upto_version)
-        items = [{"plan": plan} for plan in plans.values()]
+        # plans travel as JSON strings: heterogeneous nested dicts otherwise
+        # fall back to pickled-object blocks (warning noise, slower)
+        items = [{"plan": _json.dumps(plan)} for plan in plans.values()]
         results = (
             rd.from_items(items, override_num_blocks=len(items))
             .map_batches(
                 lambda b: pa.Table.from_pylist(
                     [
-                        {"result": repr(compact_partition(plan, root, upto_version))}
+                        {
+                            "result": repr(
+                                compact_partition(_json.loads(plan), root, upto_version)
+                            )
+                        }
                         for plan in b.column("plan").to_pylist()
                     ]
                 ),
@@ -373,9 +381,11 @@ class ReplayEngine:
         if upto is None:
             versions = self.store.committed_versions()
             upto = versions[-1] if versions else -1
+        import json as _json
+
         plans = self.store.partition_plans(self.config.num_partitions, upto=upto)
         items = [
-            {"plan": plan}
+            {"plan": _json.dumps(plan)}
             for plan in plans.values()
             if plan["pieces"] or plan["base"]
         ]
@@ -383,9 +393,11 @@ class ReplayEngine:
             return rd.from_arrow(STATE_SCHEMA.empty_table())
 
         def resolve_batch(batch: pa.Table) -> pa.Table:
+            import json as _json
+
             tables = []
             for plan in batch.column("plan").to_pylist():
-                t = resolve_plan(plan)
+                t = resolve_plan(_json.loads(plan))
                 if not include_deleted:
                     t = t.filter(pa.compute.invert(t.column("deleted")))
                 tables.append(t)
