@@ -1,0 +1,163 @@
+"""Alert rules over item streams with pluggable receivers (§2.10 surface).
+
+Reference shape: YAML rule sets filter the live item stream and route matches
+to receivers resolved by name (``blockchainetl/alert/rule_set.py:17-106`` —
+rules through the vendored rule_engine, receivers dynamically imported;
+``blockchainetl/alert/receivers/``: slack, pagerduty, …).
+
+Ray-Data-first: each rule is a compiled vectorized predicate
+(functions/rules.py); ONE pass of ``map_batches`` evaluates ALL rules per
+batch and emits (rule, matched-row) pairs; receivers consume the matched
+stream via ``iter_batches`` on the driver (network sinks don't belong in
+tasks).  Receivers are registered by name — the dynamic-import analog — and
+external ones (slack/pagerduty) are stubbed behind a named error since the
+sandbox has no network.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.rules import compile_rule
+
+RECEIVERS: dict[str, Callable[..., "Receiver"]] = {}
+
+
+def register_receiver(name: str):
+    def deco(cls):
+        RECEIVERS[name] = cls
+        return cls
+
+    return deco
+
+
+class Receiver:
+    def open(self) -> None: ...
+    def receive(self, rule_name: str, rows: list[dict]) -> None: ...
+    def close(self) -> None: ...
+
+
+@register_receiver("console")
+class ConsoleReceiver(Receiver):
+    def receive(self, rule_name, rows):
+        for r in rows:
+            print(f"[alert:{rule_name}] {json.dumps(r, default=str)}")
+
+
+@register_receiver("jsonl")
+class JsonlReceiver(Receiver):
+    def __init__(self, path: str):
+        self.path = path
+        self._f = None
+
+    def open(self):
+        self._f = open(self.path, "a")
+
+    def receive(self, rule_name, rows):
+        for r in rows:
+            self._f.write(json.dumps({"rule": rule_name, **r}, default=str) + "\n")
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+@register_receiver("memory")
+class MemoryReceiver(Receiver):
+    def __init__(self):
+        self.alerts: list[tuple[str, dict]] = []
+
+    def receive(self, rule_name, rows):
+        self.alerts.extend((rule_name, r) for r in rows)
+
+
+@register_receiver("slack")
+class SlackReceiver(Receiver):
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            "slack receiver needs network access, unavailable in this sandbox"
+        )
+
+
+@dataclass
+class Alert:
+    name: str
+    rule: str  # functions/rules.py expression
+    receivers: list[str] = field(default_factory=lambda: ["console"])
+
+
+class AlertSet:
+    """Evaluate many alert rules in one vectorized pass over a Dataset."""
+
+    def __init__(self, alerts: list[Alert], receiver_kwargs: dict | None = None):
+        self.alerts = alerts
+        self._preds = {a.name: compile_rule(a.rule) for a in alerts}
+        kw = receiver_kwargs or {}
+        self._receivers: dict[str, Receiver] = {}
+        for a in alerts:
+            for rname in a.receivers:
+                if rname not in self._receivers:
+                    if rname not in RECEIVERS:
+                        raise KeyError(
+                            f"unknown receiver {rname!r}; registered: {sorted(RECEIVERS)}"
+                        )
+                    self._receivers[rname] = RECEIVERS[rname](**kw.get(rname, {}))
+
+    def matches(self, ds: rd.Dataset) -> rd.Dataset:
+        """One map_batches pass emitting (rule, *row) for every match."""
+        preds = self._preds
+
+        def evaluate(batch: pa.Table) -> pa.Table:
+            outs = []
+            for name, pred in preds.items():
+                hit = batch.filter(pred(batch))
+                if hit.num_rows:
+                    outs.append(
+                        hit.append_column(
+                            "rule", pa.array([name] * hit.num_rows, type=pa.string())
+                        )
+                    )
+            if not outs:
+                empty = batch.slice(0, 0)
+                return empty.append_column("rule", pa.array([], type=pa.string()))
+            return pa.concat_tables(outs)
+
+        return ds.map_batches(evaluate, batch_format="pyarrow")
+
+    def run(self, ds: rd.Dataset, batch_size: int = 4096) -> dict[str, int]:
+        """Stream matches to each alert's receivers; returns per-rule counts."""
+        by_receiver: dict[str, list[str]] = {}
+        for a in self.alerts:
+            for r in a.receivers:
+                by_receiver.setdefault(r, []).append(a.name)
+        for r in self._receivers.values():
+            r.open()
+        counts: dict[str, int] = {a.name: 0 for a in self.alerts}
+        try:
+            for batch in self.matches(ds).iter_batches(
+                batch_size=batch_size, batch_format="pyarrow"
+            ):
+                for name in counts:
+                    hit = batch.filter(
+                        pa.compute.equal(batch.column("rule"), name)
+                    )
+                    if not hit.num_rows:
+                        continue
+                    counts[name] += hit.num_rows
+                    rows = hit.drop_columns(["rule"]).to_pylist()
+                    for a in self.alerts:
+                        if a.name == name:
+                            for rname in a.receivers:
+                                self._receivers[rname].receive(name, rows)
+        finally:
+            for r in self._receivers.values():
+                r.close()
+        return counts
+
+    def receiver(self, name: str) -> Receiver:
+        return self._receivers[name]

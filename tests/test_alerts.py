@@ -1,0 +1,48 @@
+"""Alert-set surface tests (§2.10: rules + pluggable receivers)."""
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from blockchain_etl_ray.pipelines.alerts import Alert, AlertSet
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_alert_set_counts_match_manual_filters(tmp_path):
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    out = tmp_path / "alerts.jsonl"
+    aset = AlertSet(
+        [
+            Alert("big_purchase", "event_type == 'purchase' and value > 150",
+                  receivers=["memory", "jsonl"]),
+            Alert("errors", "event_type == 'error'", receivers=["memory"]),
+        ],
+        receiver_kwargs={"jsonl": {"path": str(out)}},
+    )
+    counts = aset.run(ds)
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    import pyarrow.compute as pc
+
+    exp_big = t.filter(
+        pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                pc.greater(t.column("value"), 150.0))
+    ).num_rows
+    exp_err = t.filter(pc.equal(t.column("event_type"), "error")).num_rows
+    assert counts == {"big_purchase": exp_big, "errors": exp_err}
+
+    mem = aset.receiver("memory")
+    assert len(mem.alerts) == exp_big + exp_err
+    assert sum(1 for line in out.read_text().splitlines()) == exp_big
+
+    # one vectorized pass also exposes the matched stream as a Dataset
+    matched = aset.matches(ds).to_pandas()
+    assert len(matched) == exp_big + exp_err
+
+
+def test_unknown_receiver_and_stubbed_slack():
+    with pytest.raises(KeyError, match="unknown receiver"):
+        AlertSet([Alert("a", "value > 1", receivers=["nope"])])
+    with pytest.raises(NotImplementedError, match="network"):
+        AlertSet([Alert("a", "value > 1", receivers=["slack"])])
