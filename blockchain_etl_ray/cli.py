@@ -108,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                    for k, v in row.items()}
             print(json.dumps(row, default=str))
     elif args.cmd == "lineage":
+        print(json.dumps(engine.metrics()))
         print(engine.lineage_table().to_pandas().to_string())
     elif args.cmd == "gaps":
         print(json.dumps({"gaps": engine.gaps(args.events)}))

@@ -185,8 +185,10 @@ class ReplayEngine:
             f = frags.setdefault(r["file"], {"file": r["file"], "parts": {}, "bytes": r["bytes"]})
             f["parts"][str(r["part"])] = r["row_group"]
 
-        # per-partition lineage aggregation
+        # per-partition lineage aggregation; a fragment's bytes are counted
+        # once (fragments span partitions), so sum(bytes_out) == bytes written
         by_part: dict[int, dict] = {}
+        seen_files: set[str] = set()
         for r in rows:
             lp = by_part.setdefault(
                 r["part"],
@@ -210,6 +212,9 @@ class ReplayEngine:
             lp["rows_deleted"] += r["tombstones"]
             lp["rows_upserted"] += r["rows"] - r["tombstones"]
             lp["rows_live"] += r["rows"] - r["tombstones"]
+            if r["file"] not in seen_files:
+                seen_files.add(r["file"])
+                lp["bytes_out"] += r["bytes"]
             lp["wall_s"] = max(lp["wall_s"], r["wall_s"])
         return sorted(by_part.values(), key=lambda d: d["partition_id"]), list(
             frags.values()
@@ -422,3 +427,31 @@ class ReplayEngine:
     def gaps(self, events_dir: str) -> list[int]:
         """Epochs delivered upstream but never applied (J9 anti-join)."""
         return self.store.gaps(sorted(discover_epoch_files(events_dir)))
+
+    def metrics(self) -> dict:
+        """Run-level observability rollup from the lineage records — the
+        analog of the reference's Prometheus lag gauge + PERF logs
+        (``blockchainetl/cli/dump_exporter.py:42-60``,
+        ``eth_streamer_adapter.py:251-256``), derived entirely from committed
+        manifests so it is exact after any crash/resume."""
+        lin = self.lineage_table().to_pandas()
+        versions = self.store.committed_versions()
+        applied = self.store.applied_epochs()
+        if lin.empty:
+            return {"steps": 0, "epochs_applied": 0, "events_in": 0}
+        per_part = lin.groupby("partition_id")["events_in"].sum()
+        return {
+            "steps": len(versions),
+            "epochs_applied": len(applied),
+            "last_epoch": max(applied) if applied else None,
+            "events_in": int(lin["events_in"].sum()),
+            "rows_upserted": int(lin["rows_upserted"].sum()),
+            "rows_deleted": int(lin["rows_deleted"].sum()),
+            "dupes_dropped": int(lin["dupes_dropped"].sum()),
+            "bytes_out": int(lin["bytes_out"].sum()),
+            "partitions": int(lin["partition_id"].nunique()),
+            "events_per_partition_max": int(per_part.max()),
+            "events_per_partition_mean": float(per_part.mean()),
+            "partition_skew": float(per_part.max() / max(1.0, per_part.mean())),
+            "wall_s_task_max": float(lin["wall_s"].max()),
+        }

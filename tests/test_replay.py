@@ -57,6 +57,11 @@ def test_replay_idempotent_and_lineage(small_corpus, tmp_path):
     assert (lin["dupes_dropped"] > 0).any()  # redelivery fixture was exercised
     assert not engine.gaps(small_corpus["dir"])
 
+    m = engine.metrics()
+    assert m["events_in"] == small_corpus["n_rows"]
+    assert m["epochs_applied"] == 16 and m["partitions"] == 8
+    assert m["partition_skew"] >= 1.0 and m["bytes_out"] > 0
+
 
 def test_tombstone_blocks_resurrection(tmp_path):
     """A delete at ordinal 10 must win over an out-of-order insert at ordinal 5
