@@ -113,9 +113,31 @@ def compile_rule(expr: str) -> Callable[[pa.Table], pa.ChunkedArray]:
             raise RuleError(f"unsupported unary op {ast.dump(node.op)}")
         if isinstance(node, ast.BinOp):
             if isinstance(node.op, ast.Mod):
-                # integer modulo (pyarrow ships no kernel): a - (a // b) * b
+                # integer-only modulo with PYTHON (floored) semantics; pyarrow
+                # ships no modulo kernel and its divide is truncated for ints /
+                # true for floats, so: restrict to ints, compute the truncated
+                # remainder exactly, then shift by b where the signs disagree.
                 a, b = ev(node.left, batch), ev(node.right, batch)
-                return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+
+                def _is_float(x):
+                    if isinstance(x, float):
+                        return True
+                    return isinstance(
+                        x, (pa.Array, pa.ChunkedArray)
+                    ) and pa.types.is_floating(x.type)
+
+                if _is_float(a) or _is_float(b):
+                    raise RuleError(
+                        "% requires integer operands (float modulo is not "
+                        "portable across engines)"
+                    )
+                if isinstance(a, int) and isinstance(b, int):
+                    return a % b
+                r = pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+                fix = pc.and_(
+                    pc.not_equal(r, 0), pc.not_equal(pc.sign(r), pc.sign(b))
+                )
+                return pc.if_else(fix, pc.add(r, b), r)
             fn = _BINOP.get(type(node.op))
             if fn is None:
                 raise RuleError(f"unsupported operator {ast.dump(node.op)}")

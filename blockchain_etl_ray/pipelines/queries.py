@@ -65,6 +65,32 @@ def _mod(col, k: int):
     return pc.subtract(c, pc.multiply(pc.divide(c, k), k))
 
 
+def _stable(
+    ds: rd.Dataset, fields: list[tuple[str, Any]], num_blocks: int = 4
+) -> rd.Dataset:
+    """Schema-stabilize a shuffle-derived Dataset (aggregate / map_groups /
+    sort outputs).
+
+    Ray 2.49 shuffle stages emit EMPTY blocks that have LOST their schema (the
+    "new schema: ." empty-block bug); those blocks BYPASS every downstream
+    ``map_batches`` UDF, so block-level consumers — the driver's value-hash
+    check doing ``pa.concat_tables`` over ``to_arrow_refs()`` — throw on the
+    schema mismatch even though the values are correct (the round-1 hash_match
+    failures).  Two-step repair: cast every non-empty batch to the DECLARED
+    output schema, then ``repartition`` — which physically rebuilds blocks and
+    drops the schemaless empties (verified: repartition is the only lazy op
+    that does).  Final results here are small (grouped/top-k), so the extra
+    block rebuild is noise."""
+    schema = pa.schema(fields)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow").repartition(num_blocks)
+
+
 # ===========================================================================
 # Relational core (A1/A10 aggregations, J1-J3 joins, J9 anti-joins, A2 ranks,
 # A8 top-k, U2/U8 dedup/LWW)
@@ -114,7 +140,7 @@ def pricing_summary(sf_dir: str):
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    return (
+    agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -123,6 +149,17 @@ def pricing_summary(sf_dir: str):
             Sum("disc_x100", alias_name="sum_disc_x100"),
             Count(alias_name="n"),
         )
+    )
+    return _stable(
+        agg,
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty_x100", pa.int64()),
+            ("sum_base_x100", pa.int64()),
+            ("sum_disc_x100", pa.int64()),
+            ("n", pa.int64()),
+        ],
     )
 
 
@@ -155,16 +192,22 @@ def enrich_orders_customer(sf_dir: str):
     """,
 )
 def revenue_by_segment(sf_dir: str):
-    """J1 multi-way join collapsed to ONE broadcast lookup: the two small
-    dimensions are pre-joined driver-side into an order→segment map shipped
-    once via ``ray.put``; the fact table never shuffles (the reference enriches
-    traces from the tiny blocks table the same way, ``enrich.py:331-375``)."""
-    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    """Fact⋈fact⋈dim join with the scale-correct shape: ONLY the true
+    dimension (customer) is broadcast (the reference enriches traces from the
+    tiny blocks table the same way, ``enrich.py:331-375``); lineitem⋈orders —
+    two fact tables — goes through a hash-partitioned shuffle join
+    (``partitioned_join``), so nothing fact-sized ever lands on the driver or
+    in a broadcast object."""
+    from ..stages.joins import partitioned_join
+
     cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    dim = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"]).select(
-        ["o_orderkey", "c_mktsegment"]
-    )
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders_seg = broadcast_enrich(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        strict=True,
+    ).select_columns(["o_orderkey", "c_mktsegment"])
 
     def prep(t: pa.Table) -> pa.Table:
         disc = pc.multiply(
@@ -174,15 +217,18 @@ def revenue_by_segment(sf_dir: str):
             {"l_orderkey": t.column("l_orderkey"), "rev_x100": scaled_int(disc)}
         )
 
-    enriched = broadcast_enrich(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        dim,
-        left_on=["l_orderkey"],
-        right_on=["o_orderkey"],
-        strict=True,
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        prep, batch_format="pyarrow"
     )
-    return enriched.groupby("c_mktsegment").aggregate(
+    joined = partitioned_join(
+        line, orders_seg, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
         Sum("rev_x100", alias_name="revenue_x100"), Count(alias_name="n_items")
+    )
+    return _stable(
+        agg,
+        [("c_mktsegment", pa.string()), ("revenue_x100", pa.int64()), ("n_items", pa.int64())],
     )
 
 
@@ -231,9 +277,11 @@ def top_parts_by_quantity(sf_dir: str):
         .groupby("l_partkey")
         .aggregate(Sum("qty_x100", alias_name="sum_qty_x100"), Count(alias_name="n"))
     )
+    agg = _stable(
+        agg, [("l_partkey", pa.int64()), ("sum_qty_x100", pa.int64()), ("n", pa.int64())]
+    )
     # deterministic top-k: sort by (sum desc, key asc)
-    out = agg.sort(["sum_qty_x100", "l_partkey"], descending=[True, False]).limit(10)
-    return out
+    return agg.sort(["sum_qty_x100", "l_partkey"], descending=[True, False]).limit(10)
 
 
 @register(
@@ -252,7 +300,11 @@ def rank_orders_within_customer(sf_dir: str):
     ranked = windows.partition_rank(
         ds, by=["o_custkey"], order=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
     )
-    return ranked.select_columns(["o_orderkey", "o_custkey", "rn"])
+    return _stable(
+        ranked.select_columns(["o_orderkey", "o_custkey", "rn"]),
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("rn", pa.int64())],
+        num_blocks=8,
+    )
 
 
 @register(
@@ -280,7 +332,7 @@ def first_last_order_per_customer(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda t: _ts_us(t, "o_orderdate", "date_us"), batch_format="pyarrow"
     )
-    return windows.grouped_first_last(
+    fl = windows.grouped_first_last(
         ds,
         by=["o_custkey"],
         order=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
@@ -288,6 +340,17 @@ def first_last_order_per_customer(sf_dir: str):
         last_cols={"o_orderkey": "last_orderkey", "date_us": "last_date_us"},
     ).select_columns(
         ["o_custkey", "first_orderkey", "first_date_us", "last_orderkey", "last_date_us", "n_events"]
+    )
+    return _stable(
+        fl,
+        [
+            ("o_custkey", pa.int64()),
+            ("first_orderkey", pa.int64()),
+            ("first_date_us", pa.int64()),
+            ("last_orderkey", pa.int64()),
+            ("last_date_us", pa.int64()),
+            ("n_events", pa.int64()),
+        ],
     )
 
 
@@ -310,10 +373,13 @@ def nation_region_counts(sf_dir: str):
         ["n_nationkey", "n_name", "r_name"]
     )
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    return (
+    agg = (
         broadcast_enrich(ds, dim, left_on=["c_nationkey"], right_on=["n_nationkey"], strict=True)
         .groupby(["r_name", "n_name"])
         .aggregate(Count(alias_name="n_customers"))
+    )
+    return _stable(
+        agg, [("r_name", pa.string()), ("n_name", pa.string()), ("n_customers", pa.int64())]
     )
 
 
@@ -351,7 +417,15 @@ def latest_event_per_user(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    return _stable(
+        ds.groupby("user_id").map_groups(latest, batch_format="pyarrow"),
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_x100", pa.int64()),
+        ],
+    )
 
 
 @register(
@@ -373,7 +447,15 @@ def dedup_first_event_per_user_type(sf_dir: str):
         g = group.take(idx[:1])
         return _ts_us(g, "ts", "ts_us").select(["user_id", "event_type", "event_id", "ts_us"])
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pyarrow")
+    return _stable(
+        ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pyarrow"),
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+        ],
+    )
 
 
 @register(
@@ -538,7 +620,7 @@ def event_type_stats(sf_dir: str):
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
@@ -547,6 +629,16 @@ def event_type_stats(sf_dir: str):
             Min("ts_us", alias_name="min_ts_us"),
             Max("ts_us", alias_name="max_ts_us"),
         )
+    )
+    return _stable(
+        agg,
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sum_value_x100", pa.int64()),
+            ("min_ts_us", pa.int64()),
+            ("max_ts_us", pa.int64()),
+        ],
     )
 
 
@@ -569,37 +661,69 @@ def event_type_stats(sf_dir: str):
     """,
 )
 def user_value_flows(sf_dir: str):
-    """A5 balance-style multi-branch aggregate: two grouped branches, outer
-    merge with zero-fill, derived net — the export_balances shape
-    (``ethereumetl/streaming/eth_balance_adapter.py:431-524``: vin/out/fee
-    branches ⋈ outer ⋈ net = vin + cnb − out − fee)."""
+    """A5 balance-style multi-branch aggregate, fully distributed: instead of
+    materializing two branch aggregates on the driver and outer-joining there,
+    each row is TAGGED into its branch columns (zero-filled for the other
+    branch) in one vectorized pass, then ONE ``groupby(user_id)`` sums all
+    four columns — the outer-merge-with-zero-fill of
+    ``ethereumetl/streaming/eth_balance_adapter.py:431-524`` becomes additive
+    algebra, so nothing user-cardinality-sized ever touches the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    zero = pa.scalar(0, type=pa.int64())
 
-    def branch(types: list[str], sum_name: str, n_name: str) -> pa.Table:
-        ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
-
-        def prep(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t.column("event_type"), value_set=pa.array(types)))
-            return pa.table(
-                {"user_id": t.column("user_id"), "v": scaled_int(t.column("value"))}
-            )
-
-        agg = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .aggregate(Sum("v", alias_name=sum_name), Count(alias_name=n_name))
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        qualifying = pc.or_(
+            pc.is_in(et, value_set=pa.array(["signup", "click"])),
+            pc.equal(et, "purchase"),
         )
-        return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+        t = t.filter(qualifying)
+        is_in = pc.is_in(t.column("event_type"), value_set=pa.array(["signup", "click"]))
+        v = scaled_int(t.column("value"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "in_x100": pc.if_else(is_in, v, zero),
+                "n_in": pc.cast(is_in, pa.int64()),
+                "out_x100": pc.if_else(is_in, zero, v),
+                "n_out": pc.cast(pc.invert(is_in), pa.int64()),
+            }
+        )
 
-    inflow = branch(["signup", "click"], "in_x100", "n_in")
-    outflow = branch(["purchase"], "out_x100", "n_out")
-    joined = inflow.join(
-        outflow, keys=["user_id"], join_type="full outer"
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("in_x100", alias_name="in_x100"),
+            Sum("n_in", alias_name="n_in"),
+            Sum("out_x100", alias_name="out_x100"),
+            Sum("n_out", alias_name="n_out"),
+        )
     )
-    cols = {"user_id": joined.column("user_id")}
-    for c in ("in_x100", "n_in", "out_x100", "n_out"):
-        cols[c] = pc.coalesce(pc.cast(joined.column(c), pa.int64()), pa.scalar(0, type=pa.int64()))
-    cols["net_x100"] = pc.subtract(cols["in_x100"], cols["out_x100"])
-    return pa.table(cols)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("in_x100", pa.int64()),
+            ("n_in", pa.int64()),
+            ("out_x100", pa.int64()),
+            ("n_out", pa.int64()),
+            ("net_x100", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.append_column(
+            "net_x100",
+            pc.subtract(
+                pc.cast(t.column("in_x100"), pa.int64()),
+                pc.cast(t.column("out_x100"), pa.int64()),
+            ),
+        )
+        return t.select(schema.names).cast(schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 @register(
@@ -628,8 +752,11 @@ def vsum_by_event_type(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return partials.groupby("event_type").map_groups(
+    merged = partials.groupby("event_type").map_groups(
         lambda g: merge_partials(g, "event_type"), batch_format="pyarrow"
+    )
+    return _stable(
+        merged, [("event_type", pa.string()), ("vsum", pa.string()), ("n", pa.int64())]
     )
 
 
@@ -653,7 +780,13 @@ def sessionize_users(sf_dir: str):
     reference sorts (blknum, logpos) before ranked aggs,
     ``eth_token_holder_adapter.py:272``)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return windows.sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0, tie_col="event_id")
+    sess = windows.sessionize(
+        ds, key="user_id", ts_col="ts", gap_seconds=1800.0, tie_col="event_id"
+    )
+    return _stable(
+        sess,
+        [("user_id", pa.int64()), ("n_sessions", pa.int64()), ("n_events", pa.int64())],
+    )
 
 
 @register(
@@ -667,7 +800,11 @@ def hourly_event_counts(sf_dir: str):
     """§2.9 tumbling window = vectorized bucket column + groupby (the `_st_day`
     derived-date pattern, ``item_exporter_builder.py:171-216``)."""
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-    return windows.tumbling_count(ds, ts_col="ts", width_seconds=3600, extra_keys=["event_type"])
+    return _stable(
+        windows.tumbling_count(ds, ts_col="ts", width_seconds=3600, extra_keys=["event_type"]),
+        [("bucket", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())],
+        num_blocks=8,
+    )
 
 
 @register(
@@ -686,11 +823,12 @@ def users_without_big_purchase(sf_dir: str):
         pc.and_(pc.equal(ev.column("event_type"), "purchase"), pc.greater(ev.column("value"), 180.0))
     ).select(["user_id"])
     ds = _read(sf_dir, "events", ["user_id"])
-    return (
+    distinct = (
         broadcast_semi_join(ds, big, on=["user_id"], anti=True)
         .groupby("user_id")
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
+    return _stable(distinct, [("user_id", pa.int64())])
 
 
 # ===========================================================================
@@ -711,7 +849,7 @@ def doc_token_stats(sf_dir: str):
     """Token counting (whitespace tokenizer) + per-language profile — M12-style
     derived columns vectorized in Arrow."""
     ds = _read(sf_dir, "documents", ["lang", "text"])
-    return (
+    agg = (
         ds.map_batches(text.token_stats, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(
@@ -719,6 +857,15 @@ def doc_token_stats(sf_dir: str):
             Sum("n_tokens", alias_name="sum_tokens"),
             Sum("n_chars_calc", alias_name="sum_chars"),
         )
+    )
+    return _stable(
+        agg,
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("sum_tokens", pa.int64()),
+            ("sum_chars", pa.int64()),
+        ],
     )
 
 
@@ -736,7 +883,7 @@ def doc_stopword_profile(sf_dir: str):
     """Quality-scoring building block: stopword counts per doc, aggregated per
     language (exact-int parity; the ratio is derivable downstream)."""
     ds = _read(sf_dir, "documents", ["lang", "text"])
-    return (
+    agg = (
         ds.map_batches(text.token_stats, batch_format="pyarrow")
         .map_batches(text.stopword_counts, batch_format="pyarrow")
         .groupby("lang")
@@ -744,6 +891,10 @@ def doc_stopword_profile(sf_dir: str):
             Sum("n_stopwords", alias_name="sum_stopwords"),
             Sum("n_tokens", alias_name="sum_tokens"),
         )
+    )
+    return _stable(
+        agg,
+        [("lang", pa.string()), ("sum_stopwords", pa.int64()), ("sum_tokens", pa.int64())],
     )
 
 
@@ -762,7 +913,10 @@ def doc_exact_dedup(sf_dir: str):
     fp = ds.map_batches(text.fingerprint_md5, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
     )
-    return dedup.exact_dedup(fp, fingerprint_col="fingerprint", order_col="doc_id")
+    return _stable(
+        dedup.exact_dedup(fp, fingerprint_col="fingerprint", order_col="doc_id"),
+        [("doc_id", pa.int64()), ("fingerprint", pa.string())],
+    )
 
 
 @register("doc_langid", None)
@@ -885,6 +1039,13 @@ def media_decode_stats(sf_dir: str):
 # Embedding similarity (embeddings table)
 # ===========================================================================
 
+_ANN_FIELDS = [
+    ("query_id", pa.int64()),
+    ("neighbor_id", pa.int64()),
+    ("cos_x1m", pa.int64()),
+    ("rank", pa.int64()),
+]
+
 
 @register(
     "ann_topk_cosine",
@@ -915,7 +1076,7 @@ def ann_topk_cosine(sf_dir: str):
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann.brute_force_topk(ds, queries, k=10)
-    return out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"])
+    return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
 @register("ann_ivf_topk", None)
@@ -927,7 +1088,7 @@ def ann_ivf_topk(sf_dir: str):
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
-    return out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"])
+    return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
 @register(
@@ -1046,21 +1207,24 @@ def cdc_replay_state(sf_dir: str):
         workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
     )
     engine.replay(str(events_dir))
-    state = engine.read_state().to_arrow_refs()
-    import ray as _ray
 
-    tbl = pa.concat_tables([_ray.get(r) for r in state])
-    return pa.table(
-        {
-            "repo": tbl.column("repo"),
-            "path": tbl.column("path"),
-            "commit_id": tbl.column("commit"),
-            "lang": tbl.column("lang"),
-            "content": pc.cast(tbl.column("content"), pa.string()),
-            "content_sha256": tbl.column("content_sha256"),
-            "ordinal": tbl.column("ordinal"),
-        }
-    )
+    # the query returns the state as a DATASET (one resolve task per
+    # partition) — consumers decide whether to materialize; nothing
+    # state-sized lands on the driver here
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": tbl.column("repo"),
+                "path": tbl.column("path"),
+                "commit_id": tbl.column("commit"),
+                "lang": tbl.column("lang"),
+                "content": pc.cast(tbl.column("content"), pa.string()),
+                "content_sha256": tbl.column("content_sha256"),
+                "ordinal": tbl.column("ordinal"),
+            }
+        )
+
+    return engine.read_state().map_batches(proj, batch_format="pyarrow")
 
 
 _CDC_EVO_SQL = """
@@ -1114,21 +1278,20 @@ def cdc_replay_schema_evolution(sf_dir: str):
         workdir / "state_evo", ReplayConfig(num_partitions=8, epoch_batch_size=4)
     )
     engine.replay(str(events_dir))
-    import ray as _ray
 
-    tbl = pa.concat_tables(
-        [_ray.get(r) for r in engine.read_state().to_arrow_refs()]
-    )
-    return pa.table(
-        {
-            "repo": tbl.column("repo"),
-            "path": tbl.column("path"),
-            "commit_id": tbl.column("commit"),
-            "content": pc.cast(tbl.column("content"), pa.string()),
-            "size": tbl.column("size"),
-            "ordinal": tbl.column("ordinal"),
-        }
-    )
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": tbl.column("repo"),
+                "path": tbl.column("path"),
+                "commit_id": tbl.column("commit"),
+                "content": pc.cast(tbl.column("content"), pa.string()),
+                "size": tbl.column("size"),
+                "ordinal": tbl.column("ordinal"),
+            }
+        )
+
+    return engine.read_state().map_batches(proj, batch_format="pyarrow")
 
 
 _CDC_STATS_SQL = """
@@ -1165,15 +1328,19 @@ def cdc_repo_stats(sf_dir: str):
         workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
     )
     engine.replay(str(events_dir))
-    ds = engine.derived_repo_stats()
-
-    def cast_counts(t: pa.Table) -> pa.Table:
-        cols = {c: t.column(c) for c in t.column_names}
-        for c in ("n_events", "n_inserts", "n_updates", "n_deletes", "sum_bytes"):
-            cols[c] = pc.cast(cols[c], pa.int64())
-        return pa.table(cols)
-
-    return ds.map_batches(cast_counts, batch_format="pyarrow")
+    return _stable(
+        engine.derived_repo_stats(),
+        [
+            ("repo", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_inserts", pa.int64()),
+            ("n_updates", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("last_ordinal", pa.int64()),
+        ],
+    )
 
 
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:

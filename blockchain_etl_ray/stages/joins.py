@@ -184,10 +184,18 @@ def partitioned_join(
     on: tuple[str, ...],
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Large×large hash join: both sides shuffled on the key (use only when
-    neither side fits a broadcast — every block moves)."""
+    neither side fits a broadcast — every block moves).
+
+    ``num_partitions`` defaults to half the cluster CPUs: Ray's hash-shuffle
+    join schedules one aggregator actor per partition, and asking for more
+    actors than free CPUs deadlocks the pipeline (measured: 16 partitions on
+    a 4-CPU local cluster never completes)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
     return left.join(
         right,
         join_type=join_type,

@@ -25,11 +25,17 @@ def _duck():
 
 
 def _to_pandas(res) -> pd.DataFrame:
+    """Consume results the way the DRIVER does: Datasets are read block-level
+    (``to_arrow_refs`` + strict ``pa.concat_tables``), so a block that lost
+    its schema (Ray 2.49 empty-aggregate-block bug) fails HERE, not only in
+    the driver's hash check."""
     import pyarrow as pa
+    import ray
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        df = res.to_pandas()
+        tables = [ray.get(r) for r in res.to_arrow_refs()]
+        df = pa.concat_tables(tables).to_pandas() if tables else pd.DataFrame()
     elif isinstance(res, pa.Table):
         df = res.to_pandas()
     else:
