@@ -35,6 +35,7 @@ from ..functions.bigint import batch_partial_vsum, merge_partials
 from ..functions.parity import scaled_int
 from ..stages import ann, dedup, text, windows
 from ..stages.joins import broadcast_enrich, broadcast_semi_join
+from ..stages.stabilize import stabilize
 
 QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {}
 
@@ -65,30 +66,9 @@ def _mod(col, k: int):
     return pc.subtract(c, pc.multiply(pc.divide(c, k), k))
 
 
-def _stable(
-    ds: rd.Dataset, fields: list[tuple[str, Any]], num_blocks: int = 4
-) -> rd.Dataset:
-    """Schema-stabilize a shuffle-derived Dataset (aggregate / map_groups /
-    sort outputs).
-
-    Ray 2.49 shuffle stages emit EMPTY blocks that have LOST their schema (the
-    "new schema: ." empty-block bug); those blocks BYPASS every downstream
-    ``map_batches`` UDF, so block-level consumers — the driver's value-hash
-    check doing ``pa.concat_tables`` over ``to_arrow_refs()`` — throw on the
-    schema mismatch even though the values are correct (the round-1 hash_match
-    failures).  Two-step repair: cast every non-empty batch to the DECLARED
-    output schema, then ``repartition`` — which physically rebuilds blocks and
-    drops the schemaless empties (verified: repartition is the only lazy op
-    that does).  Final results here are small (grouped/top-k), so the extra
-    block rebuild is noise."""
-    schema = pa.schema(fields)
-
-    def fix(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return schema.empty_table()
-        return t.select(schema.names).cast(schema)
-
-    return ds.map_batches(fix, batch_format="pyarrow").repartition(num_blocks)
+#: schema-stabilize a shuffle-derived Dataset before it reaches block-level
+#: consumers (the round-1 hash_match failures; see stages/stabilize.py)
+_stable = stabilize
 
 
 # ===========================================================================
@@ -957,7 +937,7 @@ def minhash_neardup_pairs(sf_dir: str):
     )
     all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
     ds = rd.from_arrow(all_docs)
-    return dedup.minhash_near_dups(ds, all_docs, threshold=0.5)
+    return dedup.minhash_near_dups(ds, threshold=0.5)
 
 
 @register("shared_chunk_pairs", None)
@@ -988,6 +968,27 @@ def simhash_signatures(sf_dir: str):
     block) — deterministic, rows-only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+
+
+@register("simhash_neardup_pairs", None)
+def simhash_neardup_pairs(sf_dir: str):
+    """SimHash near-dup pairs end to end (band-bucket → bounded pair-gen with
+    the signature riding along → vectorized XOR-popcount verify; ONE shuffle,
+    no text access after signing).  Planted near-identical copies
+    (doc_id % 11 == 0, one word changed, id + 3_000_000) must surface;
+    deterministic, rows-only (probabilistic recall by design)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 11), 0))
+    planted = pa.table(
+        {
+            "doc_id": pc.add(planted.column("doc_id"), 3_000_000),
+            "text": pc.binary_join_element_wise(
+                planted.column("text"), " zzgloss", ""
+            ),
+        }
+    )
+    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
+    return dedup.simhash_near_dups(rd.from_arrow(all_docs), max_hamming=8)
 
 
 @register("media_decode_stats", None)

@@ -22,8 +22,25 @@ import ray.data as rd
 
 
 def _to_matrix(col) -> np.ndarray:
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    """(n, d) float64 matrix view of a list/fixed-size-list embedding column —
+    ZERO-COPY from the Arrow buffers (flatten + reshape) rather than
+    ``to_pylist`` (which boxes every float through Python).  Requires uniform
+    list lengths, which an embedding column has by construction."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        # honor a sliced array's offset window
+        flat = flat[col.offset * d : (col.offset + len(col)) * d]
+        return flat.reshape(-1, d).astype(np.float64)
+    lens = np.unique(pa.compute.list_value_length(col).to_numpy(zero_copy_only=False))
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    assert len(lens) == 1, f"ragged embedding column: lengths {lens[:5]}"
+    d = int(lens[0])
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, d).astype(np.float64)
 
 
 def brute_force_topk(
@@ -42,7 +59,7 @@ def brute_force_topk(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_, qm_ = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(batch.column(vec_col))
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = qm_ @ m.T  # (Q, B)
@@ -127,8 +144,8 @@ def ivf_topk(
     """
     sample_tbl = queries  # queries are always included in training
     sample = _to_matrix(sample_tbl.column(vec_col))
-    extra = vectors.limit(sample_size)
-    extra_m = _to_matrix(pa.table({vec_col: extra.to_pandas()[vec_col]}).column(vec_col))
+    extra = vectors.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")
+    extra_m = _to_matrix(extra.column(vec_col))
     train = np.vstack([sample, extra_m])
     cent = kmeans_centroids(train, n_lists)
 
@@ -141,7 +158,7 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qids_, qm_, cent_, q_probes_ = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(batch.column(vec_col))
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         assign = (m @ cent_.T).argmax(axis=1)
@@ -199,14 +216,14 @@ def cosine_neardup_pairs(
     Broadcast-matrix variant: each batch multiplies against the full (small)
     normalized matrix; at scale, bucket by LSH of the embedding first.
     """
-    ids_all = np.asarray(all_vectors.column(id_col).to_pylist(), dtype=np.int64)
+    ids_all = all_vectors.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     m_all = _to_matrix(all_vectors.column(vec_col))
     m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
     ref = ray.put((ids_all, m_all))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_a, m_a = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(batch.column(vec_col))
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ m_a.T

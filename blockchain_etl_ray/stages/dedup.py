@@ -90,16 +90,47 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(buckets: rd.Dataset) -> rd.Dataset:
-    """(band_id, band_hash) groupby → unordered candidate pairs (a < b)."""
+def _bucket_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized unordered pair generation (a < b) with a HARD BOUND on
+    per-bucket work: an oversized bucket (one degenerate band hash — empty
+    strings, license boilerplate — can hold millions of docs at corpus scale)
+    is split into deterministic sub-buckets of ≤ ``max_bucket`` ids by a
+    secondary hash, and pairs are generated only within sub-buckets.  Work per
+    bucket is O(n·max_bucket) instead of O(n²); the sacrificed
+    cross-sub-bucket recall only affects pathological buckets, where LSH
+    carries no signal anyway (every member collides)."""
+    ids = np.unique(ids)  # sorted unique
+    n = len(ids)
+    if n < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    if n <= max_bucket:
+        i, j = np.triu_indices(n, k=1)
+        return ids[i], ids[j]
+    n_sub = -(-n // max_bucket)  # ceil
+    h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    assign = (h % np.uint64(n_sub)).astype(np.int64)
+    outs_a, outs_b = [], []
+    for s in range(n_sub):
+        sub = ids[assign == s]
+        if len(sub) < 2:
+            continue
+        i, j = np.triu_indices(len(sub), k=1)
+        outs_a.append(sub[i])
+        outs_b.append(sub[j])
+    if not outs_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def lsh_candidate_pairs(buckets: rd.Dataset, max_bucket: int = 256) -> rd.Dataset:
+    """(band_id, band_hash) groupby → unordered candidate pairs (a < b),
+    vectorized and bounded per bucket (see :func:`_bucket_pairs`)."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        a, b = _bucket_pairs(ids, max_bucket)
         return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
 
     return buckets.groupby(["band_id", "band_hash"]).map_groups(
@@ -107,74 +138,113 @@ def lsh_candidate_pairs(buckets: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _dedup_pairs(cand: rd.Dataset) -> rd.Dataset:
+    """Unique (a, b) pairs (a pair discovered in several bands verifies once)."""
+    from ray.data.aggregate import Count
+
+    from .stabilize import stabilize
+
+    agg = cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
+    return stabilize(agg, [("a", pa.int64()), ("b", pa.int64()), ("_nb", pa.int64())]).select_columns(
+        ["a", "b"]
+    )
+
+
+def shingle_set_rows(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
+    """(doc_id, shingles) rows — the join side of the distributed Jaccard
+    verification.  Shingle sets travel as SORTED int64 bytes in a binary
+    column (Acero hash joins reject list-typed payload columns; the byte blob
+    round-trips zero-copy through ``np.frombuffer``)."""
+    ids, sets_ = [], []
+    for did, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        ids.append(did)
+        sets_.append(np.sort(shingle_hashes(text, shingle_k)).tobytes())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shingles": pa.array(sets_, type=pa.large_binary()),
+        }
+    )
+
+
 def verify_pairs_jaccard(
-    pairs: rd.Dataset, docs: pa.Table, threshold: float, shingle_k: int = 5
+    pairs: rd.Dataset, docs: rd.Dataset, threshold: float, shingle_k: int = 5
 ) -> rd.Dataset:
-    """Exact n-gram Jaccard verification of candidate pairs.
+    """Exact n-gram Jaccard verification of candidate pairs — DISTRIBUTED.
 
-    ``docs`` (doc_id, text) is broadcast; at scale replace with a partitioned
-    join of pair-ids → shingle sets.  Jaccard is returned as an exact scaled
-    int (j_pct_x100) for cross-engine comparability.
-    """
-    docs_ref = ray.put(docs)
+    Instead of broadcasting the corpus, the pair ids are hash-join-partitioned
+    against per-doc shingle sets (``partitioned_join`` twice: a-side, then
+    b-side), so the data moved is bounded by the CANDIDATE VOLUME (which the
+    capped pair generation already bounds), never by corpus size — the shape
+    the reference uses when enriching from landed tables rather than memory
+    (``bitcoinetl/streaming/enrich.py:16-48``).  Jaccard is returned as an
+    exact scaled int (j_pct_x100) for cross-engine comparability."""
+    from .joins import partitioned_join
+    from .stabilize import stabilize
 
-    class Verifier:
-        def __init__(self):
-            d = ray.get(docs_ref)
-            self.text = dict(
-                zip(d.column("doc_id").to_pylist(), d.column("text").to_pylist())
-            )
-            self.cache: dict[int, np.ndarray] = {}
+    sh = docs.map_batches(
+        lambda t: shingle_set_rows(t, shingle_k), batch_format="pyarrow"
+    )
+    j1 = partitioned_join(pairs, sh, on=("a",), right_on=("doc_id",)).map_batches(
+        lambda t: t.rename_columns(
+            [("sh_a" if c == "shingles" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",))
 
-        def shingles(self, did: int) -> np.ndarray:
-            if did not in self.cache:
-                self.cache[did] = np.sort(shingle_hashes(self.text[did], shingle_k))
-            return self.cache[did]
+    def check(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        blobs_a = t.column("sh_a").to_pylist()
+        blobs_b = t.column("shingles").to_pylist()
+        keep_a, keep_b, jpct = [], [], []
+        for i in range(len(a)):
+            sa = np.frombuffer(blobs_a[i], dtype=np.int64)
+            sb = np.frombuffer(blobs_b[i], dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                keep_a.append(int(a[i]))
+                keep_b.append(int(b[i]))
+                jpct.append(int(round(j * 10000)))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, type=pa.int64()),
+                "b": pa.array(keep_b, type=pa.int64()),
+                "j_pct_x100": pa.array(jpct, type=pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep_a, keep_b, jpct = [], [], []
-            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-                sa, sb = self.shingles(a), self.shingles(b)
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                j = inter / union if union else 1.0
-                if j >= threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jpct.append(int(round(j * 10000)))
-            return pa.table(
-                {
-                    "a": pa.array(keep_a, type=pa.int64()),
-                    "b": pa.array(keep_b, type=pa.int64()),
-                    "j_pct_x100": pa.array(jpct, type=pa.int64()),
-                }
-            )
-
-    return pairs.map_batches(Verifier, batch_format="pyarrow", concurrency=2)
+    out = j2.map_batches(check, batch_format="pyarrow")
+    return stabilize(
+        out, [("a", pa.int64()), ("b", pa.int64()), ("j_pct_x100", pa.int64())]
+    )
 
 
 def minhash_near_dups(
     docs: rd.Dataset,
-    docs_small: pa.Table,
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
-    """Full MinHash-LSH near-dup pipeline: sign → bucket → pairs → dedup →
-    Jaccard-verify.  Returns (a, b, j_pct_x100) with a < b, unique."""
+    """Full MinHash-LSH near-dup pipeline: sign → bucket → bounded pair-gen →
+    dedup → distributed Jaccard-verify.  Returns (a, b, j_pct_x100), a < b,
+    unique.  Every stage's work is bounded by signature/candidate volume —
+    no corpus-sized broadcast, no uncapped quadratic bucket."""
     buckets = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow",
         concurrency=2,
     )
-    cand = lsh_candidate_pairs(buckets)
-    # dedup candidate pairs discovered in multiple bands before the expensive verify
-    cand = cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return verify_pairs_jaccard(cand, docs_small, threshold, shingle_k)
+    cand = _dedup_pairs(lsh_candidate_pairs(buckets, max_bucket))
+    return verify_pairs_jaccard(cand, docs, threshold, shingle_k)
 
 
 class SimHasher:
@@ -201,6 +271,105 @@ class SimHasher:
             band = [(h >> (b * 64 // self.bands)) & 0xFFFF for h in hs]
             out = out.append_column(f"band{b}", pa.array(band, type=pa.int64()))
         return out
+
+
+def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
+    """Explode SimHash signatures to long-format (band_id, band_key, doc_id,
+    simhash) rows for bucketing.  The 64-bit signature RIDES ALONG into the
+    bucket groupby, so hamming verification needs NO join back to the corpus —
+    one shuffle end to end (the cheapest near-dup family in the catalog)."""
+    hs = [SimHasher.simhash(t) for t in batch.column("text").to_pylist()]
+    dids = batch.column("doc_id").to_pylist()
+    out_did, out_band, out_key, out_sig = [], [], [], []
+    width = 64 // bands
+    mask = (1 << width) - 1
+    for did, h in zip(dids, hs):
+        for b in range(bands):
+            out_did.append(did)
+            out_band.append(b)
+            out_key.append((h >> (b * width)) & mask)
+            out_sig.append(h - (1 << 63))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_did, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_key": pa.array(out_key, type=pa.int64()),
+            "simhash": pa.array(out_sig, type=pa.int64()),
+        }
+    )
+
+
+def simhash_near_dups(
+    docs: rd.Dataset, max_hamming: int = 8, bands: int = 4, max_bucket: int = 256
+) -> rd.Dataset:
+    """SimHash near-dup pairs: band-bucket → bounded pair-gen (signatures
+    carried with the ids) → vectorized hamming-distance verify.  Returns
+    (a, b, hamming) with a < b, unique.  A pair is a candidate when at least
+    one of its ``bands`` signature slices matches exactly (Hamming ≤
+    64·(bands−1)/bands guaranteed catchable); verification is a popcount of
+    the XOR — no text access after signing."""
+    from ray.data.aggregate import Min
+
+    from .stabilize import stabilize
+
+    rows = docs.map_batches(
+        lambda t: simhash_band_rows(t, bands), batch_format="pyarrow"
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = group.column("simhash").to_numpy(zero_copy_only=False)
+        sig_of = dict(zip(ids.tolist(), sigs.tolist()))
+        a, b = _bucket_pairs(ids, max_bucket)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "sig_a": pa.array([sig_of[x] for x in a.tolist()], type=pa.int64()),
+                "sig_b": pa.array([sig_of[x] for x in b.tolist()], type=pa.int64()),
+            }
+        )
+
+    cand = rows.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pyarrow")
+    # dedup across bands; signatures are functions of the id so Min() is exact
+    uniq = cand.groupby(["a", "b"]).aggregate(
+        Min("sig_a", alias_name="sig_a"), Min("sig_b", alias_name="sig_b")
+    )
+    uniq = stabilize(
+        uniq,
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("sig_a", pa.int64()),
+            ("sig_b", pa.int64()),
+        ],
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        # int64 storage is the uint64 signature with the top bit flipped; the
+        # flips cancel under XOR, so hamming(int64 views) == hamming(uint64)
+        sa = t.column("sig_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t.column("sig_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        x = np.bitwise_xor(sa, sb)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": t.column("a").filter(pa.array(keep)),
+                "b": t.column("b").filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
 
 
 def content_defined_chunks(
@@ -268,11 +437,14 @@ def shared_chunk_pairs(
     min_len: int = 32,
     mask: int = 0x3F,
     max_len: int = 512,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """Doc pairs sharing ≥ ``min_shared`` content-defined chunks (a < b).
     Default chunking (~96 B average) suits short documents; raise the sizes
     for real source files."""
     from ray.data.aggregate import Count
+
+    from .stabilize import stabilize
 
     chunks = docs.map_batches(
         ChunkFingerprinter,
@@ -282,16 +454,15 @@ def shared_chunk_pairs(
     )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        a, b = _bucket_pairs(ids, max_bucket)
         return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
 
     cand = chunks.groupby("chunk_hash").map_groups(pairs, batch_format="pyarrow")
     counted = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
+    counted = stabilize(
+        counted, [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
+    )
     return counted.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_shared"), min_shared)),
         batch_format="pyarrow",

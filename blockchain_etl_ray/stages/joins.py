@@ -63,10 +63,13 @@ def broadcast_enrich(
     zero-copy per Arrow batch.
     """
     right_on = right_on or left_on
-    dim_ref = ray.put(dim)
+    # the dim key set is computed ONCE here and ships with the table — not
+    # recomputed per batch inside the map fn (state setup belongs before the
+    # broadcast, the same rule as actor __init__ vs __call__)
+    dim_ref = ray.put((dim, pc.unique(_join_keys_array(dim, right_on))))
 
     def enrich(batch: pa.Table) -> pa.Table:
-        d = ray.get(dim_ref)
+        d, dim_keys = ray.get(dim_ref)
         joined = batch.join(
             d, keys=left_on, right_keys=right_on, join_type="left outer"
         )
@@ -75,10 +78,7 @@ def broadcast_enrich(
                 raise EnrichMismatch(left_only=[], right_only=["<dup keys in dim>"])
             # a row that found no match has nulls in every right column; detect
             # via membership of the left key in the dim key set
-            member = pc.is_in(
-                _join_keys_array(batch, left_on),
-                value_set=pc.unique(_join_keys_array(d, right_on)),
-            )
+            member = pc.is_in(_join_keys_array(batch, left_on), value_set=dim_keys)
             if not pc.all(member).as_py() and batch.num_rows > 0:
                 missing = pc.unique(
                     pc.filter(_join_keys_array(batch, left_on), pc.invert(member))
@@ -118,11 +118,15 @@ def asof_join(
     left row, attach the greatest right row with the same key and
     ``right_ts <= left_ts``.
 
-    Shape: right side broadcast (sorted per key once in each task via a cached
-    dict of numpy arrays), left streamed through ``map_batches`` with a
-    vectorized ``searchsorted`` per key group — no shuffle.  For large×large,
-    bucket both sides on the key and run the same kernel per bucket.
+    Shape: right side broadcast (sorted per key once per actor in
+    ``__init__``), left streamed through ``map_batches``; each batch is sorted
+    by (key, ts) ONCE and then resolved with ONE vectorized ``searchsorted``
+    per key RUN (not per row), results scattered back to the input order — no
+    per-row Python in the hot path.  For large×large, bucket both sides on
+    the key and run the same kernel per bucket.
     """
+    import numpy as np
+
     right_ts_col = right_ts_col or ts_col
     value_cols = value_cols or [
         c for c in right.column_names if c not in (key, right_ts_col)
@@ -132,10 +136,7 @@ def asof_join(
 
     class AsOf:
         def __init__(self):
-            import numpy as np
-
             r = ray.get(ref)
-            self.np = np
             keys = np.asarray(r.column(key).to_pylist())
             self.ts = r.column(right_ts_col).cast(pa.int64()).to_numpy()
             self.vals = {c: r.column(c) for c in value_cols}
@@ -147,30 +148,41 @@ def asof_join(
                 self.ranges[k] = (bounds[i], bounds[i + 1])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            np = self.np
-            lkeys = batch.column(key).to_pylist()
-            lts = batch.column(ts_col).cast(pa.int64()).to_numpy()
-            take_idx = np.full(len(lkeys), -1, dtype=np.int64)
-            for i, (k, t) in enumerate(zip(lkeys, lts)):
-                rng = self.ranges.get(k)
-                if rng is None:
-                    continue
-                s, e = rng
-                j = np.searchsorted(self.ts[s:e], t, side="right") - 1
-                if j >= 0:
-                    take_idx[i] = s + j
-            mask = take_idx >= 0
-            idx_arr = pa.array(
-                [int(j) if j >= 0 else None for j in take_idx], type=pa.int64()
+            n = batch.num_rows
+            order_arr = pc.sort_indices(
+                batch, sort_keys=[(key, "ascending"), (ts_col, "ascending")]
             )
+            o = order_arr.to_numpy()
+            sb = batch.take(order_arr)
+            lk = np.asarray(sb.column(key).to_pylist())
+            lt = sb.column(ts_col).cast(pa.int64()).to_numpy()
+            take_sorted = np.full(n, -1, dtype=np.int64)
+            if n:
+                change = np.nonzero(lk[1:] != lk[:-1])[0] + 1
+                starts = np.concatenate([[0], change])
+                ends = np.concatenate([change, [n]])
+                for s, e in zip(starts, ends):
+                    rng = self.ranges.get(lk[s])
+                    if rng is None:
+                        continue
+                    rs, re = rng
+                    j = np.searchsorted(self.ts[rs:re], lt[s:e], side="right") - 1
+                    valid = j >= 0
+                    seg = take_sorted[s:e]
+                    seg[valid] = rs + j[valid]
+                    take_sorted[s:e] = seg
+            # scatter back: sorted row i is original row o[i]
+            take_idx = np.empty(n, dtype=np.int64)
+            take_idx[o] = take_sorted
+            miss = take_idx < 0
+            idx_arr = pa.array(np.where(miss, 0, take_idx), mask=miss, type=pa.int64())
             out = batch
             for c in value_cols:
                 out = out.append_column(f"{c}{suffix}", self.vals[c].take(idx_arr))
             out = out.append_column(
                 f"{right_ts_col}{suffix}",
                 pa.array(
-                    [int(self.ts[j]) if m else None for j, m in zip(take_idx, mask)],
-                    type=pa.int64(),
+                    self.ts[np.where(miss, 0, take_idx)], mask=miss, type=pa.int64()
                 ),
             )
             return out

@@ -1,0 +1,39 @@
+"""Schema stabilization for shuffle-derived Datasets.
+
+Ray 2.49 shuffle stages (``groupby().aggregate/map_groups``, ``sort``, hash
+joins) emit EMPTY output blocks that have LOST their schema (the
+"new schema: ." empty-block bug).  Those blocks BYPASS every downstream
+``map_batches`` UDF, so any block-level consumer — ``pa.concat_tables`` over
+``to_arrow_refs()``, a strict parquet writer, the correctness driver's value
+hash — throws on the schema mismatch even though the values are correct.
+
+Repair is two-step, because a map alone cannot touch the broken blocks:
+cast every non-empty batch to the DECLARED schema (names, order, types), then
+``repartition`` — the one lazy operation that physically rebuilds blocks and
+drops the schemaless empties (verified against Ray 2.49.2).  Intended for
+FINAL pipeline outputs, which are small (grouped / top-k / verified-pair
+results), so the block rebuild is noise; never put this mid-pipeline on
+fact-sized data.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def stabilize(
+    ds: rd.Dataset,
+    fields: list[tuple[str, pa.DataType]] | pa.Schema,
+    num_blocks: int = 4,
+) -> rd.Dataset:
+    """Cast every batch to the declared schema and rebuild blocks so no
+    schemaless empty block survives to the consumer."""
+    schema = fields if isinstance(fields, pa.Schema) else pa.schema(fields)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow").repartition(num_blocks)

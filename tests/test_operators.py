@@ -175,6 +175,55 @@ def test_enrich_mismatch_reports_keys():
     assert "enrich cardinality mismatch" in str(ei.value) and "3" in str(ei.value)
 
 
+def test_minhash_degenerate_bucket_bounded():
+    """10k IDENTICAL documents — the pathological LSH bucket (every doc lands
+    in every band's same bucket).  Uncapped pair generation would emit
+    C(10k,2) ≈ 50M pairs per band × 16 bands; the capped sub-bucket split
+    must keep the whole pipeline bounded and finish promptly."""
+    import time
+
+    text = "identical license boilerplate text repeated verbatim " * 8
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10_000), type=pa.int64()),
+            "text": pa.array([text] * 10_000),
+        }
+    )
+    t0 = time.monotonic()
+    out = dedup.minhash_near_dups(
+        rd.from_arrow(docs), threshold=0.5, max_bucket=16
+    ).to_pandas()
+    wall = time.monotonic() - t0
+    # bounded volume: ~n_sub_buckets * C(max_bucket, 2) up to hash-split
+    # unevenness (identical split in every band, so cross-band dedup collapses
+    # to one band's output) — vs C(10k, 2) ≈ 50M uncapped
+    assert 0 < len(out) <= 2 * 625 * 120
+    assert (out["j_pct_x100"] == 10000).all()  # identical docs: jaccard == 1
+    assert wall < 120, f"degenerate bucket took {wall:.0f}s"
+
+
+def test_simhash_neardup_planted_recall():
+    """The simhash pair pipeline must surface planted one-word-changed copies
+    (hamming far below the cutoff) and never report pairs above the cutoff."""
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    fn, _ = registry()["simhash_neardup_pairs"]
+    pairs = fn(SF).to_pandas()
+    assert (pairs["hamming"] <= 8).all()
+    planted = {(a, b) for a, b in zip(pairs["a"], pairs["b"]) if b - a == 3_000_000}
+    import pyarrow.parquet as pq
+
+    dids = [
+        d
+        for d in pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+        if d % 11 == 0
+    ]
+    recall = sum((d, d + 3_000_000) in planted for d in dids) / len(dids)
+    assert recall >= 0.6, recall
+
+
 def test_simhash_hamming_close_for_neardups():
     h1 = dedup.SimHasher.simhash("the quick brown fox jumps over the lazy dog " * 5)
     h2 = dedup.SimHasher.simhash("the quick brown fox jumps over the lazy dogs " * 5)
