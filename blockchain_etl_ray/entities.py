@@ -1,0 +1,213 @@
+"""Multi-table entity registry: N logical state tables per change stream.
+
+The reference's defining shape is 26 entities, one physical table per entity
+with its own primary key, derived from a shared extract and enriched through a
+dependency DAG (``blockchainetl/enumeration/entity_type.py:7-31,72-96``;
+``ethereumetl/streaming/eth_streamer_adapter.py:88-256`` — blocks→txs→logs→
+token_transfers…; per-table PKs ``ethereumetl/streaming/postgres_tables.py``).
+
+Ray-Data-first mapping: the PRIMARY entity (``files``, key (repo, path)) keeps
+the engine's original fused path; each EXTRA entity declares its key columns,
+its Arrow fields and a vectorized ``derive`` function from the normalized
+change batch.  The SAME chunk task that merges the primary table derives,
+folds and writes every requested entity's fragment — one read of the event
+bytes feeds all tables (the reference computes all entities in one
+``export_all`` pass for the same reason), and each entity gets its own
+hash-partitioned fragment/base layout plus per-entity fragment lists in the
+one shared commit marker, so exactly-once covers all tables atomically.
+
+Entity selection uses the requires-closure (M13 analog,
+``eth_streamer_adapter.py:354-403`` ``_should_export``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: bookkeeping columns appended to every entity's normalized batch (same
+#: meaning as schema.NORM_EXTRA_FIELDS for the primary table)
+ENTITY_NORM_EXTRA: list[tuple[str, pa.DataType]] = [
+    ("ordinal", pa.int64()),
+    ("epoch", pa.int64()),
+    ("op", pa.string()),
+    ("event_id", pa.string()),
+    ("part", pa.int32()),
+    ("n_folded", pa.int64()),
+    ("n_dupes", pa.int64()),
+]
+
+ENTITY_STATE_EXTRA: list[tuple[str, pa.DataType]] = [
+    ("ordinal", pa.int64()),
+    ("src_epoch", pa.int64()),
+    ("deleted", pa.bool_()),
+]
+
+
+@dataclass(frozen=True)
+class EntitySpec:
+    """One logical state table: declared key columns + schema + derivation.
+
+    ``derive`` maps a NORMALIZED change batch (schema.NORM_SCHEMA) to this
+    entity's change rows: the declared ``fields`` plus ``ordinal``, ``epoch``,
+    ``op`` and ``event_id`` (bookkeeping ``part``/``n_folded``/``n_dupes`` are
+    appended by :func:`finalize_entity_batch`).  ``op == 'delete'`` rows become
+    tombstones in this entity's table; a derive that maps deletes to updates
+    declares the entity immortal (e.g. a repo outlives its files)."""
+
+    name: str
+    key_cols: tuple[str, ...]
+    fields: tuple[tuple[str, pa.DataType], ...]  # keys first, then values
+    derive: Callable[[pa.Table], pa.Table] = field(compare=False)
+    requires: tuple[str, ...] = ()
+
+    def norm_field_names(self) -> list[str]:
+        return [c for c, _ in self.fields] + [c for c, _ in ENTITY_NORM_EXTRA]
+
+    def norm_schema(self) -> pa.Schema:
+        return pa.schema(list(self.fields) + ENTITY_NORM_EXTRA)
+
+    def state_schema(self) -> pa.Schema:
+        return pa.schema(list(self.fields) + ENTITY_STATE_EXTRA)
+
+
+def partition_ids_for(
+    cols: Sequence[pa.ChunkedArray | pa.Array], num_partitions: int
+) -> pa.Array:
+    """Stable hash partition over an arbitrary key-column tuple (the
+    generalization of functions/hashing.partition_ids; same stable blake2b so
+    the placement survives restarts and engine versions)."""
+    import hashlib
+
+    b2 = hashlib.blake2b
+    pylists = [c.to_pylist() for c in cols]
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                b2("\x00".join("" if v is None else str(v) for v in row).encode(),
+                   digest_size=8).digest(), "big")
+            for row in zip(*pylists)
+        ),
+        dtype=np.uint64,
+        count=len(pylists[0]) if pylists else 0,
+    )
+    return pa.array((out % np.uint64(num_partitions)).astype(np.int32), type=pa.int32())
+
+
+def finalize_entity_batch(
+    t: pa.Table, spec: EntitySpec, num_partitions: int
+) -> pa.Table:
+    """Append part + combiner bookkeeping and cast to the entity norm schema."""
+    n = t.num_rows
+    part = partition_ids_for([t.column(k) for k in spec.key_cols], num_partitions)
+    t = t.append_column("part", part)
+    t = t.append_column("n_folded", pa.array([1] * n, type=pa.int64()))
+    t = t.append_column("n_dupes", pa.array([0] * n, type=pa.int64()))
+    return t.select(spec.norm_field_names()).cast(spec.norm_schema())
+
+
+# --------------------------------------------------------------------------
+# Registry + closure (M13 analog)
+# --------------------------------------------------------------------------
+REGISTRY: dict[str, EntitySpec] = {}
+
+
+def register_entity(spec: EntitySpec) -> EntitySpec:
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def entity_closure(names: Sequence[str]) -> list[EntitySpec]:
+    """Requires-closure in dependency order (deps first), deduplicated."""
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(n: str):
+        if n in seen:
+            return
+        if n not in REGISTRY:
+            raise KeyError(f"unknown entity {n!r}; registered: {sorted(REGISTRY)}")
+        seen.add(n)
+        for dep in REGISTRY[n].requires:
+            visit(dep)
+        order.append(n)
+
+    for n in names:
+        visit(n)
+    return [REGISTRY[n] for n in order]
+
+
+# --------------------------------------------------------------------------
+# Built-in entities over the (repo, path, commit, lang, content) change stream
+# --------------------------------------------------------------------------
+
+
+def _derive_repo_heads(nt: pa.Table) -> pa.Table:
+    """repo → last-touched (path, commit, lang) by LWW ordinal.  File deletes
+    are repo UPDATES (a repo outlives its files), so no tombstones here —
+    the 'latest_balance'-style always-live entity."""
+    op = pc.if_else(
+        pc.equal(nt.column("op"), "delete"), pa.scalar("update"), nt.column("op")
+    )
+    return pa.table(
+        {
+            "repo": nt.column("repo"),
+            "path": nt.column("path"),
+            "commit": nt.column("commit"),
+            "lang": nt.column("lang"),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": op,
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+REPO_HEADS = register_entity(
+    EntitySpec(
+        name="repo_heads",
+        key_cols=("repo",),
+        fields=(
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang", pa.string()),
+        ),
+        derive=_derive_repo_heads,
+    )
+)
+
+
+def _derive_path_heads(nt: pa.Table) -> pa.Table:
+    """path → owning (repo, commit) by LWW ordinal, WITH tombstones: a delete
+    of the path anywhere deletes the head (exercises the tombstone path of the
+    generic machinery; the 'token_latest_balance'-style mortal entity)."""
+    return pa.table(
+        {
+            "path": nt.column("path"),
+            "repo": nt.column("repo"),
+            "commit": nt.column("commit"),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": nt.column("op"),
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+PATH_HEADS = register_entity(
+    EntitySpec(
+        name="path_heads",
+        key_cols=("path",),
+        fields=(
+            ("path", pa.string()),
+            ("repo", pa.string()),
+            ("commit", pa.string()),
+        ),
+        derive=_derive_path_heads,
+    )
+)

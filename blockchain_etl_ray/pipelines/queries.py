@@ -1295,6 +1295,111 @@ def cdc_replay_schema_evolution(sf_dir: str):
     return engine.read_state().map_batches(proj, batch_format="pyarrow")
 
 
+_CDC_REPO_HEADS_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS lang
+      FROM events),
+    latest AS (
+      SELECT * FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo ORDER BY ordinal DESC) = 1)
+    SELECT repo, path AS last_path, commit_id AS last_commit,
+           lang AS last_lang, ordinal
+    FROM latest
+"""
+
+
+@register("cdc_multi_repo_heads", _CDC_REPO_HEADS_SQL)
+def cdc_multi_repo_heads(sf_dir: str):
+    """MULTI-TABLE entity replay (the reference's defining shape: one change
+    stream fans into N per-entity tables with their own PKs,
+    ``blockchainetl/enumeration/entity_type.py:72-96``,
+    ``ethereumetl/streaming/eth_streamer_adapter.py:88-256``): one replay
+    maintains the primary ``files`` table AND the ``repo_heads`` entity
+    (key (repo,), LWW last-touched path/commit/lang; deletes are repo
+    updates).  The oracle is the per-repo LWW window fold."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4,
+            entities=("repo_heads", "path_heads"),
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "last_path": t.column("path"),
+                "last_commit": t.column("commit"),
+                "last_lang": t.column("lang"),
+                "ordinal": t.column("ordinal"),
+            }
+        )
+
+    return engine.read_state(table="repo_heads").map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+_CDC_PATH_HEADS_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY path ORDER BY ordinal DESC) = 1)
+    SELECT path, repo AS head_repo, commit_id AS head_commit, ordinal
+    FROM latest WHERE op <> 'delete'
+"""
+
+
+@register("cdc_multi_path_heads", _CDC_PATH_HEADS_SQL)
+def cdc_multi_path_heads(sf_dir: str):
+    """Second entity table from the SAME replay machinery, this one MORTAL:
+    ``path_heads`` (key (path,)) keeps delete tombstones, so the final head
+    disappears when the last writer was a delete — U7 retraction semantics
+    verified through the multi-table path."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4,
+            entities=("repo_heads", "path_heads"),
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": t.column("path"),
+                "head_repo": t.column("repo"),
+                "head_commit": t.column("commit"),
+                "ordinal": t.column("ordinal"),
+            }
+        )
+
+    return engine.read_state(table="path_heads").map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
 _CDC_STATS_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

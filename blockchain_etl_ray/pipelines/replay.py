@@ -109,6 +109,11 @@ class ReplayConfig:
     max_inflight_steps: int = 2
     #: maintain the per-repo additive derived state (pipelines/derived.py)
     derived_stats: bool = True
+    #: extra entity tables to maintain from the same change stream (names
+    #: registered in entities.REGISTRY; requires-closure applied) — the
+    #: multi-table analog of the reference's --entity-types selection
+    #: (``blockchainetl/enumeration/entity_type.py:118-135``)
+    entities: tuple = ()
     rename_map: dict = field(default_factory=lambda: dict(DEFAULT_RENAMES))
 
     def as_dict(self) -> dict:
@@ -117,6 +122,7 @@ class ReplayConfig:
             "epoch_batch_size": self.epoch_batch_size,
             "compact_every": self.compact_every,
             "derived_stats": self.derived_stats,
+            "entities": list(self.entities),
             "rename_map": self.rename_map,
         }
 
@@ -125,12 +131,15 @@ class ReplayEngine:
     """Replays a change log directory into a partitioned Parquet state table."""
 
     def __init__(self, state_root: str, config: ReplayConfig | None = None):
+        from ..entities import entity_closure
+
         self.config = config or ReplayConfig()
         self.store = StateStore(state_root)
         self.store.load_or_init_config(self.config.as_dict())
         self._normalize = make_normalizer(
             self.config.rename_map, self.config.num_partitions
         )
+        self.entity_specs = entity_closure(self.config.entities)
 
     # ------------------------------------------------------------------ apply
     def apply_step(
@@ -144,10 +153,13 @@ class ReplayEngine:
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
         with_derived = self.config.derived_stats
+        entity_names = tuple(e.name for e in self.entity_specs)
+        num_partitions = self.config.num_partitions
 
         def process_chunk(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq_
 
+            from ..entities import REGISTRY, finalize_entity_batch
             from ..pipelines.derived import partial_path_for_fragment, repo_stats_partial
             from ..state.manifest import StateStore as _SS
             from ..state.manifest import atomic_write_table
@@ -167,6 +179,13 @@ class ReplayEngine:
                         partial_path_for_fragment(frag), repo_stats_partial(nt)
                     )
                 outs.append(stats)
+                # extra entity tables: SAME chunk read feeds every table (the
+                # reference computes all entities in one export_all pass —
+                # eth_streamer_adapter.py:88-256)
+                for ename in entity_names:
+                    ent = REGISTRY[ename]
+                    et = finalize_entity_batch(ent.derive(nt), ent, num_partitions)
+                    outs.append(write_fragment(et, spec, entity=ent))
             return pa.concat_tables(outs)
 
         with _PLAN_LOCK:
@@ -179,11 +198,22 @@ class ReplayEngine:
             for r in rows
         ]
 
-        # fragment descriptors for the commit marker
+        # fragment descriptors for the commit marker, split per table: the
+        # primary table keeps the legacy "fragments" key, extra entities go
+        # under "tables" — ONE marker covers all tables atomically
         frags: dict[str, dict] = {}
+        table_frags: dict[str, dict[str, dict]] = {}
         for r in rows:
+            if r["entity"] != "files":
+                tf = table_frags.setdefault(r["entity"], {})
+                f = tf.setdefault(
+                    r["file"], {"file": r["file"], "parts": {}, "bytes": r["bytes"]}
+                )
+                f["parts"][str(r["part"])] = r["row_group"]
+                continue
             f = frags.setdefault(r["file"], {"file": r["file"], "parts": {}, "bytes": r["bytes"]})
             f["parts"][str(r["part"])] = r["row_group"]
+        rows = [r for r in rows if r["entity"] == "files"]
 
         # per-partition lineage aggregation; a fragment's bytes are counted
         # once (fragments span partitions), so sum(bytes_out) == bytes written
@@ -216,8 +246,10 @@ class ReplayEngine:
                 seen_files.add(r["file"])
                 lp["bytes_out"] += r["bytes"]
             lp["wall_s"] = max(lp["wall_s"], r["wall_s"])
-        return sorted(by_part.values(), key=lambda d: d["partition_id"]), list(
-            frags.values()
+        return (
+            sorted(by_part.values(), key=lambda d: d["partition_id"]),
+            list(frags.values()),
+            {name: list(tf.values()) for name, tf in table_frags.items()},
         )
 
     # ----------------------------------------------------------------- replay
@@ -272,7 +304,7 @@ class ReplayEngine:
             # markers commit strictly in version order (checkpoint contract),
             # even though the fragment writes themselves overlap
             for version, chunk, files, fut in futures:
-                rows, frags = fut.result()
+                rows, frags, table_frags = fut.result()
                 total_events += sum(r["events_in"] for r in rows)
                 self.store.commit_cycle(
                     version,
@@ -281,6 +313,7 @@ class ReplayEngine:
                         "epochs": chunk,
                         "files": files,
                         "fragments": frags,
+                        "tables": table_frags,
                         "lineage": rows,
                     },
                 )
@@ -289,6 +322,10 @@ class ReplayEngine:
                 referenced = {f["file"] for f in frags}
                 referenced |= {f + PARTIAL_SUFFIX for f in referenced}
                 self.store.gc_orphan_fragments(version, referenced)
+                for name, tfs in table_frags.items():
+                    self.store.gc_orphan_fragments(
+                        version, {f["file"] for f in tfs}, table=name
+                    )
                 applied_steps.append(version)
                 if (
                     self.config.compact_every
@@ -318,10 +355,19 @@ class ReplayEngine:
         root = str(self.store.root)
         import json as _json
 
-        plans = self.store.partition_plans(self.config.num_partitions, upto=upto_version)
         # plans travel as JSON strings: heterogeneous nested dicts otherwise
-        # fall back to pickled-object blocks (warning noise, slower)
-        items = [{"plan": _json.dumps(plan)} for plan in plans.values()]
+        # fall back to pickled-object blocks (warning noise, slower).  One
+        # work item per (table, partition): all tables compact in the same
+        # distributed pass.
+        items = []
+        for tname in [None] + [e.name for e in self.entity_specs]:
+            plans = self.store.partition_plans(
+                self.config.num_partitions, upto=upto_version, table=tname
+            )
+            items.extend(
+                {"plan": _json.dumps(plan), "entity": tname or ""}
+                for plan in plans.values()
+            )
         results = (
             rd.from_items(items, override_num_blocks=len(items))
             .map_batches(
@@ -329,10 +375,15 @@ class ReplayEngine:
                     [
                         {
                             "result": repr(
-                                compact_partition(_json.loads(plan), root, upto_version)
+                                compact_partition(
+                                    _json.loads(plan), root, upto_version,
+                                    entity_name=ent or None,
+                                )
                             )
                         }
-                        for plan in b.column("plan").to_pylist()
+                        for plan, ent in zip(
+                            b.column("plan").to_pylist(), b.column("entity").to_pylist()
+                        )
                     ]
                 ),
                 batch_size=1,
@@ -345,6 +396,8 @@ class ReplayEngine:
 
             compact_repo_stats(self.store, upto_version)
         self.store.gc_compacted(self.config.num_partitions, upto_version)
+        for e in self.entity_specs:
+            self.store.gc_compacted(self.config.num_partitions, upto_version, table=e.name)
         return results
 
     def derived_repo_stats(self, upto: int | None = None) -> rd.Dataset:
@@ -376,33 +429,49 @@ class ReplayEngine:
 
     # ------------------------------------------------------------------ reads
     def read_state(
-        self, upto: int | None = None, include_deleted: bool = False
+        self,
+        upto: int | None = None,
+        include_deleted: bool = False,
+        table: str | None = None,
     ) -> rd.Dataset:
         """The materialized table as a Dataset: one merge-on-read resolve task
         per partition (reads that partition's base + fragment row groups,
         LWW-folds them).  Defaults to the last COMMITTED apply step, and reads
         only marker-referenced fragments — stale output from a crashed
-        half-step is never visible."""
+        half-step is never visible.  ``table`` selects an entity table
+        (config.entities) instead of the primary one."""
         if upto is None:
             versions = self.store.committed_versions()
             upto = versions[-1] if versions else -1
         import json as _json
 
-        plans = self.store.partition_plans(self.config.num_partitions, upto=upto)
+        entity = None
+        schema = STATE_SCHEMA
+        if table is not None:
+            from ..entities import REGISTRY
+
+            entity = REGISTRY[table]
+            schema = entity.state_schema()
+        plans = self.store.partition_plans(
+            self.config.num_partitions, upto=upto, table=table
+        )
         items = [
             {"plan": _json.dumps(plan)}
             for plan in plans.values()
             if plan["pieces"] or plan["base"]
         ]
         if not items:
-            return rd.from_arrow(STATE_SCHEMA.empty_table())
+            return rd.from_arrow(schema.empty_table())
 
         def resolve_batch(batch: pa.Table) -> pa.Table:
             import json as _json
 
+            from ..entities import REGISTRY as _REG
+
+            ent = _REG[table] if table is not None else None
             tables = []
             for plan in batch.column("plan").to_pylist():
-                t = resolve_plan(_json.loads(plan))
+                t = resolve_plan(_json.loads(plan), ent)
                 if not include_deleted:
                     t = t.filter(pa.compute.invert(t.column("deleted")))
                 tables.append(t)

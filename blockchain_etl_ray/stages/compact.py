@@ -25,7 +25,11 @@ import polars as pl
 from ..schema import NORM_FIELDS
 
 
-def fold_changes(df: pl.DataFrame) -> pl.DataFrame:
+def fold_changes(
+    df: pl.DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    field_names: list[str] | None = None,
+) -> pl.DataFrame:
     """Associative two-stage fold of normalized change rows.
 
     Invariant: sum(n_folded) + sum(n_dupes) is conserved — every raw delivered
@@ -35,13 +39,14 @@ def fold_changes(df: pl.DataFrame) -> pl.DataFrame:
     Stage 1 — redelivery fold: rows sharing an event_id are copies; keep the
     first delivery (min epoch; see schema.py conflict order) and absorb the
     dropped copies' weights into the survivor's ``n_dupes``.
-    Stage 2 — key fold: per (repo, path) the max-ordinal event wins (min epoch
-    among equal ordinals); weights accumulate.
+    Stage 2 — key fold: per ``key_cols`` (default (repo, path); any entity's
+    declared PK — multi-table analog of the per-entity primary keys in
+    ``ethereumetl/streaming/postgres_tables.py``) the max-ordinal event wins
+    (min epoch among equal ordinals); weights accumulate.
     """
+    names = field_names if field_names is not None else [c for c, _ in NORM_FIELDS]
     value_cols = [
-        c
-        for c, _ in NORM_FIELDS
-        if c not in ("event_id", "repo", "path", "n_folded", "n_dupes")
+        c for c in names if c not in ("event_id", *key_cols, "n_folded", "n_dupes")
     ]
 
     df = df.sort(["ordinal", "epoch"], maintain_order=True)
@@ -49,8 +54,7 @@ def fold_changes(df: pl.DataFrame) -> pl.DataFrame:
         df.group_by("event_id", maintain_order=True)
         .agg(
             *[pl.col(c).first() for c in value_cols],
-            pl.col("repo").first(),
-            pl.col("path").first(),
+            *[pl.col(k).first() for k in key_cols],
             pl.col("n_folded").first().alias("_nf_keep"),
             (pl.col("n_folded").sum() + pl.col("n_dupes").sum()).alias("_total"),
         )
@@ -63,8 +67,12 @@ def fold_changes(df: pl.DataFrame) -> pl.DataFrame:
 
     # key fold: max ordinal wins, min epoch among equal ordinals (epoch DESC so
     # `.last()` after the ascending-ordinal sort lands on min epoch in the tie)
-    df = df.sort(["ordinal", "epoch"], descending=[False, True], maintain_order=True)
-    df = df.group_by(["repo", "path"], maintain_order=True).agg(
+    df = df.sort(
+        ["ordinal", "epoch", "event_id"],
+        descending=[False, True, False],
+        maintain_order=True,
+    )
+    df = df.group_by(list(key_cols), maintain_order=True).agg(
         *[pl.col(c).last() for c in value_cols],
         pl.col("event_id").last(),
         pl.col("n_folded").sum(),

@@ -56,17 +56,26 @@ class FragmentSpec:
     version: int  # monotone apply-step number
 
 
-def changes_to_state(df: pl.DataFrame) -> pl.DataFrame:
+def changes_to_state(
+    df: pl.DataFrame, state_names: list[str] | None = None
+) -> pl.DataFrame:
     """Project folded change rows to the state schema + the part column."""
+    names = state_names if state_names is not None else [c for c, _ in STATE_FIELDS]
     return df.with_columns(
         (pl.col("op") == "delete").alias("deleted"),
         pl.col("epoch").alias("src_epoch"),
-    ).select(["part"] + [c for c, _ in STATE_FIELDS])
+    ).select(["part"] + names)
 
 
-def write_fragment(changes: pa.Table, spec: FragmentSpec) -> pa.Table:
+def write_fragment(changes: pa.Table, spec: FragmentSpec, entity=None) -> pa.Table:
     """Map task: fold this block, sort by partition, write one fragment file
     with ONE ROW GROUP PER PARTITION; emit per-(fragment, part) stats rows.
+
+    With ``entity`` (an :class:`~blockchain_etl_ray.entities.EntitySpec`) the
+    same machinery serves that entity's table: its key columns drive the fold,
+    its schema the file, and the fragment lands under the entity's own
+    ``tables/<name>/frags`` dir (multi-table analog of the per-entity upsert
+    statements, ``blockchainetl/jobs/exporters/postgres_item_exporter.py``).
 
     Task retries write fresh uuid-named files; only the set returned by the
     SUCCESSFUL attempt is referenced by the commit marker (orphans are GC'd at
@@ -74,10 +83,17 @@ def write_fragment(changes: pa.Table, spec: FragmentSpec) -> pa.Table:
     """
     t0 = time.perf_counter()
     store = StateStore(spec.state_root)
+    if entity is None:
+        key_cols, field_names = ("repo", "path"), None
+        state_schema, table_name = STATE_SCHEMA, None
+    else:
+        key_cols = entity.key_cols
+        field_names = entity.norm_field_names()
+        state_schema, table_name = entity.state_schema(), entity.name
     if changes.num_rows == 0:
         return _stats_schema().empty_table()
 
-    df = fold_changes(pl.from_arrow(changes))
+    df = fold_changes(pl.from_arrow(changes), key_cols=key_cols, field_names=field_names)
     stats_df = (
         df.group_by("part")
         .agg(
@@ -88,22 +104,24 @@ def write_fragment(changes: pa.Table, spec: FragmentSpec) -> pa.Table:
         )
         .sort("part")
     )
-    state = changes_to_state(df).sort(["part", "repo", "path"], maintain_order=True)
+    state = changes_to_state(df, list(state_schema.names)).sort(
+        ["part", *key_cols], maintain_order=True
+    )
 
-    frag_dir = store.frag_dir(spec.version)
+    frag_dir = store.frag_dir(spec.version, table_name)
     frag_dir.mkdir(parents=True, exist_ok=True)
     name = f"frag-{uuid.uuid4().hex}.parquet"
     fd, tmp = tempfile.mkstemp(dir=frag_dir, prefix="._tmp_", suffix=".parquet")
     os.close(fd)
     parts = state["part"].to_numpy()
-    arrow = state.drop("part").to_arrow().cast(STATE_SCHEMA)
+    arrow = state.drop("part").to_arrow().cast(state_schema)
     rg_of_part: dict[int, int] = {}
     try:
         import numpy as np
 
         uniq = sorted(set(parts.tolist()))
         writer = pq.ParquetWriter(
-            tmp, STATE_SCHEMA, compression="zstd", compression_level=3
+            tmp, state_schema, compression="zstd", compression_level=3
         )
         rg = 0
         for p in uniq:
@@ -132,6 +150,9 @@ def write_fragment(changes: pa.Table, spec: FragmentSpec) -> pa.Table:
         )
         .append_column("bytes", pa.array([size] * n, type=pa.int64()))
         .append_column("wall_s", pa.array([time.perf_counter() - t0] * n, type=pa.float64()))
+        .append_column(
+            "entity", pa.array([table_name or "files"] * n, type=pa.string())
+        )
         .cast(_stats_schema())
     )
 
@@ -148,23 +169,28 @@ def _stats_schema() -> pa.Schema:
             ("row_group", pa.int32()),
             ("bytes", pa.int64()),
             ("wall_s", pa.float64()),
+            ("entity", pa.string()),
         ]
     )
 
 
 # ---------------------------------------------------------------- resolution
-def resolve_tables(tables: list[pa.Table]) -> pa.Table:
+def resolve_tables(
+    tables: list[pa.Table],
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    state_schema: pa.Schema = STATE_SCHEMA,
+) -> pa.Table:
     """LWW-resolve state rows from base + fragment pieces (any order): per key
     the max-ordinal row wins, min src_epoch among equal ordinals."""
     merged = pl.concat([pl.from_arrow(t) for t in tables], how="vertical_relaxed")
     resolved = merged.sort(
         ["ordinal", "src_epoch"], descending=[False, True], maintain_order=True
-    ).unique(subset=["repo", "path"], keep="last", maintain_order=True)
+    ).unique(subset=list(key_cols), keep="last", maintain_order=True)
     return (
-        resolved.sort(["repo", "path"], maintain_order=True)
-        .select([c for c, _ in STATE_FIELDS])
+        resolved.sort(list(key_cols), maintain_order=True)
+        .select(list(state_schema.names))
         .to_arrow()
-        .cast(STATE_SCHEMA)
+        .cast(state_schema)
     )
 
 
@@ -180,25 +206,36 @@ def read_plan_tables(plan: dict) -> list[pa.Table]:
     return tables
 
 
-def resolve_plan(plan: dict) -> pa.Table:
+def resolve_plan(plan: dict, entity=None) -> pa.Table:
     tables = read_plan_tables(plan)
+    if entity is None:
+        key_cols, schema = ("repo", "path"), STATE_SCHEMA
+    else:
+        key_cols, schema = entity.key_cols, entity.state_schema()
     if not tables:
-        return STATE_SCHEMA.empty_table()
-    return resolve_tables(tables)
+        return schema.empty_table()
+    return resolve_tables(tables, key_cols, schema)
 
 
-def compact_partition(plan: dict, state_root: str, upto_version: int) -> dict:
+def compact_partition(
+    plan: dict, state_root: str, upto_version: int, entity_name: str | None = None
+) -> dict:
     """Fold one partition's base + fragments into a new base file (amortized
     rewrite; reorg-style partition rewrite analog).  Idempotent."""
+    entity = None
+    if entity_name is not None:
+        from ..entities import REGISTRY
+
+        entity = REGISTRY[entity_name]
     part = plan["part"]
     store = StateStore(state_root)
-    final = store.base_file(part, upto_version)
+    final = store.base_file(part, upto_version, entity_name)
     if final.exists():
         return {"part": part, "cached": True}
     if not plan.get("pieces"):
         return {"part": part, "skipped": True}
-    out = resolve_plan(plan)
-    size = store.commit_base(part, upto_version, out)
+    out = resolve_plan(plan, entity)
+    size = store.commit_base(part, upto_version, out, entity_name)
     return {
         "part": part,
         "rows": out.num_rows,

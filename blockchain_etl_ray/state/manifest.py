@@ -84,20 +84,31 @@ def atomic_write_table(path: Path, table: pa.Table) -> int:
 
 
 class StateStore:
-    """Filesystem layout + commit protocol for one logical state table."""
+    """Filesystem layout + commit protocol for a state store.
+
+    Holds ONE primary table at the root (legacy layout: ``parts/``,
+    ``frags/``) plus any number of named entity tables under
+    ``tables/<name>/`` — each with the same parts/frags layout.  Commit
+    markers and config are store-global: one marker atomically covers every
+    table's fragments for a cycle, which is what makes multi-table replay
+    exactly-once as a unit (the reference's analog: one DB transaction
+    upserting all entity tables of a block range)."""
 
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
 
     # -- paths ---------------------------------------------------------------
-    def part_dir(self, part: int) -> Path:
-        return self.root / "parts" / f"part={part:05d}"
+    def table_root(self, table: str | None = None) -> Path:
+        return self.root if table is None else self.root / "tables" / table
 
-    def base_file(self, part: int, version: int) -> Path:
-        return self.part_dir(part) / f"version={version:012d}.parquet"
+    def part_dir(self, part: int, table: str | None = None) -> Path:
+        return self.table_root(table) / "parts" / f"part={part:05d}"
 
-    def frag_dir(self, version: int) -> Path:
-        return self.root / "frags" / f"version={version:012d}"
+    def base_file(self, part: int, version: int, table: str | None = None) -> Path:
+        return self.part_dir(part, table) / f"version={version:012d}.parquet"
+
+    def frag_dir(self, version: int, table: str | None = None) -> Path:
+        return self.table_root(table) / "frags" / f"version={version:012d}"
 
     def cycle_file(self, version: int) -> Path:
         return self.root / "cycles" / f"version={version:012d}.json"
@@ -125,8 +136,8 @@ class StateStore:
         return cfg
 
     # -- listings ------------------------------------------------------------
-    def _versions(self, part: int, rx: re.Pattern) -> list[int]:
-        d = self.part_dir(part)
+    def _versions(self, part: int, rx: re.Pattern, table: str | None = None) -> list[int]:
+        d = self.part_dir(part, table)
         if not d.is_dir():
             return []
         out = []
@@ -136,8 +147,8 @@ class StateStore:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def base_versions(self, part: int) -> list[int]:
-        return self._versions(part, _BASE_RE)
+    def base_versions(self, part: int, table: str | None = None) -> list[int]:
+        return self._versions(part, _BASE_RE, table)
 
     def read_markers(self, upto: int | None = None) -> dict[int, dict]:
         return {
@@ -146,11 +157,17 @@ class StateStore:
             if upto is None or v <= upto
         }
 
+    def _marker_fragments(self, marker: dict, table: str | None) -> list[dict]:
+        if table is None:
+            return marker.get("fragments", [])
+        return marker.get("tables", {}).get(table, [])
+
     def partition_plans(
         self,
         num_partitions: int,
         upto: int | None = None,
         markers: dict[int, dict] | None = None,
+        table: str | None = None,
     ) -> dict[int, dict]:
         """Per-partition read plan (merge-on-read): latest base ≤ upto plus
         every committed fragment row group for this partition in
@@ -161,7 +178,7 @@ class StateStore:
             markers = self.read_markers(upto)
         plans: dict[int, dict] = {}
         for p in range(num_partitions):
-            bases = self.base_versions(p)
+            bases = self.base_versions(p, table)
             if upto is not None:
                 bases = [v for v in bases if v <= upto]
             base_v = bases[-1] if bases else None
@@ -171,19 +188,23 @@ class StateStore:
                     upto is not None and v > upto
                 ):
                     continue
-                for frag in markers[v].get("fragments", []):
+                for frag in self._marker_fragments(markers[v], table):
                     rg = frag["parts"].get(str(p))
                     if rg is not None:
-                        pieces.append((str(self.frag_dir(v) / frag["file"]), [rg]))
+                        pieces.append(
+                            (str(self.frag_dir(v, table) / frag["file"]), [rg])
+                        )
             plans[p] = {"part": p, "base_version": base_v,
-                        "base": str(self.base_file(p, base_v)) if base_v is not None else None,
+                        "base": str(self.base_file(p, base_v, table)) if base_v is not None else None,
                         "pieces": pieces}
         return plans
 
-    def gc_orphan_fragments(self, version: int, referenced: set[str]) -> int:
+    def gc_orphan_fragments(
+        self, version: int, referenced: set[str], table: str | None = None
+    ) -> int:
         """Remove fragment files of this step not referenced by its committed
         marker (left by crashed/retried attempts)."""
-        d = self.frag_dir(version)
+        d = self.frag_dir(version, table)
         if not d.is_dir():
             return 0
         n = 0
@@ -193,16 +214,18 @@ class StateStore:
                 n += 1
         return n
 
-    def gc_compacted(self, num_partitions: int, compacted_version: int) -> int:
+    def gc_compacted(
+        self, num_partitions: int, compacted_version: int, table: str | None = None
+    ) -> int:
         """Once every partition's base covers all fragments ≤
         ``compacted_version`` (its read plan at that version has no pieces),
         drop the folded fragment dirs and superseded bases — all durable in
         the new bases."""
-        plans = self.partition_plans(num_partitions, upto=compacted_version)
+        plans = self.partition_plans(num_partitions, upto=compacted_version, table=table)
         if any(plan["pieces"] for plan in plans.values()):
             return 0  # incomplete compaction: keep everything
         n = 0
-        d = self.root / "frags"
+        d = self.table_root(table) / "frags"
         if d.is_dir():
             for name in os.listdir(d):
                 m = _FRAGDIR_RE.match(name)
@@ -213,9 +236,9 @@ class StateStore:
                     n += 1
         for p in range(num_partitions):
             keep = plans[p]["base_version"]
-            for v in self.base_versions(p):
+            for v in self.base_versions(p, table):
                 if keep is not None and v < keep:
-                    self.base_file(p, v).unlink(missing_ok=True)
+                    self.base_file(p, v, table).unlink(missing_ok=True)
                     n += 1
         return n
 
@@ -249,8 +272,10 @@ class StateStore:
         return out
 
     # -- commits -------------------------------------------------------------
-    def commit_base(self, part: int, version: int, table: pa.Table) -> int:
-        return atomic_write_table(self.base_file(part, version), table)
+    def commit_base(
+        self, part: int, version: int, table: pa.Table, entity: str | None = None
+    ) -> int:
+        return atomic_write_table(self.base_file(part, version, entity), table)
 
     def commit_cycle(self, version: int, info: dict) -> None:
         atomic_write_json(self.cycle_file(version), info)

@@ -1,0 +1,136 @@
+"""Multi-table entity replay: one change stream maintained into N state
+tables (files + repo_heads + path_heads) with per-entity keys — resume,
+idempotence and oracle equality for every table (the reference's 26-entity
+shape, ``blockchainetl/enumeration/entity_type.py:72-96``)."""
+
+import glob
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+ENTITIES = ("repo_heads", "path_heads")
+
+
+def _raw_events(events_dir: str) -> pl.DataFrame:
+    raw = []
+    for f in sorted(glob.glob(events_dir + "/epoch=*.parquet")):
+        t = pq.read_table(f)
+        if "filepath" in t.column_names:
+            t = t.rename_columns(
+                [("path" if c == "filepath" else c) for c in t.column_names]
+            )
+        raw.append(
+            t.select(["ordinal", "epoch", "op", "repo", "path", "commit", "event_id"])
+        )
+    return pl.from_arrow(pa.concat_tables(raw, promote_options="default"))
+
+
+def _lww(df: pl.DataFrame, keys: list[str]) -> pl.DataFrame:
+    return df.sort(
+        ["ordinal", "epoch", "event_id"], descending=[False, True, False]
+    ).unique(subset=keys, keep="last")
+
+
+def _read(engine, table):
+    return pa.concat_tables(
+        [ray.get(r) for r in engine.read_state(table=table).to_arrow_refs()]
+    )
+
+
+@pytest.fixture(scope="module")
+def multi_engine(small_corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("multi") / "state"
+    eng = ReplayEngine(
+        root, ReplayConfig(num_partitions=8, epoch_batch_size=4, entities=ENTITIES)
+    )
+    eng.replay(small_corpus["dir"])
+    return eng, small_corpus["dir"]
+
+
+def test_repo_heads_matches_oracle(multi_engine):
+    eng, events_dir = multi_engine
+    got = pl.from_arrow(_read(eng, "repo_heads")).sort("repo")
+    exp = _lww(_raw_events(events_dir), ["repo"]).sort("repo")
+    assert got["repo"].to_list() == exp["repo"].to_list()
+    assert got["commit"].to_list() == exp["commit"].to_list()
+    assert got["path"].to_list() == exp["path"].to_list()
+    assert got["ordinal"].to_list() == exp["ordinal"].to_list()
+    # repo_heads is immortal: no tombstones survive to the read
+    assert not got["deleted"].any()
+
+
+def test_path_heads_tombstones(multi_engine):
+    eng, events_dir = multi_engine
+    got = pl.from_arrow(_read(eng, "path_heads")).sort("path")
+    exp = (
+        _lww(_raw_events(events_dir), ["path"])
+        .filter(pl.col("op") != "delete")
+        .sort("path")
+    )
+    assert got["path"].to_list() == exp["path"].to_list()
+    assert got["commit"].to_list() == exp["commit"].to_list()
+    # deleted heads exist as tombstones when read with include_deleted
+    full = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in eng.read_state(table="path_heads", include_deleted=True).to_arrow_refs()
+        ]
+    )
+    assert full.num_rows >= got.height
+
+
+def test_one_marker_covers_all_tables(multi_engine):
+    eng, _ = multi_engine
+    for v in eng.store.committed_versions():
+        marker = eng.store.read_cycle(v)
+        assert set(marker.get("tables", {})) <= set(ENTITIES)
+        # every referenced entity fragment exists on disk
+        for name, frags in marker.get("tables", {}).items():
+            for f in frags:
+                assert (eng.store.frag_dir(v, name) / f["file"]).exists()
+
+
+def test_entity_resume_and_idempotence(small_corpus, tmp_path):
+    """Stop OFF the batch boundary, resume with a fresh engine: every table
+    converges to the same state as a single-shot replay; re-replay is a no-op
+    for all tables."""
+    events_dir = small_corpus["dir"]
+    cfg = dict(num_partitions=8, epoch_batch_size=4, entities=ENTITIES)
+    one = ReplayEngine(tmp_path / "oneshot", ReplayConfig(**cfg))
+    one.replay(events_dir)
+
+    split = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split.replay(events_dir, upto_epoch=5)
+    resumed = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    resumed.replay(events_dir)
+    again = resumed.replay(events_dir)
+    assert again["events_applied"] == 0
+
+    for table in (None, *ENTITIES):
+        a = _read(one, table).sort_by([(c, "ascending") for c in ("repo", "path") if c in _read(one, table).column_names])
+        key = [c for c in ("repo", "path") if c in a.column_names]
+        b = _read(resumed, table).sort_by([(c, "ascending") for c in key])
+        a = _read(one, table).sort_by([(c, "ascending") for c in key])
+        assert a.equals(b), f"table {table} diverged after resume"
+
+
+def test_entity_compaction_preserves_state(small_corpus, tmp_path):
+    events_dir = small_corpus["dir"]
+    cfg = ReplayConfig(
+        num_partitions=8, epoch_batch_size=4, entities=ENTITIES, compact_every=None
+    )
+    eng = ReplayEngine(tmp_path / "state", cfg)
+    eng.replay(events_dir)
+    before = {t: _read(eng, t).sort_by("ordinal") for t in ENTITIES}
+    eng.compact_state()
+    after = {t: _read(eng, t).sort_by("ordinal") for t in ENTITIES}
+    for t in ENTITIES:
+        assert before[t].equals(after[t]), t
+    # compaction folded entity fragments into per-entity bases
+    for t in ENTITIES:
+        assert any(eng.store.table_root(t).joinpath("parts").rglob("*.parquet"))
