@@ -1,0 +1,321 @@
+"""Reorg reconcile: diff stored source hashes vs the log, repair state.
+
+The reference's reorg adapter periodically re-checks a trailing window —
+diff stored block hashes vs the chain, DELETE the orphaned rows across every
+entity table, re-export and re-insert the replaced blocks
+(``ethereumetl/streaming/eth_reorg_adapter.py:90-308``).  The CDC analog:
+each cycle marker records the sha256 of every event file it applied
+(replay._file_sha256); ``reconcile`` diffs those against the files on disk
+NOW, and when an applied epoch's upstream file was replaced, corrupted, or
+removed it repairs state *surgically*:
+
+1. affected keys = keys present in the CURRENT version of the diverged files
+   ∪ keys whose stored winner came from a diverged epoch (``src_epoch``) —
+   nothing else can have changed;
+2. correct winners for those keys are recomputed by a DISTRIBUTED scan of the
+   applied event log (current file contents) filtered to the affected key
+   set — the analog of the reference re-exporting the replaced blocks; a key
+   whose events all disappeared simply vanishes;
+3. only the PARTITIONS containing affected keys are rewritten (resolve →
+   drop affected → insert corrected → new base file at the reconcile
+   version) — the copy-on-write partition rewrite the survey maps U7 to;
+4. one reconcile cycle marker commits the repair for every table atomically
+   and records the new file hashes, so a repeated reconcile is a no-op and
+   the whole step is crash-safe (bases written before the marker are
+   invisible until it commits, exactly like apply steps).
+
+The per-repo derived table is additive over RAW events (not per-key winners),
+so it is rebuilt from the same scan's unfiltered partials — it is O(#repos),
+one log scan, and reconciles are rare.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import polars as pl
+import ray.data as rd
+
+from ..entities import partition_ids_for
+from ..schema import STATE_SCHEMA
+from ..stages.compact import compact_batch, fold_changes
+from ..stages.merge import changes_to_state, resolve_plan
+
+
+def _key_strings(t: pa.Table, key_cols: Sequence[str]) -> pa.Array:
+    parts = [pc.cast(t.column(k), pa.string()) for k in key_cols]
+    if len(parts) == 1:
+        return pc.coalesce(parts[0], pa.scalar(""))
+    return pc.binary_join_element_wise(*parts, "\x00", null_handling="replace", null_replacement="")
+
+
+def detect_divergence(engine, events_dir: str) -> dict:
+    """Latest recorded hash per file vs the file on disk now, plus files that
+    appeared for already-applied epochs.  Returns {files, epochs, missing}."""
+    from .replay import _EPOCH_FILE_RE, _file_sha256, discover_epoch_files
+
+    markers = engine.store.read_markers()
+    recorded: dict[str, str] = {}
+    known: set[str] = set()
+    for v in sorted(markers):
+        m = markers[v]
+        for f in m.get("cleared_files", []):
+            recorded.pop(f, None)
+        recorded.update(m.get("file_hashes", {}))
+        known.update(m.get("files", []))
+
+    diverged: list[str] = []
+    missing: list[str] = []
+    for f, h in recorded.items():
+        if not os.path.exists(f):
+            missing.append(f)
+        elif _file_sha256(f) != h:
+            diverged.append(f)
+    applied = engine.store.applied_epochs()
+    by_epoch = discover_epoch_files(events_dir)
+    extra = [
+        f for e in sorted(applied) for f in by_epoch.get(e, []) if f not in known
+    ]
+    epochs = set()
+    for f in diverged + missing + extra:
+        m = _EPOCH_FILE_RE.search(f)
+        if m:
+            epochs.add(int(m.group(1)))
+    return {
+        "files": sorted(diverged + extra),
+        "missing": sorted(missing),
+        "epochs": sorted(epochs),
+    }
+
+
+def _corrected_winners(
+    engine, scan_files: list[str], entity, key_set: set[str]
+) -> pa.Table:
+    """Distributed scan of the applied log filtered to the affected keys →
+    final per-key winners as state rows (deleted=True for delete winners)."""
+    from .replay import _PLAN_LOCK, plan_read_chunks
+
+    key_cols = ("repo", "path") if entity is None else entity.key_cols
+    schema = STATE_SCHEMA if entity is None else entity.state_schema()
+    field_names = None if entity is None else entity.norm_field_names()
+    normalize = engine._normalize
+    num_partitions = engine.config.num_partitions
+    keys_arr = pa.array(sorted(key_set), type=pa.string())
+
+    chunks = plan_read_chunks(scan_files)
+    if not chunks:
+        return schema.empty_table()
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        from ..entities import finalize_entity_batch
+
+        outs = []
+        for row in batch.to_pylist():
+            t = pq_.ParquetFile(row["file"]).read_row_groups(list(row["row_groups"]))
+            nt = normalize(t)
+            if entity is not None:
+                nt = finalize_entity_batch(entity.derive(nt), entity, num_partitions)
+            nt = nt.filter(pc.is_in(_key_strings(nt, key_cols), value_set=keys_arr))
+            if entity is None:
+                nt = compact_batch(nt)
+            elif nt.num_rows:
+                nt = (
+                    fold_changes(
+                        pl.from_arrow(nt), key_cols=key_cols, field_names=field_names
+                    )
+                    .select(field_names)
+                    .to_arrow()
+                    .cast(entity.norm_schema())
+                )
+            outs.append(nt)
+        return pa.concat_tables(outs)
+
+    with _PLAN_LOCK:
+        ds = rd.from_items(chunks, override_num_blocks=len(chunks)).map_batches(
+            scan, batch_size=1, batch_format="pyarrow"
+        )
+    import ray
+
+    partials = [ray.get(r) for r in ds.to_arrow_refs()]
+    partials = [p for p in partials if p.num_columns]  # drop schemaless empties
+    if not partials or sum(p.num_rows for p in partials) == 0:
+        return schema.empty_table()
+    merged = pa.concat_tables(partials, promote_options="default")
+    final = fold_changes(
+        pl.from_arrow(merged), key_cols=key_cols, field_names=field_names
+    )
+    return (
+        changes_to_state(final, list(schema.names))
+        .sort(list(key_cols), maintain_order=True)
+        .select(list(schema.names))
+        .to_arrow()
+        .cast(schema)
+    )
+
+
+def reconcile(engine, events_dir: str) -> dict:
+    """Detect diverged epochs and repair every table; see module docstring."""
+    from .replay import _file_sha256, discover_epoch_files
+
+    div = detect_divergence(engine, events_dir)
+    if not div["files"] and not div["missing"]:
+        return {"diverged_epochs": [], "rewritten_partitions": 0}
+
+    store = engine.store
+    version = store.next_version()
+    applied = store.applied_epochs()
+    by_epoch = discover_epoch_files(events_dir)
+    scan_files = [f for e in sorted(applied) for f in by_epoch.get(e, [])]
+    diverged_epochs = set(div["epochs"])
+
+    # current content of the diverged files (the "re-exported blocks")
+    new_events: list[pa.Table] = []
+    for f in div["files"]:
+        import pyarrow.parquet as pq_
+
+        new_events.append(engine._normalize(pq_.read_table(f)))
+
+    tables = [(None, ("repo", "path"), STATE_SCHEMA)] + [
+        (spec, spec.key_cols, spec.state_schema()) for spec in engine.entity_specs
+    ]
+    n_rewritten = 0
+    for entity, key_cols, schema in tables:
+        tname = None if entity is None else entity.name
+        # 1. affected keys
+        key_set: set[str] = set()
+        for nt in new_events:
+            et = nt
+            if entity is not None:
+                from ..entities import finalize_entity_batch
+
+                et = finalize_entity_batch(entity.derive(nt), entity,
+                                           engine.config.num_partitions)
+            key_set.update(_key_strings(et, key_cols).to_pylist())
+        stale = engine.read_state(include_deleted=True, table=tname).map_batches(
+            lambda t, kc=key_cols: pa.table(
+                {"k": _key_strings(t, kc)}
+            ).filter(pc.is_in(t.column("src_epoch"),
+                              value_set=pa.array(sorted(diverged_epochs), type=pa.int64()))),
+            batch_format="pyarrow",
+        )
+        import ray
+
+        for ref in stale.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_columns:
+                key_set.update(t.column("k").to_pylist())
+        if not key_set:
+            continue
+
+        # 2. correct winners from the applied log's CURRENT contents
+        corrected = _corrected_winners(engine, scan_files, entity, key_set)
+        corrected_keys = _key_strings(corrected, key_cols)
+
+        # 3. rewrite only the partitions containing affected keys
+        plans = store.partition_plans(
+            engine.config.num_partitions, upto=version - 1, table=tname
+        )
+        key_tbl = pa.table(
+            {
+                "k": pa.array(sorted(key_set), type=pa.string()),
+            }
+        )
+        # which partition does each affected key live in?  recompute from the
+        # corrected rows where available; keys that vanished entirely still
+        # need their old partitions rewritten — take parts from BOTH sides
+        parts_needed: set[int] = set()
+        if corrected.num_rows:
+            parts_needed.update(
+                partition_ids_for(
+                    [corrected.column(k) for k in key_cols],
+                    engine.config.num_partitions,
+                ).to_pylist()
+            )
+        for p, plan in plans.items():
+            if not (plan["pieces"] or plan["base"]):
+                continue
+            cur = resolve_plan(plan, entity)
+            hit = pc.is_in(_key_strings(cur, key_cols), value_set=key_tbl.column("k"))
+            if pc.any(hit).as_py():
+                parts_needed.add(p)
+        corrected_parts = (
+            partition_ids_for(
+                [corrected.column(k) for k in key_cols], engine.config.num_partitions
+            )
+            if corrected.num_rows
+            else pa.array([], type=pa.int32())
+        )
+        for p in sorted(parts_needed):
+            cur = resolve_plan(plans[p], entity)
+            keep = cur.filter(
+                pc.invert(
+                    pc.is_in(_key_strings(cur, key_cols), value_set=key_tbl.column("k"))
+                )
+            )
+            ins = corrected.filter(pc.equal(corrected_parts, p))
+            out = pa.concat_tables([keep, ins]).cast(schema)
+            out = out.sort_by([(k, "ascending") for k in key_cols])
+            store.commit_base(p, version, out, tname)
+            n_rewritten += 1
+
+    # 4. rebuild the derived additive table from the corrected log
+    if engine.config.derived_stats and scan_files:
+        _rebuild_derived(engine, scan_files, version)
+
+    store.commit_cycle(
+        version,
+        {
+            "version": version,
+            "type": "reconcile",
+            "epochs": [],
+            "files": div["files"],
+            "fragments": [],
+            "tables": {},
+            "file_hashes": {f: _file_sha256(f) for f in div["files"]},
+            "cleared_files": div["missing"],
+            "reconciled_epochs": sorted(diverged_epochs),
+            "lineage": [],
+        },
+    )
+    return {
+        "diverged_epochs": sorted(diverged_epochs),
+        "diverged_files": div["files"],
+        "missing_files": div["missing"],
+        "rewritten_partitions": n_rewritten,
+        "version": version,
+    }
+
+
+def _rebuild_derived(engine, scan_files: list[str], version: int) -> None:
+    from ..state.manifest import atomic_write_table
+    from .derived import merge_repo_stats, repo_stats_partial
+    from .replay import _PLAN_LOCK, plan_read_chunks
+
+    normalize = engine._normalize
+    chunks = plan_read_chunks(scan_files)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        outs = []
+        for row in batch.to_pylist():
+            t = pq_.ParquetFile(row["file"]).read_row_groups(list(row["row_groups"]))
+            outs.append(repo_stats_partial(normalize(t)))
+        return pa.concat_tables(outs)
+
+    with _PLAN_LOCK:
+        ds = rd.from_items(chunks, override_num_blocks=len(chunks)).map_batches(
+            scan, batch_size=1, batch_format="pyarrow"
+        )
+    import ray
+
+    partials = [ray.get(r) for r in ds.to_arrow_refs()]
+    partials = [p for p in partials if p.num_columns]
+    merged = merge_repo_stats(partials)
+    base_dir = engine.store.root / "derived" / "repo_stats"
+    atomic_write_table(base_dir / f"base-version={version:012d}.parquet", merged)

@@ -51,6 +51,20 @@ from ..state.manifest import StateStore
 
 _EPOCH_FILE_RE = re.compile(r"epoch=(\d+)(?:-[^.]*)?\.parquet$")
 
+
+def _file_sha256(path: str) -> str:
+    """Streamed sha256 of an event file — the divergence fingerprint recorded
+    in cycle markers (the reorg analog of storing each block's hash so a later
+    reconcile can diff stored vs source,
+    ``ethereumetl/streaming/eth_reorg_adapter.py:102-114``)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
 #: Dataset CONSTRUCTION (read planning) is serialized across the inflight-step
 #: threads: Ray's path resolution probes optional fsspec modules, and a
 #: concurrent failed import races to a partial module (plain ImportError
@@ -149,6 +163,7 @@ class ReplayEngine:
         (per-partition lineage rows, fragment descriptors).  Safe under task
         retries and driver crashes: only fragments referenced by the committed
         cycle marker are ever read (see state/manifest.py protocol)."""
+        file_hashes = {f: _file_sha256(f) for f in files}
         chunks = plan_read_chunks(files)
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
@@ -250,6 +265,7 @@ class ReplayEngine:
             sorted(by_part.values(), key=lambda d: d["partition_id"]),
             list(frags.values()),
             {name: list(tf.values()) for name, tf in table_frags.items()},
+            file_hashes,
         )
 
     # ----------------------------------------------------------------- replay
@@ -304,7 +320,7 @@ class ReplayEngine:
             # markers commit strictly in version order (checkpoint contract),
             # even though the fragment writes themselves overlap
             for version, chunk, files, fut in futures:
-                rows, frags, table_frags = fut.result()
+                rows, frags, table_frags, file_hashes = fut.result()
                 total_events += sum(r["events_in"] for r in rows)
                 self.store.commit_cycle(
                     version,
@@ -314,6 +330,7 @@ class ReplayEngine:
                         "files": files,
                         "fragments": frags,
                         "tables": table_frags,
+                        "file_hashes": file_hashes,
                         "lineage": rows,
                     },
                 )
@@ -496,6 +513,15 @@ class ReplayEngine:
     def gaps(self, events_dir: str) -> list[int]:
         """Epochs delivered upstream but never applied (J9 anti-join)."""
         return self.store.gaps(sorted(discover_epoch_files(events_dir)))
+
+    def reconcile(self, events_dir: str) -> dict:
+        """Reorg repair: diff recorded per-file hashes vs the log on disk,
+        recompute the winners of affected keys from the current log contents,
+        and rewrite only the touched partitions (U7 semantics; see
+        pipelines/reconcile.py for the full protocol)."""
+        from .reconcile import reconcile as _reconcile
+
+        return _reconcile(self, events_dir)
 
     def metrics(self) -> dict:
         """Run-level observability rollup from the lineage records — the
