@@ -163,7 +163,13 @@ class ReplayEngine:
         (per-partition lineage rows, fragment descriptors).  Safe under task
         retries and driver crashes: only fragments referenced by the committed
         cycle marker are ever read (see state/manifest.py protocol)."""
-        file_hashes = {f: _file_sha256(f) for f in files}
+        # divergence fingerprints for the marker (reorg reconcile input);
+        # hashlib releases the GIL on large updates, so a thread pool keeps
+        # this off the apply step's critical path
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=8) as _pool:
+            file_hashes = dict(zip(files, _pool.map(_file_sha256, files)))
         chunks = plan_read_chunks(files)
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize

@@ -65,3 +65,63 @@ def test_hot_key_correct_and_compacted(tmp_path):
     lin = engine.lineage_table().to_pandas()
     total_frag_rows = (lin["rows_upserted"] + lin["rows_deleted"]).sum()
     assert total_frag_rows < 2_500, total_frag_rows
+
+
+def test_single_pathological_key_bounded(tmp_path):
+    """ONE key is 99% of a 10× corpus (200k events).  No salting is needed
+    because the serial-per-key work is bounded BY CONSTRUCTION: chunk tasks
+    are size-bounded and each folds its events for the key to ONE net row
+    (compaction-before-layout), so per-task wall time is independent of how
+    many events target the key; the partition resolve then folds at most
+    (#chunks) rows for it.  Asserts correctness, the fold-volume bound, and
+    bounded task wall time on the 10× corpus."""
+    import time
+
+    n, n_epochs = 200_000, 8
+    rng = np.random.default_rng(7)
+    d = tmp_path / "events"
+    d.mkdir()
+    hot = rng.random(n) < 0.99
+    repo = np.where(hot, "org0/hot", [f"org1/cold{i % 100}" for i in range(n)])
+    path = np.where(hot, "src/main.rs", [f"f{i % 500}.py" for i in range(n)])
+    ordinal = np.arange(n, dtype=np.int64)
+    epoch = ordinal // (n // n_epochs)
+    t = pa.table(
+        {
+            "ordinal": pa.array(ordinal),
+            "epoch": pa.array(epoch),
+            "op": pa.array(["update"] * n),
+            "repo": pa.array(repo.tolist()),
+            "path": pa.array(path.tolist()),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["rust"] * n),
+            "content": pa.array([f"content body v{i}" for i in range(n)], type=pa.large_string()),
+            "event_id": pa.array([f"e{i}" for i in range(n)]),
+        }
+    )
+    for e in np.unique(epoch):
+        sub = t.filter(pa.compute.equal(t.column("epoch"), int(e)))
+        pq.write_table(sub, d / f"epoch={int(e):06d}.parquet", row_group_size=4096)
+
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    t0 = time.monotonic()
+    summary = engine.replay(str(d))
+    wall = time.monotonic() - t0
+    assert summary["events_applied"] == n
+
+    got = engine.read_state().to_pandas()
+    hot_row = got[(got["repo"] == "org0/hot")]
+    assert len(hot_row) == 1
+    last_hot = int(ordinal[hot][-1])
+    assert hot_row.iloc[0]["ordinal"] == last_hot
+    assert hot_row.iloc[0]["content_sha256"] is not None
+
+    lin = engine.lineage_table().to_pandas()
+    # fold bound: fragment rows ~ unique keys per chunk, NOT raw event count
+    total_frag_rows = (lin["rows_upserted"] + lin["rows_deleted"]).sum()
+    assert total_frag_rows < 20_000, total_frag_rows
+    # bounded per-task wall: the slowest fragment task stays chunk-sized
+    assert lin["wall_s"].max() < 15, lin["wall_s"].max()
+    assert wall < 120, wall
