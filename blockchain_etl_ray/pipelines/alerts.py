@@ -91,22 +91,101 @@ class Alert:
     receivers: list[str] = field(default_factory=lambda: ["console"])
 
 
+def load_config_yaml(path: str, var_dir: str | None = None) -> dict:
+    """Load a Jinja-templated YAML config with ``!include`` and ``.var``
+    variable files — the reference's rule/track packaging
+    (``blockchainetl/alert/rule_set.py:16-38`` ``parse_jinja_rule``): every
+    ``<name>.var`` JSON file in ``var_dir`` becomes a template variable, the
+    rendered text is YAML-parsed, and ``!include other.yaml`` splices a file
+    relative to the config's directory."""
+    import os
+
+    import jinja2
+    import yaml
+
+    variables: dict = {}
+    if var_dir and os.path.isdir(var_dir):
+        for f in sorted(os.listdir(var_dir)):
+            full = os.path.join(var_dir, f)
+            if os.path.isfile(full) and f.endswith(".var"):
+                variables[f[: -len(".var")]] = json.loads(open(full).read())
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    rendered = jinja2.Template(open(path).read()).render(**variables)
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    def _include(loader, node):
+        rel = loader.construct_scalar(node)
+        with open(os.path.join(base_dir, rel)) as fh:
+            return yaml.load(
+                jinja2.Template(fh.read()).render(**variables), Loader=_Loader
+            )
+
+    _Loader.add_constructor("!include", _include)
+    return yaml.load(rendered, Loader=_Loader)
+
+
 class AlertSet:
     """Evaluate many alert rules in one vectorized pass over a Dataset."""
 
-    def __init__(self, alerts: list[Alert], receiver_kwargs: dict | None = None):
+    def __init__(
+        self,
+        alerts: list[Alert],
+        receiver_kwargs: dict | None = None,
+        receiver_configs: dict[str, dict] | None = None,
+    ):
         self.alerts = alerts
         self._preds = {a.name: compile_rule(a.rule) for a in alerts}
         kw = receiver_kwargs or {}
+        configs = receiver_configs or {}
         self._receivers: dict[str, Receiver] = {}
         for a in alerts:
             for rname in a.receivers:
-                if rname not in self._receivers:
-                    if rname not in RECEIVERS:
+                if rname in self._receivers:
+                    continue
+                if rname in configs:
+                    # named receiver config: {"receiver": <type>, "init_args": {}}
+                    # (the reference's dynamic-import shape, rule_set.py:96-106)
+                    typo = configs[rname]["receiver"]
+                    if typo not in RECEIVERS:
                         raise KeyError(
-                            f"unknown receiver {rname!r}; registered: {sorted(RECEIVERS)}"
+                            f"unknown receiver type {typo!r}; registered: {sorted(RECEIVERS)}"
                         )
-                    self._receivers[rname] = RECEIVERS[rname](**kw.get(rname, {}))
+                    self._receivers[rname] = RECEIVERS[typo](
+                        **configs[rname].get("init_args", {})
+                    )
+                    continue
+                if rname not in RECEIVERS:
+                    raise KeyError(
+                        f"unknown receiver {rname!r}; registered: {sorted(RECEIVERS)}"
+                    )
+                self._receivers[rname] = RECEIVERS[rname](**kw.get(rname, {}))
+
+    @classmethod
+    def from_yaml(cls, path: str, var_dir: str | None = None) -> "AlertSet":
+        """Build an AlertSet from a rule-set file:
+
+        .. code-block:: yaml
+
+            receivers:
+              audit: {receiver: jsonl, init_args: {path: /tmp/a.jsonl}}
+            rules:            # or  rules: !include rules.yaml
+              - name: big_purchase
+                rule: "event_type == 'purchase' and value > {{ threshold }}"
+                receivers: [audit]
+        """
+        data = load_config_yaml(path, var_dir)
+        alerts = [
+            Alert(
+                name=r.get("name") or r["id"],
+                rule=r["rule"],
+                receivers=list(r.get("receivers") or ["console"]),
+            )
+            for r in (data.get("rules") or [])
+        ]
+        return cls(alerts, receiver_configs=data.get("receivers") or {})
 
     def matches(self, ds: rd.Dataset) -> rd.Dataset:
         """One map_batches pass emitting (rule, *row) for every match."""

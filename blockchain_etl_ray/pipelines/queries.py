@@ -811,6 +811,43 @@ def users_without_big_purchase(sf_dir: str):
     return _stable(distinct, [("user_id", pa.int64())])
 
 
+@register(
+    "track_user_flows",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+      FROM events WHERE event_type = 'purchase'),
+    flow(node, hop) AS (
+      SELECT CAST(UNNEST([0, 1, 2]) AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+      UNION ALL
+      SELECT e.dst, f.hop + 1
+      FROM flow f JOIN edges e ON e.src = f.node
+      WHERE f.hop < 3)
+    SELECT node, MIN(hop) AS hop FROM flow GROUP BY node
+    """,
+)
+def track_user_flows(sf_dir: str):
+    """§2.10 track surface ("follow the money",
+    ``blockchainetl/track/track_set.py:19-130``): BFS taint expansion from
+    seed users over the purchase edge stream — each hop is one vectorized
+    broadcast-semi-join pass; the oracle is a recursive CTE with MIN(hop)."""
+    from ..pipelines.track import track_flows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "src": pc.cast(t.column("user_id"), pa.int64()),
+                "dst": _mod(t.column("event_id"), 150),
+            }
+        )
+
+    edges = ds.map_batches(prep, batch_format="pyarrow")
+    return track_flows(edges, seeds=[0, 1, 2], src_col="src", dst_col="dst", max_hops=3)
+
+
 # ===========================================================================
 # Text / training-data operators (documents table)
 # ===========================================================================

@@ -116,7 +116,9 @@ def _corrected_winners(
 
         outs = []
         for row in batch.to_pylist():
-            t = pq_.ParquetFile(row["file"]).read_row_groups(list(row["row_groups"]))
+            t = pq_.ParquetFile(row["file"]).read_row_groups(
+                list(row["row_groups"]), columns=row.get("columns")
+            )
             nt = normalize(t)
             if entity is not None:
                 nt = finalize_entity_batch(entity.derive(nt), entity, num_partitions)
@@ -304,7 +306,9 @@ def _rebuild_derived(engine, scan_files: list[str], version: int) -> None:
 
         outs = []
         for row in batch.to_pylist():
-            t = pq_.ParquetFile(row["file"]).read_row_groups(list(row["row_groups"]))
+            t = pq_.ParquetFile(row["file"]).read_row_groups(
+                list(row["row_groups"]), columns=row.get("columns")
+            )
             outs.append(repo_stats_partial(normalize(t)))
         return pa.concat_tables(outs)
 

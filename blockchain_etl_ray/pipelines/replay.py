@@ -43,7 +43,7 @@ from pathlib import Path
 import pyarrow as pa
 import ray.data as rd
 
-from ..schema import DEFAULT_RENAMES, LINEAGE_SCHEMA, STATE_SCHEMA
+from ..schema import DEFAULT_RENAMES, EVENT_FIELDS, LINEAGE_SCHEMA, STATE_SCHEMA
 from ..stages.compact import compact_batch
 from ..stages.merge import FragmentSpec, resolve_plan, write_fragment
 from ..stages.normalize import make_normalizer
@@ -82,25 +82,71 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
     return out
 
 
-def plan_read_chunks(files: list[str], target_bytes: int = 32 << 20) -> list[dict]:
+def plan_read_chunks(
+    files: list[str],
+    target_bytes: int = 32 << 20,
+    columns: list[str] | None = None,
+    stat_filter: tuple[str, str, float] | None = None,
+) -> list[dict]:
     """Split input files into ~``target_bytes`` row-group chunk descriptors
-    from parquet footers only (column pruning/pushdown would hook in here).
+    from parquet footers only, with read-path pushdown:
+
+    - ``columns``: only these columns are read (intersected with each file's
+      schema); chunk sizing then counts only the SELECTED columns' bytes, so
+      a wide corpus with payload columns the pipeline never touches neither
+      inflates chunk count nor leaves storage — the engine analog of the
+      reference's topic/address source filters
+      (``ethereumetl/streaming/eth_base_adapter.py:88-110``);
+    - ``stat_filter`` ``(col, op, value)`` with op in {">=", "<=", ">", "<"}:
+      row groups whose footer min/max statistics PROVE no row can match are
+      skipped entirely (zone-map pruning — e.g. resume-from-ordinal reads
+      skip fully-applied row groups without opening them).
+
     A file whose row groups are huge simply yields row-group-sized chunks."""
     import pyarrow.parquet as pq_
 
     chunks: list[dict] = []
     for f in files:
-        md = pq_.ParquetFile(f).metadata
+        pf = pq_.ParquetFile(f)
+        md = pf.metadata
+        schema_names = pf.schema_arrow.names
+        sel = None
+        col_idx: list[int] | None = None
+        if columns is not None:
+            sel = [c for c in columns if c in schema_names]
+            if set(sel) == set(schema_names):
+                sel = None
+            else:
+                col_idx = [schema_names.index(c) for c in sel]
+        filt_idx = None
+        if stat_filter is not None and stat_filter[0] in schema_names:
+            filt_idx = schema_names.index(stat_filter[0])
         cur: list[int] = []
         cur_bytes = 0
         for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            if filt_idx is not None:
+                col, op, val = stat_filter
+                stats = rgm.column(filt_idx).statistics
+                if stats is not None and stats.has_min_max:
+                    lo, hi = stats.min, stats.max
+                    if (
+                        (op == ">=" and hi < val)
+                        or (op == ">" and hi <= val)
+                        or (op == "<=" and lo > val)
+                        or (op == "<" and lo >= val)
+                    ):
+                        continue  # zone-map proved empty
+            if col_idx is None:
+                cur_bytes += rgm.total_byte_size
+            else:
+                cur_bytes += sum(rgm.column(j).total_compressed_size for j in col_idx)
             cur.append(rg)
-            cur_bytes += md.row_group(rg).total_byte_size
             if cur_bytes >= target_bytes:
-                chunks.append({"file": f, "row_groups": cur})
+                chunks.append({"file": f, "row_groups": cur, "columns": sel})
                 cur, cur_bytes = [], 0
         if cur:
-            chunks.append({"file": f, "row_groups": cur})
+            chunks.append({"file": f, "row_groups": cur, "columns": sel})
     return chunks
 
 
@@ -170,7 +216,13 @@ class ReplayEngine:
 
         with _TPE(max_workers=8) as _pool:
             file_hashes = dict(zip(files, _pool.map(_file_sha256, files)))
-        chunks = plan_read_chunks(files)
+        # column pruning at the read: only the canonical event columns (plus
+        # declared rename sources) ever leave storage — payload columns a
+        # wide upstream ships alongside are never read
+        needed = sorted(
+            {name for name, _ in EVENT_FIELDS} | set(self.config.rename_map)
+        )
+        chunks = plan_read_chunks(files, columns=needed)
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
         with_derived = self.config.derived_stats
@@ -188,7 +240,7 @@ class ReplayEngine:
             outs = []
             for row in batch.to_pylist():
                 t = pq_.ParquetFile(row["file"]).read_row_groups(
-                    list(row["row_groups"])
+                    list(row["row_groups"]), columns=row.get("columns")
                 )
                 nt = normalize(t)
                 stats = write_fragment(compact_batch(nt), spec)

@@ -1,0 +1,152 @@
+"""Track surface: "follow the flow" taint propagation over an edge stream.
+
+Reference: YAML track specs seed a set of addresses; as value moves from a
+tracked address to a new one, the destination joins the tracked set with a
+hop count, and matched movements route to pluggable receivers
+(``blockchainetl/track/track_set.py:19-130``, ``track.py:6-50``,
+``blockchainetl/jobs/exporters/track_exporter.py:27-319``).
+
+Ray-Data-first shape: breadth-first frontier expansion.  Each hop is ONE
+vectorized pass over the edge Dataset with the (small) current frontier
+broadcast — a semi-join on the source column — emitting the distinct new
+destinations; the driver only ever holds the tracked-node set (the same
+size the reference keeps in its track store).  The hop loop is bounded by
+``max_hops``, so the whole expansion is ``max_hops`` streamed passes, no
+all-to-all.  When a frontier outgrows broadcast budget at extreme scale,
+swap the semi-join for the same pass with a ``groupby(dst)`` distinct —
+shape documented here, not needed at sandbox scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .alerts import RECEIVERS, Receiver, load_config_yaml
+
+
+def track_flows(
+    edges: rd.Dataset,
+    seeds: list,
+    src_col: str,
+    dst_col: str,
+    max_hops: int = 3,
+) -> pa.Table:
+    """BFS taint expansion: (node, hop) for every node reachable from the
+    seeds in ≤ max_hops edge traversals; hop is the MINIMUM distance (BFS
+    order guarantees it).  Seeds are hop 0."""
+    tracked: dict = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        frontier_arr = pa.array(frontier)
+
+        def hits(batch: pa.Table, fr=frontier_arr) -> pa.Table:
+            m = pc.is_in(batch.column(src_col), value_set=fr)
+            sel = batch.filter(m)
+            return pa.table({"dst": pc.unique(sel.column(dst_col))})
+
+        new: set = set()
+        for b in edges.map_batches(hits, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            new.update(b.column("dst").to_pylist())
+        frontier = [d for d in sorted(new) if d not in tracked]
+        for d in frontier:
+            tracked[d] = hop
+    nodes = sorted(tracked)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "hop": pa.array([tracked[n] for n in nodes], type=pa.int64()),
+        }
+    )
+
+
+@dataclass
+class TrackSpec:
+    name: str
+    seeds: list
+    src_col: str
+    dst_col: str
+    max_hops: int = 3
+    receivers: list[str] = field(default_factory=lambda: ["console"])
+
+
+class TrackSet:
+    """Named track specs + receiver routing (TrackSets analog)."""
+
+    def __init__(
+        self,
+        tracks: list[TrackSpec],
+        receiver_configs: dict[str, dict] | None = None,
+    ):
+        self.tracks = {t.name: t for t in tracks}
+        configs = receiver_configs or {}
+        self._receivers: dict[str, Receiver] = {}
+        for t in tracks:
+            for rname in t.receivers:
+                if rname in self._receivers:
+                    continue
+                if rname in configs:
+                    typo = configs[rname]["receiver"]
+                    self._receivers[rname] = RECEIVERS[typo](
+                        **configs[rname].get("init_args", {})
+                    )
+                else:
+                    self._receivers[rname] = RECEIVERS[rname]()
+
+    @classmethod
+    def from_yaml(cls, path: str, var_dir: str | None = None) -> "TrackSet":
+        """YAML shape mirrors the reference's track sets:
+
+        .. code-block:: yaml
+
+            receivers:
+              audit: {receiver: jsonl, init_args: {path: /tmp/t.jsonl}}
+            tracks:
+              - name: hot_wallet
+                seeds: [0, 1, 2]
+                src_col: src
+                dst_col: dst
+                max_hops: 3
+                receivers: [audit]
+        """
+        data = load_config_yaml(path, var_dir)
+        tracks = [
+            TrackSpec(
+                name=t.get("name") or t["id"],
+                seeds=list(t["seeds"]),
+                src_col=t.get("src_col", "src"),
+                dst_col=t.get("dst_col", "dst"),
+                max_hops=int(t.get("max_hops", 3)),
+                receivers=list(t.get("receivers") or ["console"]),
+            )
+            for t in (data.get("tracks") or [])
+        ]
+        return cls(tracks, receiver_configs=data.get("receivers") or {})
+
+    def run(self, edges: rd.Dataset) -> dict[str, pa.Table]:
+        """Expand every track and route its (node, hop) rows to receivers."""
+        out: dict[str, pa.Table] = {}
+        for r in self._receivers.values():
+            r.open()
+        try:
+            for t in self.tracks.values():
+                tbl = track_flows(
+                    edges, t.seeds, t.src_col, t.dst_col, t.max_hops
+                )
+                out[t.name] = tbl
+                for rname in t.receivers:
+                    self._receivers[rname].receive(t.name, tbl.to_pylist())
+        finally:
+            for r in self._receivers.values():
+                r.close()
+        return out
+
+    def receiver(self, name: str) -> Receiver:
+        return self._receivers[name]

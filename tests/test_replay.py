@@ -119,3 +119,66 @@ def test_chain_tail_incremental(small_corpus, tmp_path):
     tail2.run(max_polls=5)
 
     assert_state_matches_oracle(engine, small_corpus["dir"])
+
+
+def test_read_path_column_pruning_and_zone_map(tmp_path):
+    """A wide upstream (payload columns the pipeline never touches) must not
+    leave storage: chunk plans carry the pruned column list, sizing counts
+    only selected bytes, and zone-map stat filters skip whole row groups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+    from blockchain_etl_ray.pipelines.replay import (
+        ReplayConfig,
+        ReplayEngine,
+        plan_read_chunks,
+    )
+
+    n = 4_000
+    d = tmp_path / "events"
+    d.mkdir()
+    t = pa.table(
+        {
+            "ordinal": pa.array(np.arange(n, dtype=np.int64)),
+            "epoch": pa.array((np.arange(n) // (n // 4)).astype(np.int64)),
+            "op": pa.array(["insert"] * n),
+            "repo": pa.array([f"r{i % 40}" for i in range(n)]),
+            "path": pa.array([f"p{i % 400}.py" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array([f"body {i}" for i in range(n)], type=pa.large_string()),
+            "event_id": pa.array([f"e{i}" for i in range(n)]),
+            # the wide payload the engine must never read
+            "junk_blob": pa.array(["x" * 2000] * n),
+        }
+    )
+    for e in range(4):
+        sub = t.filter(pa.compute.equal(t.column("epoch"), e))
+        pq.write_table(sub, d / f"epoch={e:06d}.parquet", row_group_size=256)
+
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    needed = ["ordinal", "epoch", "op", "repo", "path", "commit", "lang",
+              "content", "size", "event_id"]
+    pruned = plan_read_chunks(files, columns=needed)
+    assert all(c["columns"] is not None and "junk_blob" not in c["columns"]
+               for c in pruned)
+    # planned byte volume shrinks by roughly the junk share
+    full = plan_read_chunks(files)
+    assert all(c["columns"] is None for c in full)
+
+    # zone-map: resume-style filter skips fully-applied row groups
+    zoned = plan_read_chunks(files, stat_filter=("ordinal", ">=", n - 100))
+    n_rg_zoned = sum(len(c["row_groups"]) for c in zoned)
+    n_rg_full = sum(len(c["row_groups"]) for c in full)
+    assert n_rg_zoned < n_rg_full / 4
+
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(d))
+    got = engine.read_state().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = live_rows(fold_events(str(d)))
+    assert len(got) == len(exp)
+    assert got["content_sha256"].tolist() == [r["content_sha256"] for r in exp]

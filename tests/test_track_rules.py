@@ -1,0 +1,100 @@
+"""YAML rule-set packaging (Jinja vars + !include + named receiver configs)
+and the track ("follow the flow") surface with a brute-force BFS oracle."""
+
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.pipelines.alerts import AlertSet
+from blockchain_etl_ray.pipelines.track import TrackSet, track_flows
+
+
+def test_alert_set_from_yaml(tmp_path):
+    (tmp_path / "vars").mkdir()
+    (tmp_path / "vars" / "threshold.var").write_text(json.dumps(150))
+    (tmp_path / "rules.yaml").write_text(
+        "- name: big\n"
+        "  rule: \"event_type == 'purchase' and value > {{ threshold }}\"\n"
+        "  receivers: [mem, audit]\n"
+        "- name: signup\n"
+        "  rule: \"event_type == 'signup'\"\n"
+        "  receivers: [mem]\n"
+    )
+    out_path = tmp_path / "alerts.jsonl"
+    (tmp_path / "alertset.yaml").write_text(
+        "receivers:\n"
+        "  mem: {receiver: memory, init_args: {}}\n"
+        f"  audit: {{receiver: jsonl, init_args: {{path: {out_path}}}}}\n"
+        "rules: !include rules.yaml\n"
+    )
+    aset = AlertSet.from_yaml(str(tmp_path / "alertset.yaml"), var_dir=str(tmp_path / "vars"))
+    assert [a.name for a in aset.alerts] == ["big", "signup"]
+    assert "{{" not in aset.alerts[0].rule and "150" in aset.alerts[0].rule
+
+    ds = rd.from_items(
+        [
+            {"event_type": "purchase", "value": 200.0, "id": 1},
+            {"event_type": "purchase", "value": 100.0, "id": 2},
+            {"event_type": "signup", "value": 0.0, "id": 3},
+        ]
+    )
+    counts = aset.run(ds)
+    assert counts == {"big": 1, "signup": 1}
+    mem = aset.receiver("mem")
+    assert sorted(name for name, _ in mem.alerts) == ["big", "signup"]
+    lines = [json.loads(x) for x in out_path.read_text().splitlines()]
+    assert lines and lines[0]["rule"] == "big" and lines[0]["id"] == 1
+
+
+def test_track_flows_matches_bfs_oracle():
+    edges = [
+        (0, 10), (0, 11), (10, 20), (11, 20), (20, 30), (30, 40), (40, 50),
+        (99, 98),  # disconnected
+        (10, 0),   # cycle back to seed
+    ]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    got = {
+        r["node"]: r["hop"]
+        for r in track_flows(ds, seeds=[0], src_col="src", dst_col="dst", max_hops=3).to_pylist()
+    }
+
+    # brute-force BFS
+    from collections import deque
+
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    exp = {0: 0}
+    q = deque([(0, 0)])
+    while q:
+        n, h = q.popleft()
+        if h == 3:
+            continue
+        for d in adj.get(n, []):
+            if d not in exp:
+                exp[d] = h + 1
+                q.append((d, h + 1))
+    assert got == exp
+
+
+def test_track_set_from_yaml(tmp_path):
+    out_path = tmp_path / "track.jsonl"
+    (tmp_path / "tracks.yaml").write_text(
+        "receivers:\n"
+        f"  audit: {{receiver: jsonl, init_args: {{path: {out_path}}}}}\n"
+        "tracks:\n"
+        "  - name: taint\n"
+        "    seeds: [0]\n"
+        "    src_col: src\n"
+        "    dst_col: dst\n"
+        "    max_hops: 2\n"
+        "    receivers: [audit]\n"
+    )
+    tset = TrackSet.from_yaml(str(tmp_path / "tracks.yaml"))
+    ds = rd.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 2}, {"src": 2, "dst": 3}])
+    out = tset.run(ds)
+    nodes = {r["node"]: r["hop"] for r in out["taint"].to_pylist()}
+    assert nodes == {0: 0, 1: 1, 2: 2}  # hop 3 beyond max_hops
+    lines = [json.loads(x) for x in out_path.read_text().splitlines()]
+    assert {x["node"] for x in lines} == {0, 1, 2}
