@@ -1,0 +1,101 @@
+"""Adaptive retry policy: bounded retries + AIMD work sizing.
+
+Reference: ``blockchainetl/executors/batch_work_executor.py`` — work batches
+HALVE on error (down to singletons), DOUBLE back after a 120 s error-free
+cooldown (``:72-114,45``), and ``execute_with_retries`` makes 5 attempts with
+linear backoff gated on a retriable-exception allowlist (``:120-141,34-43``).
+
+Ray already retries individual TASKS (lineage re-execution) and the engine's
+manifest protocol makes any task retry safe; this layer covers DRIVER-visible
+step failures (storage hiccups, transient OOM from oversized chunks) the same
+way the reference covers flaky RPC ranges: shrink the read-chunk target
+multiplicatively, retry the step, and grow back additively-in-time once calm.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RetryPolicy:
+    max_attempts: int = 5
+    backoff_seconds: float = 0.5  # linear: attempt i sleeps i * backoff
+    #: exception type NAMES considered transient (checked along the
+    #: __cause__/cause chain, so Ray's RayTaskError wrappers unwrap)
+    retriable: tuple = (
+        "OSError",
+        "IOError",
+        "TimeoutError",
+        "ArrowIOError",
+        "ObjectLostError",
+        "ObjectFetchTimedOutError",
+        "RayTaskError",
+    )
+
+
+def is_retriable(exc: BaseException, policy: RetryPolicy) -> bool:
+    seen = 0
+    e: BaseException | None = exc
+    while e is not None and seen < 10:
+        if type(e).__name__ in policy.retriable:
+            # RayTaskError itself is only retriable if its cause is (or is
+            # unavailable) — a deterministic user bug must NOT retry
+            if type(e).__name__ == "RayTaskError":
+                cause = getattr(e, "cause", None)
+                if cause is not None:
+                    return is_retriable(cause, policy)
+            return True
+        e = e.__cause__ or e.__context__
+        seen += 1
+    return False
+
+
+def execute_with_retries(fn, policy: RetryPolicy | None = None, on_error=None):
+    """Call ``fn()`` with up to ``max_attempts`` attempts, linear backoff,
+    retrying only allowlisted (transient) failures.  ``on_error(exc, attempt)``
+    runs before each retry — the hook where AIMD shrinks the work size."""
+    policy = policy or RetryPolicy()
+    for attempt in range(1, policy.max_attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - classified below
+            if attempt >= policy.max_attempts or not is_retriable(e, policy):
+                raise
+            if on_error is not None:
+                on_error(e, attempt)
+            time.sleep(policy.backoff_seconds * attempt)
+    raise AssertionError("unreachable")
+
+
+@dataclass
+class AimdController:
+    """Multiplicative-decrease / cooldown-doubling controller for a work-size
+    knob (read-chunk bytes here; RPC batch size in the reference)."""
+
+    initial: int = 32 << 20
+    lo: int = 1 << 20
+    hi: int = 256 << 20
+    cooldown_seconds: float = 120.0
+    _current: int = field(default=0, init=False)
+    _last_change: float = field(default=0.0, init=False)
+
+    def __post_init__(self):
+        self._current = self.initial
+        self._last_change = time.monotonic()
+
+    def current(self) -> int:
+        return self._current
+
+    def record_error(self) -> int:
+        self._current = max(self.lo, self._current // 2)
+        self._last_change = time.monotonic()
+        return self._current
+
+    def record_success(self) -> int:
+        now = time.monotonic()
+        if self._current < self.initial and now - self._last_change >= self.cooldown_seconds:
+            self._current = min(self.hi, self.initial, self._current * 2)
+            self._last_change = now
+        return self._current

@@ -1,0 +1,144 @@
+"""Checker family: production-side integrity checks over tables and state.
+
+The reference runs checker jobs as tests-as-monitoring — missing blocks
+(anti-join), duplicated rows, tx/receipt count mismatches — and feeds them to
+an autofix driver (``ethereumetl/jobs/checkers/{block,transaction,log,trace,
+token_transfer,erc721_transfer,tx_receipt}_checker.py``;
+``blockchainetl/cli/gp_autofix.py:219-307``).
+
+Ray-Data-first: each checker is a small distributed pipeline returning the
+VIOLATIONS (empty result = healthy), so they compose into the same catalog /
+oracle machinery as any query:
+
+- :func:`duplicate_keys` — rows sharing a supposedly-unique key (U8 detect);
+- :func:`count_mismatch` — per-key row counts of two streams diverge (the
+  tx-vs-receipt-count checker shape, ``tx_receipt_checker``);
+- :func:`state_integrity` — the engine's own invariants: per-key uniqueness
+  and stored-digest equality (sha256(content) == content_sha256) inside each
+  state partition, checked WHERE THE DATA LIVES (one task per partition, no
+  movement).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count
+
+
+def duplicate_keys(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+    """(key..., n) for keys appearing more than once — the duplicate-row
+    checker.  Pre-aggregation happens inside Ray's hash aggregate; the
+    shuffle carries one row per distinct key, not the raw stream."""
+    agg = ds.groupby(key_cols).aggregate(Count(alias_name="n"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.cast(t.column("n"), pa.int64()), 1))
+
+    return agg.map_batches(only_dups, batch_format="pyarrow")
+
+
+def count_mismatch(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_cols: list[str],
+    left_name: str = "n_left",
+    right_name: str = "n_right",
+) -> rd.Dataset:
+    """Keys whose per-key row counts differ between two streams (tx/receipt
+    consistency check analog).  Tag-union-aggregate: both streams project to
+    (key, is_left, is_right) indicator columns, ONE distributed groupby sums
+    them — no driver-side join, no second shuffle."""
+
+    def tag(is_left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            one = pa.array([1] * n, type=pa.int64())
+            zero = pa.array([0] * n, type=pa.int64())
+            cols = {k: t.column(k) for k in key_cols}
+            cols[left_name] = one if is_left else zero
+            cols[right_name] = zero if is_left else one
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.map_batches(tag(False), batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = both.groupby(key_cols).aggregate(
+        Sum(left_name, alias_name=left_name), Sum(right_name, alias_name=right_name)
+    )
+
+    def mismatched(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(
+                pc.cast(t.column(left_name), pa.int64()),
+                pc.cast(t.column(right_name), pa.int64()),
+            )
+        )
+
+    return agg.map_batches(mismatched, batch_format="pyarrow")
+
+
+def state_integrity(engine, table: str | None = None) -> pa.Table:
+    """Engine self-check, one resolve task per partition: (a) no duplicate
+    keys after LWW resolve, (b) stored digest equals sha256(content) for
+    every live row (the per-row invariant of BASELINE.json's input_hint).
+    Returns a violations table (kind, repo, path)."""
+    from ..functions.hashing import sha256_hex
+
+    def check(t: pa.Table) -> pa.Table:
+        kinds, repos, paths = [], [], []
+        if {"repo", "path"} <= set(t.column_names):
+            keys = pc.binary_join_element_wise(
+                pc.cast(t.column("repo"), pa.string()),
+                pc.cast(t.column("path"), pa.string()),
+                "\x00",
+            )
+            counts = pa.table({"k": keys}).group_by("k").aggregate([("k", "count")])
+            dup = counts.filter(pc.greater(counts.column("k_count"), 1))
+            for k in dup.column("k").to_pylist():
+                r, p = k.split("\x00", 1)
+                kinds.append("duplicate_key")
+                repos.append(r)
+                paths.append(p)
+        if {"content", "content_sha256"} <= set(t.column_names):
+            live = t.filter(pc.invert(t.column("deleted"))) if "deleted" in t.column_names else t
+            digest = sha256_hex(pc.cast(live.column("content"), pa.string()))
+            bad = live.filter(
+                pc.and_kleene(
+                    pc.is_valid(live.column("content_sha256")),
+                    pc.not_equal(digest, live.column("content_sha256")),
+                )
+            )
+            for row in bad.select(["repo", "path"]).to_pylist():
+                kinds.append("digest_mismatch")
+                repos.append(row["repo"])
+                paths.append(row["path"])
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "repo": pa.array(repos, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+            }
+        )
+
+    ds = engine.read_state(include_deleted=True, table=table).map_batches(
+        check, batch_format="pyarrow"
+    )
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_columns]
+    if not parts:
+        return pa.table(
+            {
+                "kind": pa.array([], type=pa.string()),
+                "repo": pa.array([], type=pa.string()),
+                "path": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)

@@ -812,6 +812,179 @@ def users_without_big_purchase(sf_dir: str):
 
 
 @register(
+    "check_duplicate_events",
+    """
+    WITH all_ev AS (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 500))
+    SELECT event_id, COUNT(*) AS n
+    FROM all_ev GROUP BY event_id HAVING COUNT(*) > 1
+    """,
+)
+def check_duplicate_events(sf_dir: str):
+    """Duplicate-row checker (U8 detect; ``ethereumetl/jobs/checkers/*`` +
+    ``gp_autofix.py:219-307``): plant 500 redelivered ids, the checker must
+    report exactly those keys with their multiplicities."""
+    from ..pipelines.checkers import duplicate_keys
+
+    planted = (
+        _tbl(sf_dir, "events", ["event_id"]).sort_by("event_id").slice(0, 500)
+    )
+    ds = _read(sf_dir, "events", ["event_id"]).union(rd.from_arrow(planted))
+    return _stable(
+        duplicate_keys(ds, ["event_id"]),
+        [("event_id", pa.int64()), ("n", pa.int64())],
+    )
+
+
+@register(
+    "check_purchase_count_mismatch",
+    """
+    WITH l AS (SELECT user_id, COUNT(*) AS n_left
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (SELECT user_id, COUNT(*) AS n_right
+               FROM events WHERE event_type = 'purchase' AND value < 100 GROUP BY user_id)
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right
+    FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+    WHERE COALESCE(n_left, 0) <> COALESCE(n_right, 0)
+    """,
+)
+def check_purchase_count_mismatch(sf_dir: str):
+    """Count-mismatch checker (tx-vs-receipt-count shape,
+    ``ethereumetl/jobs/checkers/tx_receipt_checker.py``): per-key row counts
+    of two streams compared via ONE tag-union-aggregate — keys whose counts
+    diverge are the violations."""
+    from ..pipelines.checkers import count_mismatch
+
+    left = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t.column("event_type"), "purchase"),
+                pc.less(t.column("value"), 100.0),
+            )
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    return _stable(
+        count_mismatch(left, right, ["user_id"]),
+        [("user_id", pa.int64()), ("n_left", pa.int64()), ("n_right", pa.int64())],
+    )
+
+
+@register(
+    "purchase_chain_status",
+    """
+    SELECT user_id, event_id,
+           CAST(MIN(status) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS effective_status
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN value < 10 THEN 0 ELSE 1 END AS status
+          FROM events WHERE event_type = 'purchase')
+    """,
+)
+def purchase_chain_status(sf_dir: str):
+    """M7 ordered-group state propagation
+    (``ethereumetl/service/trace_status_calculator.py:31-89``): each user's
+    purchases form a parent→child chain (trace_address-style hierarchical
+    addresses built from the per-user rank); a failed ancestor (value < 10)
+    fails every descendant.  The chain special case is SQL-checkable as a
+    cumulative MIN window; the operator itself handles arbitrary trees
+    (pytest covers branching)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = windows.partition_rank(
+        purchases, by=["user_id"], order=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+
+    def addressed(t: pa.Table) -> pa.Table:
+        rns = t.column("rn").to_pylist()
+        addrs = ["/".join("0" for _ in range(r)) for r in rns]
+        status = pc.cast(
+            pc.greater_equal(t.column("value"), 10.0), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "addr": pa.array(addrs, type=pa.string()),
+                "status": status,
+            }
+        )
+
+    traced = ranked.map_batches(addressed, batch_format="pyarrow")
+    out = windows.propagate_group_status(
+        traced, group_keys=["user_id"], addr_col="addr", status_col="status"
+    )
+    return _stable(
+        out.select_columns(["user_id", "event_id", "effective_status"]),
+        [("user_id", pa.int64()), ("event_id", pa.int64()), ("effective_status", pa.int64())],
+    )
+
+
+_CDC_TOPK_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events)
+    SELECT repo,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS n_inserts,
+           SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS n_updates,
+           SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes,
+           SUM(COALESCE(length(content), 0)) AS sum_bytes,
+           MIN(ordinal) AS first_ordinal,
+           MAX(ordinal) AS last_ordinal
+    FROM cdc GROUP BY repo
+    ORDER BY sum_bytes DESC, repo ASC LIMIT 10
+"""
+
+
+@register("cdc_top_repos_by_bytes", _CDC_TOPK_SQL)
+def cdc_top_repos_by_bytes(sf_dir: str):
+    """Incrementally-MAINTAINED top-k (redis top-holder sorted sets,
+    ``blockchainetl/service/redis_top_holder_service.py``): the replay keeps
+    per-repo additive partials up to date batch-by-batch, so top-k reads only
+    the derived table (bounded by #repos), never rescanning events."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+    out = engine.top_repos(10, by="sum_bytes")
+    fields = [
+        ("repo", pa.string()),
+        ("n_events", pa.int64()),
+        ("n_inserts", pa.int64()),
+        ("n_updates", pa.int64()),
+        ("n_deletes", pa.int64()),
+        ("sum_bytes", pa.int64()),
+        ("first_ordinal", pa.int64()),
+        ("last_ordinal", pa.int64()),
+    ]
+    return out.select([n for n, _ in fields]).cast(pa.schema(fields))
+
+
+@register(
     "track_user_flows",
     """
     WITH RECURSIVE edges AS (

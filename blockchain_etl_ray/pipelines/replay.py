@@ -200,6 +200,10 @@ class ReplayEngine:
             self.config.rename_map, self.config.num_partitions
         )
         self.entity_specs = entity_closure(self.config.entities)
+        from ..functions.retry import AimdController, RetryPolicy
+
+        self._retry_policy = RetryPolicy()
+        self._chunk_controller = AimdController()
 
     # ------------------------------------------------------------------ apply
     def apply_step(
@@ -222,7 +226,6 @@ class ReplayEngine:
         needed = sorted(
             {name for name, _ in EVENT_FIELDS} | set(self.config.rename_map)
         )
-        chunks = plan_read_chunks(files, columns=needed)
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
         with_derived = self.config.derived_stats
@@ -261,11 +264,29 @@ class ReplayEngine:
                     outs.append(write_fragment(et, spec, entity=ent))
             return pa.concat_tables(outs)
 
-        with _PLAN_LOCK:
-            stats_ds = rd.from_items(
-                chunks, override_num_blocks=len(chunks)
-            ).map_batches(process_chunk, batch_size=1, batch_format="pyarrow")
-        rows = stats_ds.take_all()  # small: one row per (fragment, part)
+        # AIMD execution: transient failures (storage hiccups, chunk-sized
+        # memory pressure) halve the read-chunk target and retry the step;
+        # the controller grows back after an error-free cooldown (the
+        # batch_work_executor policy re-expressed at step granularity).
+        # Safe under partial failure: only fragments referenced by the
+        # committed marker are ever read, so a half-finished attempt leaves
+        # only orphans that the commit GC removes.
+        from ..functions.retry import execute_with_retries
+
+        def attempt():
+            chunks = self._plan_chunks(files, needed)
+            with _PLAN_LOCK:
+                stats_ds = rd.from_items(
+                    chunks, override_num_blocks=len(chunks)
+                ).map_batches(process_chunk, batch_size=1, batch_format="pyarrow")
+            return stats_ds.take_all()  # small: one row per (fragment, part)
+
+        rows = execute_with_retries(
+            attempt,
+            self._retry_policy,
+            on_error=lambda e, a: self._chunk_controller.record_error(),
+        )
+        self._chunk_controller.record_success()
         rows = [
             {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()}
             for r in rows
@@ -324,6 +345,13 @@ class ReplayEngine:
             list(frags.values()),
             {name: list(tf.values()) for name, tf in table_frags.items()},
             file_hashes,
+        )
+
+    def _plan_chunks(self, files: list[str], needed: list[str]) -> list[dict]:
+        """Chunk planning at the AIMD controller's current target (seam also
+        used by tests to inject transient failures)."""
+        return plan_read_chunks(
+            files, target_bytes=self._chunk_controller.current(), columns=needed
         )
 
     # ----------------------------------------------------------------- replay
@@ -501,6 +529,24 @@ class ReplayEngine:
                 Max("last_ordinal", alias_name="last_ordinal"),
             )
         )
+
+    def top_repos(self, k: int = 10, by: str = "sum_bytes") -> pa.Table:
+        """Incrementally-maintained top-k (redis sorted-set top-holder analog,
+        ``blockchainetl/service/redis_top_holder_service.py``): reads ONLY the
+        maintained derived table (compacted base + partials since — bounded
+        by #repos × #steps-since-compaction, never by event volume), so the
+        cost is independent of how many events ever flowed.  Deterministic
+        tie-break by repo."""
+        ds = self.derived_repo_stats()
+        out = ds.sort([by, "repo"], descending=[True, False]).limit(k)
+        import ray as _ray
+
+        tables = [t for t in (_ray.get(r) for r in out.to_arrow_refs()) if t.num_columns]
+        if not tables:
+            from ..pipelines.derived import REPO_STATS_SCHEMA
+
+            return REPO_STATS_SCHEMA.empty_table()
+        return pa.concat_tables(tables, promote_options="default")
 
     # ------------------------------------------------------------------ reads
     def read_state(

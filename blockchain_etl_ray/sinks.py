@@ -1,0 +1,153 @@
+"""External-sink extension point: custom ``ray.data.Datasink`` exporters.
+
+The reference ships a zoo of item exporters — console, kafka, google pub/sub,
+redis stream, composite (``blockchainetl/jobs/exporters/*.py``) — all
+duck-typed ``open/export_items/close`` objects fed row batches.  The Ray Data
+analog is a :class:`ray.data.Datasink` consumed via ``ds.write_datasink``:
+write tasks run DISTRIBUTED (each task serializes its own blocks straight
+from the object store; nothing funnels through the driver), and the driver
+hooks ``on_write_start/complete/failed`` give the sink a transaction
+boundary.
+
+Three sinks ship here:
+
+- :class:`JsonlDatasink` — newline-JSON files, one atomically-renamed file
+  per write task (the FileItemExporter analog, with tmp+rename exactly-once
+  discipline per task);
+- :class:`SpoolDatasink` — a message-queue stand-in (kafka/pubsub analog for
+  the no-network sandbox): each task appends length-prefixed JSON message
+  frames to a spool directory; a consumer tails the spool in commit order;
+- :class:`CompositeDatasink` — fan-out to several sinks (composite exporter
+  analog, ``blockchainetl/jobs/exporters/composite_item_exporter.py``).
+
+Real network sinks (kafka/pubsub/slack) keep the honest named-error stance
+of the receiver layer: subclass one of these and implement ``_emit``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+import pyarrow as pa
+from ray.data import Datasink
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix="._tmp_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class JsonlDatasink(Datasink):
+    """One ``part-<uuid>.jsonl`` file per write task, atomic rename; a failed
+    or retried task's partial output is never visible under its final name."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def on_write_start(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        rows = 0
+        lines: list[str] = []
+        for block in blocks:
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            for row in tbl.to_pylist():
+                lines.append(json.dumps(row, default=str))
+            rows += tbl.num_rows
+        if lines:
+            name = f"part-{ctx.task_idx:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+            _atomic_write(
+                os.path.join(self.out_dir, name), ("\n".join(lines) + "\n").encode()
+            )
+        return rows
+
+    def get_name(self) -> str:
+        return f"Jsonl({self.out_dir})"
+
+
+class SpoolDatasink(Datasink):
+    """Message-queue stand-in: each write task frames its rows as
+    length-prefixed JSON messages in ``spool/msgs-<task>-<uuid>.bin``.  The
+    framing (not the transport) is the tested surface — a real kafka sink
+    overrides :meth:`_emit` with a producer and keeps everything else."""
+
+    def __init__(self, spool_dir: str, topic: str = "items"):
+        self.spool_dir = spool_dir
+        self.topic = topic
+
+    def on_write_start(self):
+        os.makedirs(os.path.join(self.spool_dir, self.topic), exist_ok=True)
+
+    def _frame(self, rows: list[dict]) -> bytes:
+        out = bytearray()
+        for r in rows:
+            payload = json.dumps(r, default=str).encode()
+            out += len(payload).to_bytes(4, "big") + payload
+        return bytes(out)
+
+    def _emit(self, data: bytes, task_idx: int) -> None:
+        name = f"msgs-{task_idx:05d}-{uuid.uuid4().hex[:8]}.bin"
+        _atomic_write(os.path.join(self.spool_dir, self.topic, name), data)
+
+    def write(self, blocks, ctx) -> int:
+        rows = 0
+        buf: list[dict] = []
+        for block in blocks:
+            tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            buf.extend(tbl.to_pylist())
+            rows += tbl.num_rows
+        if buf:
+            self._emit(self._frame(buf), ctx.task_idx)
+        return rows
+
+    @staticmethod
+    def read_spool(spool_dir: str, topic: str = "items") -> list[dict]:
+        """Consumer side: decode every frame in the spool (test/debug aid)."""
+        out: list[dict] = []
+        d = os.path.join(spool_dir, topic)
+        for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            data = open(os.path.join(d, name), "rb").read()
+            i = 0
+            while i < len(data):
+                n = int.from_bytes(data[i : i + 4], "big")
+                out.append(json.loads(data[i + 4 : i + 4 + n]))
+                i += 4 + n
+        return out
+
+    def get_name(self) -> str:
+        return f"Spool({self.spool_dir}/{self.topic})"
+
+
+class CompositeDatasink(Datasink):
+    """Fan one write out to several sinks (composite exporter analog)."""
+
+    def __init__(self, sinks: list[Datasink]):
+        self.sinks = sinks
+
+    def on_write_start(self):
+        for s in self.sinks:
+            s.on_write_start()
+
+    def write(self, blocks, ctx):
+        blocks = list(blocks)
+        return [s.write(blocks, ctx) for s in self.sinks]
+
+    def on_write_complete(self, write_result):
+        for s in self.sinks:
+            s.on_write_complete(write_result)
+
+    def get_name(self) -> str:
+        return "Composite(" + ",".join(s.get_name() for s in self.sinks) + ")"

@@ -116,3 +116,41 @@ def grouped_first_last(
         return pa.Table.from_pylist([row])
 
     return ds.groupby(by).map_groups(fl, batch_format="pyarrow")
+
+
+def propagate_group_status(
+    ds,
+    group_keys: list[str],
+    addr_col: str,
+    status_col: str,
+    out_col: str = "effective_status",
+    sep: str = "/",
+):
+    """M7 ordered-group state propagation (trace status calculator,
+    ``ethereumetl/service/trace_status_calculator.py:31-89``): within each
+    group, a row whose ANCESTOR (hierarchical ``addr_col`` prefix, the
+    trace_address analog) has ``status_col == 0`` is itself failed —
+    ``out_col`` = 0 when self or any ancestor failed, else the row's own
+    status.
+
+    Shape: ``groupby(group_keys).map_groups`` — groups are block-sized in the
+    reference and bounded here; inside a group, addresses sort by depth so
+    each row resolves its parent with one dict lookup (no rescans)."""
+
+    def propagate(group: pa.Table) -> pa.Table:
+        addrs = group.column(addr_col).to_pylist()
+        status = group.column(status_col).to_pylist()
+        order = sorted(range(len(addrs)), key=lambda i: (addrs[i].count(sep), addrs[i]))
+        eff: dict[str, int] = {}
+        out = [0] * len(addrs)
+        for i in order:
+            a = addrs[i]
+            s = 0 if status[i] == 0 else int(status[i])
+            parent = a.rsplit(sep, 1)[0] if sep in a else None
+            if parent is not None and eff.get(parent, 1) == 0:
+                s = 0
+            eff[a] = s
+            out[i] = s
+        return group.append_column(out_col, pa.array(out, type=pa.int64()))
+
+    return ds.groupby(group_keys).map_groups(propagate, batch_format="pyarrow")

@@ -1,0 +1,166 @@
+"""Checker family, Datasink exporters, AIMD retry policy, and tree-shaped
+status propagation (M7)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data as rd
+
+from blockchain_etl_ray.functions.retry import (
+    AimdController,
+    RetryPolicy,
+    execute_with_retries,
+)
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+from blockchain_etl_ray.stages.windows import propagate_group_status
+
+
+# ----------------------------------------------------------------- checkers
+def test_state_integrity_detects_tampering(small_corpus, tmp_path):
+    from blockchain_etl_ray.pipelines.checkers import state_integrity
+
+    eng = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=4, epoch_batch_size=8)
+    )
+    eng.replay(small_corpus["dir"])
+    eng.compact_state()
+    assert state_integrity(eng).num_rows == 0  # healthy
+
+    # tamper one partition base: change a content value, keep the digest
+    base = next((tmp_path / "state" / "parts").rglob("*.parquet"))
+    t = pq.read_table(base)
+    content = t.column("content").to_pylist()
+    idx = next(i for i, c in enumerate(content) if c is not None)
+    content[idx] = "TAMPERED " + (content[idx] or "")
+    t = t.set_column(
+        t.schema.get_field_index("content"),
+        "content",
+        pa.array(content, type=pa.large_string()),
+    )
+    pq.write_table(t, base)
+
+    bad = state_integrity(eng)
+    assert bad.num_rows >= 1
+    assert "digest_mismatch" in set(bad.column("kind").to_pylist())
+
+
+# -------------------------------------------------------------- propagation
+def test_propagate_group_status_tree():
+    """Branching tree: failure at a mid node fails its subtree only."""
+    rows = [
+        # grp, addr, status
+        ("b1", "0", 1),
+        ("b1", "0/0", 0),      # failed branch root
+        ("b1", "0/0/0", 1),    # must become 0 (ancestor failed)
+        ("b1", "0/0/1", 1),    # must become 0
+        ("b1", "0/1", 1),      # sibling branch unaffected
+        ("b1", "0/1/0", 1),
+        ("b2", "0", 0),        # whole group-2 tree failed from the root
+        ("b2", "0/0", 1),
+        ("b2", "0/0/0", 1),
+    ]
+    ds = rd.from_items([{"grp": g, "addr": a, "status": s} for g, a, s in rows])
+    out = propagate_group_status(ds, ["grp"], "addr", "status").to_pandas()
+    got = {(r["grp"], r["addr"]): r["effective_status"] for _, r in out.iterrows()}
+    assert got == {
+        ("b1", "0"): 1,
+        ("b1", "0/0"): 0,
+        ("b1", "0/0/0"): 0,
+        ("b1", "0/0/1"): 0,
+        ("b1", "0/1"): 1,
+        ("b1", "0/1/0"): 1,
+        ("b2", "0"): 0,
+        ("b2", "0/0"): 0,
+        ("b2", "0/0/0"): 0,
+    }
+
+
+# -------------------------------------------------------------------- sinks
+def test_datasinks_roundtrip(tmp_path):
+    from blockchain_etl_ray.sinks import (
+        CompositeDatasink,
+        JsonlDatasink,
+        SpoolDatasink,
+    )
+
+    rows = [{"id": i, "v": f"x{i}"} for i in range(1000)]
+    ds = rd.from_items(rows).repartition(4)
+    sink = CompositeDatasink(
+        [JsonlDatasink(str(tmp_path / "jsonl")), SpoolDatasink(str(tmp_path / "spool"))]
+    )
+    ds.write_datasink(sink)
+
+    import json
+
+    got_jsonl = []
+    for f in sorted((tmp_path / "jsonl").glob("part-*.jsonl")):
+        got_jsonl.extend(json.loads(x) for x in f.read_text().splitlines())
+    assert sorted(r["id"] for r in got_jsonl) == list(range(1000))
+
+    got_spool = SpoolDatasink.read_spool(str(tmp_path / "spool"))
+    assert sorted(r["id"] for r in got_spool) == list(range(1000))
+    # no leftover tmp files (atomic rename discipline)
+    assert not list((tmp_path / "jsonl").glob("._tmp_*"))
+
+
+# -------------------------------------------------------------------- retry
+def test_aimd_controller_halves_and_recovers():
+    c = AimdController(initial=32 << 20, lo=1 << 20, cooldown_seconds=0.0)
+    assert c.record_error() == 16 << 20
+    assert c.record_error() == 8 << 20
+    # cooldown 0 → immediate doubling back toward (but never past) initial
+    assert c.record_success() == 16 << 20
+    assert c.record_success() == 32 << 20
+    assert c.record_success() == 32 << 20
+
+
+def test_execute_with_retries_transient_vs_fatal():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient storage hiccup")
+        return "ok"
+
+    policy = RetryPolicy(backoff_seconds=0.0)
+    assert execute_with_retries(flaky, policy) == "ok"
+    assert calls["n"] == 3
+
+    def fatal():
+        raise ValueError("deterministic bug")
+
+    with pytest.raises(ValueError):
+        execute_with_retries(fatal, policy)
+
+
+def test_replay_survives_transient_step_failures(small_corpus, tmp_path):
+    """Two injected transient failures: the step retries with a halved chunk
+    target and the replay converges identically."""
+    eng = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=4, epoch_batch_size=8)
+    )
+    eng._retry_policy = RetryPolicy(backoff_seconds=0.0)
+    real_plan = eng._plan_chunks
+    fails = {"n": 0}
+
+    def flaky_plan(files, needed):
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise OSError("simulated storage hiccup")
+        return real_plan(files, needed)
+
+    eng._plan_chunks = flaky_plan
+    eng.replay(small_corpus["dir"])
+    assert fails["n"] == 2
+    assert eng._chunk_controller.current() < 32 << 20  # halved under errors
+
+    ref = ReplayEngine(
+        tmp_path / "ref", ReplayConfig(num_partitions=4, epoch_batch_size=8)
+    )
+    ref.replay(small_corpus["dir"])
+    a = pa.concat_tables([ray.get(r) for r in eng.read_state().to_arrow_refs()])
+    b = pa.concat_tables([ray.get(r) for r in ref.read_state().to_arrow_refs()])
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
