@@ -64,6 +64,19 @@ class EntitySpec:
     fields: tuple[tuple[str, pa.DataType], ...]  # keys first, then values
     derive: Callable[[pa.Table], pa.Table] = field(compare=False)
     requires: tuple[str, ...] = ()
+    #: "lww" — whole-row last-writer-wins by ordinal (U1/U2/U7);
+    #: "additive" — per-COLUMN merge policies (U3-U6: counters +=, first-touch
+    #: exists_or_excluded, last-touch excluded_or_exists,
+    #: ``blockchainetl/streaming/postgres_hooks.py:43-150``,
+    #: ``postgres_utils.py:71-76``)
+    kind: str = "lww"
+    #: additive only: column -> policy, one of "sum" | "min" | "max" |
+    #: "first_by:<ord_col>" | "last_by:<ord_col>".  Ord columns must be
+    #: totally ordered per key (commit ordinals are).  Every non-key field
+    #: needs a policy; the fold and the read-side resolve apply the SAME
+    #: associative expressions, so re-folding fragments in any grouping
+    #: converges.
+    policies: tuple = ()
 
     def norm_field_names(self) -> list[str]:
         return [c for c, _ in self.fields] + [c for c, _ in ENTITY_NORM_EXTRA]
@@ -73,6 +86,86 @@ class EntitySpec:
 
     def state_schema(self) -> pa.Schema:
         return pa.schema(list(self.fields) + ENTITY_STATE_EXTRA)
+
+    def policy_map(self) -> dict[str, str]:
+        return dict(self.policies)
+
+
+def _policy_expr(col: str, policy: str):
+    import polars as pl
+
+    if policy == "sum":
+        return pl.col(col).sum().alias(col)
+    if policy == "min":
+        return pl.col(col).min().alias(col)
+    if policy == "max":
+        return pl.col(col).max().alias(col)
+    if policy.startswith("first_by:"):
+        ord_col = policy.split(":", 1)[1]
+        return pl.col(col).sort_by(pl.col(ord_col)).first().alias(col)
+    if policy.startswith("last_by:"):
+        ord_col = policy.split(":", 1)[1]
+        return pl.col(col).sort_by(pl.col(ord_col)).last().alias(col)
+    raise ValueError(f"unknown column policy {policy!r} for {col!r}")
+
+
+def fold_additive(df, spec: "EntitySpec"):
+    """Associative per-column fold of an additive entity's change rows
+    (U3-U6): one group_by over the key applies each column's declared policy.
+    The SAME fold runs in the write path (fragment compaction) and the read
+    path (resolve), so any re-grouping of fragments converges.
+
+    Counting semantics match the derived-partials layer (derived.py): RAW
+    DELIVERED rows count — pure sums with no per-event dedup keep the fold
+    independent of chunk boundaries, exactly like the reference counts every
+    transfer into holder stats (``postgres_hooks.py:43-96``).  Epoch-level
+    redelivery is still fully deduped by the idempotence markers; duplicate
+    EVENTS inside the delivered log count per delivery, as they do in the
+    reference's loader."""
+    import polars as pl
+
+    pol = spec.policy_map()
+    aggs = [
+        _policy_expr(c, pol[c])
+        for c, _ in spec.fields
+        if c not in spec.key_cols
+    ]
+    return df.group_by(list(spec.key_cols), maintain_order=True).agg(
+        *aggs,
+        pl.col("ordinal").max().alias("ordinal"),
+        pl.col("epoch").max().alias("epoch"),
+        # additive state is immortal: no tombstones (U4-U6 counters only add)
+        pl.lit("update").alias("op"),
+        pl.col("event_id").sort_by(pl.col("ordinal")).last().alias("event_id"),
+        pl.col("part").first().alias("part"),  # constant per key by definition
+        pl.col("n_folded").sum().alias("n_folded"),
+        pl.col("n_dupes").sum().alias("n_dupes"),
+    )
+
+
+def resolve_additive(tables: list[pa.Table], spec: "EntitySpec") -> pa.Table:
+    """Read-side merge of an additive entity's base + fragment rows: the same
+    per-column policy fold over state rows."""
+    import polars as pl
+
+    schema = spec.state_schema()
+    df = pl.concat([pl.from_arrow(t) for t in tables], how="vertical_relaxed")
+    pol = spec.policy_map()
+    aggs = [
+        _policy_expr(c, pol[c]) for c, _ in spec.fields if c not in spec.key_cols
+    ]
+    out = df.group_by(list(spec.key_cols), maintain_order=True).agg(
+        *aggs,
+        pl.col("ordinal").max().alias("ordinal"),
+        pl.col("src_epoch").max().alias("src_epoch"),
+        pl.col("deleted").any().alias("deleted"),
+    )
+    return (
+        out.sort(list(spec.key_cols), maintain_order=True)
+        .select(list(schema.names))
+        .to_arrow()
+        .cast(schema)
+    )
 
 
 def partition_ids_for(
@@ -209,5 +302,64 @@ PATH_HEADS = register_entity(
             ("commit", pa.string()),
         ),
         derive=_derive_path_heads,
+    )
+)
+
+
+def _derive_repo_touch(nt: pa.Table) -> pa.Table:
+    """Per-event additive partial for the repo_touch entity: counters,
+    byte sums, and first/last-touch (path, ordinal) pairs — the
+    upsert_token_holders shape (counters ``+=``, ``first_*``
+    exists_or_excluded, ``last_*`` excluded_or_exists,
+    ``postgres_hooks.py:43-96``)."""
+    n = nt.num_rows
+    content = pc.cast(nt.column("content"), pa.string())
+    nbytes = pc.cast(
+        pc.coalesce(pc.utf8_length(content), pa.scalar(0)), pa.int64()
+    )
+    one = pa.array([1] * n, type=pa.int64())
+    return pa.table(
+        {
+            "repo": nt.column("repo"),
+            "n_events": one,
+            "n_deletes": pc.cast(pc.equal(nt.column("op"), "delete"), pa.int64()),
+            "sum_bytes": nbytes,
+            "first_ordinal": nt.column("ordinal"),
+            "first_path": nt.column("path"),
+            "last_ordinal": nt.column("ordinal"),
+            "last_path": nt.column("path"),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": pa.array(["update"] * n, type=pa.string()),
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+REPO_TOUCH = register_entity(
+    EntitySpec(
+        name="repo_touch",
+        key_cols=("repo",),
+        fields=(
+            ("repo", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("first_path", pa.string()),
+            ("last_ordinal", pa.int64()),
+            ("last_path", pa.string()),
+        ),
+        derive=_derive_repo_touch,
+        kind="additive",
+        policies=(
+            ("n_events", "sum"),
+            ("n_deletes", "sum"),
+            ("sum_bytes", "sum"),
+            ("first_ordinal", "min"),
+            ("first_path", "first_by:first_ordinal"),
+            ("last_ordinal", "max"),
+            ("last_path", "last_by:last_ordinal"),
+        ),
     )
 )

@@ -1610,6 +1610,59 @@ def cdc_multi_path_heads(sf_dir: str):
     )
 
 
+_CDC_REPO_TOUCH_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events)
+    SELECT repo,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes,
+           SUM(COALESCE(length(content), 0)) AS sum_bytes,
+           MIN(ordinal) AS first_ordinal,
+           arg_min(path, ordinal) AS first_path,
+           MAX(ordinal) AS last_ordinal,
+           arg_max(path, ordinal) AS last_path
+    FROM cdc GROUP BY repo
+"""
+
+
+@register("cdc_repo_touch", _CDC_REPO_TOUCH_SQL)
+def cdc_repo_touch(sf_dir: str):
+    """ADDITIVE entity table with per-COLUMN merge policies in the MAIN merge
+    path (U3-U6, ``postgres_hooks.py:43-96`` + ``postgres_utils.py:71-76``):
+    counters add, ``first_*`` columns keep the earliest touch
+    (exists_or_excluded), ``last_*`` the latest (excluded_or_exists) — the
+    same associative fold runs at write (fragment compaction) and read
+    (resolve), maintained incrementally by the replay."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, entities=("repo_touch",)),
+    )
+    engine.replay(str(events_dir))
+    fields = [
+        ("repo", pa.string()),
+        ("n_events", pa.int64()),
+        ("n_deletes", pa.int64()),
+        ("sum_bytes", pa.int64()),
+        ("first_ordinal", pa.int64()),
+        ("first_path", pa.string()),
+        ("last_ordinal", pa.int64()),
+        ("last_path", pa.string()),
+    ]
+    return _stable(
+        engine.read_state(table="repo_touch"), fields
+    )
+
+
 _CDC_STATS_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

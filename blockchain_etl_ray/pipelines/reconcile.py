@@ -92,22 +92,44 @@ def detect_divergence(engine, events_dir: str) -> dict:
 
 
 def _corrected_winners(
-    engine, scan_files: list[str], entity, key_set: set[str]
+    engine, scan_files: list[str], entity, key_set: set[str] | None
 ) -> pa.Table:
     """Distributed scan of the applied log filtered to the affected keys →
-    final per-key winners as state rows (deleted=True for delete winners)."""
+    final per-key winners as state rows (deleted=True for delete winners).
+    ``key_set=None`` scans every key — used for additive entities, whose
+    state depends on EVERY contribution (not just winners), so a diverged
+    epoch triggers a full rebuild of that (aggregate-sized) table."""
     from .replay import _PLAN_LOCK, plan_read_chunks
 
     key_cols = ("repo", "path") if entity is None else entity.key_cols
     schema = STATE_SCHEMA if entity is None else entity.state_schema()
     field_names = None if entity is None else entity.norm_field_names()
+    additive = entity is not None and entity.kind == "additive"
     normalize = engine._normalize
     num_partitions = engine.config.num_partitions
-    keys_arr = pa.array(sorted(key_set), type=pa.string())
+    keys_arr = (
+        pa.array(sorted(key_set), type=pa.string()) if key_set is not None else None
+    )
 
     chunks = plan_read_chunks(scan_files)
     if not chunks:
         return schema.empty_table()
+
+    def fold_norm(nt: pa.Table) -> pa.Table:
+        from ..entities import fold_additive
+
+        if entity is None:
+            return compact_batch(nt)
+        if nt.num_rows == 0:
+            return nt
+        folder = (
+            fold_additive(pl.from_arrow(nt), entity)
+            if additive
+            else fold_changes(
+                pl.from_arrow(nt), key_cols=key_cols, field_names=field_names
+            )
+        )
+        return folder.select(field_names).to_arrow().cast(entity.norm_schema())
 
     def scan(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq_
@@ -122,19 +144,11 @@ def _corrected_winners(
             nt = normalize(t)
             if entity is not None:
                 nt = finalize_entity_batch(entity.derive(nt), entity, num_partitions)
-            nt = nt.filter(pc.is_in(_key_strings(nt, key_cols), value_set=keys_arr))
-            if entity is None:
-                nt = compact_batch(nt)
-            elif nt.num_rows:
-                nt = (
-                    fold_changes(
-                        pl.from_arrow(nt), key_cols=key_cols, field_names=field_names
-                    )
-                    .select(field_names)
-                    .to_arrow()
-                    .cast(entity.norm_schema())
+            if keys_arr is not None:
+                nt = nt.filter(
+                    pc.is_in(_key_strings(nt, key_cols), value_set=keys_arr)
                 )
-            outs.append(nt)
+            outs.append(fold_norm(nt))
         return pa.concat_tables(outs)
 
     with _PLAN_LOCK:
@@ -148,9 +162,14 @@ def _corrected_winners(
     if not partials or sum(p.num_rows for p in partials) == 0:
         return schema.empty_table()
     merged = pa.concat_tables(partials, promote_options="default")
-    final = fold_changes(
-        pl.from_arrow(merged), key_cols=key_cols, field_names=field_names
-    )
+    if additive:
+        from ..entities import fold_additive
+
+        final = fold_additive(pl.from_arrow(merged), entity)
+    else:
+        final = fold_changes(
+            pl.from_arrow(merged), key_cols=key_cols, field_names=field_names
+        )
     return (
         changes_to_state(final, list(schema.names))
         .sort(list(key_cols), maintain_order=True)
@@ -188,6 +207,21 @@ def reconcile(engine, events_dir: str) -> dict:
     n_rewritten = 0
     for entity, key_cols, schema in tables:
         tname = None if entity is None else entity.name
+        if entity is not None and entity.kind == "additive":
+            # additive state sums EVERY contribution: rebuild the whole
+            # (aggregate-sized) table from the corrected log and replace all
+            # populated partitions
+            corrected = _corrected_winners(engine, scan_files, entity, None)
+            parts = partition_ids_for(
+                [corrected.column(k) for k in key_cols],
+                engine.config.num_partitions,
+            )
+            for p in range(engine.config.num_partitions):
+                ins = corrected.filter(pc.equal(parts, p)).cast(schema)
+                ins = ins.sort_by([(k, "ascending") for k in key_cols])
+                store.commit_base(p, version, ins, tname)
+                n_rewritten += 1
+            continue
         # 1. affected keys
         key_set: set[str] = set()
         for nt in new_events:

@@ -93,7 +93,13 @@ def write_fragment(changes: pa.Table, spec: FragmentSpec, entity=None) -> pa.Tab
     if changes.num_rows == 0:
         return _stats_schema().empty_table()
 
-    df = fold_changes(pl.from_arrow(changes), key_cols=key_cols, field_names=field_names)
+    pl_changes = pl.from_arrow(changes)
+    if entity is not None and entity.kind == "additive":
+        from ..entities import fold_additive
+
+        df = fold_additive(pl_changes, entity)
+    else:
+        df = fold_changes(pl_changes, key_cols=key_cols, field_names=field_names)
     stats_df = (
         df.group_by("part")
         .agg(
@@ -214,6 +220,10 @@ def resolve_plan(plan: dict, entity=None) -> pa.Table:
         key_cols, schema = entity.key_cols, entity.state_schema()
     if not tables:
         return schema.empty_table()
+    if entity is not None and entity.kind == "additive":
+        from ..entities import resolve_additive
+
+        return resolve_additive(tables, entity)
     return resolve_tables(tables, key_cols, schema)
 
 

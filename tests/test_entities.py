@@ -134,3 +134,61 @@ def test_entity_compaction_preserves_state(small_corpus, tmp_path):
     # compaction folded entity fragments into per-entity bases
     for t in ENTITIES:
         assert any(eng.store.table_root(t).joinpath("parts").rglob("*.parquet"))
+
+
+def test_additive_entity_resume_and_compaction(small_corpus, tmp_path):
+    """repo_touch (per-column merge policies: sum / min / max /
+    first_by / last_by) converges to the brute-force oracle and is invariant
+    under resume split points and compaction."""
+    events_dir = small_corpus["dir"]
+    cfg = dict(num_partitions=8, epoch_batch_size=4, entities=("repo_touch",))
+
+    one = ReplayEngine(tmp_path / "one", ReplayConfig(**cfg))
+    one.replay(events_dir)
+    split = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split.replay(events_dir, upto_epoch=6)
+    split2 = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split2.replay(events_dir)
+    split2.compact_state()
+
+    # brute-force oracle over raw events
+    raw = _raw_events(events_dir)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    contents = []
+    for f in sorted(_glob.glob(events_dir + "/epoch=*.parquet")):
+        t = _pq.read_table(f)
+        if "filepath" in t.column_names:
+            t = t.rename_columns(
+                [("path" if c == "filepath" else c) for c in t.column_names]
+            )
+        contents.append(t.select(["event_id", "content"]))
+    blen = pl.from_arrow(pa.concat_tables(contents, promote_options="default")).with_columns(
+        pl.col("content").cast(pl.Utf8).str.len_chars().fill_null(0).alias("nbytes")
+    )
+    # per-DELIVERY counting (matches derived.py semantics): every delivered
+    # row counts, including redeliveries — join nbytes per delivered row
+    blen_first = blen.sort("event_id").unique(subset=["event_id"], keep="first")
+    df = raw.join(blen_first.select(["event_id", "nbytes"]), on="event_id", how="left")
+    exp = (
+        df.sort("ordinal")
+        .group_by("repo")
+        .agg(
+            pl.len().alias("n_events"),
+            (pl.col("op") == "delete").sum().alias("n_deletes"),
+            pl.col("nbytes").sum().alias("sum_bytes"),
+            pl.col("ordinal").min().alias("first_ordinal"),
+            pl.col("path").first().alias("first_path"),
+            pl.col("ordinal").max().alias("last_ordinal"),
+            pl.col("path").last().alias("last_path"),
+        )
+        .sort("repo")
+    )
+    for eng in (one, split2):
+        got = pl.from_arrow(_read(eng, "repo_touch")).sort("repo")
+        assert got["repo"].to_list() == exp["repo"].to_list()
+        for c in ("n_events", "n_deletes", "sum_bytes", "first_ordinal",
+                  "first_path", "last_ordinal", "last_path"):
+            assert got[c].to_list() == exp[c].to_list(), c

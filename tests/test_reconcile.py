@@ -135,3 +135,55 @@ def test_reconcile_derived_stats_rebuilt(corpus, tmp_path):
     ).sort_by("repo").to_pylist()
     exp = sorted(exp, key=lambda r: r["repo"])
     assert got == exp
+
+
+def test_reconcile_rebuilds_additive_entity(corpus, tmp_path):
+    """An additive entity depends on EVERY contribution, so reconcile fully
+    rebuilds it from the corrected log."""
+    eng = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, entities=("repo_touch",)),
+    )
+    eng.replay(corpus)
+    f = sorted(glob.glob(corpus + "/epoch=000003*.parquet"))[0]
+    t = pq.read_table(f)
+    pq.write_table(t.slice(0, t.num_rows - 40), f, row_group_size=16384)
+    out = eng.reconcile(corpus)
+    assert 3 in out["diverged_epochs"]
+
+    # oracle: per-delivery additive recompute over CURRENT files
+    import polars as pl
+
+    rows = []
+    for g in sorted(glob.glob(corpus + "/epoch=*.parquet")):
+        x = pq.read_table(g)
+        if "filepath" in x.column_names:
+            x = x.rename_columns(
+                [("path" if c == "filepath" else c) for c in x.column_names]
+            )
+        rows.append(x.select(["repo", "op", "ordinal", "path", "content"]))
+    df = pl.from_arrow(pa.concat_tables(rows, promote_options="default"))
+    exp = (
+        df.with_columns(pl.col("content").str.len_chars().fill_null(0).alias("nb"))
+        .sort("ordinal")
+        .group_by("repo")
+        .agg(
+            pl.len().alias("n_events"),
+            (pl.col("op") == "delete").sum().alias("n_deletes"),
+            pl.col("nb").sum().alias("sum_bytes"),
+            pl.col("ordinal").min().alias("first_ordinal"),
+            pl.col("path").first().alias("first_path"),
+            pl.col("ordinal").max().alias("last_ordinal"),
+            pl.col("path").last().alias("last_path"),
+        )
+        .sort("repo")
+    )
+    got = pl.from_arrow(
+        pa.concat_tables(
+            [ray.get(r) for r in eng.read_state(table="repo_touch").to_arrow_refs()]
+        )
+    ).sort("repo")
+    assert got["repo"].to_list() == exp["repo"].to_list()
+    for c in ("n_events", "n_deletes", "sum_bytes", "first_ordinal",
+              "first_path", "last_ordinal", "last_path"):
+        assert got[c].to_list() == exp[c].to_list(), c
