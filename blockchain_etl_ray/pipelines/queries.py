@@ -1302,6 +1302,52 @@ def ann_ivf_topk(sf_dir: str):
     return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
+@register("ann_ivf_disk_topk", None)
+def ann_ivf_disk_topk(sf_dir: str):
+    """IVF with the ON-DISK cluster-partitioned layout (the true ANN scale
+    path): vectors land in one directory per centroid list at build time, a
+    search reads ONLY the probed lists' files (directory pruning — unprobed
+    partitions never leave storage).  Rows-only; recall vs brute force is
+    asserted in pytest."""
+    import tempfile as _tf
+
+    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        pc.less(pc.field("vec_id"), 5)
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = _tf.mkdtemp(prefix="ivf_index_")
+    ann.build_ivf_index(ds, index_dir, n_lists=16)
+    out = ann.ivf_disk_topk(index_dir, queries, k=10, n_probe=6)
+    return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
+
+
+@register(
+    "cosine_lsh_dup_pairs",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         extra AS (SELECT vec_id + 1000000 AS vec_id, e FROM base WHERE vec_id % 100 = 0),
+         allv AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS cos_x1m
+    FROM allv a JOIN allv b ON b.vec_id > a.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.999999
+    """,
+)
+def cosine_lsh_dup_pairs(sf_dir: str):
+    """Scale-path embedding near-dup: hyperplane-LSH bucketing + bounded
+    pair-gen + partitioned-join exact verify (NO corpus broadcast, no
+    all-pairs matmul).  Identical vectors share every band signature, so for
+    the planted exact duplicates recall is certain and the brute-force SQL
+    oracle matches exactly."""
+    base = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    extra = base.filter(pc.equal(_mod(base.column("vec_id"), 100), 0))
+    extra = extra.set_column(
+        0, "vec_id", pc.add(extra.column("vec_id"), 1_000_000)
+    )
+    allv = pa.concat_tables([base, extra])
+    return ann.cosine_neardup_pairs_lsh(rd.from_arrow(allv), threshold=0.999999)
+
+
 @register(
     "cosine_exact_dup_pairs",
     """

@@ -204,6 +204,154 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
 
+def build_ivf_index(
+    vectors: rd.Dataset,
+    index_dir: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+) -> dict:
+    """Materialize an ON-DISK IVF layout: vectors partitioned by their
+    nearest-centroid list, one directory per list
+    (``index_dir/listLL/part-*.parquet``), centroids stored alongside.
+
+    This is the ANN scale path the in-memory variant only approximated:
+    a search that probes p of L lists READS only p/L of the corpus from
+    storage (directory pruning), instead of scanning every block and
+    discarding non-probed rows after the read.  Build is one streamed pass:
+    each map task assigns its batch and appends one file per (list, task) —
+    no shuffle; the partitioning lives in the directory layout exactly like
+    the CDC engine's fragments."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sample = vectors.limit(sample_size).take_batch(
+        sample_size, batch_format="pyarrow"
+    )
+    cent = kmeans_centroids(_to_matrix(sample.column(vec_col)), n_lists)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    cent_ref = ray.put(cent)
+
+    def write_partitioned(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = (m @ cent_.T).argmax(axis=1)
+        written = []
+        for lst in np.unique(assign):
+            sub = batch.filter(pa.array(assign == lst))
+            d = os.path.join(index_dir, f"list{int(lst):04d}")
+            os.makedirs(d, exist_ok=True)
+            name = os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(sub, name)
+            written.append({"list_id": int(lst), "rows": sub.num_rows})
+        return pa.Table.from_pylist(written) if written else pa.table(
+            {"list_id": pa.array([], type=pa.int64()), "rows": pa.array([], type=pa.int64())}
+        )
+
+    stats = vectors.map_batches(write_partitioned, batch_format="pyarrow").take_all()
+    return {
+        "index_dir": index_dir,
+        "n_lists": n_lists,
+        "rows": sum(r["rows"] for r in stats),
+    }
+
+
+def ivf_disk_topk(
+    index_dir: str,
+    queries: pa.Table,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Search an on-disk IVF index: only the UNION OF PROBED LISTS is read
+    from storage (directory pruning — the read never touches unprobed
+    partitions); each batch is scored only against the queries probing its
+    list, then the usual per-query global top-k."""
+    import glob
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qids = queries.column(id_col).to_pylist()
+    qm = _to_matrix(queries.column(vec_col))
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    probed = sorted({int(x) for x in q_probes.ravel()})
+    files = [
+        f
+        for lst in probed
+        for f in sorted(glob.glob(os.path.join(index_dir, f"list{lst:04d}", "*.parquet")))
+    ]
+    if not files:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos_x1m": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    # note: columns= with partitioning=None trips a Ray 2.49 UnboundLocalError;
+    # the listNNNN dir names are deliberately non-hive so default partitioning
+    # inference finds nothing and columns= is safe
+    ds = rd.read_parquet(files, columns=[id_col, vec_col])
+    ref = ray.put((qids, qm, cent, q_probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, q_probes_ = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = (m @ cent_.T).argmax(axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(assign, q_probes_[qi])
+            if exclude_self:
+                mask &= ids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            s = m[idx] @ qm_[qi]
+            order = np.lexsort((ids[idx], -s))[:k]
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(ids[sel].tolist())
+            out_c.extend(
+                [int(round(c * 1_000_000)) for c in (m[sel] @ qm_[qi]).tolist()]
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos_x1m": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cos_x1m", "descending"), ("neighbor_id", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
 def cosine_neardup_pairs(
     vectors: rd.Dataset,
     all_vectors: pa.Table,
@@ -243,3 +391,124 @@ def cosine_neardup_pairs(
         )
 
     return vectors.map_batches(pairs, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs_lsh(
+    vectors: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 512,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding near-dup pairs WITHOUT the all-pairs broadcast: random
+    hyperplane signatures (sign bits of ``n_planes`` projections) bucket the
+    vectors per band; candidate pairs come from bounded bucket pair-gen
+    (same ``_bucket_pairs`` cap as text LSH), and the exact-cosine verify is
+    a partitioned join of pair ids back to the vectors — data moved is
+    bounded by candidate volume, never corpus².  Probabilistic recall (two
+    vectors at cosine c collide per plane with prob 1 − arccos(c)/π);
+    planted-dup recall asserted in pytest."""
+    import pyarrow.compute as pc
+
+    from .dedup import _bucket_pairs
+    from .joins import partitioned_join
+    from .stabilize import stabilize
+
+    width = n_planes // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        if m.size == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_key": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        # deterministic planes derived per worker from (seed, d)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, m.shape[1]))
+        bits = (m @ planes.T) > 0  # (n, n_planes)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_b, out_k, out_i = [], [], []
+        weights = 1 << np.arange(width, dtype=np.int64)
+        for b in range(bands):
+            key = (bits[:, b * width : (b + 1) * width] @ weights).astype(np.int64)
+            out_b.append(np.full(len(ids), b, dtype=np.int32))
+            out_k.append(key)
+            out_i.append(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_b)),
+                "band_key": pa.array(np.concatenate(out_k)),
+                id_col: pa.array(np.concatenate(out_i)),
+            }
+        )
+
+    buckets = vectors.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        a, b = _bucket_pairs(
+            group.column(id_col).to_numpy(zero_copy_only=False), max_bucket
+        )
+        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
+
+    cand = buckets.groupby(["band_id", "band_key"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    cand = stabilize(
+        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")),
+        [("a", pa.int64()), ("b", pa.int64()), ("_nb", pa.int64())],
+    ).select_columns(["a", "b"])
+
+    def emb_blob(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "emb": pa.array([row.tobytes() for row in m], type=pa.large_binary()),
+            }
+        )
+
+    emb = vectors.map_batches(emb_blob, batch_format="pyarrow")
+    j1 = partitioned_join(cand, emb, on=("a",), right_on=(id_col,)).map_batches(
+        lambda t: t.rename_columns(
+            [("emb_a" if c == "emb" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = partitioned_join(j1, emb, on=("b",), right_on=(id_col,))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ea = t.column("emb_a").to_pylist()
+        eb = t.column("emb").to_pylist()
+        keep_a, keep_b, cos = [], [], []
+        for i in range(len(a)):
+            va = np.frombuffer(ea[i], dtype=np.float64)
+            vb = np.frombuffer(eb[i], dtype=np.float64)
+            c = float(va @ vb)
+            if c >= threshold:
+                keep_a.append(int(a[i]))
+                keep_b.append(int(b[i]))
+                cos.append(int(round(c * 1_000_000)))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, type=pa.int64()),
+                "b": pa.array(keep_b, type=pa.int64()),
+                "cos_x1m": pa.array(cos, type=pa.int64()),
+            }
+        )
+
+    return stabilize(
+        j2.map_batches(verify, batch_format="pyarrow"),
+        [("a", pa.int64()), ("b", pa.int64()), ("cos_x1m", pa.int64())],
+    )

@@ -231,3 +231,34 @@ def test_simhash_hamming_close_for_neardups():
     d12 = bin(h1 ^ h2).count("1")
     d13 = bin(h1 ^ h3).count("1")
     assert d12 < d13 and d12 <= 16
+
+
+def test_ivf_disk_layout_prunes_and_recalls(tmp_path):
+    """On-disk IVF: search reads only probed list directories and still
+    recovers most of the exact top-10."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    queries = emb.filter(pc.less(pc.field("vec_id"), 5))
+    index_dir = str(tmp_path / "ivf")
+    info = ann.build_ivf_index(rd.from_arrow(emb), index_dir, n_lists=16)
+    assert info["rows"] == emb.num_rows
+    import os
+
+    lists = [d for d in os.listdir(index_dir) if d.startswith("list")]
+    assert 2 <= len(lists) <= 16
+
+    exact = (
+        ann.brute_force_topk(rd.from_arrow(emb), queries, k=10)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    approx = (
+        ann.ivf_disk_topk(index_dir, queries, k=10, n_probe=6)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
