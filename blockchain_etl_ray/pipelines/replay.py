@@ -444,7 +444,11 @@ class ReplayEngine:
         }
 
     # ------------------------------------------------------------- compaction
-    def compact_state(self, upto_version: int | None = None) -> list[dict]:
+    def compact_state(
+        self,
+        upto_version: int | None = None,
+        tombstone_watermark: int | None = None,
+    ) -> list[dict]:
         """Fold each partition's fragments into a new base (amortized rewrite),
         then GC the folded fragments.  Idempotent; partitions without new
         fragments are skipped."""
@@ -481,6 +485,7 @@ class ReplayEngine:
                                 compact_partition(
                                     _json.loads(plan), root, upto_version,
                                     entity_name=ent or None,
+                                    tombstone_watermark=tombstone_watermark,
                                 )
                             )
                         }
@@ -502,6 +507,24 @@ class ReplayEngine:
         for e in self.entity_specs:
             self.store.gc_compacted(self.config.num_partitions, upto_version, table=e.name)
         return results
+
+    def vacuum(self, tombstone_watermark: int | None = None) -> dict:
+        """Full housekeeping pass: compact every table's partitions (dropping
+        tombstones at or below the watermark, if given), GC folded fragments
+        and superseded bases, then roll all covered cycle markers into one
+        summary (epochs / file hashes / lineage preserved — resume, gap
+        detection and reconcile keep working)."""
+        versions = self.store.committed_versions()
+        if not versions:
+            return {"compacted": False}
+        upto = versions[-1]
+        self.compact_state(upto_version=upto, tombstone_watermark=tombstone_watermark)
+        rolled = self.store.compact_markers(
+            upto,
+            self.config.num_partitions,
+            tuple(e.name for e in self.entity_specs),
+        )
+        return {"compacted": True, "upto_version": upto, "markers_rolled": rolled}
 
     def derived_repo_stats(self, upto: int | None = None) -> rd.Dataset:
         """The per-repo additive derived table (holder/balance analog): a
@@ -605,10 +628,11 @@ class ReplayEngine:
         )
 
     def lineage_table(self) -> pa.Table:
-        """All per-partition lineage records across committed apply steps."""
+        """All per-partition lineage records across committed apply steps
+        (rolled-up markers keep their lineage rows in the summary)."""
         rows = []
-        for v in self.store.committed_versions():
-            rows.extend(self.store.read_cycle(v)["lineage"])
+        for v, marker in sorted(self.store.read_markers().items()):
+            rows.extend(marker.get("lineage", []))
         if not rows:
             return LINEAGE_SCHEMA.empty_table()
         rows = [{k: r[k] for k in LINEAGE_SCHEMA.names} for r in rows]

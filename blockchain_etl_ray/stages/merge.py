@@ -228,10 +228,21 @@ def resolve_plan(plan: dict, entity=None) -> pa.Table:
 
 
 def compact_partition(
-    plan: dict, state_root: str, upto_version: int, entity_name: str | None = None
+    plan: dict,
+    state_root: str,
+    upto_version: int,
+    entity_name: str | None = None,
+    tombstone_watermark: int | None = None,
 ) -> dict:
     """Fold one partition's base + fragments into a new base file (amortized
-    rewrite; reorg-style partition rewrite analog).  Idempotent."""
+    rewrite; reorg-style partition rewrite analog).  Idempotent.
+
+    ``tombstone_watermark``: tombstones exist to block RESURRECTION by
+    late-arriving lower-ordinal events (U7 guard); once the source contract
+    guarantees no event with ordinal ≤ W will ever be delivered again (the
+    reference's ``--lag`` reorg-safety frontier, ``streamer.py:151-156``),
+    tombstones at or below W carry no information and are dropped during the
+    fold — bounded state growth under churn."""
     entity = None
     if entity_name is not None:
         from ..entities import REGISTRY
@@ -242,9 +253,17 @@ def compact_partition(
     final = store.base_file(part, upto_version, entity_name)
     if final.exists():
         return {"part": part, "cached": True}
-    if not plan.get("pieces"):
+    if not plan.get("pieces") and tombstone_watermark is None:
+        return {"part": part, "skipped": True}
+    if not (plan.get("pieces") or plan.get("base")):
         return {"part": part, "skipped": True}
     out = resolve_plan(plan, entity)
+    if tombstone_watermark is not None:
+        drop = pc.and_(
+            out.column("deleted"),
+            pc.less_equal(out.column("ordinal"), tombstone_watermark),
+        )
+        out = out.filter(pc.invert(drop))
     size = store.commit_base(part, upto_version, out, entity_name)
     return {
         "part": part,

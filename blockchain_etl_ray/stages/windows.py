@@ -47,22 +47,26 @@ def sessionize(
     Ordering contract: rows are processed per key sorted by (ts, tie_col) —
     state the tie-break so the oracle window ORDER BY matches exactly.
     """
-    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+    sort_keys = [(ts_col, "ascending")] + (
+        [(tie_col, "ascending")] if tie_col else []
+    )
+    gap_us = int(gap_seconds * 1_000_000)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(sort_cols, kind="mergesort")
-        gaps = g[ts_col].diff().dt.total_seconds()
-        new_sess = (gaps > gap_seconds) | gaps.isna()
-        n_sessions = int(new_sess.sum())
-        return pd.DataFrame(
+    def sessions(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.sort_indices(group, sort_keys=sort_keys)
+        ts_us = group.column(ts_col).take(idx).cast(pa.int64()).to_numpy()
+        n_sessions = 1 + int((np.diff(ts_us) > gap_us).sum()) if len(ts_us) else 0
+        return pa.table(
             {
-                key: [g[key].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
+                key: group.column(key).slice(0, 1),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "n_events": pa.array([group.num_rows], type=pa.int64()),
             }
         )
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    return ds.groupby(key).map_groups(sessions, batch_format="pyarrow")
 
 
 def tumbling_count(

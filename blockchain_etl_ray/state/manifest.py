@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 _BASE_RE = re.compile(r"^version=(\d+)\.parquet$")
 _FRAGDIR_RE = re.compile(r"^version=(\d+)$")
 _CYCLE_RE = re.compile(r"^version=(\d+)\.json$")
+_SUMMARY_RE = re.compile(r"^summary-version=(\d+)\.json$")
 
 
 def atomic_write_bytes(path: Path, data: bytes) -> None:
@@ -150,12 +151,85 @@ class StateStore:
     def base_versions(self, part: int, table: str | None = None) -> list[int]:
         return self._versions(part, _BASE_RE, table)
 
+    def _summary(self) -> tuple[int, dict] | None:
+        d = self.root / "cycles"
+        if not d.is_dir():
+            return None
+        best = None
+        for name in os.listdir(d):
+            m = _SUMMARY_RE.match(name)
+            if m:
+                v = int(m.group(1))
+                if best is None or v > best:
+                    best = v
+        if best is None:
+            return None
+        return best, json.loads((d / f"summary-version={best:012d}.json").read_text())
+
     def read_markers(self, upto: int | None = None) -> dict[int, dict]:
-        return {
-            v: self.read_cycle(v)
-            for v in self.committed_versions()
-            if upto is None or v <= upto
+        """Committed markers by version.  Versions rolled up by
+        :meth:`compact_markers` appear as ONE synthetic marker at the summary
+        version (no fragments — their data lives in compacted bases; epochs,
+        file hashes and lineage are preserved in the summary)."""
+        out: dict[int, dict] = {}
+        s = self._summary()
+        if s is not None and (upto is None or s[0] <= upto):
+            out[s[0]] = s[1]
+        for v in self._file_versions():
+            if upto is None or v <= upto:
+                out[v] = self.read_cycle(v)
+        return out
+
+    def compact_markers(
+        self, upto: int, num_partitions: int, tables: tuple = ()
+    ) -> bool:
+        """Roll every marker ≤ ``upto`` (plus any earlier summary) into one
+        summary file and delete the individual markers — the marker-retention
+        analog of the reference's loader idempotence-key TTL
+        (``blockchainetl/cli/load.py:45``: result keys expire once a range
+        can no longer legitimately be re-offered).  Legal ONLY once no
+        partition read plan references fragments ≤ upto (i.e. compaction +
+        fragment GC have covered them); returns False and does nothing
+        otherwise.  Epochs, delivered-file hashes and lineage rows are all
+        preserved, so gap detection, idempotent resume and reorg reconcile
+        keep working across the rollup."""
+        markers = self.read_markers(upto)
+        if not markers:
+            return False
+        # precondition: no partition read plan ≤ upto still needs a fragment
+        # (compaction must have folded everything into bases first)
+        for t in (None, *tables):
+            plans = self.partition_plans(num_partitions, upto=upto, table=t)
+            if any(p["pieces"] for p in plans.values()):
+                return False
+        merged = {
+            "version": upto,
+            "summary_upto": upto,
+            "epochs": sorted({e for m in markers.values() for e in m.get("epochs", [])}),
+            "files": sorted({f for m in markers.values() for f in m.get("files", [])}),
+            "fragments": [],
+            "tables": {},
+            "file_hashes": {},
+            "cleared_files": sorted(
+                {f for m in markers.values() for f in m.get("cleared_files", [])}
+            ),
+            "lineage": [r for v in sorted(markers) for r in markers[v].get("lineage", [])],
+            "rolled_versions": sorted(markers),
         }
+        for v in sorted(markers):
+            merged["file_hashes"].update(markers[v].get("file_hashes", {}))
+        atomic_write_json(
+            self.root / "cycles" / f"summary-version={upto:012d}.json", merged
+        )
+        d = self.root / "cycles"
+        for name in os.listdir(d):
+            m = _CYCLE_RE.match(name)
+            if m and int(m.group(1)) <= upto:
+                (d / name).unlink(missing_ok=True)
+            ms = _SUMMARY_RE.match(name)
+            if ms and int(ms.group(1)) < upto:
+                (d / name).unlink(missing_ok=True)
+        return True
 
     def _marker_fragments(self, marker: dict, table: str | None) -> list[dict]:
         if table is None:
@@ -242,7 +316,7 @@ class StateStore:
                     n += 1
         return n
 
-    def committed_versions(self) -> list[int]:
+    def _file_versions(self) -> list[int]:
         d = self.root / "cycles"
         if not d.is_dir():
             return []
@@ -252,6 +326,13 @@ class StateStore:
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
+
+    def committed_versions(self) -> list[int]:
+        s = self._summary()
+        file_vs = self._file_versions()
+        if s is None:
+            return file_vs
+        return sorted(set(range(s[0] + 1)) | set(file_vs))
 
     def next_version(self) -> int:
         """Apply steps must be contiguous 0..K-1 — a hole means a manually
@@ -267,8 +348,8 @@ class StateStore:
 
     def applied_epochs(self) -> set[int]:
         out: set[int] = set()
-        for v in self.committed_versions():
-            out.update(self.read_cycle(v)["epochs"])
+        for m in self.read_markers().values():
+            out.update(m.get("epochs", []))
         return out
 
     # -- commits -------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Vacuum housekeeping: tombstone GC below a delivery watermark + cycle
+marker rollup — state, resume, lineage, gap detection and late-epoch
+delivery all survive the cleanup."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _full_state(engine, **kw):
+    return pa.concat_tables(
+        [ray.get(r) for r in engine.read_state(**kw).to_arrow_refs()]
+    )
+
+
+def test_vacuum_tombstones_markers_and_resume(tmp_path):
+    ev = str(tmp_path / "events")
+    info = write_corpus(ev, n_events=8_000, seed=13, n_epochs=10)
+    cfg = dict(num_partitions=8, epoch_batch_size=4, entities=("repo_heads",))
+    eng = ReplayEngine(tmp_path / "state", ReplayConfig(**cfg))
+    eng.replay(ev)
+
+    before_live = _full_state(eng).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    with_dead = _full_state(eng, include_deleted=True)
+    n_tombstones = with_dead.num_rows - before_live.num_rows
+    assert n_tombstones > 0  # the corpus plants deletes
+
+    max_ord = pc.max(with_dead.column("ordinal")).as_py()
+    out = eng.vacuum(tombstone_watermark=max_ord)
+    assert out["compacted"] and out["markers_rolled"]
+
+    # live state byte-identical; tombstones gone even with include_deleted
+    after_live = _full_state(eng).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    assert after_live.equals(before_live)
+    assert _full_state(eng, include_deleted=True).num_rows == before_live.num_rows
+
+    # markers rolled into one summary; lineage + epochs preserved
+    cycles = os.listdir(tmp_path / "state" / "cycles")
+    assert [c for c in cycles if c.startswith("summary-")]
+    assert not [c for c in cycles if c.startswith("version=")]
+    assert pc.sum(eng.lineage_table().column("events_in")).as_py() == info["n_rows"]
+    assert eng.gaps(ev) == []
+    m = eng.metrics()
+    assert m["events_in"] == info["n_rows"]
+
+    # resume: a fresh engine sees everything applied, then applies a NEW epoch
+    eng2 = ReplayEngine(tmp_path / "state", ReplayConfig(**cfg))
+    assert eng2.replay(ev)["events_applied"] == 0
+
+    last = sorted(
+        f for f in os.listdir(ev) if f.startswith("epoch=")
+    )[-1]
+    new_epoch = int(last.split("=")[1].split("-")[0].split(".")[0]) + 1
+    t = pq.read_table(os.path.join(ev, last))
+    names = t.column_names
+    if "filepath" in names:
+        t = t.rename_columns([("path" if c == "filepath" else c) for c in names])
+    bump = pa.table(
+        {
+            "ordinal": pc.add(t.column("ordinal"), 1_000_000),
+            "epoch": pa.array([new_epoch] * t.num_rows, type=pa.int64()),
+            "op": pa.array(["update"] * t.num_rows),
+            "repo": t.column("repo"),
+            "path": t.column("path"),
+            "commit": t.column("commit"),
+            "lang": t.column("lang"),
+            "content": pa.array(
+                ["fresh content after vacuum"] * t.num_rows, type=pa.large_string()
+            ),
+            "event_id": pa.array([f"post-vac-{i}" for i in range(t.num_rows)]),
+        }
+    )
+    pq.write_table(bump, os.path.join(ev, f"epoch={new_epoch:06d}.parquet"))
+    assert eng2.replay(ev)["events_applied"] == t.num_rows
+
+    # converged equality vs the pure-python oracle over the grown log
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in _full_state(eng2).to_pylist()
+    }
+    exp = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in live_rows(fold_events(ev))
+    }
+    # vacuumed tombstones stay dead only for keys never re-inserted; the
+    # oracle has no watermark concept, so compare on the oracle's live keys
+    for k, v in got.items():
+        assert exp.get(k) == v, k
+    assert set(exp) == set(got)
