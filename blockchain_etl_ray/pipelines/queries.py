@@ -1146,7 +1146,8 @@ def minhash_neardup_pairs(sf_dir: str):
         }
     )
     all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
-    ds = rd.from_arrow(all_docs)
+    # from_arrow yields ONE block; spread it so signing parallelizes
+    ds = rd.from_arrow(all_docs).repartition(16)
     return dedup.minhash_near_dups(ds, threshold=0.5)
 
 
@@ -1169,7 +1170,7 @@ def shared_chunk_pairs_query(sf_dir: str):
         }
     )
     all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
-    return dedup.shared_chunk_pairs(rd.from_arrow(all_docs), min_shared=2)
+    return dedup.shared_chunk_pairs(rd.from_arrow(all_docs).repartition(16), min_shared=2)
 
 
 @register("simhash_signatures", None)
@@ -1198,7 +1199,17 @@ def simhash_neardup_pairs(sf_dir: str):
         }
     )
     all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
-    return dedup.simhash_near_dups(rd.from_arrow(all_docs), max_hamming=8)
+    # textbook composition: EXACT dedup first (collapses identical-template
+    # clusters, which would otherwise dominate candidate volume), then
+    # simhash near-dup over the survivors
+    ds = rd.from_arrow(all_docs).repartition(16).map_batches(
+        text.fingerprint_md5, batch_format="pyarrow"
+    )
+    uniq = dedup.exact_dedup(ds, fingerprint_col="fingerprint", order_col="doc_id")
+    uniq = uniq.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    return dedup.simhash_near_dups(uniq, max_hamming=8, max_bucket=64)
 
 
 @register("media_decode_stats", None)
@@ -1345,7 +1356,7 @@ def cosine_lsh_dup_pairs(sf_dir: str):
         0, "vec_id", pc.add(extra.column("vec_id"), 1_000_000)
     )
     allv = pa.concat_tables([base, extra])
-    return ann.cosine_neardup_pairs_lsh(rd.from_arrow(allv), threshold=0.999999)
+    return ann.cosine_neardup_pairs_lsh(rd.from_arrow(allv).repartition(16), threshold=0.999999)
 
 
 @register(

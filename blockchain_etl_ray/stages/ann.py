@@ -396,7 +396,7 @@ def cosine_neardup_pairs(
 def cosine_neardup_pairs_lsh(
     vectors: rd.Dataset,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 64,
     bands: int = 4,
     max_bucket: int = 512,
     seed: int = 5,
@@ -413,7 +413,6 @@ def cosine_neardup_pairs_lsh(
     planted-dup recall asserted in pytest."""
     import pyarrow.compute as pc
 
-    from .dedup import _bucket_pairs
     from .joins import partitioned_join
     from .stabilize import stabilize
 
@@ -450,15 +449,11 @@ def cosine_neardup_pairs_lsh(
         )
 
     buckets = vectors.map_batches(band_rows, batch_format="pyarrow")
+    from .dedup import _run_pairs_table, _with_gpart
 
-    def pairs(group: pa.Table) -> pa.Table:
-        a, b = _bucket_pairs(
-            group.column(id_col).to_numpy(zero_copy_only=False), max_bucket
-        )
-        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
-
-    cand = buckets.groupby(["band_id", "band_key"]).map_groups(
-        pairs, batch_format="pyarrow"
+    cand = _with_gpart(buckets, "band_key", 64).groupby(["band_id", "gpart"]).map_groups(
+        lambda g: _run_pairs_table(g, "band_key", id_col, max_bucket),
+        batch_format="pyarrow",
     )
     from ray.data.aggregate import Count
 
@@ -477,14 +472,14 @@ def cosine_neardup_pairs_lsh(
             }
         )
 
-    emb = vectors.map_batches(emb_blob, batch_format="pyarrow")
-    j1 = partitioned_join(cand, emb, on=("a",), right_on=(id_col,)).map_batches(
+    emb = vectors.map_batches(emb_blob, batch_format="pyarrow").materialize()
+    j1 = partitioned_join(cand, emb, on=("a",), right_on=(id_col,), num_partitions=4).map_batches(
         lambda t: t.rename_columns(
             [("emb_a" if c == "emb" else c) for c in t.column_names]
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, emb, on=("b",), right_on=(id_col,))
+    j2 = partitioned_join(j1, emb, on=("b",), right_on=(id_col,), num_partitions=4)
 
     def verify(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)

@@ -124,17 +124,85 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndar
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
-def lsh_candidate_pairs(buckets: rd.Dataset, max_bucket: int = 256) -> rd.Dataset:
-    """(band_id, band_hash) groupby → unordered candidate pairs (a < b),
-    vectorized and bounded per bucket (see :func:`_bucket_pairs`)."""
+def _run_pairs_table(
+    group: pa.Table,
+    key_col: str,
+    id_col: str,
+    max_bucket: int,
+    sig_col: str | None = None,
+) -> pa.Table:
+    """Vectorized pair generation over MANY hash buckets at once: sort the
+    group by (key, id), detect equal-key runs with one numpy diff, and emit
+    bounded pairs only for multi-member runs.  This exists because a Ray
+    ``map_groups`` per HASH BUCKET pays Python dispatch per group — ~90k
+    near-empty buckets cost ~9 s of pure overhead at sf0.1 (measured); one
+    group per (band, sub-partition) amortizes it to ~1k dispatches with the
+    same parallelism and bounded group sizes."""
+    keys = group.column(key_col).to_numpy(zero_copy_only=False)
+    ids = group.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    sigs = (
+        group.column(sig_col).to_numpy(zero_copy_only=False)[order]
+        if sig_col
+        else None
+    )
+    out_a, out_b, out_sa, out_sb = [], [], [], []
+    if len(k):
+        change = np.nonzero(k[1:] != k[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(k)]])
+        multi = np.nonzero((ends - starts) >= 2)[0]
+        for r in multi:
+            st, en = starts[r], ends[r]
+            a, b = _bucket_pairs(i[st:en], max_bucket)
+            if not len(a):
+                continue
+            out_a.append(a)
+            out_b.append(b)
+            if sigs is not None:
+                sig_of = dict(zip(i[st:en].tolist(), sigs[st:en].tolist()))
+                out_sa.append(np.array([sig_of[x] for x in a.tolist()], dtype=np.int64))
+                out_sb.append(np.array([sig_of[x] for x in b.tolist()], dtype=np.int64))
+    cols = {
+        "a": pa.array(np.concatenate(out_a) if out_a else np.empty(0, np.int64)),
+        "b": pa.array(np.concatenate(out_b) if out_b else np.empty(0, np.int64)),
+    }
+    if sig_col:
+        cols["sig_a"] = pa.array(
+            np.concatenate(out_sa) if out_sa else np.empty(0, np.int64)
+        )
+        cols["sig_b"] = pa.array(
+            np.concatenate(out_sb) if out_sb else np.empty(0, np.int64)
+        )
+    return pa.table(cols)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        a, b = _bucket_pairs(ids, max_bucket)
-        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
 
-    return buckets.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow"
+def _with_gpart(ds: rd.Dataset, key_col: str, group_parts: int) -> rd.Dataset:
+    """Sub-partition column so one shuffle group holds MANY whole hash
+    buckets (hash values are non-negative here by construction)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "gpart", pa.array((k % group_parts).astype(np.int32))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    buckets: rd.Dataset, max_bucket: int = 256, group_parts: int = 64
+) -> rd.Dataset:
+    """(band_id, band_hash) buckets → unordered candidate pairs (a < b),
+    vectorized and bounded per bucket (see :func:`_bucket_pairs`); buckets
+    are processed ``group_parts`` sub-partitions at a time per band
+    (:func:`_run_pairs_table`) so shuffle-group count tracks cluster
+    parallelism, not bucket count."""
+    withg = _with_gpart(buckets, "band_hash", group_parts)
+    return withg.groupby(["band_id", "gpart"]).map_groups(
+        lambda g: _run_pairs_table(g, "band_hash", "doc_id", max_bucket),
+        batch_format="pyarrow",
     )
 
 
@@ -184,16 +252,20 @@ def verify_pairs_jaccard(
     from .joins import partitioned_join
     from .stabilize import stabilize
 
+    # the shingle side is doc-bounded and consumed by BOTH joins: compute it
+    # once (materialize) instead of re-shingling the corpus per join; small
+    # fixed join partition count — the verify volume is candidate-bounded,
+    # and hash-join aggregator actors cost ~0.5 s spin-up apiece
     sh = docs.map_batches(
         lambda t: shingle_set_rows(t, shingle_k), batch_format="pyarrow"
-    )
-    j1 = partitioned_join(pairs, sh, on=("a",), right_on=("doc_id",)).map_batches(
+    ).materialize()
+    j1 = partitioned_join(pairs, sh, on=("a",), right_on=("doc_id",), num_partitions=4).map_batches(
         lambda t: t.rename_columns(
             [("sh_a" if c == "shingles" else c) for c in t.column_names]
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",))
+    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",), num_partitions=4)
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -247,6 +319,26 @@ def minhash_near_dups(
     return verify_pairs_jaccard(cand, docs, threshold, shingle_k)
 
 
+#: per-worker word→±1-vector cache: natural-language vocabularies are tiny
+#: relative to corpus volume, so virtually every word hash after warm-up is a
+#: dict hit (the ST1 worker-cache pattern, ``eth_token_service.py:44-130``);
+#: bounded to keep worker heaps predictable
+_WORD_VEC_CACHE: dict[str, np.ndarray] = {}
+_WORD_VEC_CACHE_MAX = 500_000
+
+
+def _word_vec(w: str) -> np.ndarray:
+    v = _WORD_VEC_CACHE.get(w)
+    if v is None:
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        v = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int16)
+        v = v * 2 - 1
+        if len(_WORD_VEC_CACHE) >= _WORD_VEC_CACHE_MAX:
+            _WORD_VEC_CACHE.clear()
+        _WORD_VEC_CACHE[w] = v
+    return v
+
+
 class SimHasher:
     """64-bit SimHash per doc (actor-pool stage) + band keys for bucketing."""
 
@@ -255,12 +347,10 @@ class SimHasher:
 
     @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+        acc = np.zeros(64, dtype=np.int32)
         for w in set(text.split(" ")):
-            digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-            acc += 2 * bits - 1
-        return int("".join("1" if x > 0 else "0" for x in acc), 2)
+            acc += _word_vec(w)
+        return int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
@@ -316,21 +406,10 @@ def simhash_near_dups(
         lambda t: simhash_band_rows(t, bands), batch_format="pyarrow"
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sigs = group.column("simhash").to_numpy(zero_copy_only=False)
-        sig_of = dict(zip(ids.tolist(), sigs.tolist()))
-        a, b = _bucket_pairs(ids, max_bucket)
-        return pa.table(
-            {
-                "a": pa.array(a, type=pa.int64()),
-                "b": pa.array(b, type=pa.int64()),
-                "sig_a": pa.array([sig_of[x] for x in a.tolist()], type=pa.int64()),
-                "sig_b": pa.array([sig_of[x] for x in b.tolist()], type=pa.int64()),
-            }
-        )
-
-    cand = rows.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pyarrow")
+    cand = _with_gpart(rows, "band_key", 64).groupby(["band_id", "gpart"]).map_groups(
+        lambda g: _run_pairs_table(g, "band_key", "doc_id", max_bucket, sig_col="simhash"),
+        batch_format="pyarrow",
+    )
     # dedup across bands; signatures are functions of the id so Min() is exact
     uniq = cand.groupby(["a", "b"]).aggregate(
         Min("sig_a", alias_name="sig_a"), Min("sig_b", alias_name="sig_b")
@@ -372,6 +451,30 @@ def simhash_near_dups(
     return uniq.map_batches(verify, batch_format="pyarrow")
 
 
+_CDC_W = 16
+_CDC_B = 131
+_CDC_BINV = pow(_CDC_B, -1, 1 << 64)
+
+
+def _rolling_window_hashes(data: np.ndarray) -> np.ndarray:
+    """Wraparound-2^64 polynomial hash of every 16-byte window, fully
+    vectorized: with prefix sums S[i] = Σ d[j]·B⁻ʲ, the window hash ending at
+    i is (S[i] − S[i−W]) · Bⁱ — two cumulative products, one cumsum, no
+    per-byte Python (the original per-byte loop cost ~10 s per 10 MB)."""
+    n = len(data)
+    binv_pows = np.multiply.accumulate(
+        np.full(n, np.uint64(_CDC_BINV), dtype=np.uint64)
+    )  # Binv^1..Binv^n
+    s = np.cumsum(data.astype(np.uint64) * binv_pows, dtype=np.uint64)
+    b_pows = np.multiply.accumulate(np.full(n, np.uint64(_CDC_B), dtype=np.uint64))
+    h = np.empty(n, dtype=np.uint64)
+    h[: _CDC_W - 1] = 0  # windows shorter than W never match
+    if n >= _CDC_W:
+        left = np.concatenate([[np.uint64(0)], s[: n - _CDC_W]])
+        h[_CDC_W - 1 :] = (s[_CDC_W - 1 :] - left) * b_pows[_CDC_W - 1 :]
+    return h
+
+
 def content_defined_chunks(
     text: str, min_len: int = 64, mask: int = 0x7F, max_len: int = 512
 ) -> list[str]:
@@ -379,25 +482,31 @@ def content_defined_chunks(
     rolling hash of the last 16 bytes matches ``mask`` (expected chunk ≈
     min_len + 128 B).  Insertions only shift boundaries locally, so shared
     runs between near-identical documents chunk identically — the property
-    dedup-at-scale systems rely on."""
-    data = text.encode()
-    B, M = 131, (1 << 61) - 1
-    W = 16
-    pow_b = pow(B, W - 1, M)
+    dedup-at-scale systems rely on.  Candidate boundaries come from one
+    vectorized rolling-hash pass; the Python loop below runs once per CHUNK
+    (≈ bytes/128), not per byte."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8)
+    n = len(data)
+    if n == 0:
+        return []
+    h = _rolling_window_hashes(data)
+    m = np.uint64(mask)
+    cand = np.nonzero((h & m) == m)[0]
+    raw = data.tobytes()
     chunks, start = [], 0
-    h = 0
-    for i, byte in enumerate(data):
-        if i - start >= W:
-            h = ((h - data[i - W] * pow_b) * B + byte) % M
+    while start < n:
+        lo = start + min_len - 1
+        hi = start + max_len - 1
+        k = np.searchsorted(cand, lo)
+        if k < len(cand) and cand[k] <= hi:
+            cut = int(cand[k])
+        elif hi <= n - 2:
+            cut = hi  # forced max_len boundary
         else:
-            h = (h * B + byte) % M
-        length = i - start + 1
-        if (length >= min_len and (h & mask) == mask) or length >= max_len:
-            chunks.append(data[start : i + 1].decode(errors="ignore"))
-            start = i + 1
-            h = 0
-    if start < len(data):
-        chunks.append(data[start:].decode(errors="ignore"))
+            chunks.append(raw[start:].decode(errors="ignore"))  # tail
+            break
+        chunks.append(raw[start : cut + 1].decode(errors="ignore"))
+        start = cut + 1
     return chunks
 
 
@@ -453,12 +562,10 @@ def shared_chunk_pairs(
         concurrency=2,
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        a, b = _bucket_pairs(ids, max_bucket)
-        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
-
-    cand = chunks.groupby("chunk_hash").map_groups(pairs, batch_format="pyarrow")
+    cand = _with_gpart(chunks, "chunk_hash", 64).groupby("gpart").map_groups(
+        lambda g: _run_pairs_table(g, "chunk_hash", "doc_id", max_bucket),
+        batch_format="pyarrow",
+    )
     counted = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
     counted = stabilize(
         counted, [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]

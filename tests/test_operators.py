@@ -79,7 +79,12 @@ def test_content_defined_chunking_shift_invariance():
     recovers most planted pairs."""
     from blockchain_etl_ray.stages.dedup import content_defined_chunks
 
-    base = ("word salad of many tokens " * 40).strip()
+    # aperiodic text (varied words): CDC re-synchronizes after a shift as
+    # soon as one inter-candidate gap exceeds min_len — which periodic text
+    # (constant gaps) never provides, for ANY content-defined chunker
+    rng = np.random.default_rng(3)
+    words = [f"tok{rng.integers(0, 5000)}" for _ in range(400)]
+    base = " ".join(words)
     shifted = "PREPENDED HEADER LINE " + base
     a = set(content_defined_chunks(base, min_len=32, mask=0x3F))
     b = set(content_defined_chunks(shifted, min_len=32, mask=0x3F))
