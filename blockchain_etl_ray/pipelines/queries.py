@@ -1492,7 +1492,19 @@ def cdc_replay_state(sf_dir: str):
             }
         )
 
-    return engine.read_state().map_batches(proj, batch_format="pyarrow")
+    return _stable(
+        engine.read_state().map_batches(proj, batch_format="pyarrow"),
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_id", pa.string()),
+            ("lang", pa.string()),
+            ("content", pa.string()),
+            ("content_sha256", pa.string()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
 
 
 _CDC_EVO_SQL = """
@@ -1559,7 +1571,18 @@ def cdc_replay_schema_evolution(sf_dir: str):
             }
         )
 
-    return engine.read_state().map_batches(proj, batch_format="pyarrow")
+    return _stable(
+        engine.read_state().map_batches(proj, batch_format="pyarrow"),
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_id", pa.string()),
+            ("content", pa.string()),
+            ("size", pa.int64()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
 
 
 _CDC_REPO_HEADS_SQL = """
@@ -1611,8 +1634,18 @@ def cdc_multi_repo_heads(sf_dir: str):
             }
         )
 
-    return engine.read_state(table="repo_heads").map_batches(
-        proj, batch_format="pyarrow"
+    return _stable(
+        engine.read_state(table="repo_heads").map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        [
+            ("repo", pa.string()),
+            ("last_path", pa.string()),
+            ("last_commit", pa.string()),
+            ("last_lang", pa.string()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
     )
 
 
@@ -1662,8 +1695,17 @@ def cdc_multi_path_heads(sf_dir: str):
             }
         )
 
-    return engine.read_state(table="path_heads").map_batches(
-        proj, batch_format="pyarrow"
+    return _stable(
+        engine.read_state(table="path_heads").map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        [
+            ("path", pa.string()),
+            ("head_repo", pa.string()),
+            ("head_commit", pa.string()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
     )
 
 

@@ -607,7 +607,7 @@ class ReplayEngine:
         if not items:
             return rd.from_arrow(schema.empty_table())
 
-        def resolve_batch(batch: pa.Table) -> pa.Table:
+        def resolve_batch(batch: pa.Table):
             import json as _json
 
             from ..entities import REGISTRY as _REG
@@ -619,7 +619,15 @@ class ReplayEngine:
                 if not include_deleted:
                     t = t.filter(pa.compute.invert(t.column("deleted")))
                 tables.append(t)
-            return pa.concat_tables(tables, promote_options="default")
+            out = pa.concat_tables(tables, promote_options="default")
+            # A partition whose rows are all tombstoned resolves to 0 rows.
+            # Ray 2.49 strips the schema off 0-row task outputs either way
+            # (the task still emits one empty zero-column block), but yielding
+            # nothing avoids the noisy "new schema: ." executor warning.
+            # Consumers that concat blocks strictly must rebuild blocks
+            # (stages/stabilize.py) — the query catalog does this.
+            if out.num_rows:
+                yield out
 
         # one block per partition — from_items defaults to a single block,
         # which would serialize all resolves into one task

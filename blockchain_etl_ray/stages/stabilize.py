@@ -1,19 +1,21 @@
 """Schema stabilization for shuffle-derived Datasets.
 
 Ray 2.49 shuffle stages (``groupby().aggregate/map_groups``, ``sort``, hash
-joins) emit EMPTY output blocks that have LOST their schema (the
-"new schema: ." empty-block bug).  Those blocks BYPASS every downstream
-``map_batches`` UDF, so any block-level consumer — ``pa.concat_tables`` over
-``to_arrow_refs()``, a strict parquet writer, the correctness driver's value
-hash — throws on the schema mismatch even though the values are correct.
+joins) and 0-row ``map_batches`` task outputs emit EMPTY blocks that have
+LOST their schema (the "new schema: ." empty-block bug).  Those blocks BYPASS
+every downstream ``map_batches`` UDF, so any block-level consumer —
+``pa.concat_tables`` over ``to_arrow_refs()``, a strict parquet writer, the
+correctness driver's value hash — throws on the schema mismatch even though
+the values are correct.
 
-Repair is two-step, because a map alone cannot touch the broken blocks:
-cast every non-empty batch to the DECLARED schema (names, order, types), then
-``repartition`` — the one lazy operation that physically rebuilds blocks and
-drops the schemaless empties (verified against Ray 2.49.2).  Intended for
-FINAL pipeline outputs, which are small (grouped / top-k / verified-pair
-results), so the block rebuild is noise; never put this mid-pipeline on
-fact-sized data.
+A map alone cannot touch the broken blocks, and (measured on 2.49.2) neither
+``repartition(n)`` nor ``repartition(n, shuffle=True)`` reliably rebuilds
+them: empty exchange partitions can come back schemaless again.  The only
+deterministic repair is physical: cast every non-empty batch to the DECLARED
+schema, materialize, and DROP the 0-row blocks by block METADATA — an
+object-ref filter, no block data moves or lands on the driver.  Intended for
+FINAL pipeline outputs, which are modest (grouped / top-k / resolved-state
+results); never put this mid-pipeline on fact-sized data.
 """
 
 from __future__ import annotations
@@ -27,8 +29,12 @@ def stabilize(
     fields: list[tuple[str, pa.DataType]] | pa.Schema,
     num_blocks: int = 4,
 ) -> rd.Dataset:
-    """Cast every batch to the declared schema and rebuild blocks so no
-    schemaless empty block survives to the consumer."""
+    """Cast every batch to the declared schema and rebuild the block list so
+    no schemaless empty block survives to a strict consumer.
+
+    ``num_blocks`` is kept for call-site compatibility; blocking is now
+    whatever the producing stages emitted, minus the empties.
+    """
     schema = fields if isinstance(fields, pa.Schema) else pa.schema(fields)
 
     def fix(t: pa.Table) -> pa.Table:
@@ -36,4 +42,13 @@ def stabilize(
             return schema.empty_table()
         return t.select(schema.names).cast(schema)
 
-    return ds.map_batches(fix, batch_format="pyarrow").repartition(num_blocks)
+    mat = ds.map_batches(fix, batch_format="pyarrow").materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
