@@ -1811,5 +1811,298 @@ def cdc_repo_stats(sf_dir: str):
     )
 
 
+# ===========================================================================
+# Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
+# ===========================================================================
+
+
+@register(
+    "receipts_consistency_fill",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           CASE WHEN COUNT(l.l_orderkey) = 0 THEN -1
+                ELSE COUNT(l.l_orderkey) END AS status
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def receipts_consistency_fill(sf_dir: str):
+    """S3 consistency check + synthetic fill
+    (``ethereumetl/streaming/eth_streamer_adapter.py:302-321``: every tx must
+    have a receipt; missing ones get a synthetic ``status=-1`` receipt so the
+    downstream enrich never drops rows).  Shape: per-key combiner inside
+    ``map_batches`` (lineitem counts partial-aggregate BEFORE the exchange),
+    one small groupby, then a left partitioned join from orders with the
+    null→-1 synthetic fill — no fact-sized broadcast, no driver state."""
+    from ..stages.joins import partitioned_join
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"l_orderkey": t.column("l_orderkey")})
+            .group_by("l_orderkey")
+            .aggregate([("l_orderkey", "count")])
+            .rename_columns(["l_orderkey", "cnt"])
+        )
+
+    line_counts = (
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("cnt", alias_name="status"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    joined = partitioned_join(
+        orders,
+        line_counts,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        join_type="left_outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        status = pc.fill_null(pc.cast(t.column("status"), pa.int64()), -1)
+        return pa.table({"orderkey": t.column("o_orderkey"), "status": status})
+
+    return _stable(
+        joined.map_batches(fill, batch_format="pyarrow"),
+        [("orderkey", pa.int64()), ("status", pa.int64())],
+    )
+
+
+@register(
+    "trace_export_synthetic",
+    """
+    SELECT -(n_nationkey + 1) AS trace_id,
+           'genesis' AS kind,
+           CAST(n_nationkey * 10000 AS BIGINT) AS value_x100
+    FROM nation
+    UNION ALL
+    SELECT event_id AS trace_id,
+           'call' AS kind,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_x100
+    FROM events WHERE value >= 1.0
+    """,
+)
+def trace_export_synthetic(sf_dir: str):
+    """S5 trace export analog (``ethereumetl/jobs/export_traces_job.py:61-114``):
+    synthetic genesis traces are INJECTED into the stream (one per static
+    allocation; here derived from the tiny nation table) and
+    precompile-style calls are FILTERED at the source
+    (``retain_precompiled_calls=False`` drops sub-threshold calls) — a
+    union of a from-memory synthetic block with a predicate-pruned read."""
+    nation = _tbl(sf_dir, "nation", ["n_nationkey"])
+    nk = pc.cast(nation.column("n_nationkey"), pa.int64())
+    genesis = pa.table(
+        {
+            "trace_id": pc.negate(pc.add(nk, 1)),
+            "kind": pa.array(["genesis"] * nation.num_rows),
+            "value_x100": pc.multiply(nk, 10000),
+        }
+    )
+
+    def calls(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t.column("value"), 1.0))
+        return pa.table(
+            {
+                "trace_id": keep.column("event_id"),
+                "kind": pa.array(["call"] * keep.num_rows),
+                "value_x100": scaled_int(keep.column("value")),
+            }
+        )
+
+    traces = rd.from_arrow(genesis).union(
+        _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+            calls, batch_format="pyarrow"
+        )
+    )
+    return _stable(
+        traces,
+        [("trace_id", pa.int64()), ("kind", pa.string()), ("value_x100", pa.int64())],
+    )
+
+
+@register(
+    "balances_at_height",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'refund'
+                    THEN -CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END) AS balance_x100
+    FROM events WHERE event_id <= 500
+    GROUP BY user_id
+    """,
+)
+def balances_at_height(sf_dir: str):
+    """S6 point-in-time balance snapshot
+    (``ethereumetl/jobs/export_token_balances_job.py:40-118``: ``balanceOf``
+    at a fixed block height).  The height predicate is pushed INTO the
+    parquet read (row-group pruning — nothing past the height leaves
+    storage), signed cents are computed vectorized, partials combine per
+    batch, and one small groupby finishes."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pc.field("event_id") <= 500),
+    )
+
+    def signed_partial(t: pa.Table) -> pa.Table:
+        cents = scaled_int(t.column("value"))
+        signed = pc.if_else(
+            pc.equal(t.column("event_type"), "refund"), pc.negate(cents), cents
+        )
+        return (
+            pa.table({"user_id": t.column("user_id"), "signed": signed})
+            .group_by("user_id")
+            .aggregate([("signed", "sum")])
+            .rename_columns(["user_id", "signed"])
+        )
+
+    agg = (
+        ds.map_batches(signed_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("signed", alias_name="balance_x100"))
+    )
+    return _stable(agg, [("user_id", pa.int64()), ("balance_x100", pa.int64())])
+
+
+@register(
+    "jsonl_source_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_x100
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonl_source_counts(sf_dir: str):
+    """S7 second-source-format analog (``bitcoinetl/jobs/export_blocks_job.py``
+    vs the eth export: two wire formats, ONE downstream pipeline).  The events
+    table round-trips through a JSONL shard directory
+    (``sources/jsonl_log.py``) — written and read by workers — and the same
+    aggregate runs unchanged on the re-read Dataset.  Monetary columns cross
+    the JSON boundary pre-scaled to int (float JSON round-trips are not
+    bit-stable)."""
+    import tempfile as _tf
+
+    from ..sources.jsonl_log import read_jsonl_log, write_jsonl_log
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+            }
+        )
+
+    out_dir = _tf.mkdtemp(prefix="jsonl_log_")
+    write_jsonl_log(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        out_dir,
+    )
+    back = read_jsonl_log(
+        out_dir,
+        schema=pa.schema(
+            [("event_type", pa.string()), ("value_x100", pa.int64())]
+        ),
+    )
+    agg = back.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value_x100", alias_name="sum_value_x100")
+    )
+    return _stable(
+        agg,
+        [("event_type", pa.string()), ("n", pa.int64()), ("sum_value_x100", pa.int64())],
+    )
+
+
+@register(
+    "special_case_decode",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) * 2
+                ELSE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) END AS amount
+    FROM events
+    """,
+)
+def special_case_decode(sf_dir: str):
+    """M4 bespoke-contract decode
+    (``ethereumetl/jobs/extract_cryptopunk_transfer_job.py:26-45``: one
+    specific contract's logs decode through a DIFFERENT extractor merged into
+    the same output stream).  The generic path regex-decodes the props
+    payload; the special-cased cohort (purchases) runs an alternate decode —
+    both vectorized in one ``map_batches``, selected by mask, never a per-row
+    branch."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        digits = pc.extract_regex(t.column("props"), r"(?P<d>[0-9]+)")
+        k = pc.cast(pc.struct_field(digits, "d"), pa.int64())
+        special = pc.equal(t.column("event_type"), "purchase")
+        amount = pc.if_else(special, pc.multiply(k, 2), k)
+        return pa.table({"event_id": t.column("event_id"), "amount": amount})
+
+    return _stable(
+        ds.map_batches(decode, batch_format="pyarrow"),
+        [("event_id", pa.int64()), ("amount", pa.int64())],
+    )
+
+
+@register(
+    "epoch_rewards",
+    """
+    SELECT CAST(event_id // 100 AS BIGINT) AS epoch,
+           200000000 + SUM(CAST(ROUND(value * 5) AS BIGINT)) AS reward_x100,
+           COUNT(*) AS n_txs
+    FROM events GROUP BY epoch
+    """,
+)
+def epoch_rewards(sf_dir: str):
+    """A9 block-reward calculation
+    (``ethereumetl/streaming/eth_balance_adapter.py:353-360`` coinbase
+    branch; ``ethereumetl/enumeration/column_type.py:206``): per-epoch reward
+    = static base + fee share of every tx in the epoch.  Epoch id and fee are
+    derived vectorized, fees partial-combine per batch, one small groupby,
+    base added after the exchange (constant-per-group work stays out of the
+    shuffle)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t.column("event_id"), pa.int64())
+        epoch = pc.divide(eid, 100)
+        fee = pc.round(
+            pc.multiply(t.column("value"), 5.0),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        )
+        return (
+            pa.table({"epoch": epoch, "fee": pc.cast(fee, pa.int64()), "one": pa.array([1] * t.num_rows, pa.int64())})
+            .group_by("epoch")
+            .aggregate([("fee", "sum"), ("one", "sum")])
+            .rename_columns(["epoch", "fee", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("epoch")
+        .aggregate(Sum("fee", alias_name="fees_x100"), Sum("n", alias_name="n_txs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "epoch": t.column("epoch"),
+                "reward_x100": pc.add(t.column("fees_x100"), 200_000_000),
+                "n_txs": t.column("n_txs"),
+            }
+        )
+
+    return _stable(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        [("epoch", pa.int64()), ("reward_x100", pa.int64()), ("n_txs", pa.int64())],
+    )
+
+
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     return dict(QUERIES)

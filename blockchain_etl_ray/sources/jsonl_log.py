@@ -1,0 +1,46 @@
+"""JSON-lines change-log source — the "second chain, same pipeline" surface.
+
+The reference runs one streaming pipeline over two wire formats: the eth RPC
+block/tx export and the bitcoin ``getblock`` export
+(``bitcoinetl/jobs/export_blocks_job.py:30-118`` vs
+``ethereumetl/jobs/export_blocks_job.py``), both normalized into the same
+item stream by per-chain mappers.  The Ray analog: the engine's operators run
+over a ``Dataset`` regardless of which reader produced it, so a second source
+format is just a second ``read_*`` + a normalizing cast — no pipeline forks.
+
+Floats are NOT allowed through this boundary: JSON readers re-infer types and
+double round-trips are not bit-stable, so writers must pre-scale monetary
+columns to int (``*_x100`` cents), mirroring the parity contract in
+``functions/parity.py``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def write_jsonl_log(ds: rd.Dataset, out_dir: str) -> None:
+    """Export a Dataset as a directory of JSON-lines shards (one file per
+    block, written by the workers — never driver-collected)."""
+    for field in ds.schema().base_schema:
+        if pa.types.is_floating(field.type):
+            raise ValueError(
+                f"refusing to write float column {field.name!r} to JSONL: "
+                "pre-scale to int (parity contract)"
+            )
+    ds.write_json(out_dir)
+
+
+def read_jsonl_log(in_dir: str, schema: pa.Schema | None = None) -> rd.Dataset:
+    """Read a JSONL shard directory back as a Dataset; optionally cast every
+    batch to a declared schema so downstream stages see stable types
+    regardless of per-file JSON type inference."""
+    ds = rd.read_json(in_dir)
+    if schema is None:
+        return ds
+
+    def cast(t: pa.Table) -> pa.Table:
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
