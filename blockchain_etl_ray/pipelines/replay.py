@@ -175,6 +175,12 @@ class ReplayConfig:
     #: (``blockchainetl/enumeration/entity_type.py:118-135``)
     entities: tuple = ()
     rename_map: dict = field(default_factory=lambda: dict(DEFAULT_RENAMES))
+    #: salted sub-partition fold threshold (north-rule skew path): a resolve /
+    #: compaction plan holding more fragment pieces than this is folded by
+    #: parallel salt-group Ray tasks with a final combine (see
+    #: ``stages/merge.py::resolve_plan``).  Read-side knob, NOT part of the
+    #: on-disk layout contract, so it stays out of ``as_dict``.
+    resolve_salt_max_pieces: int | None = 64
 
     def as_dict(self) -> dict:
         return {
@@ -460,6 +466,7 @@ class ReplayEngine:
                 return []
             upto_version = versions[-1]
         root = str(self.store.root)
+        salt_max = self.config.resolve_salt_max_pieces
         import json as _json
 
         # plans travel as JSON strings: heterogeneous nested dicts otherwise
@@ -486,6 +493,7 @@ class ReplayEngine:
                                     _json.loads(plan), root, upto_version,
                                     entity_name=ent or None,
                                     tombstone_watermark=tombstone_watermark,
+                                    salt_max_pieces=salt_max,
                                 )
                             )
                         }
@@ -607,6 +615,8 @@ class ReplayEngine:
         if not items:
             return rd.from_arrow(schema.empty_table())
 
+        salt_max = self.config.resolve_salt_max_pieces
+
         def resolve_batch(batch: pa.Table):
             import json as _json
 
@@ -615,7 +625,7 @@ class ReplayEngine:
             ent = _REG[table] if table is not None else None
             tables = []
             for plan in batch.column("plan").to_pylist():
-                t = resolve_plan(_json.loads(plan), ent)
+                t = resolve_plan(_json.loads(plan), ent, salt_max_pieces=salt_max)
                 if not include_deleted:
                     t = t.filter(pa.compute.invert(t.column("deleted")))
                 tables.append(t)

@@ -212,12 +212,50 @@ def read_plan_tables(plan: dict) -> list[pa.Table]:
     return tables
 
 
-def resolve_plan(plan: dict, entity=None) -> pa.Table:
-    tables = read_plan_tables(plan)
+def resolve_plan(plan: dict, entity=None, salt_max_pieces: int | None = None) -> pa.Table:
+    """LWW/additive-resolve one partition's read plan.
+
+    ``salt_max_pieces``: SALTED sub-partition fold for a pathological hot
+    partition (the north-rule skew path).  A 10^10-event hot key funnels
+    every one of its fragment row groups into ONE partition's resolve; both
+    folds are ASSOCIATIVE (LWW keeps ordinal+src_epoch per winner, additive
+    policies fold state rows), so when a plan holds more pieces than the
+    threshold, the pieces are split into salt groups folded in PARALLEL Ray
+    tasks — each group first collapses to net rows — and a final small fold
+    combines the partials.  Bounds per-task wall time AND peak memory by the
+    salt-group size instead of the partition's total fragment volume.  Safe
+    to nest inside a Ray Data task: a worker blocked in ``ray.get`` releases
+    its CPU, so sub-tasks always schedule."""
     if entity is None:
         key_cols, schema = ("repo", "path"), STATE_SCHEMA
     else:
         key_cols, schema = entity.key_cols, entity.state_schema()
+    pieces = plan.get("pieces", [])
+    if salt_max_pieces is not None and len(pieces) > salt_max_pieces:
+        import ray
+
+        groups = [
+            pieces[i : i + salt_max_pieces]
+            for i in range(0, len(pieces), salt_max_pieces)
+        ]
+        sub_plans = [
+            {"part": plan["part"], "base": None, "pieces": g} for g in groups
+        ]
+        sub_plans[0]["base"] = plan.get("base")
+        ent_name = entity.name if entity is not None else None
+        partials = ray.get(
+            [_resolve_salt_group.remote(sp, ent_name) for sp in sub_plans]
+        )
+        partials = [t for t in partials if t.num_rows]
+        if not partials:
+            return schema.empty_table()
+        if entity is not None and entity.kind == "additive":
+            from ..entities import resolve_additive
+
+            return resolve_additive(partials, entity)
+        return resolve_tables(partials, key_cols, schema)
+
+    tables = read_plan_tables(plan)
     if not tables:
         return schema.empty_table()
     if entity is not None and entity.kind == "additive":
@@ -227,12 +265,39 @@ def resolve_plan(plan: dict, entity=None) -> pa.Table:
     return resolve_tables(tables, key_cols, schema)
 
 
+def _resolve_salt_group_impl(sub_plan: dict, entity_name: str | None) -> pa.Table:
+    entity = None
+    if entity_name is not None:
+        from ..entities import REGISTRY
+
+        entity = REGISTRY[entity_name]
+    return resolve_plan(sub_plan, entity)
+
+
+class _LazySaltRemote:
+    """Defer ``ray.remote`` wrapping until first use so importing this module
+    never initializes Ray."""
+
+    _fn = None
+
+    def remote(self, *args):
+        if _LazySaltRemote._fn is None:
+            import ray
+
+            _LazySaltRemote._fn = ray.remote(num_cpus=1)(_resolve_salt_group_impl)
+        return _LazySaltRemote._fn.remote(*args)
+
+
+_resolve_salt_group = _LazySaltRemote()
+
+
 def compact_partition(
     plan: dict,
     state_root: str,
     upto_version: int,
     entity_name: str | None = None,
     tombstone_watermark: int | None = None,
+    salt_max_pieces: int | None = None,
 ) -> dict:
     """Fold one partition's base + fragments into a new base file (amortized
     rewrite; reorg-style partition rewrite analog).  Idempotent.
@@ -257,7 +322,7 @@ def compact_partition(
         return {"part": part, "skipped": True}
     if not (plan.get("pieces") or plan.get("base")):
         return {"part": part, "skipped": True}
-    out = resolve_plan(plan, entity)
+    out = resolve_plan(plan, entity, salt_max_pieces=salt_max_pieces)
     if tombstone_watermark is not None:
         drop = pc.and_(
             out.column("deleted"),

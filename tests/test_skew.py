@@ -125,3 +125,81 @@ def test_single_pathological_key_bounded(tmp_path):
     # bounded per-task wall: the slowest fragment task stays chunk-sized
     assert lin["wall_s"].max() < 15, lin["wall_s"].max()
     assert wall < 120, wall
+
+
+def test_salted_subpartition_fold_matches_serial(tmp_path):
+    """North-rule salted repartitioning: a partition plan holding more
+    fragment pieces than ``resolve_salt_max_pieces`` is folded by parallel
+    salt-group tasks + a final combine.  Both folds are associative, so the
+    salted result must equal the serial one bit-for-bit — for the LWW table
+    AND an additive entity — and the salted path must actually trigger."""
+    import pyarrow.compute as pc
+
+    from blockchain_etl_ray.stages import merge as merge_mod
+
+    d = _hot_corpus(tmp_path, n=20_000, n_epochs=16)
+    # few partitions + no auto-compaction => many pieces pile onto the hot
+    # partition's plan
+    cfg = ReplayConfig(
+        num_partitions=2,
+        epoch_batch_size=2,
+        compact_every=None,
+        entities=("repo_touch",),
+        resolve_salt_max_pieces=3,
+    )
+    engine = ReplayEngine(tmp_path / "state", cfg)
+    engine.replay(str(d))
+
+    plans = engine.store.partition_plans(cfg.num_partitions)
+    assert max(len(p["pieces"]) for p in plans.values()) > 3
+
+    # trigger check: a direct driver-side resolve of the fattest plan goes
+    # through the salt-group remote (read_state resolves in workers, where a
+    # driver-side spy cannot observe, so assert the unit path here)
+    calls = []
+    orig = merge_mod._LazySaltRemote.remote
+
+    def spy(self, *args):
+        calls.append(args)
+        return orig(self, *args)
+
+    hot_plan = max(plans.values(), key=lambda p: len(p["pieces"]))
+    merge_mod._LazySaltRemote.remote = spy
+    try:
+        direct = merge_mod.resolve_plan(hot_plan, None, salt_max_pieces=3)
+    finally:
+        merge_mod._LazySaltRemote.remote = orig
+    assert calls, "salted fold never triggered"
+    direct_serial = merge_mod.resolve_plan(hot_plan, None)
+    assert direct.equals(direct_serial)
+
+    salted = engine.read_state().to_pandas()
+    salted_touch = engine.read_state(table="repo_touch").to_pandas()
+
+    serial_engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(
+            num_partitions=2, epoch_batch_size=2, compact_every=None,
+            entities=("repo_touch",), resolve_salt_max_pieces=None,
+        ),
+    )
+    serial = serial_engine.read_state().to_pandas()
+    serial_touch = serial_engine.read_state(table="repo_touch").to_pandas()
+
+    for got, exp, keys in (
+        (salted, serial, ["repo", "path"]),
+        (salted_touch, serial_touch, ["repo"]),
+    ):
+        got = got.sort_values(keys).reset_index(drop=True)
+        exp = exp.sort_values(keys).reset_index(drop=True)
+        assert got.columns.tolist() == exp.columns.tolist()
+        assert len(got) == len(exp)
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    # and the salted state matches the brute-force oracle
+    exp_rows = live_rows(fold_events(str(d)))
+    assert len(salted) == len(exp_rows)
+    got_sha = salted.sort_values(["repo", "path"])["content_sha256"].tolist()
+    assert got_sha == [r["content_sha256"] for r in exp_rows]
