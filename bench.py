@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "minhash_neardup_pairs",
     "ann_topk_cosine",
     "cdc_replay_state",
+    "receipts_consistency_fill",
+    "doc_quality_scores",
 ]
 
 

@@ -2104,5 +2104,80 @@ def epoch_rewards(sf_dir: str):
     )
 
 
+@register(
+    "doc_quality_scores",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             CAST(ROUND(1000000.0 * len(regexp_extract_all(text, '[.!?,;:]'))
+                        / NULLIF(length(text), 0)) AS BIGINT) AS punct_x1m,
+             CAST(ROUND(1000000.0 * len(regexp_extract_all(text, '[0-9]'))
+                        / NULLIF(length(text), 0)) AS BIGINT) AS digit_x1m
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens, punct_x1m, digit_x1m,
+           (n_tokens >= 20 AND punct_x1m < 100000 AND digit_x1m < 300000)
+               AS keep
+    FROM feats
+    """,
+)
+def doc_quality_scores(sf_dir: str):
+    """Training-data quality scoring (length / punctuation / digit ratios +
+    keep decision) — the filter stage every large-scale text pipeline runs
+    before training (reference's nearest analog: the content classify step,
+    ``ethereumetl/service/eth_contract_service.py``).  All features come from
+    vectorized ``pyarrow.compute`` string kernels in one ``map_batches``;
+    ratios are exact x1m ints (parity contract), the keep flag is a pure
+    boolean combine — no Python per-row work anywhere."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        nz = pc.if_else(pc.equal(n_chars, 0), pa.scalar(None, pa.int64()), n_chars)
+
+        def ratio_x1m(pattern: str):
+            cnt = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+            frac = pc.divide(
+                pc.multiply(pc.cast(cnt, pa.float64()), 1_000_000.0),
+                pc.cast(nz, pa.float64()),
+            )
+            return pc.cast(
+                pc.round(frac, ndigits=0, round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+
+        punct = ratio_x1m(r"[.!?,;:]")
+        digit = ratio_x1m(r"[0-9]")
+        keep = pc.and_kleene(
+            pc.greater_equal(n_tokens, 20),
+            pc.and_kleene(pc.less(punct, 100_000), pc.less(digit, 300_000)),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "punct_x1m": punct,
+                "digit_x1m": digit,
+                "keep": keep,
+            }
+        )
+
+    return _stable(
+        ds.map_batches(feats, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("punct_x1m", pa.int64()),
+            ("digit_x1m", pa.int64()),
+            ("keep", pa.bool_()),
+        ],
+    )
+
+
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     return dict(QUERIES)
