@@ -21,6 +21,25 @@ import ray
 import ray.data as rd
 
 
+def _blob_matrix(col) -> np.ndarray:
+    """(n, d) float64 view of a large_binary column whose rows are
+    uniform-width float64 blobs — buffer-level, no per-row decode."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    offs = np.frombuffer(
+        col.buffers()[1], dtype=np.int64, count=n + 1, offset=col.offset * 8
+    )
+    widths = np.diff(offs)
+    assert (widths == widths[0]).all(), "ragged embedding blobs"
+    d = int(widths[0] // 8)
+    data = np.frombuffer(col.buffers()[2], dtype=np.float64)
+    start = int(offs[0] // 8)
+    return data[start : start + n * d].reshape(n, d)
+
+
 def _to_matrix(col) -> np.ndarray:
     """(n, d) float64 matrix view of a list/fixed-size-list embedding column —
     ZERO-COPY from the Arrow buffers (flatten + reshape) rather than
@@ -482,24 +501,22 @@ def cosine_neardup_pairs_lsh(
     j2 = partitioned_join(j1, emb, on=("b",), right_on=(id_col,), num_partitions=4)
 
     def verify(t: pa.Table) -> pa.Table:
+        # blobs are uniform-width float64 rows: decode BOTH sides buffer-level
+        # into (n, d) views and compute every pair's cosine in one einsum —
+        # no per-row Python (the pair list can be large on dense buckets)
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        ea = t.column("emb_a").to_pylist()
-        eb = t.column("emb").to_pylist()
-        keep_a, keep_b, cos = [], [], []
-        for i in range(len(a)):
-            va = np.frombuffer(ea[i], dtype=np.float64)
-            vb = np.frombuffer(eb[i], dtype=np.float64)
-            c = float(va @ vb)
-            if c >= threshold:
-                keep_a.append(int(a[i]))
-                keep_b.append(int(b[i]))
-                cos.append(int(round(c * 1_000_000)))
+        A = _blob_matrix(t.column("emb_a"))
+        B = _blob_matrix(t.column("emb"))
+        cos = np.einsum("ij,ij->i", A, B) if len(a) else np.empty(0)
+        keep = cos >= threshold
         return pa.table(
             {
-                "a": pa.array(keep_a, type=pa.int64()),
-                "b": pa.array(keep_b, type=pa.int64()),
-                "cos_x1m": pa.array(cos, type=pa.int64()),
+                "a": pa.array(a[keep].astype(np.int64), type=pa.int64()),
+                "b": pa.array(b[keep].astype(np.int64), type=pa.int64()),
+                "cos_x1m": pa.array(
+                    np.rint(cos[keep] * 1_000_000).astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
