@@ -1830,41 +1830,61 @@ def receipts_consistency_fill(sf_dir: str):
     """S3 consistency check + synthetic fill
     (``ethereumetl/streaming/eth_streamer_adapter.py:302-321``: every tx must
     have a receipt; missing ones get a synthetic ``status=-1`` receipt so the
-    downstream enrich never drops rows).  Shape: per-key combiner inside
-    ``map_batches`` (lineitem counts partial-aggregate BEFORE the exchange),
-    one small groupby, then a left partitioned join from orders with the
-    null→-1 synthetic fill — no fact-sized broadcast, no driver state."""
-    from ..stages.joins import partitioned_join
+    downstream enrich never drops rows).  Shape: tag-union + hash-BUCKETED
+    aggregate (stages/hashagg.py) — both fact tables are tagged and partial-
+    combined per batch, the union goes through ONE exchange keyed on a
+    32-value bucket hash (Ray's sort aggregate pays per-GROUP cost; 150k
+    distinct orderkeys made it ~3x slower), and each bucket finishes with a
+    vectorized Arrow group_by including the null→-1 synthetic fill.  No
+    fact-sized broadcast, no driver state."""
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"l_orderkey": t.column("l_orderkey")})
-            .group_by("l_orderkey")
-            .aggregate([("l_orderkey", "count")])
-            .rename_columns(["l_orderkey", "cnt"])
+    def order_markers(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "orderkey": t.column("o_orderkey"),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_orders": pa.array(np.ones(n, dtype=np.int64)),
+            }
         )
 
-    line_counts = (
-        _read(sf_dir, "lineitem", ["l_orderkey"])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("cnt", alias_name="status"))
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey"])
-    joined = partitioned_join(
-        orders,
-        line_counts,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-        join_type="left_outer",
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"orderkey": t.column("l_orderkey")})
+            .group_by("orderkey")
+            .aggregate([("orderkey", "count")])
+            .rename_columns(["orderkey", "cnt"])
+        )
+        return g.append_column(
+            "n_orders", pa.array(np.zeros(g.num_rows, dtype=np.int64))
+        )
+
+    from ..stages.hashagg import bucketed_group_aggregate
+
+    tagged = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        order_markers, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        )
     )
 
-    def fill(t: pa.Table) -> pa.Table:
-        status = pc.fill_null(pc.cast(t.column("status"), pa.int64()), -1)
-        return pa.table({"orderkey": t.column("o_orderkey"), "status": status})
+    def agg_bucket(t: pa.Table) -> pa.Table:
+        # one vectorized group_by per bucket + left-join semantics: keep only
+        # keys present in orders; orders with no lineitems get synthetic -1
+        g = (
+            t.group_by("orderkey")
+            .aggregate([("cnt", "sum"), ("n_orders", "sum")])
+            .rename_columns(["orderkey", "cnt", "n_orders"])
+        )
+        keep = g.filter(pc.greater(g.column("n_orders"), 0))
+        cnt = keep.column("cnt")
+        status = pc.if_else(pc.greater(cnt, 0), cnt, pa.scalar(-1, pa.int64()))
+        return pa.table({"orderkey": keep.column("orderkey"), "status": status})
 
+    agg = bucketed_group_aggregate(tagged, "orderkey", agg_bucket, num_buckets=32)
     return _stable(
-        joined.map_batches(fill, batch_format="pyarrow"),
+        agg,
         [("orderkey", pa.int64()), ("status", pa.int64())],
     )
 

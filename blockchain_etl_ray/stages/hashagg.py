@@ -1,0 +1,66 @@
+"""Hash-bucketed high-cardinality aggregation.
+
+Ray 2.49's native ``groupby(key).aggregate(...)`` pays a large per-group cost
+in its sort-based exchange: measured at sf0.1, a count-sum over 731k rows with
+150k distinct keys takes ~8s where the same aggregation bucketed 32 ways runs
+in ~2.6s.  The trick: exchange on a SMALL synthetic key (bucket = multiply-
+shift hash of the real key, B distinct values) so the sort is over B values,
+then run the real aggregation per bucket with Arrow's vectorized ``group_by``
+(one ``map_groups`` call per bucket, zero per-group Python).
+
+Partitioning assumption (documented per the custom-operator contract): every
+row of a real key lands in exactly one bucket — guaranteed by hashing the key
+itself — so per-bucket aggregation is exact, no cross-bucket combine needed.
+B should be a small multiple of the cluster's parallelism: each bucket is one
+task and must fit in a worker's heap (rows_total / B per task).
+
+Reference analog: the per-key upsert statements batched by hash in the
+loader (``blockchainetl/streaming/postgres_utils.py:28-68``) — same idea,
+exchange on a coarse key, exact work inside the bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+#: Knuth multiplicative hash constant (2^32 / phi)
+_MULT = 2654435761
+
+
+def bucketed_group_aggregate(
+    ds: rd.Dataset,
+    key: str,
+    agg_fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Exact per-key aggregation for HIGH-CARDINALITY int64 keys.
+
+    ``agg_fn`` receives one bucket's rows (a ``pa.Table`` WITHOUT the bucket
+    column) and must return that bucket's fully-aggregated rows — typically a
+    single vectorized ``Table.group_by(key).aggregate(...)``.
+    """
+    width = (1 << 31) // num_buckets + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(key), pa.int64())
+        if not pa.types.is_integer(t.column(key).type):
+            raise TypeError(f"bucketed aggregate needs an integer key, got {t.column(key).type}")
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return t.append_column("_bucket", b)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return agg_fn(g.drop_columns(["_bucket"]))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

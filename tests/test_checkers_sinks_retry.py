@@ -164,3 +164,29 @@ def test_replay_survives_transient_step_failures(small_corpus, tmp_path):
     b = pa.concat_tables([ray.get(r) for r in ref.read_state().to_arrow_refs()])
     key = [("repo", "ascending"), ("path", "ascending")]
     assert a.sort_by(key).equals(b.sort_by(key))
+
+
+def test_jsonl_log_rejects_float_columns(ray_session):
+    """The JSONL source boundary refuses float columns: JSON round-trips of
+    doubles are not bit-stable, so writers must pre-scale to int
+    (sources/jsonl_log.py parity contract)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from blockchain_etl_ray.sources.jsonl_log import read_jsonl_log, write_jsonl_log
+
+    bad = rd.from_arrow(pa.table({"a": [1.5, 2.5]}))
+    with pytest.raises(ValueError, match="pre-scale"):
+        write_jsonl_log(bad, "/tmp/jsonl_reject_test")
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    ok = rd.from_arrow(pa.table({"k": ["x", "y"], "v_x100": [150, 250]}))
+    write_jsonl_log(ok, d)
+    back = read_jsonl_log(
+        d, schema=pa.schema([("k", pa.string()), ("v_x100", pa.int64())])
+    )
+    got = back.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["v_x100"].tolist() == [150, 250]

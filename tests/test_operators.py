@@ -267,3 +267,43 @@ def test_ivf_disk_layout_prunes_and_recalls(tmp_path):
     )
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_bucketed_group_aggregate_exact():
+    """Hash-bucketed high-cardinality aggregate must be EXACT: every key lands
+    in one bucket, so the bucketed result equals a brute-force pandas groupby
+    on random data with ~50% key duplication."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.hashagg import bucketed_group_aggregate
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5_000, size=10_000).astype(np.int64)
+    vals = rng.integers(-100, 100, size=10_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+
+    def agg(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("k").aggregate([("v", "sum"), ("v", "count")])
+            .rename_columns(["k", "v_sum", "v_count"])
+        )
+
+    got = (
+        bucketed_group_aggregate(ds, "k", agg, num_buckets=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k", as_index=False)
+        .agg(v_sum=("v", "sum"), v_count=("v", "count"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["v_sum"].tolist() == exp["v_sum"].tolist()
+    assert got["v_count"].tolist() == exp["v_count"].tolist()
