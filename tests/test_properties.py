@@ -1,0 +1,144 @@
+"""Property-based invariants of the CDC fold (hypothesis).
+
+The whole engine leans on ONE algebraic fact: the LWW fold is associative and
+grouping-invariant (compaction inside chunk tasks, merge-on-read resolve,
+salted sub-partition folds, reconcile's recompute all re-group the same rows
+arbitrarily).  These tests let hypothesis pick adversarial event streams —
+redelivered event_ids, delete/insert interleavings, ordinal ties — and random
+chunkings, and assert the resolved winner per key never changes.
+
+Pure-Python + polars/arrow, no Ray session needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blockchain_etl_ray.schema import NORM_FIELDS, STATE_SCHEMA
+from blockchain_etl_ray.stages.compact import compact_batch
+from blockchain_etl_ray.stages.merge import changes_to_state, resolve_tables
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a")]
+OPS = ["insert", "update", "delete"]
+
+
+@st.composite
+def event_streams(draw):
+    """Deliveries drawn WITH REPETITION from a pool of logical events.
+
+    The delivery contract (stages/compact.py stage 1): an ``event_id``
+    identifies ONE logical event — redeliveries are copies of its payload
+    (possibly arriving in a different epoch), never the same id with a
+    different ordinal/op/content.  Ordinal ties across DIFFERENT events are
+    allowed and resolve deterministically (min src_epoch, then event_id)."""
+    n_logical = draw(st.integers(min_value=1, max_value=20))
+    pool = []
+    for i in range(n_logical):
+        key = draw(st.sampled_from(KEYS))
+        op = draw(st.sampled_from(OPS))
+        pool.append(
+            {
+                "ordinal": draw(st.integers(min_value=0, max_value=15)),
+                "op": op,
+                "repo": key[0],
+                "path": key[1],
+                "commit": f"c{i}",
+                "lang": "py",
+                "content": None if op == "delete" else f"body-{i}",
+                "size": None,
+                "event_id": f"e{i}",
+            }
+        )
+    n_deliveries = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for _ in range(n_deliveries):
+        ev = dict(draw(st.sampled_from(pool)))
+        ev["epoch"] = draw(st.integers(min_value=0, max_value=3))
+        rows.append(ev)
+    return rows
+
+
+def _normalize(rows: list[dict]) -> pa.Table:
+    sha = hashlib.sha256
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [(c, ty) for c, ty in NORM_FIELDS if c not in ("content_sha256", "part", "n_folded", "n_dupes")]
+        ),
+    )
+    n = t.num_rows
+    digests = [
+        None if v is None else sha(v.encode()).hexdigest()
+        for v in t.column("content").to_pylist()
+    ]
+    return (
+        t.append_column("content_sha256", pa.array(digests, pa.string()))
+        .append_column("part", pa.array([0] * n, pa.int32()))
+        .append_column("n_folded", pa.array([1] * n, pa.int64()))
+        .append_column("n_dupes", pa.array([0] * n, pa.int64()))
+    )
+
+
+def _resolve(chunks: list[pa.Table]) -> list[dict]:
+    states = [
+        changes_to_state(pl.from_arrow(compact_batch(c)))
+        .drop("part")
+        .to_arrow()
+        .cast(STATE_SCHEMA)
+        for c in chunks
+        if c.num_rows
+    ]
+    out = resolve_tables(states)
+    return out.select(
+        ["repo", "path", "ordinal", "deleted", "content_sha256"]
+    ).to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(stream=event_streams(), data=st.data())
+def test_fold_grouping_invariance(stream, data):
+    """Any chunking of the same delivered rows resolves to the same state."""
+    t = _normalize(stream)
+    whole = _resolve([t])
+
+    n = t.num_rows
+    # random chunk boundaries (possibly empty chunks)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=min(4, n)))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = [0] + cuts + [n]
+    chunks = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(len(bounds) - 1)]
+    assert _resolve(chunks) == whole
+
+    # conservation: every delivered row stays counted exactly once
+    folded = [compact_batch(c) for c in chunks if c.num_rows]
+    total = sum(
+        sum(f.column("n_folded").to_pylist()) + sum(f.column("n_dupes").to_pylist())
+        for f in folded
+    )
+    assert total == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(stream=event_streams(), seed=st.integers(min_value=0, max_value=2**31))
+def test_fold_order_invariance(stream, seed):
+    """Delivery ORDER inside a step never changes the resolved winners
+    (out-of-order delivery is the normal case for a chain tail)."""
+    import numpy as np
+
+    t = _normalize(stream)
+    perm = np.random.default_rng(seed).permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm, pa.int64()))
+    assert _resolve([t]) == _resolve([shuffled])
