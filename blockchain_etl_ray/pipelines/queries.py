@@ -223,7 +223,10 @@ def missing_user_ids(sf_dir: str):
     """J9 gap-detection anti-join, literally the missing-block checker shape
     (``ethereumetl/jobs/checkers/block_checker.py``: generate_series LEFT JOIN
     blocks WHERE NULL): expected key range vs keys present in the log."""
-    keys = _tbl(sf_dir, "events", ["user_id"])
+    # distinct present keys computed DISTRIBUTED (the result is small; the
+    # raw fact column never lands on the driver)
+    uniq = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    keys = pa.table({"user_id": pa.array(sorted(uniq), pa.int64())})
     expected = rd.range(200).map_batches(
         lambda t: pa.table({"user_id": pc.cast(t.column("id"), pa.int64())}),
         batch_format="pyarrow",
@@ -537,20 +540,28 @@ def rule_filter_udf_docs(sf_dir: str):
     """,
 )
 def purchase_last_click_asof(sf_dir: str):
-    """J5 as-of join: each purchase looks up the user's most recent prior (or
-    simultaneous) click — the btc previous-output lookup shape
-    (``bitcoinetl/jobs/enrich_transactions_job.py:66-120``), vectorized via
-    per-key searchsorted against a broadcast sorted right side."""
-    from ..stages.joins import asof_join
+    """J5 as-of join at fact×fact scale: each purchase looks up the user's
+    most recent prior (or simultaneous) click — the btc previous-output
+    lookup shape (``bitcoinetl/jobs/enrich_transactions_job.py:66-120``).
+    BOTH sides are fact tables, so neither is broadcast: the bucketed
+    large×large variant (``stages/joins.py::asof_join_partitioned``) tags,
+    hash-buckets on user_id, and resolves each bucket with the vectorized
+    per-key-run searchsorted kernel.  ``asof_join`` (broadcast right) remains
+    for dimension-sized right sides."""
+    from ..stages.joins import asof_join_partitioned
 
-    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    clicks = ev.filter(pc.equal(ev.column("event_type"), "click"))
-    clicks = pa.table(
-        {
-            "user_id": clicks.column("user_id"),
-            "ts": clicks.column("ts"),
-            "click_value_x100": scaled_int(clicks.column("value")),
-        }
+    def prep_clicks(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": c.column("user_id"),
+                "ts": c.column("ts"),
+                "click_value_x100": scaled_int(c.column("value")),
+            }
+        )
+
+    clicks = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"]).map_batches(
+        prep_clicks, batch_format="pyarrow"
     )
     purchases = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
         lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).drop_columns(
@@ -558,7 +569,7 @@ def purchase_last_click_asof(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = asof_join(
+    joined = asof_join_partitioned(
         purchases, clicks, key="user_id", ts_col="ts", value_cols=["click_value_x100"]
     )
 
@@ -573,7 +584,16 @@ def purchase_last_click_asof(sf_dir: str):
             }
         )
 
-    return joined.map_batches(proj, batch_format="pyarrow")
+    return _stable(
+        joined.map_batches(proj, batch_format="pyarrow"),
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("click_value_x100_asof", pa.int64()),
+            ("ts_asof", pa.int64()),
+        ],
+    )
 
 
 @register(
@@ -798,10 +818,13 @@ def hourly_event_counts(sf_dir: str):
 def users_without_big_purchase(sf_dir: str):
     """Anti-join on a derived key set (negative membership filter — the erc20
     exclusion-set pattern, ``ethereumetl/service/erc721_transfer_extractor.py``)."""
-    ev = _tbl(sf_dir, "events", ["user_id", "event_type", "value"])
-    big = ev.filter(
-        pc.and_(pc.equal(ev.column("event_type"), "purchase"), pc.greater(ev.column("value"), 180.0))
-    ).select(["user_id"])
+    # the exclusion KEY SET is small; derive it with the predicate pushed
+    # into the parquet scan so the driver only ever sees matching rows
+    big = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id"],
+        filters=[("event_type", "=", "purchase"), ("value", ">", 180.0)],
+    )
     ds = _read(sf_dir, "events", ["user_id"])
     distinct = (
         broadcast_semi_join(ds, big, on=["user_id"], anti=True)
@@ -828,8 +851,14 @@ def check_duplicate_events(sf_dir: str):
     report exactly those keys with their multiplicities."""
     from ..pipelines.checkers import duplicate_keys
 
+    # bounded fixture read: only the first row group leaves storage (the
+    # plant never loads the fact table on the driver); event_ids are written
+    # in ascending order, so the first 500 of row group 0 are the global min
     planted = (
-        _tbl(sf_dir, "events", ["event_id"]).sort_by("event_id").slice(0, 500)
+        pq.ParquetFile(f"{sf_dir}/events.parquet")
+        .read_row_group(0, columns=["event_id"])
+        .sort_by("event_id")
+        .slice(0, 500)
     )
     ds = _read(sf_dir, "events", ["event_id"]).union(rd.from_arrow(planted))
     return _stable(
@@ -1129,25 +1158,44 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+def _plant_copies(
+    ds: rd.Dataset,
+    id_col: str,
+    mod: int,
+    offset: int,
+    mutate: Callable[[pa.Table], pa.Table],
+) -> rd.Dataset:
+    """Union the stream with per-batch planted near-duplicate copies
+    (id % mod == 0, re-inserted at id + offset after ``mutate``) — planting
+    happens INSIDE map_batches, so the fixture never loads the corpus on the
+    driver."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(_mod(t.column(id_col), mod), 0))
+        out = mutate(sel)
+        return out.set_column(
+            out.column_names.index(id_col),
+            id_col,
+            pc.add(out.column(id_col), offset),
+        )
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 @register("minhash_neardup_pairs", None)
 def minhash_neardup_pairs(sf_dir: str):
     """MinHash+LSH near-dup detection with planted near-duplicates: every
     doc_id % 5 == 0 gets a perturbed copy (id + 1_000_000).  Probabilistic
     recall ⇒ rows-only here; pytest verifies precision (all reported pairs
     have true Jaccard ≥ τ) and planted-pair recall against brute force."""
-    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 5), 0))
-    planted = pa.table(
-        {
-            "doc_id": pc.add(planted.column("doc_id"), 1_000_000),
-            "text": pc.binary_join_element_wise(
-                planted.column("text"), " extra tail words appended", ""
-            ),
-        }
-    )
-    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
-    # from_arrow yields ONE block; spread it so signing parallelizes
-    ds = rd.from_arrow(all_docs).repartition(16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _plant_copies(
+        base, "doc_id", 5, 1_000_000,
+        lambda t: t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(t.column("text"), " extra tail words appended", ""),
+        ),
+    ).repartition(16)
     return dedup.minhash_near_dups(ds, threshold=0.5)
 
 
@@ -1157,20 +1205,17 @@ def shared_chunk_pairs_query(sf_dir: str):
     SQL-expressible): planted copies (doc_id % 7 == 0 duplicated at
     id + 2_000_000 with a prepended line) must share most chunks with their
     original; deterministic."""
-    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 7), 0))
-    planted = pa.table(
-        {
-            "doc_id": pc.add(planted.column("doc_id"), 2_000_000),
-            "text": pc.binary_join_element_wise(
-                pa.array(["PREPENDED HEADER LINE "] * planted.num_rows),
-                planted.column("text"),
-                "",
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _plant_copies(
+        base, "doc_id", 7, 2_000_000,
+        lambda t: t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                pa.array(["PREPENDED HEADER LINE "] * t.num_rows), t.column("text"), ""
             ),
-        }
-    )
-    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
-    return dedup.shared_chunk_pairs(rd.from_arrow(all_docs).repartition(16), min_shared=2)
+        ),
+    ).repartition(16)
+    return dedup.shared_chunk_pairs(ds, min_shared=2)
 
 
 @register("simhash_signatures", None)
@@ -1188,21 +1233,17 @@ def simhash_neardup_pairs(sf_dir: str):
     no text access after signing).  Planted near-identical copies
     (doc_id % 11 == 0, one word changed, id + 3_000_000) must surface;
     deterministic, rows-only (probabilistic recall by design)."""
-    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    planted = docs.filter(pc.equal(_mod(docs.column("doc_id"), 11), 0))
-    planted = pa.table(
-        {
-            "doc_id": pc.add(planted.column("doc_id"), 3_000_000),
-            "text": pc.binary_join_element_wise(
-                planted.column("text"), " zzgloss", ""
-            ),
-        }
-    )
-    all_docs = pa.concat_tables([docs.select(["doc_id", "text"]), planted])
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     # textbook composition: EXACT dedup first (collapses identical-template
     # clusters, which would otherwise dominate candidate volume), then
     # simhash near-dup over the survivors
-    ds = rd.from_arrow(all_docs).repartition(16).map_batches(
+    ds = _plant_copies(
+        base, "doc_id", 11, 3_000_000,
+        lambda t: t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(t.column("text"), " zzgloss", ""),
+        ),
+    ).repartition(16).map_batches(
         text.fingerprint_md5, batch_format="pyarrow"
     )
     uniq = dedup.exact_dedup(ds, fingerprint_col="fingerprint", order_col="doc_id")
@@ -1293,8 +1334,12 @@ def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
     matmul emitting LOCAL top-k (combiner), global top-k per query in
     map_groups.  The exact baseline for ANN; IVF keeps the same shape."""
-    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        pc.less(pc.field("vec_id"), 5)
+    # query set: predicate pushed into the scan — only the 5 query rows
+    # ever leave storage
+    queries = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann.brute_force_topk(ds, queries, k=10)
@@ -1305,8 +1350,12 @@ def ann_topk_cosine(sf_dir: str):
 def ann_ivf_topk(sf_dir: str):
     """IVF approximate top-k (the ANN scale path; rows-only — approximate by
     design, recall vs brute force asserted in pytest)."""
-    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        pc.less(pc.field("vec_id"), 5)
+    # query set: predicate pushed into the scan — only the 5 query rows
+    # ever leave storage
+    queries = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann.ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
@@ -1322,8 +1371,12 @@ def ann_ivf_disk_topk(sf_dir: str):
     asserted in pytest."""
     import tempfile as _tf
 
-    queries = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        pc.less(pc.field("vec_id"), 5)
+    # query set: predicate pushed into the scan — only the 5 query rows
+    # ever leave storage
+    queries = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     index_dir = _tf.mkdtemp(prefix="ivf_index_")
@@ -1350,13 +1403,11 @@ def cosine_lsh_dup_pairs(sf_dir: str):
     all-pairs matmul).  Identical vectors share every band signature, so for
     the planted exact duplicates recall is certain and the brute-force SQL
     oracle matches exactly."""
-    base = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    extra = base.filter(pc.equal(_mod(base.column("vec_id"), 100), 0))
-    extra = extra.set_column(
-        0, "vec_id", pc.add(extra.column("vec_id"), 1_000_000)
-    )
-    allv = pa.concat_tables([base, extra])
-    return ann.cosine_neardup_pairs_lsh(rd.from_arrow(allv).repartition(16), threshold=0.999999)
+    ds = _plant_copies(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "vec_id", 100, 1_000_000, lambda t: t,
+    ).repartition(16)
+    return ann.cosine_neardup_pairs_lsh(ds, threshold=0.999999)
 
 
 @register(

@@ -215,3 +215,141 @@ def partitioned_join(
         on=on,
         right_on=right_on,
     )
+
+
+def asof_join_partitioned(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts_col: str,
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Large×large as-of join (J5 at fact×fact scale): neither side is
+    broadcast.  Both sides are tagged, bucketed by a multiply-shift hash of
+    the INT key (every row of a key lands in one bucket — the same exactness
+    argument as ``stages/hashagg.py``), and one ``groupby(bucket).map_groups``
+    co-locates each bucket, where the SAME vectorized per-key-run
+    searchsorted kernel as :func:`asof_join` resolves it.  One exchange,
+    per-task memory bounded by bucket size; use :func:`asof_join` when the
+    right side is dimension-sized."""
+    import numpy as np
+
+    right_ts_col = right_ts_col or ts_col
+    if value_cols is None:
+        raise ValueError("value_cols is required for the partitioned as-of join")
+
+    _MULT = 2654435761
+    width = (1 << 31) // num_buckets + 1
+
+    def tag(is_left: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column(key), pa.int64())
+            h = pc.bit_wise_and(
+                pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+                pa.scalar((1 << 31) - 1, pa.int64()),
+            )
+            b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+            out = t.append_column("_bucket", b)
+            return out.append_column(
+                "_side", pa.array(np.full(t.num_rows, 0 if is_left else 1, dtype=np.int8))
+            )
+
+        return f
+
+    # pad both sides to the union schema so the union has one schema
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = [right_ts_col] + [c for c in value_cols]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        for c in value_cols:
+            idx = r_schema.names.index(c)
+            t = t.append_column(f"_r_{c}", pa.nulls(t.num_rows, r_schema.types[idx]))
+        t = t.append_column(
+            "_r_ts", pa.nulls(t.num_rows, r_schema.types[r_schema.names.index(right_ts_col)])
+        )
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in l_names:
+            idx = l_schema.names.index(c)
+            if c == key:
+                cols[c] = t.column(key)
+            else:
+                cols[c] = pa.nulls(t.num_rows, l_schema.types[idx])
+        out = pa.table(cols)
+        for c in value_cols:
+            out = out.append_column(f"_r_{c}", t.column(c))
+        return out.append_column("_r_ts", t.column(right_ts_col))
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow").map_batches(
+        tag(True), batch_format="pyarrow"
+    )
+    rt = right.map_batches(pad_right, batch_format="pyarrow").map_batches(
+        tag(False), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        lrows = g.filter(pc.equal(g.column("_side"), 0))
+        rrows = g.filter(pc.equal(g.column("_side"), 1))
+        n = lrows.num_rows
+        if n == 0:
+            out_schema = pa.schema(
+                [(c, l_schema.types[l_schema.names.index(c)]) for c in l_names]
+                + [(f"{c}{suffix}", r_schema.types[r_schema.names.index(c)]) for c in value_cols]
+                + [(f"{right_ts_col}{suffix}", pa.int64())]
+            )
+            return out_schema.empty_table()
+        # sort right by (key, ts); per-key contiguous ranges
+        rs = rrows.sort_by([(key, "ascending"), ("_r_ts", "ascending")])
+        rkeys = rs.column(key).to_numpy(zero_copy_only=False)
+        rts = rs.column("_r_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ranges = {}
+        if len(rkeys):
+            uniq, starts = np.unique(rkeys, return_index=True)
+            bounds = list(starts) + [len(rkeys)]
+            for i, k in enumerate(uniq):
+                ranges[k] = (bounds[i], bounds[i + 1])
+        order_arr = pc.sort_indices(
+            lrows, sort_keys=[(key, "ascending"), (ts_col, "ascending")]
+        )
+        o = order_arr.to_numpy()
+        sb = lrows.take(order_arr)
+        lk = sb.column(key).to_numpy(zero_copy_only=False)
+        ltv = sb.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        take_sorted = np.full(n, -1, dtype=np.int64)
+        change = np.nonzero(lk[1:] != lk[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        for s, e in zip(starts, ends):
+            rng = ranges.get(lk[s])
+            if rng is None:
+                continue
+            a, b = rng
+            j = np.searchsorted(rts[a:b], ltv[s:e], side="right") - 1
+            valid = j >= 0
+            seg = take_sorted[s:e]
+            seg[valid] = a + j[valid]
+            take_sorted[s:e] = seg
+        take_idx = np.empty(n, dtype=np.int64)
+        take_idx[o] = take_sorted
+        miss = take_idx < 0
+        idx_arr = pa.array(np.where(miss, 0, take_idx), mask=miss, type=pa.int64())
+        out = lrows.select(l_names)
+        for c in value_cols:
+            out = out.append_column(f"{c}{suffix}", rs.column(f"_r_{c}").take(idx_arr))
+        out = out.append_column(
+            f"{right_ts_col}{suffix}",
+            pa.array(rts[np.where(miss, 0, take_idx)], mask=miss, type=pa.int64())
+            if len(rts)
+            else pa.nulls(n, pa.int64()),
+        )
+        return out
+
+    return both.groupby("_bucket").map_groups(resolve_bucket, batch_format="pyarrow")
