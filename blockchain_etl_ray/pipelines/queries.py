@@ -48,8 +48,15 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=num_blocks
+    )
 
 
 def _tbl(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
@@ -1165,21 +1172,23 @@ def _plant_copies(
     offset: int,
     mutate: Callable[[pa.Table], pa.Table],
 ) -> rd.Dataset:
-    """Union the stream with per-batch planted near-duplicate copies
+    """Append per-batch planted near-duplicate copies to the stream
     (id % mod == 0, re-inserted at id + offset after ``mutate``) — planting
-    happens INSIDE map_batches, so the fixture never loads the corpus on the
-    driver."""
+    happens INSIDE one map_batches pass, so the fixture never loads the
+    corpus on the driver and the source is read exactly ONCE (a
+    ``ds.union(ds.map_batches(...))`` shape would execute the read twice)."""
 
     def plant(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.equal(_mod(t.column(id_col), mod), 0))
         out = mutate(sel)
-        return out.set_column(
+        out = out.set_column(
             out.column_names.index(id_col),
             id_col,
             pc.add(out.column(id_col), offset),
         )
+        return pa.concat_tables([t, out])
 
-    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return ds.map_batches(plant, batch_format="pyarrow")
 
 
 @register("minhash_neardup_pairs", None)
@@ -1188,14 +1197,14 @@ def minhash_neardup_pairs(sf_dir: str):
     doc_id % 5 == 0 gets a perturbed copy (id + 1_000_000).  Probabilistic
     recall ⇒ rows-only here; pytest verifies precision (all reported pairs
     have true Jaccard ≥ τ) and planted-pair recall against brute force."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     ds = _plant_copies(
         base, "doc_id", 5, 1_000_000,
         lambda t: t.set_column(
             t.column_names.index("text"), "text",
             pc.binary_join_element_wise(t.column("text"), " extra tail words appended", ""),
         ),
-    ).repartition(16)
+    )
     return dedup.minhash_near_dups(ds, threshold=0.5)
 
 
@@ -1205,7 +1214,7 @@ def shared_chunk_pairs_query(sf_dir: str):
     SQL-expressible): planted copies (doc_id % 7 == 0 duplicated at
     id + 2_000_000 with a prepended line) must share most chunks with their
     original; deterministic."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     ds = _plant_copies(
         base, "doc_id", 7, 2_000_000,
         lambda t: t.set_column(
@@ -1214,7 +1223,7 @@ def shared_chunk_pairs_query(sf_dir: str):
                 pa.array(["PREPENDED HEADER LINE "] * t.num_rows), t.column("text"), ""
             ),
         ),
-    ).repartition(16)
+    )
     return dedup.shared_chunk_pairs(ds, min_shared=2)
 
 
@@ -1233,7 +1242,7 @@ def simhash_neardup_pairs(sf_dir: str):
     no text access after signing).  Planted near-identical copies
     (doc_id % 11 == 0, one word changed, id + 3_000_000) must surface;
     deterministic, rows-only (probabilistic recall by design)."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     # textbook composition: EXACT dedup first (collapses identical-template
     # clusters, which would otherwise dominate candidate volume), then
     # simhash near-dup over the survivors
@@ -1243,7 +1252,7 @@ def simhash_neardup_pairs(sf_dir: str):
             t.column_names.index("text"), "text",
             pc.binary_join_element_wise(t.column("text"), " zzgloss", ""),
         ),
-    ).repartition(16).map_batches(
+    ).map_batches(
         text.fingerprint_md5, batch_format="pyarrow"
     )
     uniq = dedup.exact_dedup(ds, fingerprint_col="fingerprint", order_col="doc_id")
@@ -1404,9 +1413,9 @@ def cosine_lsh_dup_pairs(sf_dir: str):
     the planted exact duplicates recall is certain and the brute-force SQL
     oracle matches exactly."""
     ds = _plant_copies(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=16),
         "vec_id", 100, 1_000_000, lambda t: t,
-    ).repartition(16)
+    )
     return ann.cosine_neardup_pairs_lsh(ds, threshold=0.999999)
 
 

@@ -307,3 +307,63 @@ def test_bucketed_group_aggregate_exact():
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["v_sum"].tolist() == exp["v_sum"].tolist()
     assert got["v_count"].tolist() == exp["v_count"].tolist()
+
+
+def test_asof_join_partitioned_matches_broadcast():
+    """The bucketed large-x-large as-of join must agree with the broadcast
+    variant on every row — random keys/timestamps, including keys with no
+    right-side rows and duplicate timestamps."""
+    import numpy as np
+
+    from blockchain_etl_ray.stages.joins import asof_join, asof_join_partitioned
+
+    rng = np.random.default_rng(11)
+    nl, nr = 3_000, 2_000
+    left_t = pa.table(
+        {
+            "lid": pa.array(np.arange(nl), pa.int64()),
+            "k": pa.array(rng.integers(0, 60, nl), pa.int64()),
+            "ts": pa.array(rng.integers(0, 1_000, nl), pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, nr), pa.int64()),
+            "ts": pa.array(rng.integers(0, 1_000, nr), pa.int64()),
+            "val": pa.array(rng.integers(-500, 500, nr), pa.int64()),
+        }
+    )
+
+    a = asof_join(
+        rd.from_arrow(left_t).repartition(6),
+        right_t,
+        key="k",
+        ts_col="ts",
+        value_cols=["val"],
+    ).to_pandas()
+    b = asof_join_partitioned(
+        rd.from_arrow(left_t).repartition(6),
+        rd.from_arrow(right_t).repartition(5),
+        key="k",
+        ts_col="ts",
+        value_cols=["val"],
+        num_buckets=8,
+    ).to_pandas()
+
+    a = a.sort_values("lid").reset_index(drop=True)
+    b = b.sort_values("lid").reset_index(drop=True)
+    assert len(a) == len(b) == nl
+    for col in ("k", "ts", "ts_asof"):
+        av, bv = a[col], b[col]
+        assert ((av == bv) | (av.isna() & bv.isna())).all(), col
+    # broadcast variant returns val_asof too; ties on equal (k, ts) right rows
+    # may pick either row with the same ts — compare the resolved ts instead
+    av, bv = a["val_asof"], b["val_asof"]
+    ok = (av == bv) | (av.isna() & bv.isna())
+    if not ok.all():
+        # permitted only where multiple right rows share (k, ts_asof)
+        disagree = a[~ok]
+        rt = right_t.to_pandas()
+        for _, row in disagree.iterrows():
+            dup = rt[(rt["k"] == row["k"]) & (rt["ts"] == row["ts_asof"])]
+            assert len(dup) > 1, f"val mismatch without a ts tie: {row.to_dict()}"
