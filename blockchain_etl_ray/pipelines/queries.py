@@ -182,10 +182,12 @@ def revenue_by_segment(sf_dir: str):
     """Fact⋈fact⋈dim join with the scale-correct shape: ONLY the true
     dimension (customer) is broadcast (the reference enriches traces from the
     tiny blocks table the same way, ``enrich.py:331-375``); lineitem⋈orders —
-    two fact tables — goes through a hash-partitioned shuffle join
-    (``partitioned_join``), so nothing fact-sized ever lands on the driver or
-    in a broadcast object."""
-    from ..stages.joins import partitioned_join
+    two fact tables — goes through a hash-BUCKETED shuffle join
+    (``bucketed_join``: one bucket exchange + a vectorized Arrow hash join
+    per bucket; Ray's JoinOperator actor pool has a ~3s startup floor at
+    this scale), so nothing fact-sized ever lands on the driver or in a
+    broadcast object."""
+    from ..stages.joins import bucketed_join
 
     cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders_seg = broadcast_enrich(
@@ -207,8 +209,8 @@ def revenue_by_segment(sf_dir: str):
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         prep, batch_format="pyarrow"
     )
-    joined = partitioned_join(
-        line, orders_seg, on=("l_orderkey",), right_on=("o_orderkey",)
+    joined = bucketed_join(
+        line, orders_seg, on="l_orderkey", right_on="o_orderkey"
     )
     agg = joined.groupby("c_mktsegment").aggregate(
         Sum("rev_x100", alias_name="revenue_x100"), Count(alias_name="n_items")

@@ -353,3 +353,83 @@ def asof_join_partitioned(
         return out
 
     return both.groupby("_bucket").map_groups(resolve_bucket, batch_format="pyarrow")
+
+
+def bucketed_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Large×large equi-join on an INT key via the bucket-exchange pattern
+    (stages/hashagg.py): tag both sides, exchange once on a ``num_buckets``-
+    value hash of the key, and hash-join each bucket with Arrow's vectorized
+    ``Table.join``.  Exact because a key hashes to exactly one bucket.
+
+    Versus :func:`partitioned_join` (Ray's JoinOperator): same all-to-all
+    byte volume, but no aggregator actor pool — at small-to-mid scale the
+    operator's actor startup dominates (measured ~3s floor at sf0.1), while
+    the bucket exchange rides the ordinary sort path.  Use JoinOperator when
+    per-bucket hash tables would not fit a worker's heap."""
+    import numpy as np
+
+    right_on = right_on or on
+    _MULT = 2654435761
+    width = (1 << 31) // num_buckets + 1
+
+    def tag(key: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column(key), pa.int64())
+            h = pc.bit_wise_and(
+                pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+                pa.scalar((1 << 31) - 1, pa.int64()),
+            )
+            b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+            out = t.append_column("_bucket", b)
+            return out.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return f
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names, r_names = list(l_schema.names), list(r_schema.names)
+    # pad each side with the other's columns (nulls) so the union has ONE schema
+    r_only = [c for c in r_names if c not in l_names]
+    l_only = [c for c in l_names if c not in r_names]
+
+    def pad(missing: list[str], other_schema):
+        def f(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, other_schema.types[other_schema.names.index(c)])
+                )
+            return t
+
+        return f
+
+    lt = left.map_batches(pad(r_only, r_schema), batch_format="pyarrow").map_batches(
+        tag(on, 0), batch_format="pyarrow"
+    )
+    rt = right.map_batches(pad(l_only, l_schema), batch_format="pyarrow").map_batches(
+        tag(right_on, 1), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+    out_names = l_names + [c for c in r_only if c != right_on]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lrows = g.filter(pc.equal(g.column("_side"), 0)).select(l_names)
+        rrows = g.filter(pc.equal(g.column("_side"), 1)).select(
+            [right_on] + [c for c in r_only if c != right_on]
+        )
+        joined = lrows.join(
+            rrows,
+            keys=[on],
+            right_keys=[right_on],
+            join_type=join_type.replace("_", " "),
+        )
+        return joined.select([c for c in out_names if c in joined.column_names])
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -367,3 +367,45 @@ def test_asof_join_partitioned_matches_broadcast():
         for _, row in disagree.iterrows():
             dup = rt[(rt["k"] == row["k"]) & (rt["ts"] == row["ts_asof"])]
             assert len(dup) > 1, f"val mismatch without a ts tie: {row.to_dict()}"
+
+
+def test_bucketed_join_matches_dataset_join():
+    """bucketed_join must produce exactly the rows of Ray's JoinOperator on
+    random int-keyed data, including keys present on only one side."""
+    import numpy as np
+
+    from blockchain_etl_ray.stages.joins import bucketed_join, partitioned_join
+
+    rng = np.random.default_rng(21)
+    left_t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 400, 5_000), pa.int64()),
+            "lv": pa.array(rng.integers(0, 10_000, 5_000), pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "rk": pa.array(rng.integers(200, 600, 3_000), pa.int64()),
+            "rv": pa.array(rng.integers(0, 10_000, 3_000), pa.int64()),
+        }
+    )
+    a = bucketed_join(
+        rd.from_arrow(left_t).repartition(4),
+        rd.from_arrow(right_t).repartition(3),
+        on="k",
+        right_on="rk",
+        num_buckets=8,
+    ).to_pandas()
+    b = partitioned_join(
+        rd.from_arrow(left_t).repartition(4),
+        rd.from_arrow(right_t).repartition(3),
+        on=("k",),
+        right_on=("rk",),
+    ).to_pandas()
+
+    cols = sorted(set(a.columns) & set(b.columns))
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
