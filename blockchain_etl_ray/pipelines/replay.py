@@ -167,6 +167,17 @@ class ReplayConfig:
     #: sweet spot on 32 CPUs is 2 — enough to overlap barriers without the
     #: concurrent sorts fighting for the object store.
     max_inflight_steps: int = 2
+    #: average step size above which pipelining is disabled (inflight forced
+    #: to 1).  Historical guard from the copy-on-write era when two large
+    #: concurrent sorts thrashed the object store; with fragment writes fused
+    #: into the read task nothing step-sized transits the store anymore —
+    #: concurrent in-flight work is bounded by CPU slots × chunk size
+    #: regardless of step size — so the default is OFF.  Measured on the
+    #: 12 GB / 8M-event corpus: overlapping large steps is worth ~2.5% at 16
+    #: CPUs (hides step-tail stragglers) and is what lifts N→4N scaling
+    #: efficiency over the 0.8 bar.  Set a byte cap only on memory-starved
+    #: deployments.
+    inflight_avg_bytes_cap: int | None = None
     #: maintain the per-repo additive derived state (pipelines/derived.py)
     derived_stats: bool = True
     #: extra entity tables to maintain from the same change stream (names
@@ -220,12 +231,15 @@ class ReplayEngine:
         retries and driver crashes: only fragments referenced by the committed
         cycle marker are ever read (see state/manifest.py protocol)."""
         # divergence fingerprints for the marker (reorg reconcile input);
-        # hashlib releases the GIL on large updates, so a thread pool keeps
-        # this off the apply step's critical path
+        # needed only at COMMIT time, so the sha256 pool runs CONCURRENTLY
+        # with the step's Dataset execution below (hashlib releases the GIL
+        # on large updates; the driver is otherwise idle while Ray workers
+        # process chunks) — a fixed per-step serial cost this size is pure
+        # Amdahl loss at high parallelism
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        with _TPE(max_workers=8) as _pool:
-            file_hashes = dict(zip(files, _pool.map(_file_sha256, files)))
+        _hash_pool = _TPE(max_workers=8)
+        _hash_futs = {f: _hash_pool.submit(_file_sha256, f) for f in files}
         # column pruning at the read: only the canonical event columns (plus
         # declared rename sources) ever leave storage — payload columns a
         # wide upstream ships alongside are never read
@@ -287,11 +301,15 @@ class ReplayEngine:
                 ).map_batches(process_chunk, batch_size=1, batch_format="pyarrow")
             return stats_ds.take_all()  # small: one row per (fragment, part)
 
-        rows = execute_with_retries(
-            attempt,
-            self._retry_policy,
-            on_error=lambda e, a: self._chunk_controller.record_error(),
-        )
+        try:
+            rows = execute_with_retries(
+                attempt,
+                self._retry_policy,
+                on_error=lambda e, a: self._chunk_controller.record_error(),
+            )
+            file_hashes = {f: fut.result() for f, fut in _hash_futs.items()}
+        finally:
+            _hash_pool.shutdown(wait=False)
         self._chunk_controller.record_success()
         rows = [
             {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()}
@@ -390,10 +408,13 @@ class ReplayEngine:
         applied_steps: list[int] = []
         t0 = time.perf_counter()
         total_events = 0
-        # Overlapping steps pays off only while a single step can't saturate
-        # the node: small cycles hide their fixed barriers behind each other,
-        # but two LARGE pipelines thrash the object store (measured 4M-event
-        # corpus @32 CPUs: inflight=1 36 s, inflight=2 66-89 s).
+        # Overlapping steps hides each step's fixed barriers (planning,
+        # commit fsync) AND its tail stragglers (the last wave of chunk
+        # tasks leaves CPUs idle) behind the next step's work.  The byte cap
+        # below predates the fused-read layout (two large COW sorts once
+        # thrashed the object store: 4M events @32 CPUs, inflight=1 36 s vs
+        # inflight=2 66-89 s); with fragment writes fused into the read task
+        # it now only bounds peak concurrent worker memory.
         import os as os_
 
         avg_bytes = (
@@ -402,7 +423,8 @@ class ReplayEngine:
             else 0
         )
         inflight = max(1, self.config.max_inflight_steps)
-        if avg_bytes > (256 << 20):
+        cap = self.config.inflight_avg_bytes_cap
+        if cap is not None and avg_bytes > cap:
             inflight = 1
         with ThreadPoolExecutor(max_workers=inflight) as pool:
             futures = [
