@@ -1229,6 +1229,48 @@ def shared_chunk_pairs_query(sf_dir: str):
     return dedup.shared_chunk_pairs(ds, min_shared=2)
 
 
+@register(
+    "token_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS w
+      FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b, c AS n_inter, sa.n + sb.n - c AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE c * 4 >= sa.n + sb.n - c
+    """,
+)
+def token_jaccard_pairs_query(sf_dir: str):
+    """EXACT all-pairs set-similarity self-join (word-trigram Jaccard >= 1/4)
+    via distributed prefix filtering — no approximation, no corpus broadcast,
+    no driver state; integer-only output so the hash gate is exact (see
+    ``stages/ssjoin.py`` for the algorithm and its partitioning
+    assumptions)."""
+    from fractions import Fraction
+
+    from ..stages.ssjoin import token_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    return token_jaccard_pairs(ds, threshold=Fraction(1, 4))
+
+
 @register("simhash_signatures", None)
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building

@@ -252,6 +252,15 @@ def verify_pairs_jaccard(
     from .joins import partitioned_join
     from .stabilize import stabilize
 
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("j_pct_x100", pa.int64())]
+    )
+    # empty candidate sets must short-circuit: Ray 2.49's hash-shuffle join
+    # rebuilds empty exchange partitions schemaless and Acero then fails to
+    # resolve the key field (pairs is stabilize-materialized => count is free)
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
     # the shingle side is doc-bounded and consumed by BOTH joins: compute it
     # once (materialize) instead of re-shingling the corpus per join; small
     # fixed join partition count — the verify volume is candidate-bounded,

@@ -1,0 +1,270 @@
+"""Set-similarity self-join: exact token-Jaccard pairs via prefix filtering.
+
+The exact-similarity sibling of the MinHash/SimHash approximate family in
+``stages/dedup.py`` — finds ALL document pairs whose distinct-token-set
+Jaccard meets a threshold, with no approximation, using the prefix-filter
+principle (Chaudhuri/Ganjam/Kaushik SSJoin; Bayardo et al. "Scaling Up All
+Pairs" — public literature): order every doc's tokens by a GLOBAL total order
+(ascending document frequency, then token), keep only the first
+``n - ceil(t*n) + 1`` tokens as its *prefix*; any pair with J >= t must share
+at least one prefix token, so candidate generation only needs a shuffle on
+prefix tokens — rare tokens by construction, so buckets stay small.
+
+Reference analog: the dedup/cleanup family (``SURVEY.md`` §2 U8) done as an
+exact similarity join rather than a hash bucket sketch.
+
+Fully distributed — no driver-side state, no corpus broadcast:
+1. tokenize + distinct per doc (vectorized Arrow split, one explode);
+2. token document-frequencies: ``groupby(token).count`` (vocabulary-sized);
+3. join df back onto (doc, token) rows (``partitioned_join`` — the vocabulary
+   never lands on the driver);
+4. regroup by doc, sort tokens by (df, token), emit prefix rows
+   ``(tok_hash, doc_id, n_tokens)``;
+5. bucket by prefix-token hash, bounded vectorized pair-gen
+   (``dedup._run_pairs_table`` machinery — one group per sub-partition, not
+   per bucket);
+6. verify candidates exactly via two hash joins against per-doc sorted token
+   sets (candidate-bounded volume, as in ``dedup.verify_pairs_jaccard``).
+
+Output is EXACT integers ``(id_a, id_b, n_inter, n_union)`` and the threshold
+compare is done in integer arithmetic (``inter * denom >= numer * union``),
+so results hash-match a DuckDB oracle bit-for-bit with no float rounding.
+
+Partitioning assumptions: prefix buckets are bounded by ``max_bucket``
+sub-splitting (see ``dedup._bucket_pairs``); exactness therefore relies on no
+TRUE pair landing only in an oversized degenerate bucket — at a cap of 4096
+that requires >4096 docs sharing one rare token, which contradicts the token
+being in a prefix (rare) except in pathological all-identical corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+#: tokenization contract shared with the DuckDB oracle:
+#: lower(text) split on non-word runs, empty tokens dropped; set elements are
+#: ``shingle_words``-grams of consecutive tokens space-joined (unigram sets
+#: are degenerate on small vocabularies — the fixture corpus has 31 words —
+#: while word n-grams make the element space combinatorial)
+TOKEN_SPLIT_PATTERN = r"\W+"
+
+
+def _doc_shingles(tokens: list[str], k: int) -> set[str]:
+    toks = [t for t in tokens if t]
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def distinct_token_rows(
+    batch: pa.Table, text_col: str = "text", shingle_words: int = 3
+) -> pa.Table:
+    """Explode docs to DISTINCT (doc_id, token) word-n-gram shingle rows."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
+    )
+    ids, grams = [], []
+    for did, lst in zip(batch.column("doc_id").to_pylist(), toks.to_pylist()):
+        for g in _doc_shingles(lst, shingle_words):
+            ids.append(did)
+            grams.append(g)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "token": pa.array(grams, type=pa.string()),
+        }
+    )
+
+
+def _tok_hash_u64(tokens: np.ndarray) -> np.ndarray:
+    b2 = hashlib.blake2b
+    return np.fromiter(
+        (
+            int.from_bytes(b2(t.encode("utf-8"), digest_size=8).digest(), "big") >> 1
+            for t in tokens
+        ),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+
+
+def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
+    """Per-doc prefix emission: sort the doc's tokens by (df asc, token asc),
+    prefix length = n - ceil(t*n) + 1, emit (tok_hash, doc_id, n_tokens).
+    ``group`` holds MANY whole docs (grouped by doc_id)."""
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    tok = group.column("token").to_numpy(zero_copy_only=False)
+    df = group.column("df").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, df, doc))  # doc major, then (df, token)
+    doc, tok, df = doc[order], tok[order], df[order]
+    starts = np.concatenate([[0], np.nonzero(doc[1:] != doc[:-1])[0] + 1])
+    ends = np.concatenate([starts[1:], [len(doc)]])
+    out_tok, out_doc, out_n = [], [], []
+    num, den = threshold.numerator, threshold.denominator
+    for st, en in zip(starts, ends):
+        n = en - st
+        # ceil(t*n) in exact integer arithmetic
+        ceil_tn = -((-num * n) // den)
+        plen = n - ceil_tn + 1
+        if plen <= 0:
+            continue
+        out_tok.append(tok[st : st + plen])
+        out_doc.append(np.full(plen, doc[st], dtype=np.int64))
+        out_n.append(np.full(plen, n, dtype=np.int64))
+    if not out_tok:
+        return pa.table(
+            {
+                "tok_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "tok_hash": pa.array(_tok_hash_u64(np.concatenate(out_tok))),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "n_tokens": pa.array(np.concatenate(out_n)),
+        }
+    )
+
+
+def token_set_rows(
+    batch: pa.Table, text_col: str = "text", shingle_words: int = 3
+) -> pa.Table:
+    """(doc_id, tokens) rows for exact verification: the doc's SORTED distinct
+    shingles as one \\x00-joined utf8 blob (hash joins reject list payloads;
+    shingles cannot contain \\x00 — the split pattern removes non-word
+    chars)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
+    )
+    ids, blobs, sizes = [], [], []
+    for did, lst in zip(batch.column("doc_id").to_pylist(), toks.to_pylist()):
+        s = sorted(_doc_shingles(lst, shingle_words))
+        ids.append(did)
+        blobs.append("\x00".join(s))
+        sizes.append(len(s))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "toks": pa.array(blobs, type=pa.large_string()),
+            "n_toks": pa.array(sizes, type=pa.int64()),
+        }
+    )
+
+
+def token_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: Fraction = Fraction(1, 4),
+    text_col: str = "text",
+    shingle_words: int = 3,
+    max_bucket: int = 4096,
+    group_parts: int = 64,
+) -> rd.Dataset:
+    """Exact all-pairs token-Jaccard >= ``threshold`` over a document Dataset.
+
+    Returns (id_a, id_b, n_inter, n_union) with id_a < id_b — exact integers,
+    no floats anywhere (the threshold is a Fraction and compared as
+    ``n_inter * den >= num * n_union``)."""
+    from .dedup import _dedup_pairs, _run_pairs_table, _with_gpart
+    from .joins import partitioned_join
+    from .stabilize import stabilize
+
+    tok_rows = docs.map_batches(
+        lambda t: distinct_token_rows(t, text_col, shingle_words),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice (df agg + join); shingle-volume rows
+
+    from ray.data.aggregate import Count
+
+    dfs = tok_rows.groupby("token").aggregate(Count(alias_name="df"))
+    dfs = stabilize(dfs, [("token", pa.string()), ("df", pa.int64())])
+
+    # one shuffle group per (doc_id % group_parts) sub-partition, NOT per doc:
+    # prefix_rows handles many whole docs per call via run detection (same
+    # dispatch-amortization as dedup._run_pairs_table)
+    with_df = _with_gpart(partitioned_join(tok_rows, dfs, on=("token",)), "doc_id", group_parts)
+    prefixes = with_df.groupby("gpart").map_groups(
+        lambda g: prefix_rows(g.drop_columns(["gpart"]), threshold),
+        batch_format="pyarrow",
+    )
+
+    bucketed = _with_gpart(prefixes, "tok_hash", group_parts)
+    cand = bucketed.groupby(["gpart"]).map_groups(
+        lambda g: _run_pairs_table(g, "tok_hash", "doc_id", max_bucket),
+        batch_format="pyarrow",
+    )
+    pairs = _dedup_pairs(cand)
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("n_inter", pa.int64()),
+            ("n_union", pa.int64()),
+        ]
+    )
+    # _dedup_pairs output is already materialized-small (stabilize); an empty
+    # candidate set must short-circuit because Ray 2.49's hash-shuffle join
+    # rebuilds empty exchange partitions schemaless and Acero then cannot
+    # resolve the key field
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # exact verify: join both sides' token sets onto the candidate pairs —
+    # volume bounded by candidates, never corpus size
+    sets_ = docs.map_batches(
+        lambda t: token_set_rows(t, text_col, shingle_words),
+        batch_format="pyarrow",
+    ).materialize()
+    j1 = partitioned_join(
+        pairs, sets_, on=("a",), right_on=("doc_id",), num_partitions=4
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [
+                {"toks": "toks_a", "n_toks": "n_a"}.get(c, c)
+                for c in t.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = partitioned_join(j1, sets_, on=("b",), right_on=("doc_id",), num_partitions=4)
+
+    num, den = threshold.numerator, threshold.denominator
+
+    def check(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        toks_a = t.column("toks_a").to_pylist()
+        toks_b = t.column("toks").to_pylist()
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_toks").to_numpy(zero_copy_only=False)
+        keep_a, keep_b, inter_out, union_out = [], [], [], []
+        for i in range(len(a)):
+            sa = toks_a[i].split("\x00") if toks_a[i] else []
+            sb = toks_b[i].split("\x00") if toks_b[i] else []
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = int(na[i] + nb[i] - inter)
+            if union and inter * den >= num * union:
+                lo, hi = (int(a[i]), int(b[i]))
+                keep_a.append(min(lo, hi))
+                keep_b.append(max(lo, hi))
+                inter_out.append(inter)
+                union_out.append(union)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, type=pa.int64()),
+                "id_b": pa.array(keep_b, type=pa.int64()),
+                "n_inter": pa.array(inter_out, type=pa.int64()),
+                "n_union": pa.array(union_out, type=pa.int64()),
+            }
+        )
+
+    out = j2.map_batches(check, batch_format="pyarrow")
+    return stabilize(out, out_schema)

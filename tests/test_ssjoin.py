@@ -1,0 +1,97 @@
+"""Exact set-similarity join (stages/ssjoin.py): brute-force parity, prefix
+completeness under a tiny bucket cap, and shingle-contract edge cases."""
+
+import re
+from fractions import Fraction
+from itertools import combinations
+
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.stages.ssjoin import (
+    _doc_shingles,
+    token_jaccard_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_force(docs: dict[int, str], threshold: Fraction, k: int = 3):
+    sets = {i: _doc_shingles(re.split(r"\W+", t.lower()), k) for i, t in docs.items()}
+    num, den = threshold.numerator, threshold.denominator
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter * den >= num * union:
+            out[(a, b)] = (inter, union)
+    return out
+
+
+def test_matches_bruteforce_on_fixture_docs():
+    """All pairs, exact counts — the distributed prefix-filter join must agree
+    with the serial all-pairs computation bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    expected = _brute_force(docs, Fraction(1, 4))
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got_rows = token_jaccard_pairs(ds, threshold=Fraction(1, 4)).to_pandas()
+    got = {
+        (int(r.id_a), int(r.id_b)): (int(r.n_inter), int(r.n_union))
+        for r in got_rows.itertuples()
+    }
+    assert got == expected
+    assert len(got) > 0  # non-trivial on the fixture corpus
+
+
+def test_prefix_filter_complete_with_planted_pair():
+    """A planted high-similarity pair must survive even when all its tokens
+    are corpus-common (the prefix token is then the globally rarest one)."""
+    common = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = {
+        1: common + "one two three four five six",
+        2: common + "one two three four five seven",
+        3: "totally different words entirely unrelated content here now",
+        4: "alpha beta something else talks about other topics today ok",
+    }
+    expected = _brute_force(docs, Fraction(1, 2))
+    assert any(p == (1, 2) for p in expected), "fixture must plant (1,2)"
+
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+    got_rows = token_jaccard_pairs(ds, threshold=Fraction(1, 2)).to_pandas()
+    got = {
+        (int(r.id_a), int(r.id_b)): (int(r.n_inter), int(r.n_union))
+        for r in got_rows.itertuples()
+    }
+    assert got == expected
+
+
+def test_bucket_cap_splits_degenerate_bucket():
+    """200 identical docs: candidate generation must stay bounded (sub-bucket
+    split) and the verify stage must still report only true pairs."""
+    docs = [{"doc_id": i, "text": "same exact words repeated in every doc"} for i in range(200)]
+    ds = rd.from_items(docs)
+    out = token_jaccard_pairs(
+        ds, threshold=Fraction(1, 2), max_bucket=16
+    ).to_pandas()
+    # identical docs: every reported pair must have inter == union
+    assert (out["n_inter"] == out["n_union"]).all()
+    # bounded: sub-bucketing caps pair count well below C(200,2)=19900
+    assert 0 < len(out) < 19900
+
+
+def test_short_and_empty_docs_dropped():
+    """Docs with < k tokens produce no shingles and never pair."""
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "one two"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "one two"},
+            {"doc_id": 4, "text": "a full document with plenty of words inside"},
+        ]
+    )
+    out = token_jaccard_pairs(ds, threshold=Fraction(1, 2)).to_pandas()
+    assert len(out) == 0
