@@ -68,6 +68,36 @@ def md5_hex(values: pa.Array | pa.ChunkedArray | Sequence) -> pa.Array:
     return pa.array(_buffer_digests(_as_array(values), hashlib.md5), type=pa.string())
 
 
+def md5_prefix_u32(values: pa.Array | pa.ChunkedArray | Sequence) -> np.ndarray:
+    """First 4 md5-digest bytes per row, big-endian, as uint32.
+
+    Equals ``CAST(CONCAT('0x', substr(md5(x), 1, 8)) AS UBIGINT)`` in ANSI
+    SQL / DuckDB — the parity contract the sampling operators
+    (``stages/sampling.py``) rely on for exact oracle matches.  Null rows
+    hash to 0 (callers must mask separately if nulls are meaningful)."""
+    arr = _as_array(values)
+    if len(arr) == 0 or arr.buffers()[1] is None:
+        return np.empty(0, dtype=np.uint32)
+    offs_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], dtype=offs_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = memoryview(arr.buffers()[2]) if arr.buffers()[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:4], "big")
+            for i in range(len(arr))
+        ),
+        dtype=np.uint32,
+        count=len(arr),
+    )
+
+
 def _joined(cols: tuple, sep: str) -> pa.Array:
     arrs = [_as_array(c) for c in cols]
     # binary_join_element_wise nulls the whole row if ANY input is null —

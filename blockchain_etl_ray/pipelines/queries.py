@@ -1271,6 +1271,85 @@ def token_jaccard_pairs_query(sf_dir: str):
     return token_jaccard_pairs(ds, threshold=Fraction(1, 4))
 
 
+#: the SQL twin of functions/hashing.md5_prefix_u32 — first 4 md5 bytes of
+#: the key's decimal string form, as an unsigned int (sampling parity contract)
+_MD5U32_SQL = (
+    "CAST(CONCAT('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT)"
+)
+_BUCKET_SQL = _MD5U32_SQL + " % 10000"
+
+
+@register(
+    "doc_split_assign",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_BUCKET_SQL.format(key='doc_id')} AS b FROM documents)
+    """,
+)
+def doc_split_assign(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by content-hash
+    bucket — stable across runs, partitions and cluster sizes (no RNG, no
+    shuffle; pure projection)."""
+    from ..stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return assign_split(
+        ds, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    ).select_columns(["doc_id", "split"])
+
+
+@register(
+    "event_hash_sample",
+    f"""
+    SELECT event_id, user_id FROM events
+    WHERE {_BUCKET_SQL.format(key='event_id')} < 1000
+    """,
+)
+def event_hash_sample(sf_dir: str):
+    """Uniform 10% sample of the event stream by hash bucket (deterministic
+    filter — the same rows are selected on every run at every scale)."""
+    from ..stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    return hash_sample(ds, "event_id", keep_buckets=1000)
+
+
+@register(
+    "doc_source_quota",
+    f"""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_MD5U32_SQL.format(key='doc_id')}, doc_id) AS rn
+      FROM documents) WHERE rn <= 20
+    """,
+)
+def doc_source_quota(sf_dir: str):
+    """Per-source quota sample (at most 20 docs per source, chosen by hash
+    order) — the domain-balancing primitive of a training-data mix; per-batch
+    combiner prunes before the one small groupby shuffle."""
+    from ..stages.sampling import group_quota_sample
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+    return group_quota_sample(ds, "source", "doc_id", quota=20)
+
+
+@register("doc_pack_bins", None)
+def doc_pack_bins(sf_dir: str):
+    """Greedy partition-local sequence packing of documents into 4096-char
+    context bins (LLM training batch assembly) — shuffle-free; bins never
+    span blocks.  Rows-only check (bin layout is partition-dependent by
+    design; invariants are pytest-asserted in tests/test_sampling.py)."""
+    from ..stages.sampling import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_sequences(ds, "doc_id", "n_chars", budget=4096)
+
+
 @register("simhash_signatures", None)
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building

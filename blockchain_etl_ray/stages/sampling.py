@@ -1,0 +1,212 @@
+"""Deterministic sampling / split operators (training-data pipeline ops).
+
+The sampling face of SURVEY.md §2.7: every operator here is DETERMINISTIC by
+content hash, never by RNG state — on a 256-node cluster a sample must not
+depend on task scheduling, retries, or partition boundaries, and a re-run
+over the same input must select the same rows (resumable output, auditable
+splits).  The reference's closest analog is the idempotent loader family
+(``blockchainetl/cli/load.py:48-290``: replays must agree with prior runs);
+here the same idea is applied to train/val/test assignment.
+
+Hash-parity contract: every decision derives from ``md5_prefix_u32`` (first 4
+md5 bytes of the key's decimal string form) which equals DuckDB's
+``CAST(CONCAT('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS UBIGINT)`` —
+so each operator has an exact ANSI-SQL oracle (no float thresholds, no RNG).
+
+Scale notes:
+- ``assign_split`` / ``hash_sample`` are embarrassingly parallel ``map_batches``
+  projections/filters — no shuffle at any scale.
+- ``group_quota_sample`` pre-prunes per batch (each batch keeps at most
+  ``quota`` rows per group — the combiner) so the one groupby shuffle moves
+  O(groups × quota) rows, not the corpus.
+- ``pack_sequences`` is partition-local greedy packing: bins never span
+  blocks, so no shuffle and no global state; the waste bound is per-block,
+  which is the standard trade at scale (exact global bin packing is NP-hard
+  and serial).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import md5_prefix_u32
+
+#: modulus for bucket assignment; 10_000 gives 0.01% split resolution
+DEFAULT_BUCKETS = 10_000
+
+
+def _buckets(batch: pa.Table, key_col: str, n_buckets: int) -> np.ndarray:
+    keys = pc.cast(batch.column(key_col), pa.string())
+    return md5_prefix_u32(keys) % np.uint32(n_buckets)
+
+
+def assign_split_batch(
+    batch: pa.Table,
+    key_col: str,
+    splits: dict[str, int],
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "split",
+) -> pa.Table:
+    """Append a split-name column decided by hash bucket.
+
+    ``splits`` maps name -> bucket count (e.g. ``{"train": 8000, "val": 1000,
+    "test": 1000}``); counts must sum to ``n_buckets`` so every row lands in
+    exactly one split.  Assignment is by consecutive bucket ranges in dict
+    order — mirrored in SQL as a CASE over the same bucket expression."""
+    if sum(splits.values()) != n_buckets:
+        raise ValueError(
+            f"split sizes {splits} must sum to n_buckets={n_buckets}"
+        )
+    b = _buckets(batch, key_col, n_buckets)
+    out = np.empty(len(b), dtype=object)
+    lo = 0
+    for name, width in splits.items():
+        hi = lo + width
+        out[(b >= lo) & (b < hi)] = name
+        lo = hi
+    return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def assign_split(
+    ds: rd.Dataset,
+    key_col: str,
+    splits: dict[str, int],
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment (pure projection, no shuffle)."""
+    if sum(splits.values()) != n_buckets:  # fail at build time, not in tasks
+        raise ValueError(f"split sizes {splits} must sum to n_buckets={n_buckets}")
+    return ds.map_batches(
+        lambda t: assign_split_batch(t, key_col, splits, n_buckets, out_col),
+        batch_format="pyarrow",
+    )
+
+
+def hash_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    keep_buckets: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Keep rows whose hash bucket < ``keep_buckets`` — a uniform
+    ``keep_buckets / n_buckets`` sample that is stable across runs, partitions
+    and cluster sizes (pure filter, no shuffle, no RNG)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_buckets(t, key_col, n_buckets) < keep_buckets))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _prune_group_quota(
+    t: pa.Table, group_col: str, key_col: str, quota: int
+) -> pa.Table:
+    """Keep at most ``quota`` rows per group, chosen by ascending
+    (md5(key), key) — exact on a whole group, a safe combiner on a batch."""
+    if t.num_rows == 0:
+        return t
+    h = md5_prefix_u32(pc.cast(t.column(key_col), pa.string()))
+    keys = t.column(key_col).to_numpy(zero_copy_only=False)
+    grp = t.column(group_col).to_numpy(zero_copy_only=False)
+    # stable lexsort: group major, then (hash, key) — ties on md5 prefix are
+    # broken by the key itself so the selection is a total order
+    order = np.lexsort((keys, h, grp))
+    g_sorted = grp[order]
+    starts = np.concatenate([[0], np.nonzero(g_sorted[1:] != g_sorted[:-1])[0] + 1])
+    rank = np.arange(len(g_sorted)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(g_sorted)]])))
+    return t.take(pa.array(np.sort(order[rank < quota])))
+
+
+def group_quota_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    quota: int,
+) -> rd.Dataset:
+    """Per-group quota sample: the ``quota`` rows with smallest md5(key) in
+    each group (deterministic; equals ``row_number() OVER (PARTITION BY g
+    ORDER BY md5(key), key) <= quota``).
+
+    Two phases: a per-batch combiner first prunes every batch to at most
+    ``quota`` rows per group (so the shuffle moves O(groups × quota), not the
+    corpus), then one groupby finishes exactly."""
+    from .stabilize import stabilize
+
+    schema = ds.schema().base_schema  # metadata-only on parquet reads
+    pruned = ds.map_batches(
+        lambda t: _prune_group_quota(t, group_col, key_col, quota),
+        batch_format="pyarrow",
+    )
+    out = pruned.groupby(group_col).map_groups(
+        lambda t: _prune_group_quota(t, group_col, key_col, quota),
+        batch_format="pyarrow",
+    )
+    # output is O(groups × quota) — small by contract, safe to stabilize
+    return stabilize(out, schema)
+
+
+def pack_sequences_batch(
+    batch: pa.Table,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> pa.Table:
+    """Greedy first-fit-decreasing packing of one block's documents into
+    token-budget bins.  Emits (id, n_tokens, bin_id, bin_total) rows; bin_id
+    is globally unique (namespaced by the bin's smallest member id, which is
+    unique corpus-wide).  A document alone over budget gets its own bin
+    (callers chunk or drop oversized docs upstream)."""
+    n = batch.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(-n, kind="stable")
+    bins: list[list[int]] = []  # row indices per bin
+    totals: list[int] = []
+    for i in order:
+        placed = False
+        for b in range(len(bins)):
+            if totals[b] + n[i] <= budget:
+                bins[b].append(i)
+                totals[b] += int(n[i])
+                placed = True
+                break
+        if not placed:
+            bins.append([i])
+            totals.append(int(n[i]))
+    out_id, out_n, out_bin, out_tot = [], [], [], []
+    for members, tot in zip(bins, totals):
+        tag = f"bin-{min(int(ids[m]) for m in members)}"
+        for m in members:
+            out_id.append(int(ids[m]))
+            out_n.append(int(n[m]))
+            out_bin.append(tag)
+            out_tot.append(tot)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "bin_id": pa.array(out_bin, type=pa.string()),
+            "bin_total": pa.array(out_tot, type=pa.int64()),
+        }
+    )
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    batch_size: int = 8192,
+) -> rd.Dataset:
+    """Partition-local sequence packing (context-window filling for LLM
+    training).  Greedy FFD within each batch; bins never span batches, so the
+    operator is shuffle-free and its waste is bounded per batch: greedy
+    first-fit leaves at most one bin under half-full per batch."""
+    return ds.map_batches(
+        lambda t: pack_sequences_batch(t, id_col, tokens_col, budget),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

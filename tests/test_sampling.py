@@ -1,0 +1,121 @@
+"""Deterministic sampling / split / packing operators (stages/sampling.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from blockchain_etl_ray.stages.sampling import (
+    assign_split,
+    group_quota_sample,
+    hash_sample,
+    pack_sequences,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _u32(key) -> int:
+    return int.from_bytes(hashlib.md5(str(key).encode()).digest()[:4], "big")
+
+
+def _bucket(key, n=10_000) -> int:
+    return _u32(key) % n
+
+
+def test_assign_split_matches_serial_and_is_total():
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    out = assign_split(
+        ds, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    ).to_pandas()
+    for r in out.itertuples():
+        b = _bucket(r.doc_id)
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert r.split == want
+    # every row assigned, roughly 80/10/10
+    counts = out["split"].value_counts()
+    assert counts.sum() == len(out)
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_assign_split_rejects_bad_fractions():
+    ds = rd.from_items([{"doc_id": 1}])
+    import pytest
+
+    with pytest.raises(ValueError):
+        assign_split(ds, "doc_id", {"train": 5000, "val": 1000})
+
+
+def test_hash_sample_stable_across_block_layouts():
+    """The selected id set must not depend on how the input is partitioned."""
+    a = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    b = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id"], override_num_blocks=7
+    )
+    sa = set(hash_sample(a, "event_id", 1000).to_pandas()["event_id"])
+    sb = set(hash_sample(b, "event_id", 1000).to_pandas()["event_id"])
+    assert sa == sb
+    assert sa == {
+        e
+        for e in pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_pylist()
+        if _bucket(e) < 1000
+    }
+    assert len(sa) > 0
+
+
+def test_group_quota_sample_exact_vs_serial():
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "doc_id"])
+    rows = tbl.to_pylist()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    quota = 5
+    expected = set()
+    for src, ids in by_src.items():
+        for d in sorted(ids, key=lambda x: (_u32(x), x))[:quota]:
+            expected.add((src, d))
+
+    # many small blocks so the per-batch combiner actually runs
+    ds = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["source", "doc_id"], override_num_blocks=9
+    )
+    out = group_quota_sample(ds, "source", "doc_id", quota=quota).to_pandas()
+    got = {(r.source, int(r.doc_id)) for r in out.itertuples()}
+    assert got == expected
+
+
+def test_pack_sequences_invariants():
+    budget = 500
+    docs = [{"doc_id": i, "n": 37 + (i * 53) % 300} for i in range(400)]
+    ds = rd.from_items(docs)
+    out = pack_sequences(ds, "doc_id", "n", budget=budget, batch_size=64).to_pandas()
+    # every doc packed exactly once, token counts preserved
+    assert sorted(out["doc_id"]) == [d["doc_id"] for d in docs]
+    want_n = {d["doc_id"]: d["n"] for d in docs}
+    assert all(want_n[r.doc_id] == r.n_tokens for r in out.itertuples())
+    # no bin over budget; bin_total is the true member sum
+    sums = out.groupby("bin_id")["n_tokens"].sum()
+    assert (sums <= budget).all()
+    tot = out.groupby("bin_id")["bin_total"].first()
+    assert (sums == tot).all()
+    # packing is efficient: greedy first-fit leaves at most one bin under
+    # half-full per batch (400 docs / 64 per batch = 7 batches)
+    n_batches = 7
+    assert (sums < budget / 2).sum() <= n_batches
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin():
+    ds = rd.from_items(
+        [{"doc_id": 1, "n": 9000}, {"doc_id": 2, "n": 10}, {"doc_id": 3, "n": 20}]
+    )
+    out = pack_sequences(ds, "doc_id", "n", budget=100).to_pandas()
+    big = out[out.doc_id == 1]
+    assert len(big) == 1
+    # the oversized doc shares its bin with nobody
+    assert (out["bin_id"] == big["bin_id"].iloc[0]).sum() == 1
+    small = out[out.doc_id != 1]
+    assert small["bin_id"].nunique() == 1  # 10+20 fit one bin
