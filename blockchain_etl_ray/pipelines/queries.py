@@ -1350,6 +1350,100 @@ def doc_pack_bins(sf_dir: str):
     return pack_sequences(ds, "doc_id", "n_chars", budget=4096)
 
 
+@register(
+    "clicks_before_purchase_range",
+    """
+    SELECT p.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def clicks_before_purchase_range(sf_dir: str):
+    """Keyed range join: every click within the hour BEFORE each purchase by
+    the same user (attribution-window expansion).  One bucket exchange on
+    user_id; per-bucket fully vectorized interval containment — neither fact
+    side broadcast, no driver state (``stages/rangejoin.py``)."""
+    from ..stages.rangejoin import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "click_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "start_us": pc.subtract(
+                    pc.cast(t.column("ts"), pa.int64()),
+                    pa.scalar(3_600_000_000, pa.int64()),
+                ),
+                "end_us": pc.cast(t.column("ts"), pa.int64()),
+                "purchase_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        probe_cols=["click_id"],
+        interval_cols=["purchase_id"],
+    )
+
+
+@register(
+    "event_type_sliding_hourly",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, n,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing_n
+    FROM h
+    """,
+)
+def event_type_sliding_hourly(sf_dir: str):
+    """Sliding windowed aggregate: hourly counts per event type plus the
+    trailing-3-hour sum (time-range window, absent buckets count zero) —
+    events pre-aggregate to bucket rows before the one small exchange
+    (``stages/windows.py::sliding_window_count``)."""
+    from ..stages.windows import sliding_window_count
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = sliding_window_count(
+        ds, "ts", width_seconds=3600, trailing_windows=3, extra_keys=["event_type"]
+    )
+    return stabilize(
+        out,
+        [
+            ("bucket", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("trailing_n", pa.int64()),
+        ],
+    )
+
+
 @register("simhash_signatures", None)
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building

@@ -1,0 +1,204 @@
+"""Keyed interval (range) join: probe rows ⋈ intervals that contain them.
+
+The range-predicate sibling of the equi/as-of join family in
+``stages/joins.py`` — matches each probe row ``(key, ts)`` to EVERY interval
+``(key, start, end)`` with ``start <= ts <= end`` (closed ends; build
+open/half-open semantics by shifting a bound by one tick upstream).  The
+reference's nearest analog is the as-of/lookup enrichment family (SURVEY.md
+§2.4 J5/J7, e.g. ``bitcoinetl/jobs/enrich_transactions_job.py:66-120`` —
+point lookups against a history table); a range join generalizes the lookup
+from "latest row ≤ ts" to "all rows whose validity window covers ts".
+
+Scale shape — the same ONE-exchange bucket pattern as
+``joins.asof_join_partitioned``: tag both sides, hash the key into
+``num_buckets`` buckets (a key lands in exactly one bucket, so the join is
+exact), and resolve each bucket with a fully vectorized kernel:
+
+  per key run: lo = searchsorted(probe_ts, starts, 'left')
+               hi = searchsorted(probe_ts, ends,   'right')
+  emit the [lo, hi) probe span per interval via one np.repeat + multi-arange
+  — no Python loop over probes OR intervals.
+
+Neither side is broadcast; per-task memory is bounded by bucket size.  Output
+volume is the true match count (each probe×containing-interval pair), as with
+any range join — callers bound it by keeping windows short relative to event
+density.
+
+Partitioning assumption: co-location by KEY hash.  A time-only (keyless)
+range join needs epoch-bucketing with boundary-spanning interval replication
+instead — not implemented here; every reference use is keyed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_MULT = 2654435761
+
+
+def _bucket_of(t: pa.Table, key: str, num_buckets: int) -> pa.Array:
+    width = (1 << 31) // num_buckets + 1
+    k = pc.cast(t.column(key), pa.int64())
+    h = pc.bit_wise_and(
+        pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+        pa.scalar((1 << 31) - 1, pa.int64()),
+    )
+    return pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+
+
+def _key_runs(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in a sorted key array."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    return starts, ends
+
+
+def match_intervals(
+    probe_keys: np.ndarray,
+    probe_ts: np.ndarray,
+    iv_keys: np.ndarray,
+    iv_start: np.ndarray,
+    iv_end: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized containment matching within one co-located bucket.
+
+    Returns (probe_idx, interval_idx) pairs (original row indices) for every
+    probe with ``start <= ts <= end`` on the same key."""
+    po = np.lexsort((probe_ts, probe_keys))
+    io = np.lexsort((iv_start, iv_keys))
+    pk, pt = probe_keys[po], probe_ts[po]
+    ik, istart, iend = iv_keys[io], iv_start[io], iv_end[io]
+
+    p_starts, p_ends = _key_runs(pk)
+    p_run_keys = pk[p_starts] if len(p_starts) else pk[:0]
+    i_starts, i_ends = _key_runs(ik)
+
+    out_p: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    for s, e in zip(i_starts, i_ends):
+        # locate this key's probe run (binary search over run keys)
+        r = np.searchsorted(p_run_keys, ik[s])
+        if r >= len(p_run_keys) or p_run_keys[r] != ik[s]:
+            continue
+        ps, pe = p_starts[r], p_ends[r]
+        ts_run = pt[ps:pe]
+        lo = ps + np.searchsorted(ts_run, istart[s:e], side="left")
+        hi = ps + np.searchsorted(ts_run, iend[s:e], side="right")
+        cnt = hi - lo
+        nz = cnt > 0
+        if not nz.any():
+            continue
+        lo, cnt = lo[nz], cnt[nz]
+        rep_iv = np.repeat(np.arange(s, e)[nz], cnt)  # sorted-interval idx
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        pos = np.arange(csum[-1]) - np.repeat(csum[:-1], cnt)
+        out_p.append(po[np.repeat(lo, cnt) + pos])
+        out_i.append(io[rep_iv])
+    if not out_p:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_p), np.concatenate(out_i)
+
+
+def interval_join(
+    probe: rd.Dataset,
+    intervals: rd.Dataset,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    probe_cols: list[str],
+    interval_cols: list[str],
+    num_buckets: int = 32,
+    stabilize_output: bool = True,
+) -> rd.Dataset:
+    """Distributed keyed range join (see module docstring).
+
+    ``ts_col``/``start_col``/``end_col`` must be int64-comparable (cast
+    timestamps to epoch integers upstream).  Output columns: ``key`` +
+    ``probe_cols`` + ``interval_cols`` (names must not collide).
+
+    ``stabilize_output`` repairs Ray 2.49's schemaless empty shuffle blocks
+    (required for strict block-level consumers) at the cost of materializing
+    the result; pass False when the match volume is huge and the consumer is
+    a forgiving stream (``write_parquet`` / further ``map_batches``)."""
+    from .stabilize import stabilize
+
+    overlap = set(probe_cols) & set(interval_cols)
+    if overlap:
+        raise ValueError(f"column name collision across sides: {sorted(overlap)}")
+
+    p_schema, i_schema = probe.schema(), intervals.schema()
+
+    def p_type(c):
+        return p_schema.types[p_schema.names.index(c)]
+
+    def i_type(c):
+        return i_schema.types[i_schema.names.index(c)]
+
+    out_schema = pa.schema(
+        [(key, p_type(key))]
+        + [(c, p_type(c)) for c in probe_cols]
+        + [(c, i_type(c)) for c in interval_cols]
+    )
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        cols = {key: t.column(key), "_ts": pc.cast(t.column(ts_col), pa.int64())}
+        for c in probe_cols:
+            cols[f"_p_{c}"] = t.column(c)
+        for c in interval_cols:
+            cols[f"_i_{c}"] = pa.nulls(t.num_rows, i_type(c))
+        cols["_start"] = pa.nulls(t.num_rows, pa.int64())
+        cols["_end"] = pa.nulls(t.num_rows, pa.int64())
+        out = pa.table(cols)
+        out = out.append_column("_bucket", _bucket_of(t, key, num_buckets))
+        return out.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+
+    def tag_interval(t: pa.Table) -> pa.Table:
+        cols = {key: t.column(key), "_ts": pa.nulls(t.num_rows, pa.int64())}
+        for c in probe_cols:
+            cols[f"_p_{c}"] = pa.nulls(t.num_rows, p_type(c))
+        for c in interval_cols:
+            cols[f"_i_{c}"] = t.column(c)
+        cols["_start"] = pc.cast(t.column(start_col), pa.int64())
+        cols["_end"] = pc.cast(t.column(end_col), pa.int64())
+        out = pa.table(cols)
+        out = out.append_column("_bucket", _bucket_of(t, key, num_buckets))
+        return out.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    both = probe.map_batches(tag_probe, batch_format="pyarrow").union(
+        intervals.map_batches(tag_interval, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        prows = g.filter(pc.equal(g.column("_side"), 0))
+        irows = g.filter(pc.equal(g.column("_side"), 1))
+        if prows.num_rows == 0 or irows.num_rows == 0:
+            return out_schema.empty_table()
+        pi, ii = match_intervals(
+            pc.cast(prows.column(key), pa.int64()).to_numpy(zero_copy_only=False),
+            prows.column("_ts").to_numpy(zero_copy_only=False),
+            pc.cast(irows.column(key), pa.int64()).to_numpy(zero_copy_only=False),
+            irows.column("_start").to_numpy(zero_copy_only=False),
+            irows.column("_end").to_numpy(zero_copy_only=False),
+        )
+        p_take, i_take = pa.array(pi), pa.array(ii)
+        cols = {key: prows.column(key).take(p_take)}
+        for c in probe_cols:
+            cols[c] = prows.column(f"_p_{c}").take(p_take)
+        for c in interval_cols:
+            cols[c] = irows.column(f"_i_{c}").take(i_take)
+        return pa.table(cols).cast(out_schema)
+
+    out = both.groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+    return stabilize(out, out_schema) if stabilize_output else out

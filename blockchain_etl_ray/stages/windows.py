@@ -95,6 +95,53 @@ def tumbling_count(
     )
 
 
+def sliding_window_count(
+    ds: rd.Dataset,
+    ts_col: str,
+    width_seconds: int,
+    trailing_windows: int,
+    extra_keys: list[str] | None = None,
+) -> rd.Dataset:
+    """Sliding (trailing) windowed aggregate over event time.
+
+    Two phases, both cheap at any scale:
+    1. :func:`tumbling_count` — the per-(bucket, keys) counts; the groupby's
+       exchange moves pre-aggregated bucket rows, not events.
+    2. one ``map_groups`` per key over the SMALL bucket table: for every
+       bucket ``b`` emit the sum of counts in ``(b - trailing_windows + 1)
+       .. b`` — a sparse trailing-range sum done with one prefix-sum + one
+       ``searchsorted`` per group (buckets may be absent; the window is over
+       TIME, not over present rows, matching SQL ``RANGE BETWEEN k PRECEDING
+       AND CURRENT ROW``).
+
+    Streaming analog of the reference's per-batch alert/stat windows
+    (SURVEY.md §2.6; rule streams evaluate on bounded recent history).
+    Output: (*extra_keys, bucket, n, trailing_n)."""
+    import numpy as np
+
+    extra_keys = extra_keys or []
+    per_bucket = tumbling_count(ds, ts_col, width_seconds, extra_keys)
+    k = trailing_windows
+
+    def trail(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("bucket", "ascending")])
+        g = g.take(idx)
+        b = g.column("bucket").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(b, b - (k - 1), side="left")
+        trailing = csum[np.arange(len(b)) + 1] - csum[lo]
+        return g.append_column("trailing_n", pa.array(trailing, type=pa.int64()))
+
+    if not extra_keys:
+        # single global series: co-locate the (small) bucket table first so
+        # the prefix sum sees every bucket
+        return per_bucket.repartition(1).map_batches(
+            trail, batch_size=None, batch_format="pyarrow"
+        )
+    return per_bucket.groupby(extra_keys).map_groups(trail, batch_format="pyarrow")
+
+
 def grouped_first_last(
     ds: rd.Dataset,
     by: list[str],

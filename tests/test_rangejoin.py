@@ -1,0 +1,128 @@
+"""Keyed range join (stages/rangejoin.py) and sliding windows
+(stages/windows.py::sliding_window_count): brute-force parity + edge cases."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.stages.rangejoin import interval_join, match_intervals
+from blockchain_etl_ray.stages.windows import sliding_window_count
+
+
+def test_match_intervals_bruteforce():
+    rng = np.random.default_rng(11)
+    pk = rng.integers(0, 8, 300)
+    pt = rng.integers(0, 1000, 300)
+    ik = rng.integers(0, 8, 60)
+    istart = rng.integers(0, 900, 60)
+    iend = istart + rng.integers(0, 200, 60)
+    pi, ii = match_intervals(pk, pt, ik, istart, iend)
+    got = set(zip(pi.tolist(), ii.tolist()))
+    want = {
+        (p, i)
+        for p in range(300)
+        for i in range(60)
+        if pk[p] == ik[i] and istart[i] <= pt[p] <= iend[i]
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_interval_join_overlapping_intervals_and_missing_keys():
+    probe = rd.from_items(
+        [
+            {"k": 1, "ts": 10, "pid": 100},
+            {"k": 1, "ts": 25, "pid": 101},
+            {"k": 2, "ts": 10, "pid": 102},  # key absent on interval side
+            {"k": 3, "ts": 5, "pid": 103},
+        ]
+    )
+    ivs = rd.from_items(
+        [
+            {"k": 1, "s": 0, "e": 30, "iid": 7},   # contains both k=1 probes
+            {"k": 1, "s": 20, "e": 40, "iid": 8},  # overlaps: contains ts=25
+            {"k": 4, "s": 0, "e": 100, "iid": 9},  # key absent on probe side
+        ]
+    )
+    out = interval_join(
+        probe, ivs, key="k", ts_col="ts", start_col="s", end_col="e",
+        probe_cols=["pid"], interval_cols=["iid"],
+    ).to_pandas()
+    got = {(r.pid, r.iid) for r in out.itertuples()}
+    assert got == {(100, 7), (101, 7), (101, 8)}
+
+
+def test_interval_join_closed_bounds():
+    probe = rd.from_items(
+        [{"k": 1, "ts": 10, "pid": 1}, {"k": 1, "ts": 20, "pid": 2},
+         {"k": 1, "ts": 9, "pid": 3}, {"k": 1, "ts": 21, "pid": 4}]
+    )
+    ivs = rd.from_items([{"k": 1, "s": 10, "e": 20, "iid": 5}])
+    out = interval_join(
+        probe, ivs, key="k", ts_col="ts", start_col="s", end_col="e",
+        probe_cols=["pid"], interval_cols=["iid"],
+    ).to_pandas()
+    assert sorted(out["pid"]) == [1, 2]  # both endpoints inclusive
+
+
+def test_interval_join_rejects_column_collision():
+    import pytest
+
+    ds = rd.from_items([{"k": 1, "ts": 1, "x": 2, "s": 0, "e": 5}])
+    with pytest.raises(ValueError):
+        interval_join(
+            ds, ds, key="k", ts_col="ts", start_col="s", end_col="e",
+            probe_cols=["x"], interval_cols=["x"],
+        )
+
+
+def test_sliding_window_respects_time_gaps():
+    """Absent buckets contribute zero: a row isolated in time has
+    trailing_n == its own bucket count, even though it is ADJACENT in the
+    bucket table to earlier rows."""
+    us = 1_000_000
+    rows = (
+        [{"ts": i * us, "g": "a"} for i in range(10)]          # bucket 0
+        + [{"ts": (3600 + i) * us, "g": "a"} for i in range(5)]  # bucket 1
+        + [{"ts": (10 * 3600 + i) * us, "g": "a"} for i in range(7)]  # bucket 10
+        + [{"ts": i * us, "g": "b"} for i in range(4)]         # other key
+    )
+    ds = rd.from_items(rows).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("ts"),
+            "ts",
+            t.column("ts").cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+    out = sliding_window_count(
+        ds, "ts", width_seconds=3600, trailing_windows=3, extra_keys=["g"]
+    ).to_pandas()
+    a = out[out.g == "a"].set_index("bucket")
+    assert a.loc[0, "n"] == 10 and a.loc[0, "trailing_n"] == 10
+    assert a.loc[1, "n"] == 5 and a.loc[1, "trailing_n"] == 15
+    # bucket 10 is far from buckets 0/1: the 3-wide window sees only itself
+    assert a.loc[10, "n"] == 7 and a.loc[10, "trailing_n"] == 7
+    b = out[out.g == "b"].set_index("bucket")
+    assert b.loc[0, "trailing_n"] == 4
+
+
+def test_sliding_window_global_series():
+    us = 1_000_000
+    ds = rd.from_items(
+        [{"ts": (h * 3600 + i) * us} for h in range(4) for i in range(h + 1)]
+    ).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        sliding_window_count(ds, "ts", width_seconds=3600, trailing_windows=2)
+        .to_pandas()
+        .set_index("bucket")
+    )
+    assert out.loc[0, "trailing_n"] == 1
+    assert out.loc[1, "trailing_n"] == 3  # 1+2
+    assert out.loc[2, "trailing_n"] == 5  # 2+3
+    assert out.loc[3, "trailing_n"] == 7  # 3+4
