@@ -206,16 +206,41 @@ def lsh_candidate_pairs(
     )
 
 
-def _dedup_pairs(cand: rd.Dataset) -> rd.Dataset:
-    """Unique (a, b) pairs (a pair discovered in several bands verifies once)."""
-    from ray.data.aggregate import Count
+def _dedup_pairs(cand: rd.Dataset, group_parts: int = 64) -> rd.Dataset:
+    """Unique (a, b) pairs (a pair discovered in several bands verifies once).
 
+    Hash-bucket exchange + per-bucket vectorized sort-unique, NOT
+    ``groupby(["a","b"]).aggregate`` — Ray's sort aggregate pays per-GROUP
+    dispatch, and every distinct pair is its own group (measured 7.1 s for
+    681 k pairs vs ~0.5 s this way at sf0.1).  Duplicates co-locate because
+    the bucket is a pure function of the pair values."""
     from .stabilize import stabilize
 
-    agg = cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
-    return stabilize(agg, [("a", pa.int64()), ("b", pa.int64()), ("_nb", pa.int64())]).select_columns(
-        ["a", "b"]
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column(
+            "gpart",
+            pa.array(((h >> np.uint64(33)) % np.uint64(group_parts)).astype(np.int32)),
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    out = (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(uniq, batch_format="pyarrow")
     )
+    return stabilize(out, [("a", pa.int64()), ("b", pa.int64())])
 
 
 def shingle_set_rows(batch: pa.Table, shingle_k: int = 5) -> pa.Table:

