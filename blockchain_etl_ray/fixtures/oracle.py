@@ -35,10 +35,14 @@ def fold_events(events_dir: str) -> dict[tuple[str, str], dict]:
     files = sorted(glob.glob(str(Path(events_dir) / "epoch=*.parquet")))
     tables = [_normalize_oracle_table(pq.read_table(f)) for f in files]
     t = pa.concat_tables(tables, promote_options="default")
-    # (ordinal asc, epoch asc): with the `o <= cur.ordinal` guard below this
-    # realizes the engine's conflict order — LWW by ordinal, first-delivery
-    # (min epoch) wins among equal-ordinal redeliveries (see schema.py).
-    t = t.sort_by([("ordinal", "ascending"), ("epoch", "ascending")])
+    # (ordinal asc, epoch asc, event_id desc): with the `o <= cur.ordinal`
+    # guard below this realizes the engine's conflict order — LWW by ordinal,
+    # first-delivery (min epoch) wins among equal-ordinal redeliveries, max
+    # event_id among full (ordinal, epoch) ties across DIFFERENT events
+    # (see schema.py conflict-order note).
+    t = t.sort_by(
+        [("ordinal", "ascending"), ("epoch", "ascending"), ("event_id", "descending")]
+    )
     cols = t.to_pydict()
     state: dict[tuple[str, str], dict] = {}
     n = t.num_rows

@@ -65,6 +65,11 @@ STATE_FIELDS: list[tuple[str, pa.DataType]] = [
     ("src_epoch", pa.int64()),
     ("deleted", pa.bool_()),
     ("content_sha256", pa.string()),
+    # provenance: the id of the event that produced this row — and the
+    # tertiary conflict key, so within-chunk compaction and cross-fragment
+    # resolve share one TOTAL order even when a sloppy upstream emits two
+    # DIFFERENT events with the same (key, ordinal, epoch)
+    ("event_id", pa.string()),
 ]
 STATE_SCHEMA = pa.schema(STATE_FIELDS)
 
@@ -73,6 +78,10 @@ STATE_SCHEMA = pa.schema(STATE_FIELDS)
 #: logical event and the FIRST delivery (min ``src_epoch``) wins — the analog of
 #: `ON CONFLICT DO NOTHING` (postgres_utils.py:28-68).  Needed because a
 #: redelivery straddling a schema-evolution boundary is not byte-identical.
+#: Among equal (ordinal, src_epoch) the max ``event_id`` wins — only reachable
+#: when an upstream violates the one-event-per-ordinal contract, but the pick
+#: must STILL be independent of chunking/fragment order (hypothesis-proved in
+#: tests/test_properties.py::test_fold_grouping_invariance).
 
 #: Declarative schema-evolution rename map (old delivered name -> canonical
 #: name).  Mirrors ENTITY_TYPE_RENAMES (entity_type.py:138-204) in spirit:

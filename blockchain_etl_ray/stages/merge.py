@@ -187,10 +187,19 @@ def resolve_tables(
     state_schema: pa.Schema = STATE_SCHEMA,
 ) -> pa.Table:
     """LWW-resolve state rows from base + fragment pieces (any order): per key
-    the max-ordinal row wins, min src_epoch among equal ordinals."""
+    the max-ordinal row wins, min src_epoch among equal ordinals, max
+    event_id among equal (ordinal, src_epoch) — the SAME total order as the
+    within-chunk fold (stages/compact.py stage 2), so resolution is invariant
+    to how deliveries were chunked (hypothesis-proved in
+    tests/test_properties.py; a missing event_id tie-break here once made the
+    winner depend on fragment arrival order)."""
     merged = pl.concat([pl.from_arrow(t) for t in tables], how="vertical_relaxed")
+    sort_keys, desc = ["ordinal", "src_epoch"], [False, True]
+    if "event_id" in merged.columns:
+        sort_keys.append("event_id")
+        desc.append(False)
     resolved = merged.sort(
-        ["ordinal", "src_epoch"], descending=[False, True], maintain_order=True
+        sort_keys, descending=desc, maintain_order=True
     ).unique(subset=list(key_cols), keep="last", maintain_order=True)
     return (
         resolved.sort(list(key_cols), maintain_order=True)
