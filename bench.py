@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "cdc_replay_state",
     "receipts_consistency_fill",
     "doc_quality_scores",
+    "token_jaccard_pairs",
+    "clicks_before_purchase_range",
+    "event_type_sliding_hourly",
 ]
 
 

@@ -29,12 +29,21 @@ class ChainTail:
         lag: int = 0,
         period_seconds: float = 0.5,
         head_fn: Callable[[], int | None] | None = None,
+        alert_set=None,
     ):
+        """``alert_set`` (pipelines/alerts.AlertSet, optional): evaluated each
+        cycle over ONLY the newly applied epochs' delivered rows — the
+        streaming rule-hook shape of the reference's streamer→exporter chain
+        (``blockchainetl/streaming/streamer.py:35-163`` feeding the alert
+        rule sets of ``blockchainetl/alert/rule_set.py``).  Exactly-once per
+        epoch follows from the replay commit protocol: an epoch joins
+        ``applied_epochs`` in exactly one cycle."""
         self.engine = engine
         self.events_dir = events_dir
         self.lag = lag
         self.period_seconds = period_seconds
         self._head_fn = head_fn
+        self.alert_set = alert_set
 
     def head_epoch(self) -> int | None:
         if self._head_fn is not None:
@@ -50,9 +59,24 @@ class ChainTail:
         target = head - self.lag
         if target < 0:
             return {"head": head, "caught_up": True, "steps_applied": []}
+        before = (
+            set(self.engine.store.applied_epochs())
+            if self.alert_set is not None
+            else set()
+        )
         summary = self.engine.replay(self.events_dir, upto_epoch=target)
         summary.update({"head": head, "target": target,
                         "caught_up": not summary["steps_applied"]})
+        if self.alert_set is not None:
+            new = sorted(set(self.engine.store.applied_epochs()) - before)
+            if new:
+                import ray.data as rd
+
+                by_epoch = discover_epoch_files(self.events_dir)
+                files = [f for e in new for f in by_epoch.get(e, [])]
+                summary["alerts"] = self.alert_set.run(rd.read_parquet(files))
+            else:
+                summary["alerts"] = {}
         return summary
 
     def run(self, max_polls: int = 100, stop_when_caught_up: bool = True) -> list[dict]:

@@ -46,3 +46,39 @@ def test_unknown_receiver_and_stubbed_slack():
         AlertSet([Alert("a", "value > 1", receivers=["nope"])])
     with pytest.raises(NotImplementedError, match="network"):
         AlertSet([Alert("a", "value > 1", receivers=["slack"])])
+
+
+def test_chain_tail_streams_alerts_exactly_once(tmp_path):
+    """Alerts fire per cycle over ONLY the newly applied epochs: every
+    matching delivered row alerts exactly once across incremental polls."""
+    import pyarrow.compute as pc
+
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=4000, seed=13, n_epochs=8)
+    aset = AlertSet([Alert("deletes", "op == 'delete'", receivers=["memory"])])
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=4, epoch_batch_size=2)
+    )
+    tail = ChainTail(engine, str(events), lag=0, alert_set=aset)
+
+    # first poll sees an artificially lagged head, second the true frontier
+    tail._head_fn = lambda: 2
+    s1 = tail.poll_once()
+    tail._head_fn = None
+    s2 = tail.poll_once()
+    s3 = tail.poll_once()  # caught up: no new epochs, no re-alerts
+    assert s3["alerts"] == {}
+
+    total = s1["alerts"].get("deletes", 0) + s2["alerts"].get("deletes", 0)
+    expected = sum(
+        pq.read_table(f).filter(pc.equal(pq.read_table(f).column("op"), "delete")).num_rows
+        for f in sorted(events.glob("epoch=*.parquet"))
+    )
+    assert total == expected > 0
+    mem = aset.receiver("memory")
+    # exactly-once at the row level too (no epoch re-delivered to receivers)
+    assert len(mem.alerts) == expected
