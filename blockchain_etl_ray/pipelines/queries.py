@@ -1862,6 +1862,84 @@ def cdc_replay_schema_evolution(sf_dir: str):
     )
 
 
+_CDC_WINDOW_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content
+      FROM events),
+    b AS (SELECT MAX(event_id) AS m FROM events)
+    SELECT op, COUNT(*) AS n_events,
+           SUM(STRLEN(content)) AS sum_bytes,
+           MIN(ordinal) AS min_ord, MAX(ordinal) AS max_ord
+    FROM cdc, b
+    WHERE ordinal BETWEEN m // 4 AND m // 2
+    GROUP BY op
+"""
+
+
+@register("cdc_ordinal_window", _CDC_WINDOW_SQL)
+def cdc_ordinal_window(sf_dir: str):
+    """ST4 analog: ordinal→epoch interpolation search
+    (``ethereumetl/service/eth_service.py:37-107``,
+    ``blockchainetl/service/graph_operations.py:43-180``) locates the epoch
+    range covering an ordinal window by probing Parquet FOOTERS only, then
+    reads just those epochs' files (exact row filter downstream) — the
+    "export this date range" entry point without scanning the whole log."""
+    from ..sources.epoch_index import EpochIndex
+
+    # window bounds from the events file's own footer stats — no data read
+    ev_path = str(Path(sf_dir) / "events.parquet")
+    md = pq.ParquetFile(ev_path).metadata
+    names = [md.schema.column(j).name for j in range(md.num_columns)]
+    ci = names.index("event_id")
+    m = max(md.row_group(rg).column(ci).statistics.max for rg in range(md.num_row_groups))
+    lo, hi = m // 4, m // 2
+
+    events_dir, _workdir = _write_cdc_log(sf_dir)
+    idx = EpochIndex(str(events_dir))
+    files = idx.files_for_ordinals(lo, hi)
+    assert idx.probes <= len(idx.epochs), "index must probe footers, not scan"
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("ordinal"), lo),
+            pc.less_equal(t.column("ordinal"), hi),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "op": t.column("op"),
+                "bytes": pc.binary_length(t.column("content")),
+                "ordinal": t.column("ordinal"),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(files, columns=["ordinal", "op", "content"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("op")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("bytes", alias_name="sum_bytes"),
+            Min("ordinal", alias_name="min_ord"),
+            Max("ordinal", alias_name="max_ord"),
+        )
+    )
+    return _stable(
+        agg,
+        [
+            ("op", pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("min_ord", pa.int64()),
+            ("max_ord", pa.int64()),
+        ],
+    )
+
+
 _CDC_REPO_HEADS_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

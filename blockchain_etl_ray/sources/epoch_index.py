@@ -1,0 +1,143 @@
+"""Ordinal→epoch interpolation search over Parquet footer statistics.
+
+The ST4 analog of the reference's timestamp→block lookup
+(``ethereumetl/service/eth_service.py:37-107``
+``get_block_range_for_timestamps`` and
+``blockchainetl/service/graph_operations.py:43-180`` — a bounded
+interpolation search over the monotone block→timestamp graph with cached
+probe points).  Here the monotone axis is the commit **ordinal** and the
+discrete axis is the delivery **epoch**: given the change log (one or more
+Parquet files per epoch) and an ordinal window, find the epoch range whose
+files can contain it — probing only file FOOTERS (row-group min/max
+statistics), never scanning row data, and caching every probe.
+
+Monotonicity contract (holds for any at-most-``delivery_lag``-late change
+log — the reference's ``--lag`` reorg watermark semantics,
+``blockchainetl/cli/dump.py:48-54``): an event is delivered in an epoch >=
+its home epoch, and home epochs partition the ordinal axis in order, so
+per-epoch ``max(ordinal)`` is nondecreasing.  Late deliveries can only LOWER
+an epoch's min, so range reads widen the upper bound by ``delivery_lag``
+epochs to stay complete; the probe search itself touches only the monotone
+max axis.
+
+Probe cost: interpolation estimate alternated with bisection — O(log log E)
+probes on near-uniform ordinal distributions, O(2·log2 E) worst case, for E
+epochs.  Every probe is one (or a few, for multi-file epochs) footer reads.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from ..pipelines.replay import discover_epoch_files
+
+
+class EpochIndex:
+    """Footer-stat index over a delivered change log directory."""
+
+    def __init__(self, events_dir: str, ordinal_column: str = "ordinal"):
+        self.by_epoch = discover_epoch_files(events_dir)
+        self.epochs: list[int] = sorted(self.by_epoch)
+        self.ordinal_column = ordinal_column
+        self._bounds_cache: dict[int, tuple[int, int]] = {}
+        #: number of epochs whose footers were actually opened (test hook —
+        #: the analog of GraphOperations' bounded-probe accounting)
+        self.probes = 0
+
+    # -- probing -------------------------------------------------------------
+    def bounds(self, epoch: int) -> tuple[int, int]:
+        """(min, max) ordinal of one epoch's delivered files, from footer
+        row-group statistics only.  Cached — repeat searches re-probe
+        nothing, like the reference's cached graph points."""
+        hit = self._bounds_cache.get(epoch)
+        if hit is not None:
+            return hit
+        lo = hi = None
+        for f in self.by_epoch[epoch]:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(self.ordinal_column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{f} row group {rg} lacks {self.ordinal_column} "
+                        "min/max statistics; EpochIndex needs stats-bearing "
+                        "footers"
+                    )
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError(f"epoch {epoch} has no row groups")
+        self.probes += 1
+        self._bounds_cache[epoch] = (lo, hi)
+        return lo, hi
+
+    def _max_ord(self, idx: int) -> int:
+        return self.bounds(self.epochs[idx])[1]
+
+    # -- search --------------------------------------------------------------
+    def first_epoch_with_max_ge(self, ordinal: int) -> int | None:
+        """Smallest epoch whose max(ordinal) >= ``ordinal`` — the epoch where
+        an ordinal-ascending read must start.  None if the whole log is below
+        ``ordinal`` (the OutOfBoundsError case of ``graph_operations.py``,
+        surfaced as a value instead of an exception)."""
+        if not self.epochs:
+            return None
+        lo, hi = 0, len(self.epochs) - 1
+        f_lo = self._max_ord(lo)
+        if f_lo >= ordinal:
+            return self.epochs[0]
+        f_hi = self._max_ord(hi)
+        if f_hi < ordinal:
+            return None
+        # invariant: f(lo) < ordinal <= f(hi)
+        step = 0
+        while hi - lo > 1:
+            if step % 2 == 0 and f_hi > f_lo:
+                # interpolation estimate (fast on uniform ordinal densities)
+                mid = lo + int((hi - lo) * (ordinal - f_lo) / (f_hi - f_lo))
+            else:
+                # bisection every other step bounds the worst case at 2·log2 E
+                mid = (lo + hi) // 2
+            mid = min(max(mid, lo + 1), hi - 1)
+            f_mid = self._max_ord(mid)
+            if f_mid >= ordinal:
+                hi, f_hi = mid, f_mid
+            else:
+                lo, f_lo = mid, f_mid
+            step += 1
+        return self.epochs[hi]
+
+    def epoch_range_for_ordinals(
+        self, lo_ordinal: int, hi_ordinal: int, delivery_lag: int = 0
+    ) -> tuple[int, int] | None:
+        """Epoch range (inclusive) whose files can contain ordinals in
+        ``[lo_ordinal, hi_ordinal]`` — the ``get_block_range_for_timestamps``
+        analog.  ``delivery_lag`` widens the upper end to capture events
+        delivered up to that many epochs after their home epoch.  None when
+        the window lies entirely above the delivered log."""
+        if hi_ordinal < lo_ordinal:
+            raise ValueError("hi_ordinal < lo_ordinal")
+        e_lo = self.first_epoch_with_max_ge(lo_ordinal)
+        if e_lo is None:
+            return None
+        e_hi = self.first_epoch_with_max_ge(hi_ordinal)
+        i_hi = (
+            len(self.epochs) - 1
+            if e_hi is None
+            else self.epochs.index(e_hi) + delivery_lag
+        )
+        return e_lo, self.epochs[min(i_hi, len(self.epochs) - 1)]
+
+    def files_for_ordinals(
+        self, lo_ordinal: int, hi_ordinal: int, delivery_lag: int = 0
+    ) -> list[str]:
+        """Delivered files to read for an ordinal window (a superset: exact
+        row filtering still applies downstream, as with the reference's
+        block-range SQL after the timestamp search)."""
+        rng = self.epoch_range_for_ordinals(lo_ordinal, hi_ordinal, delivery_lag)
+        if rng is None:
+            return []
+        e_lo, e_hi = rng
+        return [f for e in self.epochs if e_lo <= e <= e_hi for f in self.by_epoch[e]]

@@ -1,0 +1,92 @@
+"""EpochIndex: ordinal→epoch interpolation search over parquet footers.
+
+The ST4 analog (timestamp→block search, ``eth_service.py:37-107`` /
+``graph_operations.py:43-180``): correctness of the located range on an
+out-of-order delivery log, completeness under the delivery-lag widening, and
+the bounded-probe guarantee (footers only, never a scan)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import discover_epoch_files
+from blockchain_etl_ray.sources.epoch_index import EpochIndex
+
+N_EVENTS, N_EPOCHS = 30_000, 64
+
+
+def _corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("epoch_index") / "events"
+    # raised ooo_rate: plenty of late-delivered ordinals to stress the lag
+    write_corpus(d, n_events=N_EVENTS, seed=7, n_epochs=N_EPOCHS, ooo_rate=0.05)
+    return d
+
+
+def _all_rows(events_dir):
+    files = [f for fs in discover_epoch_files(str(events_dir)).values() for f in fs]
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        [pq.read_table(f, columns=["ordinal", "epoch"]) for f in files],
+        promote_options="default",
+    )
+
+
+def test_window_read_is_complete_and_bounded(tmp_path_factory):
+    events_dir = _corpus(tmp_path_factory)
+    idx = EpochIndex(str(events_dir))
+    lo, hi = int(N_EVENTS * 0.31), int(N_EVENTS * 0.44)
+
+    # ooo bump is 1..2 epochs (fixtures/synth.py) → lag=2 must be complete
+    files = idx.files_for_ordinals(lo, hi, delivery_lag=2)
+    got = sorted(
+        o
+        for f in files
+        for o in pq.read_table(f, columns=["ordinal"]).column("ordinal").to_pylist()
+        if lo <= o <= hi
+    )
+    allt = _all_rows(events_dir)
+    mask = pc.and_(
+        pc.greater_equal(allt.column("ordinal"), lo),
+        pc.less_equal(allt.column("ordinal"), hi),
+    )
+    want = sorted(allt.filter(mask).column("ordinal").to_pylist())
+    assert got == want and len(want) > 0
+
+    # the range is also TIGHT at the bottom: no epoch below the first one
+    # whose max reaches lo is read
+    e_lo, e_hi = idx.epoch_range_for_ordinals(lo, hi, delivery_lag=2)
+    assert idx.bounds(e_lo)[1] >= lo
+    if e_lo > idx.epochs[0]:
+        prev = idx.epochs[idx.epochs.index(e_lo) - 1]
+        assert idx.bounds(prev)[1] < lo
+
+
+def test_probe_count_is_logarithmic(tmp_path_factory):
+    events_dir = _corpus(tmp_path_factory)
+    idx = EpochIndex(str(events_dir))
+    idx.epoch_range_for_ordinals(int(N_EVENTS * 0.62), int(N_EVENTS * 0.63))
+    budget = 2 * (2 * math.ceil(math.log2(N_EPOCHS)) + 3)  # two searches
+    assert idx.probes <= budget < N_EPOCHS
+    # cached: repeating the search probes nothing new
+    before = idx.probes
+    idx.epoch_range_for_ordinals(int(N_EVENTS * 0.62), int(N_EVENTS * 0.63))
+    assert idx.probes == before
+
+
+def test_out_of_range_windows(tmp_path_factory):
+    events_dir = _corpus(tmp_path_factory)
+    idx = EpochIndex(str(events_dir))
+    # entirely above the log: nothing to read
+    assert idx.files_for_ordinals(N_EVENTS * 10, N_EVENTS * 11) == []
+    # entirely below: starts at the first epoch, ends at the first epoch
+    # that can reach ordinal 0
+    e_lo, e_hi = idx.epoch_range_for_ordinals(-100, 0)
+    assert e_lo == idx.epochs[0] == e_hi
+    # spanning everything: full range
+    e_lo, e_hi = idx.epoch_range_for_ordinals(0, N_EVENTS - 1)
+    assert e_lo == idx.epochs[0] and e_hi == idx.epochs[-1]
