@@ -10,6 +10,10 @@ Commands:
   gaps     delivered-but-unapplied epochs (checker analog)
   compact  fold fragments into per-partition bases (maintenance)
   stats    derived per-repo aggregates (holder/balance analog)
+  dead-letters        print the skip-on-failure journal
+  retry-dead-letters  re-offer journaled epochs after the upstream fix
+  locate   ordinal→epoch range via footer-stat interpolation (ST4 analog)
+  check-conf  validate an alert rule-set config offline (alert_check_conf)
 
 Owns the Ray session (guarded init) — library code never does.
 """
@@ -55,19 +59,36 @@ def main(argv: list[str] | None = None) -> int:
         rp.add_argument("--state", required=True, help="state-store root")
         rp.add_argument("--partitions", type=int, default=32)
         rp.add_argument("--epoch-batch-size", type=int, default=8)
+        rp.add_argument(
+            "--skip-on-failure", action="store_true",
+            help="journal permanently failing steps to dead_letter.jsonl "
+                 "and continue (streamer skip-and-record analog)",
+        )
         if name == "tail":
             rp.add_argument("--lag", type=int, default=0)
             rp.add_argument("--period-seconds", type=float, default=2.0)
             rp.add_argument("--max-polls", type=int, default=1000)
 
-    for name in ("state", "lineage", "gaps", "compact", "stats"):
+    for name in ("state", "lineage", "gaps", "compact", "stats",
+                 "dead-letters", "retry-dead-letters"):
         xp = sub.add_parser(name)
         xp.add_argument("--state", required=True)
         xp.add_argument("--partitions", type=int, default=32)
         if name == "state":
             xp.add_argument("--limit", type=int, default=10)
-        if name == "gaps":
+        if name in ("gaps", "retry-dead-letters"):
             xp.add_argument("--events", required=True)
+
+    lp = sub.add_parser("locate", help="ordinal→epoch range (footer probes only)")
+    lp.add_argument("--events", required=True)
+    lp.add_argument("--lo", type=int, required=True)
+    lp.add_argument("--hi", type=int, required=True)
+    lp.add_argument("--delivery-lag", type=int, default=0)
+
+    cp = sub.add_parser("check-conf", help="validate an alert rule-set offline")
+    cp.add_argument("--conf", required=True)
+    cp.add_argument("--sample", required=True, help="parquet file of canonical items")
+    cp.add_argument("--var-dir", default=None)
 
     args = p.parse_args(argv)
 
@@ -81,12 +102,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({k: v for k, v in info.items() if k != "files"}))
         return 0
 
+    if args.cmd == "locate":
+        # footer-stat probes only — no Ray session needed
+        from blockchain_etl_ray.sources.epoch_index import EpochIndex
+
+        idx = EpochIndex(args.events)
+        rng = idx.epoch_range_for_ordinals(args.lo, args.hi, args.delivery_lag)
+        files = idx.files_for_ordinals(args.lo, args.hi, args.delivery_lag)
+        print(json.dumps({"epoch_range": rng, "files": files, "probes": idx.probes}))
+        return 0
+
+    if args.cmd == "check-conf":
+        import pyarrow.parquet as pq
+
+        from blockchain_etl_ray.pipelines.alerts import check_conf
+
+        report = check_conf(args.conf, pq.read_table(args.sample), args.var_dir)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 1
+
     _ray_init()
     from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
 
     cfg = ReplayConfig(
         num_partitions=getattr(args, "partitions", 32),
         epoch_batch_size=getattr(args, "epoch_batch_size", 8),
+        skip_failed_steps=getattr(args, "skip_on_failure", False),
     )
     engine = ReplayEngine(args.state, cfg)
 
@@ -120,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
             "n_events", ascending=False
         )
         print(df.head(20).to_string())
+    elif args.cmd == "dead-letters":
+        print(json.dumps(engine.dead_letter_entries(), indent=2))
+    elif args.cmd == "retry-dead-letters":
+        print(json.dumps(engine.retry_dead_letters(args.events)))
 
     import ray
 

@@ -240,3 +240,65 @@ class AlertSet:
 
     def receiver(self, name: str) -> Receiver:
         return self._receivers[name]
+
+
+def check_conf(
+    path: str, sample: pa.Table, var_dir: str | None = None
+) -> dict:
+    """Validate a rule-set config against a canonical item batch WITHOUT
+    constructing receivers — the ``alert_check_conf`` analog
+    (``blockchainetl/cli/alert_check_conf.py:72,97-99``: every rule is
+    parsed and evaluated against the embedded canonical item corpus,
+    ``blockchainetl/alert/full_items.py``, so config errors surface before
+    deployment, not in the live stream).
+
+    Reports, per rule: parse/eval success, the error otherwise, and how many
+    canonical sample rows match (a rule matching 0 canonical rows is flagged
+    ``suspicious`` — usually a misspelled field or an impossible constant,
+    the exact failure class the reference's checker exists to catch).
+    Receiver references are checked against the registry by NAME only; no
+    receiver is instantiated (a slack receiver validates fine offline).
+    """
+    import pyarrow.compute as pc
+
+    data = load_config_yaml(path, var_dir)
+    report: dict = {"ok": True, "rules": {}, "receivers": {}}
+
+    named = data.get("receivers") or {}
+    for rname, rc in named.items():
+        typo = rc.get("receiver")
+        ok = typo in RECEIVERS
+        report["receivers"][rname] = {
+            "ok": ok,
+            "error": None if ok else f"unknown receiver type {typo!r}",
+        }
+        report["ok"] &= ok
+
+    seen: set[str] = set()
+    for r in data.get("rules") or []:
+        name = r.get("name") or r.get("id") or "<unnamed>"
+        entry: dict = {"ok": True, "error": None, "sample_matches": None,
+                       "suspicious": False}
+        if name in seen:
+            entry = {"ok": False, "error": "duplicate rule name",
+                     "sample_matches": None, "suspicious": False}
+        elif "rule" not in r:
+            entry = {"ok": False, "error": "missing 'rule' expression",
+                     "sample_matches": None, "suspicious": False}
+        else:
+            try:
+                mask = compile_rule(r["rule"])(sample)
+                n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+                entry["sample_matches"] = int(n)
+                entry["suspicious"] = n == 0
+            except Exception as e:  # noqa: BLE001 - collected into the report
+                entry = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                         "sample_matches": None, "suspicious": False}
+            for rcv in r.get("receivers") or []:
+                if rcv not in named and rcv not in RECEIVERS:
+                    entry["ok"] = False
+                    entry["error"] = f"unknown receiver {rcv!r}"
+        seen.add(name)
+        report["rules"][name] = entry
+        report["ok"] &= entry["ok"]
+    return report

@@ -33,6 +33,7 @@ their partition's row groups.
 from __future__ import annotations
 
 import glob
+import os
 import re
 import threading
 import time
@@ -192,6 +193,17 @@ class ReplayConfig:
     #: ``stages/merge.py::resolve_plan``).  Read-side knob, NOT part of the
     #: on-disk layout contract, so it stays out of ``as_dict``.
     resolve_salt_max_pieces: int | None = 64
+    #: skip-and-journal failing apply steps instead of halting the replay —
+    #: the reference's ``--skip-on-failure`` + JSONL journal
+    #: (``blockchainetl/streaming/streamer.py:76-78,100-107``,
+    #: ``streamer_jsonl_skiper.py``).  A step that fails PERMANENTLY (after
+    #: AIMD retries) commits a placeholder marker (version contiguity
+    #: preserved, NO epochs recorded), appends its epochs + error to
+    #: ``dead_letter.jsonl`` under the state root, and replay continues;
+    #: journaled epochs are quarantined from later polls until
+    #: :meth:`ReplayEngine.retry_dead_letters` re-offers them.  Runtime
+    #: knob, not part of the on-disk layout contract.
+    skip_failed_steps: bool = False
 
     def as_dict(self) -> dict:
         return {
@@ -394,7 +406,8 @@ class ReplayEngine:
         by_epoch = discover_epoch_files(events_dir)
         delivered = sorted(e for e in by_epoch if upto_epoch is None or e <= upto_epoch)
         already = self.store.applied_epochs()
-        pending = [e for e in delivered if e not in already]
+        quarantine = self.dead_letter_epochs()
+        pending = [e for e in delivered if e not in already and e not in quarantine]
         B = self.config.epoch_batch_size
 
         base_version = self.store.next_version()
@@ -406,6 +419,7 @@ class ReplayEngine:
             )
 
         applied_steps: list[int] = []
+        quarantined: list[int] = []
         t0 = time.perf_counter()
         total_events = 0
         # Overlapping steps hides each step's fixed barriers (planning,
@@ -434,7 +448,31 @@ class ReplayEngine:
             # markers commit strictly in version order (checkpoint contract),
             # even though the fragment writes themselves overlap
             for version, chunk, files, fut in futures:
-                rows, frags, table_frags, file_hashes = fut.result()
+                try:
+                    rows, frags, table_frags, file_hashes = fut.result()
+                except Exception as e:  # noqa: BLE001 - journal-or-halt below
+                    if not self.config.skip_failed_steps:
+                        raise
+                    # placeholder marker keeps apply versions contiguous but
+                    # records NO epochs, so the step's data is simply absent
+                    # (a visible gap) rather than half-applied
+                    self._journal_dead_letter(version, chunk, files, e)
+                    self.store.commit_cycle(
+                        version,
+                        {
+                            "version": version,
+                            "epochs": [],
+                            "files": [],
+                            "fragments": [],
+                            "tables": {},
+                            "file_hashes": {},
+                            "lineage": [],
+                            "dead_letter": {"epochs": chunk, "error": repr(e)},
+                        },
+                    )
+                    quarantined.extend(chunk)
+                    applied_steps.append(version)
+                    continue
                 total_events += sum(r["events_in"] for r in rows)
                 self.store.commit_cycle(
                     version,
@@ -465,8 +503,9 @@ class ReplayEngine:
                     self.compact_state(upto_version=version)
         return {
             "steps_applied": applied_steps,
-            "epochs_applied": pending,
+            "epochs_applied": [e for e in pending if e not in set(quarantined)],
             "epochs_skipped": sorted(set(delivered) & already),
+            "epochs_quarantined": sorted(set(quarantined) | (set(delivered) & quarantine)),
             "events_applied": total_events,
             "wall_s": time.perf_counter() - t0,
         }
@@ -679,8 +718,61 @@ class ReplayEngine:
         return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
     def gaps(self, events_dir: str) -> list[int]:
-        """Epochs delivered upstream but never applied (J9 anti-join)."""
+        """Epochs delivered upstream but never applied (J9 anti-join).
+        Quarantined (dead-lettered) epochs ARE gaps — they were never
+        applied; see :meth:`retry_dead_letters`."""
         return self.store.gaps(sorted(discover_epoch_files(events_dir)))
+
+    # ------------------------------------------------------------ dead letters
+    def dead_letter_path(self) -> Path:
+        return self.store.root / "dead_letter.jsonl"
+
+    def dead_letter_entries(self) -> list[dict]:
+        """Journaled skip-on-failure records (``streamer_jsonl_skiper``
+        analog): one JSON line per permanently failed apply step."""
+        import json
+
+        p = self.dead_letter_path()
+        if not p.exists():
+            return []
+        return [json.loads(ln) for ln in p.read_text().splitlines() if ln.strip()]
+
+    def dead_letter_epochs(self) -> set[int]:
+        return {e for r in self.dead_letter_entries() for e in r["epochs"]}
+
+    def _journal_dead_letter(
+        self, version: int, epochs: list[int], files: list[str], exc: BaseException
+    ) -> None:
+        import json
+
+        p = self.dead_letter_path()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "version": version,
+                        "epochs": list(epochs),
+                        "files": list(files),
+                        "error": repr(exc),
+                        "ts": time.time(),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+            f.flush()
+            os.fsync(f.fileno())
+
+    def retry_dead_letters(self, events_dir: str) -> dict:
+        """Re-offer every journaled epoch (after the upstream fault is fixed):
+        archive the journal — lifting the quarantine — and replay.  The
+        epochs are in no committed marker's ``epochs`` list, so they are
+        simply pending again; repeat failures re-journal."""
+        p = self.dead_letter_path()
+        if p.exists():
+            os.replace(p, p.with_suffix(f".retried-{self.store.next_version():06d}"))
+        return self.replay(events_dir)
 
     def reconcile(self, events_dir: str) -> dict:
         """Reorg repair: diff recorded per-file hashes vs the log on disk,

@@ -1,0 +1,99 @@
+"""Skip-and-journal for permanently failing apply steps.
+
+The ``--skip-on-failure`` + JSONL journal analog
+(``blockchainetl/streaming/streamer.py:76-78,100-107``,
+``blockchainetl/streaming/streamer_jsonl_skiper.py``): a poison epoch must
+not halt the tail, its epochs must be quarantined (not retried every poll),
+and a later :meth:`retry_dead_letters` must converge to the full oracle once
+the upstream fault is fixed."""
+
+from __future__ import annotations
+
+import shutil
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _state_keys(engine):
+    t = engine.read_state().to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    tables = [ray.get(r) for r in t]
+    tbl = pa.concat_tables(tables, promote_options="default")
+    return {
+        (r["repo"], r["path"]): r["content_sha256"] for r in tbl.to_pylist()
+    }
+
+
+def _oracle_keys(events_dir):
+    return {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in live_rows(fold_events(str(events_dir)))
+    }
+
+
+def test_poison_epoch_skipped_journaled_and_retried(tmp_path, ray_session):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=6_000, seed=19, n_epochs=10)
+    poison = events / "epoch=000004.parquet"
+    good_bytes = poison.read_bytes()
+    poison.write_bytes(b"this is not a parquet file")
+
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, skip_failed_steps=True),
+    )
+    summary = engine.replay(str(events))
+
+    # the failing step was skipped, its epochs quarantined + journaled
+    assert 4 in summary["epochs_quarantined"]
+    journal = engine.dead_letter_entries()
+    assert len(journal) == 1 and 4 in journal[0]["epochs"]
+    assert "error" in journal[0] and journal[0]["files"]
+    # versions stayed contiguous (next_version does not raise)
+    v = engine.store.next_version()
+    assert v == len(engine.store.committed_versions())
+    # quarantined epochs are visible as gaps
+    assert 4 in engine.gaps(str(events))
+
+    # every non-poison epoch applied: state == oracle over the good files
+    partial_dir = tmp_path / "events_partial"
+    partial_dir.mkdir()
+    for f in events.glob("epoch=*.parquet"):
+        if f.name != poison.name:
+            shutil.copy(f, partial_dir / f.name)
+    # the poison step's BATCH partner epoch is also quarantined
+    for e in summary["epochs_quarantined"]:
+        p = partial_dir / f"epoch={e:06d}.parquet"
+        p.unlink(missing_ok=True)
+    assert _state_keys(engine) == _oracle_keys(partial_dir)
+
+    # a second poll does NOT retry the poison epoch
+    again = engine.replay(str(events))
+    assert again["steps_applied"] == []
+    assert set(again["epochs_quarantined"]) == set(summary["epochs_quarantined"])
+
+    # upstream fixed → retry_dead_letters converges to the FULL oracle
+    poison.write_bytes(good_bytes)
+    retried = engine.retry_dead_letters(str(events))
+    assert set(retried["epochs_applied"]) == set(summary["epochs_quarantined"])
+    assert engine.dead_letter_entries() == []
+    assert engine.gaps(str(events)) == []
+    assert _state_keys(engine) == _oracle_keys(events)
+
+
+def test_failure_halts_by_default(tmp_path, ray_session):
+    import pytest
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=3, n_epochs=4)
+    (events / "epoch=000001.parquet").write_bytes(b"garbage")
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=2, epoch_batch_size=1)
+    )
+    with pytest.raises(Exception):
+        engine.replay(str(events))
+    assert engine.dead_letter_entries() == []

@@ -98,3 +98,55 @@ def test_track_set_from_yaml(tmp_path):
     assert nodes == {0: 0, 1: 1, 2: 2}  # hop 3 beyond max_hops
     lines = [json.loads(x) for x in out_path.read_text().splitlines()]
     assert {x["node"] for x in lines} == {0, 1, 2}
+
+
+def test_check_conf_validates_against_canonical_sample(tmp_path):
+    """alert_check_conf analog: parse + canonical-sample evaluation, no
+    receiver construction (a slack rule set validates fine offline)."""
+    from blockchain_etl_ray.pipelines.alerts import check_conf
+
+    sample = pa.table(
+        {
+            "event_type": ["purchase", "signup", "click"],
+            "value": [200.0, 0.0, 5.0],
+        }
+    )
+    (tmp_path / "conf.yaml").write_text(
+        "receivers:\n"
+        "  pager: {receiver: slack, init_args: {webhook: x}}\n"
+        "  nope: {receiver: does_not_exist}\n"
+        "rules:\n"
+        "  - name: good\n"
+        "    rule: \"event_type == 'purchase' and value > 100\"\n"
+        "    receivers: [pager]\n"
+        "  - name: bad_field\n"
+        "    rule: \"evnt_type == 'purchase'\"\n"
+        "  - name: never\n"
+        "    rule: \"value > 1000000\"\n"
+        "  - name: good\n"
+        "    rule: \"value > 0\"\n"
+        "  - name: bad_receiver\n"
+        "    rule: \"value > 0\"\n"
+        "    receivers: [ghost]\n"
+    )
+    rep = check_conf(str(tmp_path / "conf.yaml"), sample)
+    assert rep["ok"] is False
+    # slack receiver validates by NAME without being instantiated
+    assert rep["receivers"]["pager"]["ok"] is True
+    assert rep["receivers"]["nope"]["ok"] is False
+    r = rep["rules"]
+    assert r["good"]["error"] == "duplicate rule name"  # second wins reporting
+    assert r["bad_field"]["ok"] is False and "evnt_type" in r["bad_field"]["error"]
+    assert r["never"]["ok"] and r["never"]["suspicious"] is True
+    assert r["bad_receiver"]["ok"] is False and "ghost" in r["bad_receiver"]["error"]
+
+    # a fully valid config reports ok
+    (tmp_path / "ok.yaml").write_text(
+        "rules:\n"
+        "  - name: purchases\n"
+        "    rule: \"event_type == 'purchase'\"\n"
+        "    receivers: [console]\n"
+    )
+    rep2 = check_conf(str(tmp_path / "ok.yaml"), sample)
+    assert rep2["ok"] is True
+    assert rep2["rules"]["purchases"]["sample_matches"] == 1
