@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "token_jaccard_pairs",
     "clicks_before_purchase_range",
     "event_type_sliding_hourly",
+    "cdc_ordinal_window",
 ]
 
 

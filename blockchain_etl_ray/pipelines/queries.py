@@ -1918,7 +1918,14 @@ def cdc_ordinal_window(sf_dir: str):
         )
 
     agg = (
-        rd.read_parquet(files, columns=["ordinal", "op", "content"])
+        # located files only, and the window predicate pushed into the scan
+        # (row-group pruning + row filtering at the fragment reader); `prep`
+        # re-applies it, which is then a no-op
+        rd.read_parquet(
+            files,
+            columns=["ordinal", "op", "content"],
+            filter=(pc.field("ordinal") >= lo) & (pc.field("ordinal") <= hi),
+        )
         .map_batches(prep, batch_format="pyarrow")
         .groupby("op")
         .aggregate(

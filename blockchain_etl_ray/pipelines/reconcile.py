@@ -52,10 +52,22 @@ def _key_strings(t: pa.Table, key_cols: Sequence[str]) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "\x00", null_handling="replace", null_replacement="")
 
 
-def detect_divergence(engine, events_dir: str) -> dict:
+def detect_divergence(engine, events_dir: str, epoch_min: int | None = None) -> dict:
     """Latest recorded hash per file vs the file on disk now, plus files that
-    appeared for already-applied epochs.  Returns {files, epochs, missing}."""
+    appeared for already-applied epochs.  Returns {files, epochs, missing}.
+
+    ``epoch_min`` restricts the re-hash to files of epochs >= it — the
+    trailing-window scan of the reference's reorg loop (``reorg.py:153-243``
+    re-checks only ``[head − 512 − lag, head − lag]`` each cycle, because a
+    source can only rewrite its recent past); a full-history audit is
+    ``epoch_min=None``."""
     from .replay import _EPOCH_FILE_RE, _file_sha256, discover_epoch_files
+
+    def _in_window(f: str) -> bool:
+        if epoch_min is None:
+            return True
+        m = _EPOCH_FILE_RE.search(f)
+        return m is not None and int(m.group(1)) >= epoch_min
 
     markers = engine.store.read_markers()
     recorded: dict[str, str] = {}
@@ -70,6 +82,8 @@ def detect_divergence(engine, events_dir: str) -> dict:
     diverged: list[str] = []
     missing: list[str] = []
     for f, h in recorded.items():
+        if not _in_window(f):
+            continue
         if not os.path.exists(f):
             missing.append(f)
         elif _file_sha256(f) != h:
@@ -77,7 +91,10 @@ def detect_divergence(engine, events_dir: str) -> dict:
     applied = engine.store.applied_epochs()
     by_epoch = discover_epoch_files(events_dir)
     extra = [
-        f for e in sorted(applied) for f in by_epoch.get(e, []) if f not in known
+        f
+        for e in sorted(applied)
+        for f in by_epoch.get(e, [])
+        if f not in known and _in_window(f)
     ]
     epochs = set()
     for f in diverged + missing + extra:
@@ -179,11 +196,13 @@ def _corrected_winners(
     )
 
 
-def reconcile(engine, events_dir: str) -> dict:
-    """Detect diverged epochs and repair every table; see module docstring."""
+def reconcile(engine, events_dir: str, epoch_min: int | None = None) -> dict:
+    """Detect diverged epochs and repair every table; see module docstring.
+    ``epoch_min`` limits detection to a trailing window (see
+    :func:`detect_divergence`) — the repair itself is always exact."""
     from .replay import _file_sha256, discover_epoch_files
 
-    div = detect_divergence(engine, events_dir)
+    div = detect_divergence(engine, events_dir, epoch_min=epoch_min)
     if not div["files"] and not div["missing"]:
         return {"diverged_epochs": [], "rewritten_partitions": 0}
 

@@ -774,14 +774,15 @@ class ReplayEngine:
             os.replace(p, p.with_suffix(f".retried-{self.store.next_version():06d}"))
         return self.replay(events_dir)
 
-    def reconcile(self, events_dir: str) -> dict:
+    def reconcile(self, events_dir: str, epoch_min: int | None = None) -> dict:
         """Reorg repair: diff recorded per-file hashes vs the log on disk,
         recompute the winners of affected keys from the current log contents,
         and rewrite only the touched partitions (U7 semantics; see
-        pipelines/reconcile.py for the full protocol)."""
+        pipelines/reconcile.py for the full protocol).  ``epoch_min`` limits
+        detection to a trailing window (the reorg-loop shape)."""
         from .reconcile import reconcile as _reconcile
 
-        return _reconcile(self, events_dir)
+        return _reconcile(self, events_dir, epoch_min=epoch_min)
 
     def metrics(self) -> dict:
         """Run-level observability rollup from the lineage records — the

@@ -1,0 +1,141 @@
+"""Tail adapters: pluggable per-cycle work units driven by ChainTail.
+
+The reference runs EIGHT pipeline variants through ONE streamer skeleton by
+swapping the adapter behind a four-method duck-typed protocol —
+``StreamerAdapterStub``: ``open / get_current_block_number / export_all /
+close`` (``blockchainetl/streaming/streamer_adapter_stub.py``; variants in
+``ethereumetl/streaming/eth_*_adapter.py`` — stream, reorg, balance, token
+holder, …; each CLI command pairs the same ``Streamer`` loop with a different
+adapter, ``blockchainetl/cli/{dump,reorg,alert,track}.py``).
+
+Same shape here: an adapter is any object with
+
+- ``open() / close()`` — lifecycle hooks (no-ops by default);
+- ``head() -> int | None`` — the source frontier (``get_current_block_number``);
+- ``poll(target: int) -> dict`` — process everything up to ``target``
+  (``export_all`` over the next range); must be idempotent per epoch so the
+  tail loop can crash/restart anywhere.
+
+``ChainTail`` owns ONLY frontier discovery, the lag watermark, and the sleep
+loop — all state lives behind the adapter, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+from ..pipelines.replay import ReplayEngine, discover_epoch_files
+
+
+class TailAdapter:
+    """Base/no-op adapter (the stub itself)."""
+
+    def open(self) -> None: ...
+
+    def close(self) -> None: ...
+
+    def head(self) -> int | None:
+        raise NotImplementedError
+
+    def poll(self, target: int) -> dict:
+        raise NotImplementedError
+
+
+class _DirHead:
+    """Frontier = max delivered epoch in a change-log directory."""
+
+    def __init__(self, events_dir: str):
+        self.events_dir = events_dir
+
+    def head(self) -> int | None:
+        epochs = discover_epoch_files(self.events_dir)
+        return max(epochs) if epochs else None
+
+
+class ReplayAdapter(_DirHead, TailAdapter):
+    """The main stream adapter (``eth_streamer_adapter`` analog): replay all
+    delivered-but-unapplied epochs ≤ target through the engine; optionally
+    evaluate an AlertSet over ONLY the newly applied epochs' delivered rows
+    (exactly-once per epoch — an epoch joins ``applied_epochs`` in exactly
+    one cycle)."""
+
+    def __init__(self, engine: ReplayEngine, events_dir: str, alert_set=None):
+        super().__init__(events_dir)
+        self.engine = engine
+        self.alert_set = alert_set
+
+    def poll(self, target: int) -> dict:
+        before = (
+            set(self.engine.store.applied_epochs())
+            if self.alert_set is not None
+            else set()
+        )
+        summary = self.engine.replay(self.events_dir, upto_epoch=target)
+        if self.alert_set is not None:
+            new = sorted(set(self.engine.store.applied_epochs()) - before)
+            if new:
+                import ray.data as rd
+
+                by_epoch = discover_epoch_files(self.events_dir)
+                files = [f for e in new for f in by_epoch.get(e, [])]
+                summary["alerts"] = self.alert_set.run(rd.read_parquet(files))
+            else:
+                summary["alerts"] = {}
+        return summary
+
+
+class ReorgAdapter(_DirHead, TailAdapter):
+    """The reorg-loop adapter (``eth_reorg_adapter`` + ``cli/reorg.py:153-243``
+    analog): each cycle re-checks only the trailing ``window`` epochs behind
+    the target for upstream rewrites and repairs state surgically.  Runs
+    BESIDE a ReplayAdapter tail, exactly like the reference's separate
+    ``etl reorg`` process; a cycle with no divergence is one footer-hash pass
+    over the window's files."""
+
+    def __init__(self, engine: ReplayEngine, events_dir: str, window: int = 512):
+        super().__init__(events_dir)
+        self.engine = engine
+        self.window = window
+
+    def poll(self, target: int) -> dict:
+        summary = self.engine.reconcile(
+            self.events_dir, epoch_min=max(0, target - self.window)
+        )
+        summary["steps_applied"] = summary.get("diverged_epochs", [])
+        return summary
+
+
+class AlertAdapter(_DirHead, TailAdapter):
+    """Stateless-rules adapter (``cli/alert.py:178`` analog: rules over the
+    live stream with an own checkpoint): evaluates an AlertSet over every
+    epoch in ``(cursor, target]`` and advances a checkpoint FILE — the
+    ``last_synced_block.txt`` analog (``streamer.py:173-196``), giving
+    exactly-once alerting per epoch across restarts WITHOUT a state store."""
+
+    def __init__(self, alert_set, events_dir: str, cursor_path: str):
+        super().__init__(events_dir)
+        self.alert_set = alert_set
+        self.cursor_path = cursor_path
+
+    def _cursor(self) -> int:
+        import os
+
+        if not os.path.exists(self.cursor_path):
+            return -1
+        return int(open(self.cursor_path).read().strip() or -1)
+
+    def poll(self, target: int) -> dict:
+        import ray.data as rd
+
+        from ..state.manifest import atomic_write_bytes
+        from pathlib import Path
+
+        cur = self._cursor()
+        by_epoch = discover_epoch_files(self.events_dir)
+        new = sorted(e for e in by_epoch if cur < e <= target)
+        if not new:
+            return {"steps_applied": [], "alerts": {}, "cursor": cur}
+        files = [f for e in new for f in by_epoch[e]]
+        counts = self.alert_set.run(rd.read_parquet(files))
+        # checkpoint AFTER the receivers consumed the matches (at-least-once
+        # delivery + idempotent epoch ranges = the reference's recipe)
+        atomic_write_bytes(Path(self.cursor_path), str(max(new)).encode())
+        return {"steps_applied": new, "alerts": counts, "cursor": max(new)}

@@ -3,14 +3,17 @@
 The S1 analog of the reference's ``Streamer``
 (``blockchainetl/streaming/streamer.py:35-163``): discover the source frontier
 (max delivered epoch), stay ``lag`` epochs behind it (reorg-safety watermark,
-``streamer.py:151-156``), take at most ``max_cycles_per_poll`` apply cycles per
-iteration, commit the checkpoint (the cycle markers ARE the checkpoint — no
-separate last_synced file can disagree with the data), and sleep
-``period_seconds`` when caught up (``--period-seconds``,
-``blockchainetl/cli/dump.py:122-128``).
+``streamer.py:151-156``), run the adapter's per-cycle work up to the target,
+commit the checkpoint (the cycle markers ARE the checkpoint — no separate
+last_synced file can disagree with the data), and sleep ``period_seconds``
+when caught up (``--period-seconds``, ``blockchainetl/cli/dump.py:122-128``).
 
-The heavy lifting per poll is the ReplayEngine's Dataset pipeline; this loop is
-driver-side control flow only, as in the reference.
+The per-cycle work lives behind a pluggable adapter
+(``sources/adapters.py`` — the ``StreamerAdapterStub`` analog), so the same
+loop drives the replay stream, the trailing-window reorg reconciler, and the
+stateless alert pipeline, exactly as the reference pairs one ``Streamer``
+with eight adapter variants.  The loop itself is driver-side control flow
+only; the heavy lifting per poll is Dataset pipelines inside the adapter.
 """
 
 from __future__ import annotations
@@ -18,75 +21,71 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
-from ..pipelines.replay import ReplayEngine, discover_epoch_files
+from ..pipelines.replay import ReplayEngine
+from .adapters import ReplayAdapter, TailAdapter
 
 
 class ChainTail:
     def __init__(
         self,
-        engine: ReplayEngine,
-        events_dir: str,
+        engine: ReplayEngine | None = None,
+        events_dir: str | None = None,
         lag: int = 0,
         period_seconds: float = 0.5,
         head_fn: Callable[[], int | None] | None = None,
         alert_set=None,
+        adapter: TailAdapter | None = None,
     ):
-        """``alert_set`` (pipelines/alerts.AlertSet, optional): evaluated each
-        cycle over ONLY the newly applied epochs' delivered rows — the
-        streaming rule-hook shape of the reference's streamer→exporter chain
-        (``blockchainetl/streaming/streamer.py:35-163`` feeding the alert
-        rule sets of ``blockchainetl/alert/rule_set.py``).  Exactly-once per
-        epoch follows from the replay commit protocol: an epoch joins
-        ``applied_epochs`` in exactly one cycle."""
+        """Either pass ``adapter`` directly, or pass ``engine`` +
+        ``events_dir`` (+ optional ``alert_set``) and the main stream adapter
+        (:class:`ReplayAdapter`) is built for you — the common case, matching
+        the reference's default dump pipeline."""
+        if adapter is None:
+            if engine is None or events_dir is None:
+                raise ValueError("pass adapter=, or engine= and events_dir=")
+            adapter = ReplayAdapter(engine, events_dir, alert_set=alert_set)
+        self.adapter = adapter
         self.engine = engine
         self.events_dir = events_dir
         self.lag = lag
         self.period_seconds = period_seconds
         self._head_fn = head_fn
-        self.alert_set = alert_set
 
     def head_epoch(self) -> int | None:
         if self._head_fn is not None:
             return self._head_fn()
-        epochs = discover_epoch_files(self.events_dir)
-        return max(epochs) if epochs else None
+        return self.adapter.head()
 
     def poll_once(self) -> dict:
-        """One streamer cycle: frontier → target → replay-up-to → checkpoint."""
+        """One streamer cycle: frontier → target → adapter work → checkpoint."""
         head = self.head_epoch()
         if head is None:
             return {"head": None, "caught_up": True, "steps_applied": []}
         target = head - self.lag
         if target < 0:
             return {"head": head, "caught_up": True, "steps_applied": []}
-        before = (
-            set(self.engine.store.applied_epochs())
-            if self.alert_set is not None
-            else set()
+        summary = self.adapter.poll(target)
+        summary.update(
+            {
+                "head": head,
+                "target": target,
+                "caught_up": not summary.get("steps_applied"),
+            }
         )
-        summary = self.engine.replay(self.events_dir, upto_epoch=target)
-        summary.update({"head": head, "target": target,
-                        "caught_up": not summary["steps_applied"]})
-        if self.alert_set is not None:
-            new = sorted(set(self.engine.store.applied_epochs()) - before)
-            if new:
-                import ray.data as rd
-
-                by_epoch = discover_epoch_files(self.events_dir)
-                files = [f for e in new for f in by_epoch.get(e, [])]
-                summary["alerts"] = self.alert_set.run(rd.read_parquet(files))
-            else:
-                summary["alerts"] = {}
         return summary
 
     def run(self, max_polls: int = 100, stop_when_caught_up: bool = True) -> list[dict]:
         """Poll until caught up (or ``max_polls``); sleeps between idle polls."""
-        results = []
-        for _ in range(max_polls):
-            r = self.poll_once()
-            results.append(r)
-            if r["caught_up"]:
-                if stop_when_caught_up:
-                    break
-                time.sleep(self.period_seconds)
-        return results
+        self.adapter.open()
+        try:
+            results = []
+            for _ in range(max_polls):
+                r = self.poll_once()
+                results.append(r)
+                if r["caught_up"]:
+                    if stop_when_caught_up:
+                        break
+                    time.sleep(self.period_seconds)
+            return results
+        finally:
+            self.adapter.close()
