@@ -529,7 +529,12 @@ def rule_filter_udf_docs(sf_dir: str):
     filtered = rule_filter(
         ds, "length(text) > 300 and lang not in ['zh'] and n_chars % 2 == 0"
     )
-    return filtered.select_columns(["doc_id", "lang"])
+    # _stable: observed (rarely, 32 CPUs) a block surfacing with the
+    # pre-projection schema from plain select_columns after a filter stage
+    return _stable(
+        filtered.select_columns(["doc_id", "lang"]),
+        [("doc_id", pa.int64()), ("lang", pa.string())],
+    )
 
 
 @register(
@@ -1152,8 +1157,11 @@ def doc_langid(sf_dir: str):
     """Heuristic n-gram language ID (actor-pool stage; rows-only check —
     deterministic but not SQL-expressible)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2).select_columns(
-        ["doc_id", "lang_pred"]
+    return _stable(
+        ds.map_batches(
+            text.LangId, batch_format="pyarrow", concurrency=2
+        ).select_columns(["doc_id", "lang_pred"]),
+        [("doc_id", pa.int64()), ("lang_pred", pa.string())],
     )
 
 
@@ -1162,8 +1170,11 @@ def doc_fingerprints(sf_dir: str):
     """Rolling-hash (winnowing) document fingerprints — deterministic,
     non-SQL; covered by pytest determinism checks."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.rolling_fingerprints, batch_format="pyarrow").select_columns(
-        ["doc_id", "fingerprint"]
+    return _stable(
+        ds.map_batches(
+            text.rolling_fingerprints, batch_format="pyarrow"
+        ).select_columns(["doc_id", "fingerprint"]),
+        [("doc_id", pa.int64()), ("fingerprint", pa.string())],
     )
 
 
@@ -1296,9 +1307,12 @@ def doc_split_assign(sf_dir: str):
     from ..stages.sampling import assign_split
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return assign_split(
-        ds, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
-    ).select_columns(["doc_id", "split"])
+    return _stable(
+        assign_split(
+            ds, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+        ).select_columns(["doc_id", "split"]),
+        [("doc_id", pa.int64()), ("split", pa.string())],
+    )
 
 
 @register(
@@ -1665,7 +1679,10 @@ def cosine_exact_dup_pairs(sf_dir: str):
 
 
 def dedup_pairs_select(ds: rd.Dataset) -> rd.Dataset:
-    return ds.select_columns(["a", "b", "cos_x1m"])
+    return _stable(
+        ds.select_columns(["a", "b", "cos_x1m"]),
+        [("a", pa.int64()), ("b", pa.int64()), ("cos_x1m", pa.int64())],
+    )
 
 
 # ===========================================================================
