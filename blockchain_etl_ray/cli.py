@@ -12,6 +12,9 @@ Commands:
   stats    derived per-repo aggregates (holder/balance analog)
   dead-letters        print the skip-on-failure journal
   retry-dead-letters  re-offer journaled epochs after the upstream fix
+  reorg    trailing-window reconcile loop (etl reorg analog)
+  alert    stateless rules over the stream with an own checkpoint (etl alert)
+  track    follow-the-flow track specs over an edge table (etl track analog)
   locate   ordinal→epoch range via footer-stat interpolation (ST4 analog)
   check-conf  validate an alert rule-set config offline (alert_check_conf)
 
@@ -90,6 +93,27 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--sample", required=True, help="parquet file of canonical items")
     cp.add_argument("--var-dir", default=None)
 
+    gp = sub.add_parser("reorg", help="trailing-window reconcile loop")
+    gp.add_argument("--events", required=True)
+    gp.add_argument("--state", required=True)
+    gp.add_argument("--partitions", type=int, default=32)
+    gp.add_argument("--window", type=int, default=512)
+    gp.add_argument("--lag", type=int, default=0)
+    gp.add_argument("--max-polls", type=int, default=1)
+
+    ap = sub.add_parser("alert", help="stateless rules over the delivered stream")
+    ap.add_argument("--events", required=True)
+    ap.add_argument("--conf", required=True, help="rule-set YAML (AlertSet.from_yaml)")
+    ap.add_argument("--var-dir", default=None)
+    ap.add_argument("--cursor", required=True, help="checkpoint file path")
+    ap.add_argument("--lag", type=int, default=0)
+    ap.add_argument("--max-polls", type=int, default=1)
+
+    tp = sub.add_parser("track", help="follow-the-flow specs over an edge table")
+    tp.add_argument("--conf", required=True, help="track-set YAML")
+    tp.add_argument("--edges", required=True, help="parquet edge table")
+    tp.add_argument("--var-dir", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -120,6 +144,37 @@ def main(argv: list[str] | None = None) -> int:
         report = check_conf(args.conf, pq.read_table(args.sample), args.var_dir)
         print(json.dumps(report, indent=2))
         return 0 if report["ok"] else 1
+
+    if args.cmd == "alert":
+        _ray_init()
+        from blockchain_etl_ray.pipelines.alerts import AlertSet
+        from blockchain_etl_ray.sources.adapters import AlertAdapter
+        from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+        aset = AlertSet.from_yaml(args.conf, var_dir=args.var_dir)
+        tail = ChainTail(
+            adapter=AlertAdapter(aset, args.events, args.cursor), lag=args.lag
+        )
+        results = tail.run(max_polls=args.max_polls)
+        print(json.dumps({"polls": len(results),
+                          "last": results[-1] if results else None}))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "track":
+        _ray_init()
+        import ray
+        import ray.data as rd
+
+        from blockchain_etl_ray.pipelines.track import TrackSet
+
+        tset = TrackSet.from_yaml(args.conf, var_dir=args.var_dir)
+        out = tset.run(rd.read_parquet(args.edges))
+        print(json.dumps({name: tbl.num_rows for name, tbl in out.items()}))
+        ray.shutdown()
+        return 0
 
     _ray_init()
     from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
@@ -165,6 +220,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(engine.dead_letter_entries(), indent=2))
     elif args.cmd == "retry-dead-letters":
         print(json.dumps(engine.retry_dead_letters(args.events)))
+    elif args.cmd == "reorg":
+        from blockchain_etl_ray.sources.adapters import ReorgAdapter
+        from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+        tail = ChainTail(
+            adapter=ReorgAdapter(engine, args.events, window=args.window),
+            lag=args.lag,
+        )
+        results = tail.run(max_polls=args.max_polls)
+        print(json.dumps({"polls": len(results),
+                          "last": results[-1] if results else None}))
 
     import ray
 
