@@ -652,7 +652,16 @@ class ReplayEngine:
         LWW-folds them).  Defaults to the last COMMITTED apply step, and reads
         only marker-referenced fragments — stale output from a crashed
         half-step is never visible.  ``table`` selects an entity table
-        (config.entities) instead of the primary one."""
+        (config.entities) instead of the primary one.
+
+        **Time travel**: ``upto=K`` reads the table exactly as of apply step
+        K (the snapshot-read every marker commit creates for free — the lake
+        analog of the reference re-reading landed tables at a block height,
+        S9/J7).  Bounded by compaction retention: once ``compact_state`` /
+        ``vacuum`` folded versions ≤ C into bases and GC'd the fragments,
+        snapshots below C are gone — a read there raises (names the missing
+        file) instead of silently returning partial state, like querying an
+        expired snapshot in any log-structured lake format."""
         if upto is None:
             versions = self.store.committed_versions()
             upto = versions[-1] if versions else -1
@@ -668,6 +677,20 @@ class ReplayEngine:
         plans = self.store.partition_plans(
             self.config.num_partitions, upto=upto, table=table
         )
+        missing = [
+            f
+            for plan in plans.values()
+            for f in ([plan["base"]] if plan["base"] else [])
+            + [f for f, _ in plan["pieces"]]
+            if not os.path.exists(f)
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot at apply version {upto} is no longer readable: "
+                f"{len(missing)} plan file(s) were compacted into later bases "
+                f"and GC'd (e.g. {missing[0]}); time travel is bounded by "
+                "compaction/vacuum retention"
+            )
         items = [
             {"plan": _json.dumps(plan)}
             for plan in plans.values()

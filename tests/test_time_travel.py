@@ -1,0 +1,70 @@
+"""Time-travel reads: ``read_state(upto=K)`` is the exact snapshot after
+apply step K (every marker commit is a free snapshot), bounded by compaction
+retention — the lake analog of the reference re-reading landed tables at a
+block height (SURVEY S9/J7; ``eth_balance_adapter.py:271-334``)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _snapshot_map(engine, upto=None):
+    refs = engine.read_state(upto=upto).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
+    return {(r["repo"], r["path"]): (r["content_sha256"], r["ordinal"])
+            for r in tbl.to_pylist()}
+
+
+def _oracle_map_for_epochs(events_dir, epochs, scratch):
+    sub = scratch / f"upto_{max(epochs)}"
+    sub.mkdir()
+    for e in epochs:
+        for f in events_dir.glob(f"epoch={e:06d}*.parquet"):
+            shutil.copy(f, sub / f.name)
+    return {(r["repo"], r["path"]): (r["content_sha256"], r["ordinal"])
+            for r in live_rows(fold_events(str(sub)))}
+
+
+def test_every_commit_is_a_readable_snapshot(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=31, n_epochs=10)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+
+    markers = engine.store.read_markers()
+    seen: list[int] = []
+    for version in sorted(markers):
+        seen.extend(markers[version].get("epochs", []))
+        got = _snapshot_map(engine, upto=version)
+        want = _oracle_map_for_epochs(events, seen, tmp_path)
+        assert got == want, f"snapshot at version {version} diverges"
+
+
+def test_time_travel_bounded_by_compaction(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=4_000, seed=37, n_epochs=8)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+    latest_before = _snapshot_map(engine)
+
+    engine.compact_state()  # folds all fragments into bases, GCs them
+
+    # latest snapshot unchanged by compaction
+    assert _snapshot_map(engine) == latest_before
+    # a pre-compaction snapshot is gone — loud, named error
+    with pytest.raises(ValueError, match="no longer readable"):
+        engine.read_state(upto=0)
