@@ -1964,6 +1964,77 @@ def cdc_ordinal_window(sf_dir: str):
     )
 
 
+_CDC_FEED_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    b AS (SELECT GREATEST(1, COUNT(*) // 10) AS es FROM events),
+    win AS (
+      SELECT cdc.* FROM cdc, b
+      WHERE ordinal >= 4 * es AND ordinal < 8 * es),
+    latest AS (
+      SELECT * FROM win
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) = 1)
+    SELECT repo, path, commit_id, content, sha256(content) AS content_sha256,
+           ordinal, (op = 'delete') AS deleted
+    FROM latest
+"""
+
+
+@register("cdc_change_feed", _CDC_FEED_SQL)
+def cdc_change_feed(sf_dir: str):
+    """Change feed OUT of the lake: after a full replay, ``read_changes``
+    over ONE apply step's window returns the net per-key effect of exactly
+    that window's epochs, tombstones included as retractions — fragments
+    only, never the base (K7 downstream-exporter analog / change-data-feed
+    semantics).  The SQL oracle is the LWW window fold over the same ordinal
+    range."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, compact_every=None),
+    )
+    engine.replay(str(events_dir))
+    # step 1 of epoch_batch_size=4 covers epochs 4..7 = ordinals [4es, 8es)
+    feed = engine.read_changes(since_version=0, upto=1)
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": tbl.column("repo"),
+                "path": tbl.column("path"),
+                "commit_id": tbl.column("commit"),
+                "content": pc.cast(tbl.column("content"), pa.string()),
+                "content_sha256": tbl.column("content_sha256"),
+                "ordinal": tbl.column("ordinal"),
+                "deleted": tbl.column("deleted"),
+            }
+        )
+
+    return _stable(
+        feed.map_batches(proj, batch_format="pyarrow"),
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_id", pa.string()),
+            ("content", pa.string()),
+            ("content_sha256", pa.string()),
+            ("ordinal", pa.int64()),
+            ("deleted", pa.bool_()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_REPO_HEADS_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

@@ -677,6 +677,24 @@ class ReplayEngine:
         plans = self.store.partition_plans(
             self.config.num_partitions, upto=upto, table=table
         )
+        return self._resolve_plans(
+            plans, schema, table, include_deleted,
+            err=f"snapshot at apply version {upto}",
+        )
+
+    def _resolve_plans(
+        self,
+        plans: dict[int, dict],
+        schema: pa.Schema,
+        table: str | None,
+        include_deleted: bool,
+        err: str,
+    ) -> rd.Dataset:
+        """Shared resolve machinery for snapshot and change-feed reads: one
+        LWW-resolve task per partition plan, with the compaction-retention
+        existence check (a plan referencing a GC'd file raises loudly)."""
+        import json as _json
+
         missing = [
             f
             for plan in plans.values()
@@ -686,10 +704,10 @@ class ReplayEngine:
         ]
         if missing:
             raise ValueError(
-                f"snapshot at apply version {upto} is no longer readable: "
-                f"{len(missing)} plan file(s) were compacted into later bases "
-                f"and GC'd (e.g. {missing[0]}); time travel is bounded by "
-                "compaction/vacuum retention"
+                f"{err} is no longer readable: {len(missing)} plan file(s) "
+                f"were compacted into later bases and GC'd "
+                f"(e.g. {missing[0]}); reads are bounded by compaction/vacuum "
+                "retention"
             )
         items = [
             {"plan": _json.dumps(plan)}
@@ -727,6 +745,60 @@ class ReplayEngine:
         # which would serialize all resolves into one task
         return rd.from_items(items, override_num_blocks=len(items)).map_batches(
             resolve_batch, batch_size=1, batch_format="pyarrow"
+        )
+
+    def read_changes(
+        self,
+        since_version: int,
+        upto: int | None = None,
+        table: str | None = None,
+        include_deleted: bool = True,
+    ) -> rd.Dataset:
+        """Change feed OUT of the lake (the CDC-output analog of the
+        reference's downstream exporters, K7, and of change-data-feed reads
+        in log-structured lake formats): the NET per-key effect of apply
+        steps in ``(since_version, upto]``, read from those steps' fragments
+        only — the base is never touched, so the cost scales with the window,
+        not the table.  Tombstones are included by default (``deleted=True``
+        rows are the retractions a downstream consumer must apply).  A
+        window whose fragments were compacted away (or rolled into a marker
+        summary) raises the retention error rather than returning a partial
+        feed."""
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        schema = STATE_SCHEMA
+        if table is not None:
+            from ..entities import REGISTRY
+
+            schema = REGISTRY[table].state_schema()
+        markers = {
+            v: m
+            for v, m in self.store.read_markers(upto).items()
+            if v > since_version
+        }
+        for v, m in markers.items():
+            if "summary_upto" in m:
+                raise ValueError(
+                    f"change feed ({since_version}, {upto}] overlaps marker "
+                    f"rollup at version {v}; reads are bounded by "
+                    "compaction/vacuum retention"
+                )
+        plans: dict[int, dict] = {}
+        for p in range(self.config.num_partitions):
+            pieces: list[tuple[str, list[int]]] = []
+            for v in sorted(markers):
+                for frag in self.store._marker_fragments(markers[v], table):
+                    rg = frag["parts"].get(str(p))
+                    if rg is not None:
+                        pieces.append(
+                            (str(self.store.frag_dir(v, table) / frag["file"]), [rg])
+                        )
+            plans[p] = {"part": p, "base_version": None, "base": None,
+                        "pieces": pieces}
+        return self._resolve_plans(
+            plans, schema, table, include_deleted,
+            err=f"change feed ({since_version}, {upto}]",
         )
 
     def lineage_table(self) -> pa.Table:

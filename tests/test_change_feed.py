@@ -1,0 +1,79 @@
+"""Change-feed reads: ``read_changes(since, upto)`` returns the net per-key
+effect of the window's apply steps from fragments only — CDC OUT of the lake
+(K7 downstream-exporter analog / change-data-feed semantics), tombstones
+included as retractions, bounded by compaction retention."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray
+
+from blockchain_etl_ray.fixtures.oracle import fold_events
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _rows(ds):
+    tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()],
+                           promote_options="default")
+    return {
+        (r["repo"], r["path"]): (r["content_sha256"], r["ordinal"], r["deleted"])
+        for r in tbl.to_pylist()
+    }
+
+
+def _oracle_window(events_dir, epochs, scratch, tag):
+    sub = scratch / f"win_{tag}"
+    sub.mkdir()
+    for e in epochs:
+        for f in events_dir.glob(f"epoch={e:06d}*.parquet"):
+            shutil.copy(f, sub / f.name)
+    return {
+        (r["repo"], r["path"]): (r["content_sha256"], r["ordinal"], r["deleted"])
+        for r in fold_events(str(sub)).values()
+    }
+
+
+def test_change_feed_matches_window_oracle(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=41, n_epochs=10)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+    markers = engine.store.read_markers()
+
+    # window (1, 3]: exactly the epochs of steps 2 and 3
+    win_epochs = sorted(
+        e for v in (2, 3) for e in markers[v].get("epochs", [])
+    )
+    got = _rows(engine.read_changes(since_version=1, upto=3))
+    want = _oracle_window(events, win_epochs, tmp_path, "2_3")
+    assert got == want and any(d for (_, _, d) in got.values())
+
+    # the full-history feed equals the full snapshot (tombstones included)
+    full = _rows(engine.read_changes(since_version=-1))
+    snap = _rows(engine.read_state(include_deleted=True))
+    assert full == snap
+
+    # the feed's cost model: no plan touches a base file
+    # (fragments-only reads are what make the window O(window), not O(table))
+    engine.compact_state()
+    with pytest.raises(ValueError, match="retention"):
+        engine.read_changes(since_version=0)
+
+
+def test_change_feed_blocked_by_marker_rollup(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=43, n_epochs=4)
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=2, epoch_batch_size=2)
+    )
+    engine.replay(str(events))
+    engine.vacuum()  # compacts + rolls markers into a summary
+    with pytest.raises(ValueError, match="retention"):
+        engine.read_changes(since_version=-1)
