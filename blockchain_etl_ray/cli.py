@@ -15,6 +15,7 @@ Commands:
   reorg    trailing-window reconcile loop (etl reorg analog)
   alert    stateless rules over the stream with an own checkpoint (etl alert)
   track    follow-the-flow track specs over an edge table (etl track analog)
+  feed     export a change-feed window to a JSONL sink (CDC out; K7 analog)
   locate   ordinal→epoch range via footer-stat interpolation (ST4 analog)
   check-conf  validate an alert rule-set config offline (alert_check_conf)
 
@@ -113,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--conf", required=True, help="track-set YAML")
     tp.add_argument("--edges", required=True, help="parquet edge table")
     tp.add_argument("--var-dir", default=None)
+
+    fp = sub.add_parser("feed", help="export a change-feed window to JSONL")
+    fp.add_argument("--state", required=True)
+    fp.add_argument("--partitions", type=int, default=32)
+    fp.add_argument("--since", type=int, required=True,
+                    help="exclusive lower apply-version bound")
+    fp.add_argument("--upto", type=int, default=None)
+    fp.add_argument("--out", required=True, help="output directory (JSONL shards)")
 
     args = p.parse_args(argv)
 
@@ -220,6 +229,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(engine.dead_letter_entries(), indent=2))
     elif args.cmd == "retry-dead-letters":
         print(json.dumps(engine.retry_dead_letters(args.events)))
+    elif args.cmd == "feed":
+        from blockchain_etl_ray.sinks import JsonlDatasink
+
+        ds = engine.read_changes(args.since, upto=args.upto).materialize()
+        ds.write_datasink(JsonlDatasink(args.out))
+        print(json.dumps({"rows": ds.count(), "out": args.out}))
     elif args.cmd == "reorg":
         from blockchain_etl_ray.sources.adapters import ReorgAdapter
         from blockchain_etl_ray.sources.chain_tail import ChainTail
