@@ -67,6 +67,44 @@ def test_change_feed_matches_window_oracle(tmp_path):
         engine.read_changes(since_version=0)
 
 
+def test_feed_maintains_a_downstream_replica(tmp_path):
+    """The CDC-out contract: snapshot(K1) + feed((K1, K2]) applied with the
+    engine's conflict order == snapshot(K2), for every consecutive step pair
+    — i.e. a downstream consumer can maintain an exact replica from the feed
+    alone (what the reference's DB sink does with upserted ranges)."""
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=47, n_epochs=12)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=3, compact_every=None),
+    )
+    engine.replay(str(events))
+
+    def full_rows(ds):
+        tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()],
+                               promote_options="default")
+        return {(r["repo"], r["path"]): r for r in tbl.to_pylist()}
+
+    def wins(new, old):
+        # the engine's documented total order (schema.py): max ordinal; min
+        # src_epoch among equal ordinals; max event_id as final tie-break
+        if old is None:
+            return True
+        a = (new["ordinal"], -new["src_epoch"], new["event_id"])
+        b = (old["ordinal"], -old["src_epoch"], old["event_id"])
+        return a > b
+
+    versions = engine.store.committed_versions()
+    replica = full_rows(engine.read_state(upto=versions[0], include_deleted=True))
+    for prev, cur in zip(versions, versions[1:]):
+        feed = full_rows(engine.read_changes(since_version=prev, upto=cur))
+        for key, row in feed.items():
+            if wins(row, replica.get(key)):
+                replica[key] = row
+        snap = full_rows(engine.read_state(upto=cur, include_deleted=True))
+        assert replica == snap, f"replica diverged at version {cur}"
+
+
 def test_change_feed_blocked_by_marker_rollup(tmp_path):
     events = tmp_path / "events"
     write_corpus(events, n_events=2_000, seed=43, n_epochs=4)
