@@ -118,10 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     fp = sub.add_parser("feed", help="export a change-feed window to JSONL")
     fp.add_argument("--state", required=True)
     fp.add_argument("--partitions", type=int, default=32)
-    fp.add_argument("--since", type=int, required=True,
-                    help="exclusive lower apply-version bound")
+    fp.add_argument("--since", type=int, default=None,
+                    help="exclusive lower apply-version bound (one-shot mode)")
     fp.add_argument("--upto", type=int, default=None)
     fp.add_argument("--out", required=True, help="output directory (JSONL shards)")
+    fp.add_argument("--follow", action="store_true",
+                    help="tail the commit frontier with a cursor (FeedAdapter)")
+    fp.add_argument("--max-polls", type=int, default=1)
 
     args = p.parse_args(argv)
 
@@ -230,11 +233,22 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "retry-dead-letters":
         print(json.dumps(engine.retry_dead_letters(args.events)))
     elif args.cmd == "feed":
-        from blockchain_etl_ray.sinks import JsonlDatasink
+        if args.follow:
+            from blockchain_etl_ray.sources.adapters import FeedAdapter
+            from blockchain_etl_ray.sources.chain_tail import ChainTail
 
-        ds = engine.read_changes(args.since, upto=args.upto).materialize()
-        ds.write_datasink(JsonlDatasink(args.out))
-        print(json.dumps({"rows": ds.count(), "out": args.out}))
+            tail = ChainTail(adapter=FeedAdapter(engine, args.out))
+            results = tail.run(max_polls=args.max_polls)
+            print(json.dumps({"polls": len(results),
+                              "last": results[-1] if results else None}))
+        else:
+            if args.since is None:
+                p.error("feed: --since is required without --follow")
+            from blockchain_etl_ray.sinks import JsonlDatasink
+
+            ds = engine.read_changes(args.since, upto=args.upto).materialize()
+            ds.write_datasink(JsonlDatasink(args.out))
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
     elif args.cmd == "reorg":
         from blockchain_etl_ray.sources.adapters import ReorgAdapter
         from blockchain_etl_ray.sources.chain_tail import ChainTail

@@ -103,6 +103,63 @@ class ReorgAdapter(_DirHead, TailAdapter):
         return summary
 
 
+class FeedAdapter(TailAdapter):
+    """Streaming CDC-out (the K7 kafka/pubsub exporter analog,
+    ``blockchainetl/jobs/exporters/kafka_exporter.py`` et al., re-expressed
+    as files): follows the STATE STORE's commit frontier — ``head()`` is the
+    last committed apply version — and exports each newly committed window's
+    net changes (``read_changes``) as JSONL shards under
+    ``out_dir/w=<a>-<b>/``, advancing a cursor file afterwards.
+
+    Exactly-once per window: a crash between export and cursor advance
+    re-exports the SAME window into the SAME directory (wiped first), so a
+    downstream consumer that processes window directories sees each change
+    exactly once — deterministic names + idempotent rewrite, the same recipe
+    as the engine's own sink (K2/K5).  A fully LOST cursor degrades to
+    at-least-once (the re-export covers already-shipped versions under a new
+    window name) — still convergent for any LWW consumer, since feed rows
+    carry the full conflict key (ordinal, src_epoch, event_id)."""
+
+    def __init__(self, engine: ReplayEngine, out_dir: str, cursor_path: str | None = None):
+        from pathlib import Path
+
+        self.engine = engine
+        self.out_dir = Path(out_dir)
+        self.cursor_path = Path(cursor_path or (self.out_dir / "_cursor"))
+
+    def head(self) -> int | None:
+        versions = self.engine.store.committed_versions()
+        return versions[-1] if versions else None
+
+    def _cursor(self) -> int:
+        if not self.cursor_path.exists():
+            return -1
+        return int(self.cursor_path.read_text().strip() or -1)
+
+    def poll(self, target: int) -> dict:
+        import shutil
+
+        from ..sinks import JsonlDatasink
+        from ..state.manifest import atomic_write_bytes
+
+        cur = self._cursor()
+        if target <= cur:
+            return {"steps_applied": [], "cursor": cur}
+        wdir = self.out_dir / f"w={cur + 1:06d}-{target:06d}"
+        if wdir.exists():  # crash leftover: rewrite idempotently
+            shutil.rmtree(wdir)
+        ds = self.engine.read_changes(cur, upto=target).materialize()
+        ds.write_datasink(JsonlDatasink(str(wdir)))
+        rows = ds.count()
+        atomic_write_bytes(self.cursor_path, str(target).encode())
+        return {
+            "steps_applied": list(range(cur + 1, target + 1)),
+            "rows": rows,
+            "window_dir": str(wdir),
+            "cursor": target,
+        }
+
+
 class AlertAdapter(_DirHead, TailAdapter):
     """Stateless-rules adapter (``cli/alert.py:178`` analog: rules over the
     live stream with an own checkpoint): evaluates an AlertSet over every

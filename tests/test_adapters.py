@@ -120,3 +120,68 @@ def test_alert_adapter_checkpoint_across_restarts(tmp_path):
     ad3, set3 = fresh_adapter()
     res = ChainTail(adapter=ad3, lag=0).run()
     assert res[0]["caught_up"] and len(set3.receiver("memory").alerts) == 0
+
+
+def test_feed_adapter_streams_windows_exactly_once(tmp_path):
+    """FeedAdapter follows the commit frontier: each poll exports the newly
+    committed steps' net changes as one window dir; a downstream replica
+    folded from the window files equals the final snapshot; re-export after
+    a lost cursor rewrites in place (no duplicate windows)."""
+    import json
+
+    from blockchain_etl_ray.sources.adapters import FeedAdapter
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=4_000, seed=53, n_epochs=8)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    out = tmp_path / "feed_out"
+    tail = ChainTail(adapter=FeedAdapter(engine, str(out)))
+
+    engine.replay(str(events), upto_epoch=3)
+    r1 = tail.run()
+    engine.replay(str(events))
+    r2 = tail.run()
+    windows = sorted(d for d in out.iterdir() if d.is_dir())
+    assert len(windows) == 2 and r1[0]["rows"] > 0 and r2[0]["rows"] > 0
+
+    def replica_from_windows():
+        rep = {}
+        for w in sorted(out.iterdir()):
+            if not w.is_dir():
+                continue
+            for shard in sorted(w.glob("*.jsonl")):
+                for line in shard.read_text().splitlines():
+                    row = json.loads(line)
+                    key = (row["repo"], row["path"])
+                    old = rep.get(key)
+                    a = (row["ordinal"], -row["src_epoch"], row["event_id"])
+                    if old is None or a > (old["ordinal"], -old["src_epoch"], old["event_id"]):
+                        rep[key] = row
+        return {k: (v["content_sha256"], v["ordinal"]) for k, v in rep.items()
+                if not v["deleted"]}
+
+    snap = pa.concat_tables(
+        [ray.get(r) for r in engine.read_state().to_arrow_refs()],
+        promote_options="default",
+    )
+    want = {(r["repo"], r["path"]): (r["content_sha256"], r["ordinal"])
+            for r in snap.to_pylist()}
+    assert replica_from_windows() == want
+
+    # crash between export and cursor advance: the cursor still holds the
+    # PREVIOUS value, so the re-poll re-exports the SAME window into the
+    # SAME directory (wiped + rewritten) — no duplicate windows, replica
+    # unchanged
+    first_cursor = int(windows[0].name.split("-")[-1])
+    (out / "_cursor").write_text(str(first_cursor))
+    tail.run()
+    assert sorted(d.name for d in out.iterdir() if d.is_dir()) == [
+        w.name for w in windows
+    ]
+    assert replica_from_windows() == want
+
+    # caught up: nothing new to export
+    assert tail.run()[0]["caught_up"]
