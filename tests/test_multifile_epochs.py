@@ -1,0 +1,80 @@
+"""Multi-file epoch delivery (many producers per change batch — the shape of
+a real WAL shipper fleet): replay, windowed index reads, and reconcile all
+treat an epoch's shard files as one unit."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+
+def _split_even_epochs(events_dir) -> None:
+    for f in sorted(events_dir.glob("epoch=*.parquet")):
+        e = int(re.search(r"epoch=(\d+)", f.name).group(1))
+        if e % 2 == 0:
+            t = pq.read_table(f)
+            half = t.num_rows // 2
+            pq.write_table(t.slice(0, half), events_dir / f"epoch={e:06d}-a.parquet")
+            pq.write_table(t.slice(half), events_dir / f"epoch={e:06d}-b.parquet")
+            f.unlink()
+
+
+def _state_map(engine):
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in engine.read_state().to_arrow_refs()],
+        promote_options="default",
+    )
+    return {(r["repo"], r["path"]): r["content_sha256"] for r in tbl.to_pylist()}
+
+
+def _oracle_map(events_dir):
+    return {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in live_rows(fold_events(str(events_dir)))
+    }
+
+
+def test_sharded_epochs_replay_index_and_reconcile(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=61, n_epochs=8)
+    _split_even_epochs(events)
+
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=4, epoch_batch_size=3)
+    )
+    ChainTail(engine, str(events), lag=0).run()
+    assert _state_map(engine) == _oracle_map(events)
+    assert engine.gaps(str(events)) == []
+
+    # footer-stat index spans an epoch's shards
+    from blockchain_etl_ray.sources.epoch_index import EpochIndex
+
+    idx = EpochIndex(str(events))
+    assert len(idx.by_epoch[0]) == 2
+    lo, hi = idx.bounds(0)
+    assert lo <= hi
+
+    # reconcile: mutating ONE shard of a sharded epoch repairs exactly it
+    shard = events / "epoch=000004-a.parquet"
+    t = pq.read_table(shard)
+    c = pc.binary_join_element_wise(
+        pc.coalesce(pc.cast(t.column("content"), pa.string()), pa.scalar("")),
+        pa.array(["<<R>>"] * t.num_rows), "",
+    )
+    c = pc.if_else(pc.equal(t.column("op"), "delete"),
+                   pa.scalar(None, type=pa.large_string()),
+                   pc.cast(c, pa.large_string()))
+    pq.write_table(t.set_column(t.schema.get_field_index("content"), "content", c),
+                   shard)
+    out = engine.reconcile(str(events))
+    assert out["diverged_epochs"] == [4]
+    assert _state_map(engine) == _oracle_map(events)
