@@ -98,3 +98,59 @@ def test_vacuum_tombstones_markers_and_resume(tmp_path):
     for k, v in got.items():
         assert exp.get(k) == v, k
     assert set(exp) == set(got)
+
+
+def test_partial_compaction_crash_converges(tmp_path, ray_session):
+    """A compaction run that died after compacting only SOME partitions (new
+    bases written, fragments not yet GC'd, other partitions untouched) must
+    leave reads exact, and a rerun of compact_state must finish the job
+    idempotently — the duplicate-writer-converges contract of the atomic
+    base rename (state/manifest.py)."""
+    import json
+
+    import pyarrow as pa
+    import ray
+
+    from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.stages.merge import compact_partition
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=4_000, seed=67, n_epochs=8)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+
+    def state_map():
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in engine.read_state().to_arrow_refs()],
+            promote_options="default",
+        )
+        return {(r["repo"], r["path"]): r["content_sha256"] for r in tbl.to_pylist()}
+
+    want = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in live_rows(fold_events(str(events)))
+    }
+    assert state_map() == want
+
+    # simulate the crash: compact ONLY partitions 0 and 1, no GC
+    upto = engine.store.committed_versions()[-1]
+    plans = engine.store.partition_plans(engine.config.num_partitions, upto=upto)
+    for p in (0, 1):
+        compact_partition(plans[p], str(engine.store.root), upto)
+
+    # mixed layout (2 compacted bases + everyone's fragments) reads exact
+    assert state_map() == want
+
+    # rerun finishes all partitions and GCs; still exact, bases now uniform
+    engine.compact_state()
+    assert state_map() == want
+    for p in range(engine.config.num_partitions):
+        assert engine.store.base_versions(p)[-1] == upto
+    assert not (engine.store.root / "frags").is_dir() or not any(
+        (engine.store.root / "frags").iterdir()
+    )
