@@ -115,3 +115,44 @@ def test_change_feed_blocked_by_marker_rollup(tmp_path):
     engine.vacuum()  # compacts + rolls markers into a summary
     with pytest.raises(ValueError, match="retention"):
         engine.read_changes(since_version=-1)
+
+
+def test_feed_equals_window_only_replay_across_tables(tmp_path):
+    """Identity: read_changes over a window == read_state of a FRESH engine
+    that replayed ONLY that window's epochs — for the primary table, a keyed
+    entity, and an additive entity (whose feed is the window's aggregate
+    delta).  Both sides are folds of the same events under the same total
+    order, through independent code paths."""
+    from blockchain_etl_ray.pipelines.replay import discover_epoch_files
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=71, n_epochs=10)
+    cfg = dict(num_partitions=4, epoch_batch_size=2, compact_every=None,
+               entities=("repo_heads", "repo_touch"))
+    engine = ReplayEngine(tmp_path / "state", ReplayConfig(**cfg))
+    engine.replay(str(events))
+
+    markers = engine.store.read_markers()
+    win_epochs = sorted(e for v in (2, 3) for e in markers[v].get("epochs", []))
+    wdir = tmp_path / "window_events"
+    wdir.mkdir()
+    for e in win_epochs:
+        for f in events.glob(f"epoch={e:06d}*.parquet"):
+            shutil.copy(f, wdir / f.name)
+    fresh = ReplayEngine(tmp_path / "state_window", ReplayConfig(**cfg))
+    fresh.replay(str(wdir))
+
+    def rows(ds, keys):
+        tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()],
+                               promote_options="default")
+        return {
+            tuple(r[k] for k in keys): {k: v for k, v in r.items()}
+            for r in tbl.to_pylist()
+        }
+
+    for table, keys in [(None, ("repo", "path")), ("repo_heads", ("repo",)),
+                        ("repo_touch", ("repo",))]:
+        feed = rows(engine.read_changes(1, upto=3, table=table), keys)
+        want = rows(fresh.read_state(table=table, include_deleted=True), keys)
+        assert feed == want, f"table={table}"
+        assert len(feed) > 0
