@@ -90,3 +90,56 @@ def test_out_of_range_windows(tmp_path_factory):
     # spanning everything: full range
     e_lo, e_hi = idx.epoch_range_for_ordinals(0, N_EVENTS - 1)
     assert e_lo == idx.epochs[0] and e_hi == idx.epochs[-1]
+
+
+# ---------------------------------------------------------------------------
+# property: correctness + probe bound on adversarial ordinal distributions
+# ---------------------------------------------------------------------------
+import tempfile
+from pathlib import Path
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_index_property_on_adversarial_distributions(data):
+    """Interpolation search must stay correct AND within the bisection-backed
+    probe budget on heavy-tailed / clustered ordinal gaps (the distributions
+    where naive interpolation degenerates to linear probing)."""
+    n_epochs = data.draw(st.integers(2, 48))
+    # heavy-tailed gaps: long empty stretches between ordinal clusters
+    gaps = data.draw(
+        st.lists(st.integers(1, 10**6), min_size=n_epochs, max_size=n_epochs)
+    )
+    sizes = data.draw(
+        st.lists(st.integers(1, 20), min_size=n_epochs, max_size=n_epochs)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        start = 0
+        all_ordinals: list[int] = []
+        for e in range(n_epochs):
+            start += gaps[e]
+            ords = list(range(start, start + sizes[e]))
+            start += sizes[e]
+            all_ordinals.extend(ords)
+            pq.write_table(
+                pa.table({"ordinal": pa.array(ords, type=pa.int64())}),
+                Path(d) / f"epoch={e:06d}.parquet",
+            )
+        idx = EpochIndex(d)
+        lo = data.draw(st.integers(-10, all_ordinals[-1] + 10))
+        hi = data.draw(st.integers(lo, all_ordinals[-1] + 20))
+        files = idx.files_for_ordinals(lo, hi)
+        got = sorted(
+            o
+            for f in files
+            for o in pq.read_table(f).column("ordinal").to_pylist()
+            if lo <= o <= hi
+        )
+        want = sorted(o for o in all_ordinals if lo <= o <= hi)
+        assert got == want
+        budget = 2 * (2 * math.ceil(math.log2(max(2, n_epochs))) + 3)
+        assert idx.probes <= budget
