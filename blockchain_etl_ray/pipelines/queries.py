@@ -1152,6 +1152,22 @@ def doc_exact_dedup(sf_dir: str):
     )
 
 
+@register("approx_distinct_users_by_type", None)
+def approx_distinct_users_by_type(sf_dir: str):
+    """Mergeable HyperLogLog distinct-count (beyond-reference sketch
+    operator, ``stages/sketch.py``): approximate COUNT(DISTINCT user_id) per
+    event_type shipping only KiB-sized register partials through the
+    shuffle.  Approximate → rows-only driver check; the pytest oracle
+    (tests/test_sketch.py) bounds the relative error against exact counts."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return _stable(
+        approx_distinct(ds, "event_type", "user_id", p=12),
+        [("event_type", pa.string()), ("approx_distinct", pa.int64())],
+    )
+
+
 @register("doc_langid", None)
 def doc_langid(sf_dir: str):
     """Heuristic n-gram language ID (actor-pool stage; rows-only check —

@@ -1,0 +1,107 @@
+"""Mergeable distinct-count sketch (HyperLogLog, dense numpy registers).
+
+The reference ships NO approximate aggregates (SURVEY §2.6) — this is one of
+the beyond-reference operators a 100-TB training-data pipeline needs: exact
+`COUNT(DISTINCT)` over a high-cardinality column is a full shuffle of every
+distinct value, while an HLL register array is a few KiB per group, merges
+associatively (elementwise max), and rides the same
+partial-combine-then-small-groupby shape as every other aggregate here
+(`stages/hashagg.py`).  Public-knowledge algorithm: Flajolet, Fusy, Gandouet,
+Meunier, "HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm" (AofA 2007), with the standard small-range linear-counting
+correction.
+
+Determinism: value hashing is polars' seeded 64-bit hash — stable across
+processes and workers within one polars version, so partials computed on any
+worker merge consistently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _register_update(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Fold 64-bit hashes into an m=2^p register array, vectorized."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = (hashes << np.uint64(p)).astype(np.uint64)  # remaining 64-p bits, top-aligned
+    # rank = leading zeros of w within the 64-bit word + 1; float64 keeps the
+    # TOP bit position exact for any uint64, which is all frexp reads
+    exp = np.frexp(w.astype(np.float64))[1]  # bit length of w
+    rank = np.where(w == 0, 64 - p + 1, 64 - exp + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+
+
+def _estimate(reg: np.ndarray) -> int:
+    m = reg.size
+    est = _alpha(m) * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range linear counting
+    return int(round(est))
+
+
+def hll_partials(
+    batch: pa.Table, group_col: str, value_col: str, p: int = 12
+) -> pa.Table:
+    """Per-batch partial: one (group, registers) row per group present — the
+    combiner half.  Registers travel as an m-byte binary blob."""
+    df = pl.from_arrow(batch.select([group_col, value_col]))
+    groups = df.group_by(group_col, maintain_order=True).agg(
+        pl.col(value_col).hash(seed=0).alias("_h")
+    )
+    keys, blobs = [], []
+    m = 1 << p
+    for key, hashes in zip(
+        groups.get_column(group_col).to_list(), groups.get_column("_h").to_list()
+    ):
+        reg = np.zeros(m, dtype=np.uint8)
+        _register_update(reg, np.asarray(hashes, dtype=np.uint64), p)
+        keys.append(key)
+        blobs.append(reg.tobytes())
+    return pa.table(
+        {
+            group_col: pa.array(keys, type=batch.schema.field(group_col).type),
+            "hll": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
+def merge_hll_group(group: pa.Table, group_col: str) -> pa.Table:
+    """Reduce half: elementwise-max the group's register blobs, estimate."""
+    regs = [np.frombuffer(b, dtype=np.uint8) for b in group.column("hll").to_pylist()]
+    merged = np.maximum.reduce(regs)
+    return pa.table(
+        {
+            group_col: group.column(group_col).slice(0, 1),
+            "approx_distinct": pa.array([_estimate(merged)], type=pa.int64()),
+        }
+    )
+
+
+def approx_distinct(
+    ds: rd.Dataset, group_col: str, value_col: str, p: int = 12
+) -> rd.Dataset:
+    """Distributed approximate COUNT(DISTINCT value) GROUP BY group: per-batch
+    register partials (a few KiB each) → one small groupby carrying only
+    sketches — never the values.  Typical relative error ≈ 1.04/sqrt(2^p)
+    (~1.6 % at p=12)."""
+    partials = ds.map_batches(
+        lambda t: hll_partials(t, group_col, value_col, p), batch_format="pyarrow"
+    )
+    return partials.groupby(group_col).map_groups(
+        lambda g: merge_hll_group(g, group_col), batch_format="pyarrow"
+    )

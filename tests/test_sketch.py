@@ -1,0 +1,82 @@
+"""HyperLogLog distinct-count sketch: accuracy against exact counts in both
+estimator regimes, and merge associativity (partials from ANY split of the
+data produce the same registers — the property that makes it a legal
+distributed combiner)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.stages.sketch import (
+    _estimate,
+    _register_update,
+    approx_distinct,
+    hll_partials,
+    merge_hll_group,
+)
+
+
+def test_accuracy_high_cardinality():
+    rng = np.random.default_rng(7)
+    n_distinct = 200_000
+    vals = rng.choice(n_distinct, size=500_000).astype(np.int64)
+    exact = len(np.unique(vals))
+    t = pa.table({"g": pa.array(["all"] * len(vals)), "v": pa.array(vals)})
+    # feed through the same partial/merge path in arbitrary slices
+    parts = [hll_partials(t.slice(i, 100_000), "g", "v", p=12)
+             for i in range(0, len(vals), 100_000)]
+    merged = merge_hll_group(pa.concat_tables(parts), "g")
+    est = merged.column("approx_distinct")[0].as_py()
+    assert abs(est - exact) / exact < 0.03  # ~1.6% typical at p=12
+
+
+def test_accuracy_small_range_linear_counting():
+    t = pa.table({"g": ["a"] * 500, "v": [i % 137 for i in range(500)]})
+    merged = merge_hll_group(hll_partials(t, "g", "v", p=12), "g")
+    assert merged.column("approx_distinct")[0].as_py() == 137  # near-exact regime
+
+
+def test_merge_is_split_invariant():
+    rng = np.random.default_rng(11)
+    vals = rng.choice(50_000, size=120_000).astype(np.int64)
+    t = pa.table({"g": pa.array(["x"] * len(vals)), "v": pa.array(vals)})
+
+    def estimate_with_splits(bounds):
+        parts = [hll_partials(t.slice(a, b - a), "g", "v") for a, b in bounds]
+        return merge_hll_group(pa.concat_tables(parts), "g").column(
+            "approx_distinct"
+        )[0].as_py()
+
+    e1 = estimate_with_splits([(0, 120_000)])
+    e2 = estimate_with_splits([(0, 7), (7, 60_000), (60_000, 120_000)])
+    e3 = estimate_with_splits([(i, min(i + 9_999, 120_000))
+                               for i in range(0, 120_000, 9_999)])
+    assert e1 == e2 == e3
+
+
+def test_distributed_grouped_sketch(ray_session):
+    rng = np.random.default_rng(3)
+    rows = 300_000
+    groups = np.array(["g%d" % (i % 5) for i in range(rows)])
+    vals = rng.choice(30_000, size=rows).astype(np.int64)
+    t = pa.table({"g": pa.array(groups.tolist()), "v": pa.array(vals)})
+    out = pa.concat_tables(
+        [
+            b
+            for b in approx_distinct(rd.from_arrow(t), "g", "v", p=12).iter_batches(
+                batch_format="pyarrow"
+            )
+        ],
+        promote_options="default",
+    )
+    got = {r["g"]: r["approx_distinct"] for r in out.to_pylist()}
+    import collections
+
+    exact = collections.defaultdict(set)
+    for g, v in zip(groups, vals):
+        exact[g].add(int(v))
+    assert set(got) == set(exact)
+    for g, e in exact.items():
+        assert abs(got[g] - len(e)) / len(e) < 0.05
