@@ -23,3 +23,34 @@ import os as _os
 _os.environ.setdefault("POLARS_MAX_THREADS", "2")
 
 __version__ = "0.1.0"
+
+#: Lazy top-level API (PEP 562): `from blockchain_etl_ray import ReplayEngine`
+#: works without importing ray/polars at package-import time — Ray workers
+#: import this package when unpickling stage functions, so the top level must
+#: stay import-cheap.
+_EXPORTS = {
+    "ReplayEngine": "pipelines.replay",
+    "ReplayConfig": "pipelines.replay",
+    "ChainTail": "sources.chain_tail",
+    "ReplayAdapter": "sources.adapters",
+    "ReorgAdapter": "sources.adapters",
+    "AlertAdapter": "sources.adapters",
+    "FeedAdapter": "sources.adapters",
+    "EpochIndex": "sources.epoch_index",
+    "AlertSet": "pipelines.alerts",
+    "TrackSet": "pipelines.track",
+    "StateStore": "state.manifest",
+}
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f".{mod}", __name__), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
