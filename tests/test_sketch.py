@@ -80,3 +80,52 @@ def test_distributed_grouped_sketch(ray_session):
     assert set(got) == set(exact)
     for g, e in exact.items():
         assert abs(got[g] - len(e)) / len(e) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, bounded FPR, exact composition
+# ---------------------------------------------------------------------------
+import polars as pl
+
+from blockchain_etl_ray.stages.sketch import BloomFilter, bloom_semi_join
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(13)
+    members = [f"k{i}" for i in range(50_000)]
+    others = [f"x{i}" for i in range(100_000)]
+    bf = BloomFilter(len(members), fpr=0.01)
+    bf.add(pl.Series(members))
+    assert bool(np.all(bf.contains(pl.Series(members))))  # zero false negatives
+    fp = float(np.mean(bf.contains(pl.Series(others))))
+    assert fp < 0.02  # ~2x the target is ample slack
+
+
+def test_bloom_prefilter_composes_to_exact_join(ray_session):
+    """The scale pattern: bloom pre-filter (tiny broadcast) + exact verify of
+    the surviving sliver == fully exact broadcast anti join."""
+    from blockchain_etl_ray.stages.joins import broadcast_semi_join
+
+    rng = np.random.default_rng(17)
+    fact = pa.table({
+        "uid": pa.array([int(x) for x in rng.integers(0, 5_000, size=40_000)]),
+        "v": pa.array(range(40_000)),
+    })
+    keys = pa.table({"uid": pa.array(list(range(0, 5_000, 3)))})
+
+    exact = pa.concat_tables([
+        b for b in broadcast_semi_join(rd.from_arrow(fact), keys, ["uid"],
+                                       anti=True).iter_batches(batch_format="pyarrow")
+    ])
+    # phase 1: definite non-members pass; maybes (members + FPs) survive the
+    # semi side and get the exact check
+    definite_not = bloom_semi_join(rd.from_arrow(fact), keys, ["uid"], anti=True)
+    maybes = bloom_semi_join(rd.from_arrow(fact), keys, ["uid"], anti=False)
+    verified = broadcast_semi_join(maybes, keys, ["uid"], anti=True)
+    composed = pa.concat_tables(
+        [b for b in definite_not.iter_batches(batch_format="pyarrow")]
+        + [b for b in verified.iter_batches(batch_format="pyarrow")]
+    )
+    assert sorted(composed.column("v").to_pylist()) == sorted(
+        exact.column("v").to_pylist()
+    )
