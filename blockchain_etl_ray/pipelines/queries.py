@@ -1152,6 +1152,44 @@ def doc_exact_dedup(sf_dir: str):
     )
 
 
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           PERCENTILE_DISC(0.5) WITHIN GROUP
+             (ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS p50,
+           PERCENTILE_DISC(0.95) WITHIN GROUP
+             (ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_percentiles(sf_dir: str):
+    """Exact distributed percentiles WITHOUT a global sort
+    (``stages/hashagg.py::grouped_percentiles``): bounded-domain scaled-cents
+    histogram partials → count-only shuffle → cumulative read-off.  The SQL
+    oracle is PERCENTILE_DISC over the same scaled ints."""
+    from ..stages.hashagg import grouped_percentiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+            }
+        )
+
+    out = grouped_percentiles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "value_x100", (0.5, 0.95),
+    )
+    return _stable(
+        out,
+        [("event_type", pa.string()), ("p50", pa.int64()), ("p95", pa.int64())],
+    )
+
+
 @register("approx_distinct_users_by_type", None)
 def approx_distinct_users_by_type(sf_dir: str):
     """Mergeable HyperLogLog distinct-count (beyond-reference sketch

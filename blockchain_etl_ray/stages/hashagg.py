@@ -64,3 +64,64 @@ def bucketed_group_aggregate(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_percentiles(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> rd.Dataset:
+    """EXACT distributed percentiles for a bounded-domain integer value
+    column (e.g. money scaled to cents) WITHOUT a global sort: per-batch
+    (group, value) → count histogram partials (tiny: |groups|×|distinct
+    values| rows), one small groupby on the group key, then the percentile
+    read off the merged histogram's cumulative counts.
+
+    This is the bounded-domain escape hatch from sort-based quantiles — the
+    shuffle carries counts, not rows, so cost is O(|domain|) per group
+    regardless of row count.  Matches SQL ``PERCENTILE_DISC(p) WITHIN GROUP
+    (ORDER BY v)``: the smallest value whose cumulative count reaches
+    ``ceil(p * n)``.
+    """
+    import math
+
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([group_col, value_col]))
+        out = df.group_by([group_col, value_col]).agg(pl.len().alias("_cnt"))
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    (group_col, t.schema.field(group_col).type),
+                    (value_col, t.schema.field(value_col).type),
+                    ("_cnt", pa.int64()),
+                ]
+            )
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g)
+            .group_by(value_col)
+            .agg(pl.col("_cnt").sum())
+            .sort(value_col)
+        )
+        vals = df.get_column(value_col).to_numpy()
+        cum = df.get_column("_cnt").to_numpy().cumsum()
+        n = int(cum[-1])
+        row: dict = {group_col: g.column(group_col)[0].as_py()}
+        for p in percentiles:
+            rank = max(1, math.ceil(p * n))
+            import numpy as np
+
+            i = int(np.searchsorted(cum, rank, side="left"))
+            row[f"p{int(p * 100)}"] = int(vals[i])
+        return pa.Table.from_pylist([row])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )
