@@ -207,6 +207,12 @@ def reconcile(engine, events_dir: str, epoch_min: int | None = None) -> dict:
         return {"diverged_epochs": [], "rewritten_partitions": 0}
 
     store = engine.store
+    # a previous reconcile may have crashed between base writes and its
+    # marker; its orphan bases sit at exactly the version we are about to
+    # claim and would shadow this run's untouched partitions
+    store.gc_uncommitted_bases(
+        engine.config.num_partitions, tuple(e.name for e in engine.entity_specs)
+    )
     version = store.next_version()
     applied = store.applied_epochs()
     by_epoch = discover_epoch_files(events_dir)

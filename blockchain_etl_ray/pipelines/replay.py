@@ -403,6 +403,11 @@ class ReplayEngine:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        # clear orphan bases from a writer that crashed before its marker —
+        # they would shadow this run's fragments at the reused version number
+        self.store.gc_uncommitted_bases(
+            self.config.num_partitions, tuple(e.name for e in self.entity_specs)
+        )
         by_epoch = discover_epoch_files(events_dir)
         delivered = sorted(e for e in by_epoch if upto_epoch is None or e <= upto_epoch)
         already = self.store.applied_epochs()

@@ -273,6 +273,33 @@ class StateStore:
                         "pieces": pieces}
         return plans
 
+    def gc_uncommitted_bases(self, num_partitions: int, tables: tuple = ()) -> int:
+        """Remove base files left by a writer that crashed AFTER writing
+        bases but BEFORE committing its marker (reconcile step 3→4, or a
+        compaction variant): any base at a version >= the next uncommitted
+        version is unreachable garbage — worse, a LATER apply step reusing
+        that version number would have its fragments SHADOWED by the orphan
+        (read plans skip fragments <= the base's version), silently dropping
+        the step's events.  Writers call this before claiming a version;
+        readers never see orphans (reads cap at the committed frontier).
+        Found by the crashed-reconcile test (tests/test_reconcile_crash.py)."""
+        vs = self.committed_versions()
+        cutoff = (vs[-1] + 1) if vs else 0
+        n = 0
+        for t in (None, *tables):
+            for p in range(num_partitions):
+                for v in self.base_versions(p, t):
+                    if v >= cutoff:
+                        self.base_file(p, v, t).unlink(missing_ok=True)
+                        n += 1
+        d = self.root / "derived" / "repo_stats"
+        if d.is_dir():
+            for f in d.glob("base-version=*.parquet"):
+                if int(f.stem.split("=")[1]) >= cutoff:
+                    f.unlink(missing_ok=True)
+                    n += 1
+        return n
+
     def gc_orphan_fragments(
         self, version: int, referenced: set[str], table: str | None = None
     ) -> int:

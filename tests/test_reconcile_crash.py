@@ -1,0 +1,91 @@
+"""Crash-safety of reconcile: a reconcile that died AFTER writing repaired
+bases but BEFORE committing its marker must not corrupt anything — orphan
+bases at the next version number are invisible until some step commits that
+version, a later apply step layered on them stays exact, and a re-run of
+reconcile converges (recorded hashes still show the divergence)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+
+def _mutate(events_dir: str, epoch: int) -> None:
+    f = sorted(glob.glob(f"{events_dir}/epoch={epoch:06d}*.parquet"))[0]
+    t = pq.read_table(f)
+    c = pc.binary_join_element_wise(
+        pc.coalesce(pc.cast(t.column("content"), pa.string()), pa.scalar("")),
+        pa.array(["<<R>>"] * t.num_rows), "",
+    )
+    c = pc.if_else(pc.equal(t.column("op"), "delete"),
+                   pa.scalar(None, type=pa.large_string()),
+                   pc.cast(c, pa.large_string()))
+    pq.write_table(t.set_column(t.schema.get_field_index("content"), "content", c), f)
+
+
+def _state_map(engine):
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in engine.read_state().to_arrow_refs()],
+        promote_options="default",
+    )
+    return {(r["repo"], r["path"]): r["content_sha256"] for r in tbl.to_pylist()}
+
+
+def _oracle_map(events_dir):
+    return {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in live_rows(fold_events(str(events_dir)))
+    }
+
+
+def test_crashed_reconcile_then_apply_then_reconcile_converges(tmp_path, monkeypatch):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=6_000, seed=73, n_epochs=10)
+    cfg = ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None)
+    engine = ReplayEngine(tmp_path / "state", cfg)
+    engine.replay(str(events), upto_epoch=6)  # epochs 7-9 still pending
+
+    _mutate(str(events), 2)
+
+    # reconcile "crashes" after writing repaired bases, before the marker
+    real_commit = engine.store.commit_cycle
+
+    def boom(version, info):
+        raise RuntimeError("simulated crash before marker commit")
+
+    monkeypatch.setattr(engine.store, "commit_cycle", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.reconcile(str(events))
+    monkeypatch.setattr(engine.store, "commit_cycle", real_commit)
+
+    # orphan bases exist at the uncommitted version but reads at the
+    # committed frontier do not see them
+    committed = engine.store.committed_versions()
+    orphan_v = committed[-1] + 1
+    assert any(
+        engine.store.base_file(p, orphan_v).exists()
+        for p in range(cfg.num_partitions)
+    )
+    assert engine.store.next_version() == orphan_v  # markers still contiguous
+
+    # a NEW engine (fresh process after the crash) applies the remaining
+    # epochs — its apply step takes the orphan bases' version number
+    engine2 = ReplayEngine(tmp_path / "state", cfg)
+    engine2.replay(str(events))
+    # rerun reconcile: recorded hashes still show the divergence, repair
+    # completes, state converges to the oracle over the CURRENT log
+    out = engine2.reconcile(str(events))
+    assert 2 in out["diverged_epochs"]
+    assert _state_map(engine2) == _oracle_map(events)
+    # and a further reconcile is a no-op
+    again = engine2.reconcile(str(events))
+    assert again["diverged_epochs"] == []
