@@ -1336,6 +1336,72 @@ def token_jaccard_pairs_query(sf_dir: str):
     return token_jaccard_pairs(ds, threshold=Fraction(1, 4))
 
 
+@register(
+    "neardup_dedup_survivors",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS w
+      FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE c * 4 >= sa.n + sb.n - c
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS comp,
+           CAST(COALESCE(c.comp, d.doc_id) = d.doc_id AS INTEGER) AS survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def neardup_dedup_survivors(sf_dir: str):
+    """End-to-end corpus dedup: exact near-dup pairs (word-trigram Jaccard
+    >= 1/4, ``stages/ssjoin.py``) → TRANSITIVE duplicate clusters via
+    distributed hash-min connected components (``stages/cc.py``) → one
+    deterministic survivor per cluster (minimum doc id).  Oracle computes
+    the same closure with a recursive CTE.  This is the step every pair
+    stage in the catalog feeds at scale — pairs alone under-delete
+    ((a,b),(b,c) must retire BOTH b and c)."""
+    from fractions import Fraction
+
+    from ..stages.cc import neardup_survivors
+    from ..stages.ssjoin import token_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    pairs = token_jaccard_pairs(docs, threshold=Fraction(1, 4))
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    return _stable(
+        neardup_survivors(ids, pairs),
+        [("doc_id", pa.int64()), ("comp", pa.int64()), ("survivor", pa.int32())],
+    )
+
+
 #: the SQL twin of functions/hashing.md5_prefix_u32 — first 4 md5 bytes of
 #: the key's decimal string form, as an unsigned int (sampling parity contract)
 _MD5U32_SQL = (

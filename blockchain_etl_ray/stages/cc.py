@@ -1,0 +1,253 @@
+"""Distributed connected components over an edge Dataset, and the survivor
+selection that turns near-dup PAIRS into a deduplicated corpus.
+
+The reference has no graph operator; this closes the training-data dedup
+path end to end (SURVEY.md §2.7 extension): every pair stage in the catalog
+(exact token-Jaccard ``stages/ssjoin.py``, MinHash/SimHash/chunk
+``stages/dedup.py``, cosine ``stages/ann.py``) emits near-duplicate PAIRS,
+but a corpus dedup must keep exactly ONE document per *transitive* duplicate
+cluster — pairs (a,b),(b,c) must retire both b and c, not just one of them.
+
+Algorithm: hash-min label propagation WITH per-round shortcut edges
+(node ↔ current-label), the pointer-doubling trick of Rastogi et al. 2012,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds": every
+node starts labeled with its own id; each round every node adopts the
+minimum label among itself, its graph neighbors, and its current label's
+label (the shortcut).  The shortcut doubles how far the minimum has spread
+per round, so convergence is O(log diameter) rounds, not O(diameter) —
+verified by the 200-node-path test, which converges in ~8 rounds.  A
+fixpoint is a components labeling where each component is named by its
+minimum node id.
+
+Scale / partitioning assumptions:
+- the edge set is the DUP GRAPH (a pair stage's output), orders of magnitude
+  smaller than the corpus; the label table is one (int64, int64) row per
+  distinct endpoint.  Nothing here ever touches corpus-sized data;
+- each round is two hash-bucket exchanges (scatter labels along edges,
+  gather per-node min), both over the small graph tables — the per-group
+  work is pure numpy (sort + searchsorted + minimum.at), no Python rows;
+- convergence is detected with the monotone total-label sum (labels only
+  ever decrease, so an unchanged sum IS the fixpoint) — one cheap count/sum
+  pass per round, no driver-side label diffing;
+- labels are materialized once per round (required: the next round consumes
+  them, and leaving them lazy would re-execute the whole prefix each round);
+  the materialized object is O(graph nodes), not corpus;
+- a pathological diameter (one long path) costs O(log diameter) rounds via
+  the shortcut edges; ``max_rounds`` guards the bound by RAISING — never
+  returning a wrong labeling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup import _with_gpart
+
+CC_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+
+
+def _min_by_node(msgs: rd.Dataset, group_parts: int) -> rd.Dataset:
+    """(node, cand) rows -> (node, comp=min(cand)) via one bucket exchange."""
+
+    def per_group(g: pa.Table) -> pa.Table:
+        nodes = g.column("node").to_numpy(zero_copy_only=False)
+        cand = g.column("cand").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        out = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out, inv, cand)
+        return pa.table(
+            {"node": pa.array(uniq), "comp": pa.array(out)},
+            schema=CC_SCHEMA,
+        )
+
+    return (
+        _with_gpart(msgs, "node", group_parts)
+        .groupby("gpart")
+        .map_groups(
+            lambda g: per_group(g.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src: str = "id_a",
+    dst: str = "id_b",
+    group_parts: int = 64,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Label every endpoint of ``edges`` with its component's minimum node id.
+
+    Returns a Dataset ``(node:int64, comp:int64)`` covering exactly the
+    nodes that appear in at least one edge (singletons are the corpus
+    complement and never enter the graph — callers fill ``comp = node`` for
+    them, see :func:`neardup_survivors`).
+    """
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t.column(src).combine_chunks()
+        v = t.column(dst).combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u.cast(pa.int64()), v.cast(pa.int64())]),
+                "v": pa.concat_arrays([v.cast(pa.int64()), u.cast(pa.int64())]),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        return rd.from_arrow(CC_SCHEMA.empty_table())
+
+    # round 0: every node's first candidate set is {itself} ∪ neighbors —
+    # one exchange seeds labels AND applies the first propagation step
+    seed = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("u").combine_chunks(), t.column("u").combine_chunks()]
+                ),
+                "cand": pa.concat_arrays(
+                    [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = _min_by_node(seed, group_parts).materialize()
+    prev_sum = labels.sum("comp")
+
+    for _ in range(max_rounds):
+        # scatter: co-locate each node's label row with its outgoing edges
+        # (label rows carry v = -1 sentinel); per group, look up comp[u]
+        # with sort+searchsorted and emit (v, comp[u]) plus self-retention
+        def tag_label(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "u": t.column("node").combine_chunks(),
+                    "v": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "cand": t.column("comp").combine_chunks(),
+                }
+            )
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t.column("u").combine_chunks(),
+                    "v": t.column("v").combine_chunks(),
+                    "cand": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                }
+            )
+
+        def shortcut_edges(t: pa.Table) -> pa.Table:
+            # pointer doubling: node ↔ label edges let each node read its
+            # label's label next round, doubling propagation reach per round
+            n = t.column("node").to_numpy(zero_copy_only=False)
+            c = t.column("comp").to_numpy(zero_copy_only=False)
+            keep = n != c
+            n, c = n[keep], c[keep]
+            return pa.table(
+                {
+                    "u": pa.array(np.concatenate([n, c])),
+                    "v": pa.array(np.concatenate([c, n])),
+                    "cand": pa.array(np.full(2 * len(n), -1, dtype=np.int64)),
+                }
+            )
+
+        def scatter(g: pa.Table) -> pa.Table:
+            u = g.column("u").to_numpy(zero_copy_only=False)
+            v = g.column("v").to_numpy(zero_copy_only=False)
+            cand = g.column("cand").to_numpy(zero_copy_only=False)
+            is_label = v == -1
+            lk = u[is_label]
+            lv = cand[is_label]
+            order = np.argsort(lk, kind="stable")
+            lk, lv = lk[order], lv[order]
+            eu, ev = u[~is_label], v[~is_label]
+            comp_u = lv[np.searchsorted(lk, eu)]
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([ev, lk])),
+                    "cand": pa.array(np.concatenate([comp_u, lv])),
+                }
+            )
+
+        msgs = (
+            _with_gpart(
+                labels.map_batches(tag_label, batch_format="pyarrow")
+                .union(sym.map_batches(tag_edge, batch_format="pyarrow"))
+                .union(labels.map_batches(shortcut_edges, batch_format="pyarrow")),
+                "u",
+                group_parts,
+            )
+            .groupby("gpart")
+            .map_groups(
+                lambda g: scatter(g.drop_columns(["gpart"])),
+                batch_format="pyarrow",
+            )
+        )
+        labels = _min_by_node(msgs, group_parts).materialize()
+        cur_sum = labels.sum("comp")
+        if cur_sum == prev_sum:
+            # shuffle stages emit schemaless empty blocks (see stabilize.py);
+            # the label table is a final, graph-sized output — safe to repair
+            from .stabilize import stabilize
+
+            return stabilize(labels, CC_SCHEMA)
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds "
+        "(graph diameter exceeds the bound); raise max_rounds"
+    )
+
+
+def neardup_survivors(
+    docs: rd.Dataset,
+    edges: rd.Dataset,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    group_parts: int = 64,
+) -> rd.Dataset:
+    """Corpus-wide dedup decision from a near-dup pair stream.
+
+    Every document gets ``comp`` (its duplicate-cluster id = the cluster's
+    minimum doc id; its own id when un-duplicated) and ``survivor`` (1 for
+    the one kept doc per cluster — deterministically the minimum id).
+
+    The component labeling is broadcast to the corpus map tasks: it is
+    O(docs-that-have-a-duplicate), the small side by construction (if most
+    of the corpus is duplicated, the dedup pair stage upstream is the thing
+    that needs rethinking, not this join).
+    """
+    import ray
+
+    comp_tbl = pa.concat_tables(
+        ray.get(connected_components(edges, src, dst, group_parts).to_arrow_refs())
+    )
+    nodes = comp_tbl.column("node").to_numpy(zero_copy_only=False)
+    comps = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes, kind="stable")
+    ref = ray.put((nodes[order], comps[order]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k, c = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = ids.copy()
+        if len(k):
+            pos = np.searchsorted(k, ids)
+            pos_c = np.clip(pos, 0, len(k) - 1)
+            hit = k[pos_c] == ids
+            comp[hit] = c[pos_c[hit]]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "comp": pa.array(comp),
+                "survivor": pa.array((comp == ids).astype(np.int32)),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,139 @@
+"""Connected components + near-dup survivor selection (stages/cc.py):
+union-find parity on random graphs, transitivity, convergence bounds,
+and the corpus-wide survivor assignment."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blockchain_etl_ray.stages.cc import connected_components, neardup_survivors
+
+
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {n: n for n in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label every node with its component MINIMUM (cc.py's contract)
+    comp_members: dict[int, list[int]] = {}
+    for n in n_nodes:
+        comp_members.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp_members.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _edges_ds(edges: list[tuple[int, int]]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _labels(ds: rd.Dataset) -> dict[int, int]:
+    t = ds.to_pandas()
+    return dict(zip(t["node"].astype(int), t["comp"].astype(int)))
+
+
+def test_matches_union_find_on_random_graph():
+    rng = np.random.default_rng(7)
+    nodes = list(range(0, 400, 3))  # sparse ids — labels must be ids, not ranks
+    edges = [
+        (int(rng.choice(nodes)), int(rng.choice(nodes))) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _labels(connected_components(_edges_ds(edges), group_parts=8))
+    touched = sorted({n for e in edges for n in e})
+    expected = _union_find(touched, edges)
+    assert got == expected
+
+
+def test_transitive_chain_collapses_to_one_component():
+    # (a,b),(b,c),(c,d): pairwise stages alone would under-delete — the whole
+    # point of the closure
+    edges = [(10, 20), (20, 30), (30, 40), (50, 60)]
+    got = _labels(connected_components(_edges_ds(edges)))
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
+
+
+def test_long_path_converges_within_log_like_rounds():
+    # a 200-node path is the worst diameter shape; hash-min needs O(depth)
+    # rounds — must converge under the default bound and label everything 0
+    edges = [(i, i + 1) for i in range(200)]
+    got = _labels(connected_components(_edges_ds(edges), group_parts=4))
+    assert set(got.values()) == {0}
+
+
+def test_max_rounds_raises_instead_of_wrong_answer():
+    edges = [(i, i + 1) for i in range(64)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges_ds(edges), max_rounds=2)
+
+
+def test_empty_edges():
+    ds = connected_components(_edges_ds([]))
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema().base_schema] == ["node", "comp"]
+
+
+def test_survivors_cover_corpus_and_keep_min_per_cluster():
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(12)), type=pa.int64())})
+    )
+    edges = [(1, 4), (4, 9), (2, 3)]
+    t = (
+        neardup_survivors(docs, _edges_ds(edges))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    comp = dict(zip(t["doc_id"].astype(int), t["comp"].astype(int)))
+    surv = dict(zip(t["doc_id"].astype(int), t["survivor"].astype(int)))
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 5, 6: 6, 7: 7, 8: 8, 9: 1, 10: 10, 11: 11}
+    # exactly one survivor per cluster, and it is the minimum id
+    assert surv[1] == 1 and surv[4] == 0 and surv[9] == 0
+    assert surv[2] == 1 and surv[3] == 0
+    assert all(surv[i] == 1 for i in (0, 5, 6, 7, 8, 10, 11))
+
+
+def test_query_matches_duckdb_oracle_sf0001():
+    """The registered query vs its recursive-CTE oracle at sf0.001 — the same
+    comparison the driver runs at sf0.01."""
+    import duckdb
+
+    from blockchain_etl_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fn, sql = QUERIES["neardup_dedup_survivors"]
+    got = (
+        fn(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert (got["comp"].values == exp["comp"].values).all()
+    assert (got["survivor"].values == exp["survivor"].values).all()
+    assert int(got["survivor"].sum()) < len(got)  # fixture has real dup clusters
