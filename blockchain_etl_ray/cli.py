@@ -83,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("gaps", "retry-dead-letters"):
             xp.add_argument("--events", required=True)
 
+    bp = sub.add_parser(
+        "bulk-load",
+        help="seed an EMPTY state store from a snapshot parquet table "
+             "(staged initial load; then `tail` applies later epochs)",
+    )
+    bp.add_argument("--snapshot", required=True,
+                    help="parquet file or directory of final-form rows")
+    bp.add_argument("--state", required=True)
+    bp.add_argument("--partitions", type=int, default=32)
+    bp.add_argument("--covered-epochs", type=int, nargs="*", default=[],
+                    help="epochs the snapshot stands in for (replay skips them)")
+    bp.add_argument("--default-ordinal", type=int, default=0,
+                    help="ordinal stamped on rows when the snapshot has no "
+                         "ordinal column")
+
     lp = sub.add_parser("locate", help="ordinal→epoch range (footer probes only)")
     lp.add_argument("--events", required=True)
     lp.add_argument("--lo", type=int, required=True)
@@ -200,6 +215,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "replay":
         summary = engine.replay(args.events)
+        print(json.dumps(summary))
+    elif args.cmd == "bulk-load":
+        summary = engine.bulk_load(
+            args.snapshot,
+            covered_epochs=args.covered_epochs,
+            default_ordinal=args.default_ordinal,
+        )
         print(json.dumps(summary))
     elif args.cmd == "tail":
         from blockchain_etl_ray.sources.chain_tail import ChainTail

@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -81,6 +82,40 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
         if m:
             out.setdefault(int(m.group(1)), []).append(f)
     return out
+
+
+def make_snapshot_adapter(default_ordinal: int = 0, seed_epoch: int = -1):
+    """Per-chunk converter turning SNAPSHOT rows (final table form, no ``op``)
+    into insert change events, so the staged bulk-load path reuses the whole
+    apply machinery (normalize → compact → fragment → marker) unchanged.
+
+    Missing-column rules: ``op`` = insert for every row; ``ordinal`` defaults
+    to ``default_ordinal`` when the snapshot carries none (a snapshot taken
+    "as of" some commit ordinal); ``epoch`` = ``seed_epoch`` (default −1, so a
+    later redelivery of the SAME (key, ordinal) loses the first-delivery
+    tie-break to the seed — the snapshot already contains that logical row).
+    Columns the snapshot does carry (including rename-map sources) pass
+    through untouched for the normalizer to reconcile.
+    """
+
+    def adapt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names = set(t.column_names)
+        if "op" not in names:
+            t = t.append_column(
+                "op", pa.array(np.full(n, "insert"), type=pa.string())
+            )
+        if "ordinal" not in names:
+            t = t.append_column(
+                "ordinal", pa.array(np.full(n, default_ordinal, dtype=np.int64))
+            )
+        if "epoch" not in names:
+            t = t.append_column(
+                "epoch", pa.array(np.full(n, seed_epoch, dtype=np.int64))
+            )
+        return t
+
+    return adapt
 
 
 def plan_read_chunks(
@@ -236,7 +271,13 @@ class ReplayEngine:
 
     # ------------------------------------------------------------------ apply
     def apply_step(
-        self, files: list[str], version: int, epochs: list[int]
+        self,
+        files: list[str],
+        version: int,
+        epochs: list[int],
+        *,
+        read_columns: list[str] | None = None,
+        event_adapter=None,
     ) -> tuple[list[dict], list[dict]]:
         """Apply one step's event files as apply-version ``version``; returns
         (per-partition lineage rows, fragment descriptors).  Safe under task
@@ -255,8 +296,10 @@ class ReplayEngine:
         # column pruning at the read: only the canonical event columns (plus
         # declared rename sources) ever leave storage — payload columns a
         # wide upstream ships alongside are never read
-        needed = sorted(
-            {name for name, _ in EVENT_FIELDS} | set(self.config.rename_map)
+        needed = (
+            read_columns
+            if read_columns is not None
+            else sorted({name for name, _ in EVENT_FIELDS} | set(self.config.rename_map))
         )
         spec = FragmentSpec(state_root=str(self.store.root), version=version)
         normalize = self._normalize
@@ -277,6 +320,8 @@ class ReplayEngine:
                 t = pq_.ParquetFile(row["file"]).read_row_groups(
                     list(row["row_groups"]), columns=row.get("columns")
                 )
+                if event_adapter is not None:
+                    t = event_adapter(t)
                 nt = normalize(t)
                 stats = write_fragment(compact_batch(nt), spec)
                 if with_derived and stats.num_rows:
@@ -512,6 +557,97 @@ class ReplayEngine:
             "epochs_skipped": sorted(set(delivered) & already),
             "epochs_quarantined": sorted(set(quarantined) | (set(delivered) & quarantine)),
             "events_applied": total_events,
+            "wall_s": time.perf_counter() - t0,
+        }
+
+    # ------------------------------------------------------------- bulk load
+    def bulk_load(
+        self,
+        snapshot: str,
+        covered_epochs: list[int] | tuple = (),
+        default_ordinal: int = 0,
+    ) -> dict:
+        """Staged bulk load: seed the state table(s) directly from a snapshot
+        Parquet table (final-form rows, no ``op`` column) instead of
+        replaying its history — the reference's CSV-stage → bulk-upsert
+        initial-load path (``etl load`` with staged files, SURVEY.md §2 K6).
+
+        ``covered_epochs`` are recorded on the commit marker as applied, so a
+        subsequent :meth:`replay` / ChainTail applies only LATER epochs —
+        seed-then-tail.  ``default_ordinal`` stamps snapshot rows that carry
+        no ``ordinal`` column ("snapshot as of ordinal N"); rows with an
+        ``ordinal`` column keep per-row values so later lower-ordinal events
+        lose LWW exactly as if the history had been replayed.
+
+        Only legal into an EMPTY store (this is the initial load, not a
+        merge); refuses otherwise.  Entity tables and the derived per-repo
+        stats are seeded from the same pass (seed rows count as one insert
+        delivery each).  Snapshot file hashes are recorded under
+        ``seed_file_hashes`` — NOT ``file_hashes`` — so the reorg reconciler
+        never audits the (epoch-less) snapshot files; if the covered epochs
+        ARE also present in the event log, a later full-audit ``reconcile``
+        treats them as newly appeared files and folds the log's truth in.
+        """
+        if self.store.committed_versions():
+            raise ValueError(
+                "bulk_load requires an empty state store (it is the staged "
+                "INITIAL load; use replay/reconcile to evolve existing state)"
+            )
+        self.store.gc_uncommitted_bases(
+            self.config.num_partitions, tuple(e.name for e in self.entity_specs)
+        )
+        p = Path(snapshot)
+        files = (
+            sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {snapshot!r}")
+        import pyarrow.parquet as pq_
+
+        avail = set(pq_.ParquetFile(files[0]).schema_arrow.names)
+        needed = sorted(
+            avail & ({n for n, _ in EVENT_FIELDS} | set(self.config.rename_map))
+        )
+        version = self.store.next_version()
+        epochs = sorted(covered_epochs) if covered_epochs else [-1]
+        t0 = time.perf_counter()
+        rows, frags, table_frags, seed_hashes = self.apply_step(
+            files,
+            version,
+            epochs,
+            read_columns=needed,
+            event_adapter=make_snapshot_adapter(default_ordinal=default_ordinal),
+        )
+        self.store.commit_cycle(
+            version,
+            {
+                "version": version,
+                "epochs": sorted(covered_epochs),
+                "files": [],
+                "fragments": frags,
+                "tables": table_frags,
+                "file_hashes": {},
+                "seed_file_hashes": seed_hashes,
+                "lineage": rows,
+                "bulk_load": {
+                    "snapshot_files": files,
+                    "default_ordinal": default_ordinal,
+                },
+            },
+        )
+        from ..pipelines.derived import PARTIAL_SUFFIX
+
+        referenced = {f["file"] for f in frags}
+        referenced |= {f + PARTIAL_SUFFIX for f in referenced}
+        self.store.gc_orphan_fragments(version, referenced)
+        for name, tfs in table_frags.items():
+            self.store.gc_orphan_fragments(
+                version, {f["file"] for f in tfs}, table=name
+            )
+        return {
+            "version": version,
+            "rows_loaded": sum(r["events_in"] for r in rows),
+            "epochs_covered": sorted(covered_epochs),
             "wall_s": time.perf_counter() - t0,
         }
 

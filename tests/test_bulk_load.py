@@ -1,0 +1,181 @@
+"""Staged bulk load (K6): seed state from a snapshot, then tail the log.
+
+Reference analog: the staged-file bulk-upsert initial load
+(``blockchainetl/jobs/exporters/postgres_item_exporter.py`` used with
+pre-exported CSV stages; SURVEY.md §2 K6)."""
+
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+CFG = dict(num_partitions=8, epoch_batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bulkload") / "events"
+    write_corpus(d, n_events=8_000, seed=11, n_epochs=12)
+    return str(d)
+
+
+def _partial_dir(corpus: str, tmp: Path, upto_epoch: int) -> str:
+    """Copy only epoch<=K files — the history the snapshot stands in for."""
+    out = tmp / f"events_upto{upto_epoch}"
+    out.mkdir()
+    for f in sorted(Path(corpus).glob("epoch=*.parquet")):
+        if int(f.name.split("=")[1].split(".")[0].split("-")[0]) <= upto_epoch:
+            shutil.copy(f, out / f.name)
+    return str(out)
+
+
+def _snapshot_with_ops(partial_dir: str, out: Path) -> tuple[str, list[int]]:
+    """Tombstone-preserving snapshot: fold the partial history and export
+    final rows WITH op + ordinal (what exporting another store's
+    read_state(include_deleted=True) would give)."""
+    state = fold_events(partial_dir)
+    rows = sorted(state.values(), key=lambda r: (r["repo"], r["path"]))
+    t = pa.table(
+        {
+            "repo": [r["repo"] for r in rows],
+            "path": [r["path"] for r in rows],
+            "commit": [r["commit"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+            "content": pa.array(
+                [r["content"] for r in rows], type=pa.large_string()
+            ),
+            "size": pa.array([r["size"] for r in rows], type=pa.int64()),
+            "ordinal": pa.array([r["ordinal"] for r in rows], type=pa.int64()),
+            "op": [("delete" if r["deleted"] else "insert") for r in rows],
+        }
+    )
+    out.mkdir()
+    pq.write_table(t, out / "snapshot.parquet")
+    covered = sorted(
+        {
+            int(f.name.split("=")[1].split(".")[0].split("-")[0])
+            for f in Path(partial_dir).glob("epoch=*.parquet")
+        }
+    )
+    return str(out), covered
+
+
+def _state_df(engine, **kw) -> pd.DataFrame:
+    return (
+        engine.read_state(**kw)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def test_seed_then_tail_equals_full_replay(corpus, tmp_path):
+    snap_dir, covered = _snapshot_with_ops(
+        _partial_dir(corpus, tmp_path, 5), tmp_path / "snap"
+    )
+
+    seeded = ReplayEngine(str(tmp_path / "st_seed"), ReplayConfig(**CFG))
+    info = seeded.bulk_load(snap_dir, covered_epochs=covered)
+    assert info["epochs_covered"] == covered and info["rows_loaded"] > 0
+    seeded.replay(corpus)  # applies only epochs > 5
+
+    full = ReplayEngine(str(tmp_path / "st_full"), ReplayConfig(**CFG))
+    full.replay(corpus)
+
+    a = _state_df(seeded)
+    b = _state_df(full)
+    assert len(a) == len(b)
+    for col in ("repo", "path", "commit", "content_sha256", "ordinal"):
+        assert a[col].tolist() == b[col].tolist(), col
+    # sizes are nullable across the evolution boundary
+    assert all(
+        (x == y) or (pd.isna(x) and pd.isna(y))
+        for x, y in zip(a["size"], b["size"])
+    )
+    assert seeded.gaps(corpus) == []
+
+
+def test_seed_only_matches_snapshot_live_rows(corpus, tmp_path):
+    partial = _partial_dir(corpus, tmp_path, 7)
+    snap_dir, covered = _snapshot_with_ops(partial, tmp_path / "snap7")
+    eng = ReplayEngine(str(tmp_path / "st_only"), ReplayConfig(**CFG))
+    eng.bulk_load(snap_dir, covered_epochs=covered)
+    got = _state_df(eng)
+    exp = pd.DataFrame(live_rows(fold_events(partial)))
+    assert got["repo"].tolist() == exp["repo"].tolist()
+    assert got["path"].tolist() == exp["path"].tolist()
+    assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+    # tombstones survived the seed: a late lower-ordinal event cannot
+    # resurrect a key deleted before the snapshot
+    dead = _state_df(eng, include_deleted=True)
+    assert dead["deleted"].sum() > 0
+
+
+def test_live_only_snapshot_default_ordinal(corpus, tmp_path):
+    """A snapshot WITHOUT op/ordinal columns (plain table export): rows are
+    stamped default_ordinal; later epochs still win LWW."""
+    partial = _partial_dir(corpus, tmp_path, 5)
+    rows = live_rows(fold_events(partial))
+    t = pa.table(
+        {
+            "repo": [r["repo"] for r in rows],
+            "path": [r["path"] for r in rows],
+            "commit": [r["commit"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+            "content": pa.array([r["content"] for r in rows], type=pa.large_string()),
+            "size": pa.array([r["size"] for r in rows], type=pa.int64()),
+        }
+    )
+    snap = tmp_path / "plain"
+    snap.mkdir()
+    pq.write_table(t, snap / "snapshot.parquet")
+
+    eng = ReplayEngine(str(tmp_path / "st_plain"), ReplayConfig(**CFG))
+    eng.bulk_load(str(snap), covered_epochs=list(range(6)), default_ordinal=0)
+    seeded_rows = _state_df(eng)
+    assert (seeded_rows["ordinal"] == 0).all()
+    eng.replay(corpus)
+    after = _state_df(eng)
+    # every key touched after epoch 5 now carries a real (nonzero) ordinal
+    assert (after["ordinal"] > 0).any()
+    assert len(after) >= len(seeded_rows) - 0  # tail may add keys
+
+
+def test_refuses_non_empty_store(corpus, tmp_path):
+    snap_dir, covered = _snapshot_with_ops(
+        _partial_dir(corpus, tmp_path, 3), tmp_path / "snap3"
+    )
+    eng = ReplayEngine(str(tmp_path / "st_busy"), ReplayConfig(**CFG))
+    eng.replay(corpus, upto_epoch=2)
+    with pytest.raises(ValueError, match="empty state store"):
+        eng.bulk_load(snap_dir, covered_epochs=covered)
+
+
+def test_entity_tables_seeded_from_same_pass(corpus, tmp_path):
+    snap_dir, covered = _snapshot_with_ops(
+        _partial_dir(corpus, tmp_path, 5), tmp_path / "snap_ent"
+    )
+    cfg = ReplayConfig(entities=("repo_heads",), **CFG)
+    eng = ReplayEngine(str(tmp_path / "st_ent"), cfg)
+    eng.bulk_load(snap_dir, covered_epochs=covered)
+    heads = (
+        eng.read_state(table="repo_heads")
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert len(heads) > 0
+    # the head ordinal per repo must equal the max ordinal of the snapshot's
+    # rows for that repo (the seed is the only history the table has seen)
+    snap = pq.read_table(Path(snap_dir) / "snapshot.parquet").to_pandas()
+    exp_heads = snap.groupby("repo")["ordinal"].max()
+    got = dict(zip(heads["repo"], heads["ordinal"]))
+    for repo, ordv in exp_heads.items():
+        assert got[repo] == ordv, repo
