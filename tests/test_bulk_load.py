@@ -158,6 +158,34 @@ def test_refuses_non_empty_store(corpus, tmp_path):
         eng.bulk_load(snap_dir, covered_epochs=covered)
 
 
+def test_crash_before_marker_is_invisible_and_retryable(corpus, tmp_path):
+    """Exactly-once under a driver crash between fragment writes and the
+    marker commit: nothing is visible, and a retried bulk_load converges
+    with no duplicates (same manifest-as-truth story as apply steps)."""
+    snap_dir, covered = _snapshot_with_ops(
+        _partial_dir(corpus, tmp_path, 5), tmp_path / "snap_crash"
+    )
+    eng = ReplayEngine(str(tmp_path / "st_crash"), ReplayConfig(**CFG))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before marker")
+
+    eng.store.commit_cycle = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.bulk_load(snap_dir, covered_epochs=covered)
+
+    eng2 = ReplayEngine(str(tmp_path / "st_crash"), ReplayConfig(**CFG))
+    assert eng2.store.committed_versions() == []
+    eng2.bulk_load(snap_dir, covered_epochs=covered)
+    eng2.replay(corpus)
+
+    full = ReplayEngine(str(tmp_path / "st_crash_full"), ReplayConfig(**CFG))
+    full.replay(corpus)
+    a, b = _state_df(eng2), _state_df(full)
+    assert len(a) == len(b)
+    assert a["content_sha256"].tolist() == b["content_sha256"].tolist()
+
+
 def test_entity_tables_seeded_from_same_pass(corpus, tmp_path):
     snap_dir, covered = _snapshot_with_ops(
         _partial_dir(corpus, tmp_path, 5), tmp_path / "snap_ent"
