@@ -1402,6 +1402,35 @@ def neardup_dedup_survivors(sf_dir: str):
     )
 
 
+@register(
+    "corpus_frequent_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS n_term
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING count(*) * 100 >= tot.n
+    """,
+)
+def corpus_frequent_terms(sf_dir: str):
+    """EXACT corpus-wide frequent terms (every token holding >= 1% of all
+    token occurrences) via Misra-Gries candidate summaries + an exact verify
+    pass (``stages/sketch.py::frequent_terms``) — the Zipf-head / stopword
+    miner.  Shuffles O(k) summary rows per batch instead of the full
+    vocabulary; candidates are complete by the MG error bound, then verified
+    exactly, so the output hash-matches the naive GROUP BY oracle."""
+    from ..stages.sketch import frequent_terms
+
+    return frequent_terms(
+        _read(sf_dir, "documents", ["text"], num_blocks=16), percent=1
+    )
+
+
 #: the SQL twin of functions/hashing.md5_prefix_u32 — first 4 md5 bytes of
 #: the key's decimal string form, as an unsigned int (sampling parity contract)
 _MD5U32_SQL = (

@@ -182,3 +182,187 @@ def approx_distinct(
     return partials.groupby(group_col).map_groups(
         lambda g: merge_hll_group(g, group_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def mg_batch_summary(values: pa.Array | pa.ChunkedArray, k: int) -> pa.Table:
+    """Misra-Gries summary of one batch: at most ``k`` (value, weight) rows
+    with the guarantee weight(v) >= count_batch(v) - n_batch/k.
+
+    Computed from exact per-batch counts (np.unique is vectorized; batch
+    vocabulary is bounded by batch size): when the vocabulary exceeds ``k``,
+    subtract the (k+1)-th largest count from everything and keep the
+    positive remainders — the closed form of running MG decrements over the
+    batch, and at most k values survive because the top k+1 counts cannot
+    all exceed the (k+1)-th.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    arr = values.to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(arr, return_counts=True)
+    if len(uniq) > k:
+        t = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+        keep = counts > t
+        uniq, counts = uniq[keep], counts - t
+        counts = counts[keep]
+    return pa.table(
+        {
+            "value": pa.array(uniq.astype(object), type=pa.string()),
+            "w": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def frequent_terms(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    percent: int = 1,
+    group_parts: int = 64,
+) -> rd.Dataset:
+    """EXACT corpus-wide frequent terms: every token whose total count is
+    >= ``percent``% of all tokens — the Zipf-head miner (stopword /
+    boilerplate detection) a corpus pipeline runs before dedup or quality
+    scoring.
+
+    Two passes, both bounded-memory — the point of the sketch:
+
+    1. tokenize + per-batch Misra-Gries summaries with capacity
+       k = 200/percent (>= 2/phi), merged by one SMALL groupby over summary
+       rows (each batch contributes <= k rows, never its vocabulary); merged
+       weights W(v) >= count(v) - N/k, so every true heavy hitter clears
+       ``W(v) >= phi*N - N/k`` — the candidate set is COMPLETE by the MG
+       bound, never by luck.  A sentinel row ('', n_tokens) rides along to
+       accumulate N in the same exchange (tokens are \\W+-split, so the
+       empty string can never be a real token).
+    2. exact counts for the <= k candidates only: broadcast the candidate
+       list, filtered vectorized count per batch, one tiny groupby-sum,
+       integer threshold ``n*100 >= N*percent``.
+
+    An exact GROUP BY over ALL terms would shuffle the full vocabulary
+    (O(distinct terms) exchange); this shuffles O(k) rows per batch in pass
+    1 and O(candidates) in pass 2, at the cost of reading the corpus twice.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .dedup import _with_gpart
+    from .ssjoin import TOKEN_SPLIT_PATTERN
+    from .stabilize import stabilize
+
+    if not (1 <= percent <= 100):
+        raise ValueError("percent must be in [1, 100]")
+    k = max(200 // percent, 8)
+
+    def tokens_of(t: pa.Table) -> pa.Array:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
+        )
+        flat = pc.list_flatten(toks)
+        return pc.filter(flat, pc.not_equal(flat, ""))
+
+    def pass1(t: pa.Table) -> pa.Table:
+        flat = tokens_of(t)
+        summ = mg_batch_summary(flat, k)
+        sentinel = pa.table(
+            {
+                "value": pa.array([""], type=pa.string()),
+                "w": pa.array([len(flat)], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([summ, sentinel])
+
+    def sum_group(g: pa.Table) -> pa.Table:
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        ws = g.column("w").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(out, inv, ws)
+        return pa.table(
+            {
+                "value": pa.array(uniq.astype(object), type=pa.string()),
+                "w": pa.array(out),
+            }
+        )
+
+    def hash_str(t: pa.Table, col: str) -> pa.Table:
+        import polars as pl_
+
+        h = pl_.from_arrow(t.column(col)).hash(seed=7).to_numpy().astype(np.int64)
+        return t.append_column("tok_hash", pa.array(np.abs(h)))
+
+    merged = (
+        _with_gpart(
+            docs.map_batches(pass1, batch_format="pyarrow").map_batches(
+                lambda t: hash_str(t, "value"), batch_format="pyarrow"
+            ),
+            "tok_hash",
+            group_parts,
+        )
+        .groupby("gpart")
+        .map_groups(
+            lambda g: sum_group(g.drop_columns(["gpart", "tok_hash"])),
+            batch_format="pyarrow",
+        )
+    )
+    # the merged summary is O(k x summaries-per-exchange-group) — small by
+    # construction; candidate selection needs N, so it lands on the driver
+    parts = [t for t in ray.get(merged.materialize().to_arrow_refs()) if t.num_rows]
+    empty = pa.schema([("term", pa.string()), ("n_term", pa.int64())]).empty_table()
+    if not parts:
+        return rd.from_arrow(empty)
+    m = pa.concat_tables(parts)
+    vals = m.column("value").to_numpy(zero_copy_only=False)
+    ws = m.column("w").to_numpy(zero_copy_only=False)
+    is_sent = vals == ""
+    n_total = int(ws[is_sent].sum())
+    if n_total == 0:
+        return rd.from_arrow(
+            pa.schema([("term", pa.string()), ("n_term", pa.int64())]).empty_table()
+        )
+    # complete by the MG bound: count(v) >= phi*N  =>  W(v) >= phi*N - N/k
+    lower = (n_total * percent) / 100.0 - n_total / k
+    cand = vals[(~is_sent) & (ws >= lower)]
+    cand_ref = ray.put(pa.array(cand.astype(object), type=pa.string()))
+
+    def pass2(t: pa.Table) -> pa.Table:
+        flat = tokens_of(t)
+        hits = pc.filter(flat, pc.is_in(flat, value_set=ray.get(cand_ref)))
+        return sum_group(
+            pa.table(
+                {
+                    "value": hits,
+                    "w": pa.array(np.ones(len(hits), dtype=np.int64)),
+                }
+            )
+        )
+
+    exact = (
+        _with_gpart(
+            docs.map_batches(pass2, batch_format="pyarrow").map_batches(
+                lambda t: hash_str(t, "value"), batch_format="pyarrow"
+            ),
+            "tok_hash",
+            group_parts,
+        )
+        .groupby("gpart")
+        .map_groups(
+            lambda g: sum_group(g.drop_columns(["gpart", "tok_hash"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(
+                    pc.multiply(t.column("w"), pa.scalar(100, pa.int64())),
+                    pa.scalar(n_total * percent, pa.int64()),
+                )
+            ).rename_columns(["term", "n_term"]),
+            batch_format="pyarrow",
+        )
+    )
+    return stabilize(
+        exact, pa.schema([("term", pa.string()), ("n_term", pa.int64())])
+    )

@@ -129,3 +129,61 @@ def test_bloom_prefilter_composes_to_exact_join(ray_session):
     assert sorted(composed.column("v").to_pylist()) == sorted(
         exact.column("v").to_pylist()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_batch_summary_bound_and_capacity():
+    from blockchain_etl_ray.stages.sketch import mg_batch_summary
+
+    rng = np.random.default_rng(5)
+    vals = [f"t{i}" for i in rng.integers(0, 500, size=20_000)] + ["hot"] * 5_000
+    arr = pa.array(vals, type=pa.string())
+    k = 50
+    summ = mg_batch_summary(arr, k)
+    assert summ.num_rows <= k
+    w = dict(zip(summ.column("value").to_pylist(), summ.column("w").to_pylist()))
+    # MG guarantee: weight >= true count - n/k for EVERY value
+    n = len(vals)
+    from collections import Counter
+
+    true = Counter(vals)
+    for v, c in true.items():
+        assert w.get(v, 0) >= c - n / k
+    assert w["hot"] >= 5_000 - n / k
+
+
+def test_frequent_terms_matches_bruteforce_with_planted_zipf():
+    from collections import Counter
+
+    from blockchain_etl_ray.stages.sketch import frequent_terms
+
+    rng = np.random.default_rng(9)
+    vocab = [f"word{i}" for i in range(2_000)]
+    docs = []
+    for _ in range(300):
+        # Zipf-ish: a few planted head terms plus a uniform tail
+        toks = ["the", "code"] * int(rng.integers(1, 5)) + [
+            vocab[int(i)] for i in rng.integers(0, 2_000, size=40)
+        ]
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    got = frequent_terms(ds, percent=1).to_pandas()
+    all_toks = [t for d in docs for t in d.lower().split()]
+    true = Counter(all_toks)
+    n = len(all_toks)
+    exp = {t: c for t, c in true.items() if c * 100 >= n}
+    assert dict(zip(got["term"], got["n_term"])) == exp
+    assert "the" in exp  # the planted head actually exercises the path
+
+
+def test_frequent_terms_empty_corpus():
+    from blockchain_etl_ray.stages.sketch import frequent_terms
+
+    ds = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    out = frequent_terms(ds, percent=1)
+    assert out.count() == 0
