@@ -12,29 +12,38 @@ Algorithm: hash-min label propagation WITH per-round shortcut edges
 (node ↔ current-label), the pointer-doubling trick of Rastogi et al. 2012,
 "Finding Connected Components in Map-Reduce in Logarithmic Rounds": every
 node starts labeled with its own id; each round every node adopts the
-minimum label among itself, its graph neighbors, and its current label's
-label (the shortcut).  The shortcut doubles how far the minimum has spread
+minimum label among itself, its graph neighbors, and (one round delayed)
+its label's label.  The shortcut multiplies how far the minimum has spread
 per round, so convergence is O(log diameter) rounds, not O(diameter) —
-verified by the 200-node-path test, which converges in ~8 rounds.  A
-fixpoint is a components labeling where each component is named by its
-minimum node id.
+verified by the 200-node-path test.  A fixpoint is a components labeling
+where each component is named by its minimum node id.
+
+Physical shape — ONE exchange per round: the gather (min candidate per
+node) and the scatter (look up the label of each edge's source) both key on
+the SAME column, so they run in the same ``groupby().map_groups`` group:
+each group first folds its candidate rows into per-node labels, then emits
+(a) a propagated candidate along every edge, (b) exactly one label row per
+node (which doubles as next round's self-retention candidate AND carries
+the convergence sum), and (c) next round's dynamic shortcut edges
+(label → node).  Everything in the group body is numpy (unique /
+searchsorted / minimum.at) — no Python rows.
 
 Scale / partitioning assumptions:
-- the edge set is the DUP GRAPH (a pair stage's output), orders of magnitude
-  smaller than the corpus; the label table is one (int64, int64) row per
-  distinct endpoint.  Nothing here ever touches corpus-sized data;
-- each round is two hash-bucket exchanges (scatter labels along edges,
-  gather per-node min), both over the small graph tables — the per-group
-  work is pure numpy (sort + searchsorted + minimum.at), no Python rows;
+- the edge set is the DUP GRAPH (a pair stage's output), orders of
+  magnitude smaller than the corpus; per-round flow is O(edges + nodes)
+  fixed-width int64 rows.  Nothing here ever touches corpus-sized data;
 - convergence is detected with the monotone total-label sum (labels only
-  ever decrease, so an unchanged sum IS the fixpoint) — one cheap count/sum
-  pass per round, no driver-side label diffing;
-- labels are materialized once per round (required: the next round consumes
-  them, and leaving them lazy would re-execute the whole prefix each round);
-  the materialized object is O(graph nodes), not corpus;
-- a pathological diameter (one long path) costs O(log diameter) rounds via
-  the shortcut edges; ``max_rounds`` guards the bound by RAISING — never
+  ever decrease, so an unchanged sum IS the fixpoint), computed from the
+  round's already-materialized label rows — no extra shuffle;
+- each round's output is materialized (required: the next round consumes
+  it, and leaving it lazy would re-execute the whole prefix each round);
+- ``max_rounds`` guards the O(log diameter) bound by RAISING — never
   returning a wrong labeling.
+
+Row encoding inside the loop (columns ``key:int64, v:int64, w:int64``):
+edge rows have ``w == -1`` (``key`` = src, ``v`` = dst); candidate rows
+have ``v == -1`` (propagated) or ``v == -2`` (the per-node label row), with
+``w`` = the candidate label.  Node ids must be >= 0.
 """
 
 from __future__ import annotations
@@ -46,29 +55,27 @@ import ray.data as rd
 from .dedup import _with_gpart
 
 CC_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+_MSG_SCHEMA = pa.schema([("key", pa.int64()), ("v", pa.int64()), ("w", pa.int64())])
 
 
-def _min_by_node(msgs: rd.Dataset, group_parts: int) -> rd.Dataset:
-    """(node, cand) rows -> (node, comp=min(cand)) via one bucket exchange."""
-
-    def per_group(g: pa.Table) -> pa.Table:
-        nodes = g.column("node").to_numpy(zero_copy_only=False)
-        cand = g.column("cand").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(nodes, return_inverse=True)
-        out = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(out, inv, cand)
-        return pa.table(
-            {"node": pa.array(uniq), "comp": pa.array(out)},
-            schema=CC_SCHEMA,
-        )
-
-    return (
-        _with_gpart(msgs, "node", group_parts)
-        .groupby("gpart")
-        .map_groups(
-            lambda g: per_group(g.drop_columns(["gpart"])),
-            batch_format="pyarrow",
-        )
+def _numpy_cc(eu: np.ndarray, ev: np.ndarray) -> pa.Table:
+    """In-memory min-label components for a SMALL edge set: vectorized
+    edge-relaxation + pointer jumping, O(E) per iteration, O(log n)
+    iterations — the same algorithm as the distributed loop, collapsed."""
+    both = np.concatenate([eu, ev])
+    nodes, inv = np.unique(both, return_inverse=True)
+    ei, ej = inv[: len(eu)], inv[len(eu) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        m = np.minimum(lab[ei], lab[ej])
+        np.minimum.at(lab, ei, m)
+        np.minimum.at(lab, ej, m)
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    return pa.table(
+        {"node": pa.array(nodes), "comp": pa.array(nodes[lab])}, schema=CC_SCHEMA
     )
 
 
@@ -76,8 +83,9 @@ def connected_components(
     edges: rd.Dataset,
     src: str = "id_a",
     dst: str = "id_b",
-    group_parts: int = 64,
+    group_parts: int = 16,
     max_rounds: int = 64,
+    small_graph_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Label every endpoint of ``edges`` with its component's minimum node id.
 
@@ -85,119 +93,109 @@ def connected_components(
     nodes that appear in at least one edge (singletons are the corpus
     complement and never enter the graph — callers fill ``comp = node`` for
     them, see :func:`neardup_survivors`).
+
+    Graphs at or below ``small_graph_threshold`` edges take the in-memory
+    fast path (:func:`_numpy_cc`) — the dup graph is usually tiny relative
+    to the corpus, and each distributed round costs a fixed shuffle barrier;
+    the threshold is the same bounded-small-side judgment call as a
+    broadcast join, and the distributed loop below stays the path for
+    genuinely large graphs (exercised directly in tests with
+    ``small_graph_threshold=0``).
     """
 
-    def symmetrize(t: pa.Table) -> pa.Table:
-        u = t.column(src).combine_chunks()
-        v = t.column(dst).combine_chunks()
+    def sym_edges(t: pa.Table) -> pa.Table:
+        u = t.column(src).combine_chunks().cast(pa.int64())
+        v = t.column(dst).combine_chunks().cast(pa.int64())
+        key = pa.concat_arrays([u, v])
+        vv = pa.concat_arrays([v, u])
+        n2 = len(key)
+        return pa.table(
+            {"key": key, "v": vv, "w": pa.array(np.full(n2, -1, dtype=np.int64))},
+            schema=_MSG_SCHEMA,
+        )
+
+    static = edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    n_sym = static.count()
+    if n_sym == 0:
+        return rd.from_arrow(CC_SCHEMA.empty_table())
+    if n_sym <= 2 * small_graph_threshold:
+        import ray
+
+        parts = [t for t in ray.get(static.to_arrow_refs()) if t.num_rows]
+        m = pa.concat_tables(parts)
+        return rd.from_arrow(
+            _numpy_cc(
+                m.column("key").to_numpy(zero_copy_only=False),
+                m.column("v").to_numpy(zero_copy_only=False),
+            )
+        )
+
+    def seed(t: pa.Table) -> pa.Table:
+        key = t.column("key").combine_chunks()
+        n = len(key)
         return pa.table(
             {
-                "u": pa.concat_arrays([u.cast(pa.int64()), v.cast(pa.int64())]),
-                "v": pa.concat_arrays([v.cast(pa.int64()), u.cast(pa.int64())]),
-            }
+                "key": key,
+                "v": pa.array(np.full(n, -2, dtype=np.int64)),
+                "w": key,
+            },
+            schema=_MSG_SCHEMA,
         )
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if sym.count() == 0:
-        return rd.from_arrow(CC_SCHEMA.empty_table())
+    def step(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        is_edge = w == -1
+        lk, lw = key[~is_edge], w[~is_edge]
+        uniq, inv = np.unique(lk, return_inverse=True)
+        lab = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lab, inv, lw)
+        eu, ev = key[is_edge], v[is_edge]
+        if len(eu) and not len(uniq):
+            raise RuntimeError("cc invariant violated: edge source without label")
+        cu = lab[np.searchsorted(uniq, eu)] if len(eu) else np.empty(0, np.int64)
+        sc = lab < uniq  # nodes whose label points elsewhere -> shortcut edge
+        out_key = np.concatenate([ev, uniq, lab[sc]])
+        out_v = np.concatenate(
+            [
+                np.full(len(ev), -1, dtype=np.int64),
+                np.full(len(uniq), -2, dtype=np.int64),
+                uniq[sc],
+            ]
+        )
+        out_w = np.concatenate([cu, lab, np.full(int(sc.sum()), -1, dtype=np.int64)])
+        return pa.table(
+            {"key": pa.array(out_key), "v": pa.array(out_v), "w": pa.array(out_w)},
+            schema=_MSG_SCHEMA,
+        )
 
-    # round 0: every node's first candidate set is {itself} ∪ neighbors —
-    # one exchange seeds labels AND applies the first propagation step
-    seed = sym.map_batches(
-        lambda t: pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [t.column("u").combine_chunks(), t.column("u").combine_chunks()]
-                ),
-                "cand": pa.concat_arrays(
-                    [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    labels = _min_by_node(seed, group_parts).materialize()
-    prev_sum = labels.sum("comp")
-
+    cur = static.map_batches(seed, batch_format="pyarrow")
+    prev_sum = None
     for _ in range(max_rounds):
-        # scatter: co-locate each node's label row with its outgoing edges
-        # (label rows carry v = -1 sentinel); per group, look up comp[u]
-        # with sort+searchsorted and emit (v, comp[u]) plus self-retention
-        def tag_label(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "u": t.column("node").combine_chunks(),
-                    "v": pa.array(np.full(n, -1, dtype=np.int64)),
-                    "cand": t.column("comp").combine_chunks(),
-                }
-            )
-
-        def tag_edge(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "u": t.column("u").combine_chunks(),
-                    "v": t.column("v").combine_chunks(),
-                    "cand": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
-                }
-            )
-
-        def shortcut_edges(t: pa.Table) -> pa.Table:
-            # pointer doubling: node ↔ label edges let each node read its
-            # label's label next round, doubling propagation reach per round
-            n = t.column("node").to_numpy(zero_copy_only=False)
-            c = t.column("comp").to_numpy(zero_copy_only=False)
-            keep = n != c
-            n, c = n[keep], c[keep]
-            return pa.table(
-                {
-                    "u": pa.array(np.concatenate([n, c])),
-                    "v": pa.array(np.concatenate([c, n])),
-                    "cand": pa.array(np.full(2 * len(n), -1, dtype=np.int64)),
-                }
-            )
-
-        def scatter(g: pa.Table) -> pa.Table:
-            u = g.column("u").to_numpy(zero_copy_only=False)
-            v = g.column("v").to_numpy(zero_copy_only=False)
-            cand = g.column("cand").to_numpy(zero_copy_only=False)
-            is_label = v == -1
-            lk = u[is_label]
-            lv = cand[is_label]
-            order = np.argsort(lk, kind="stable")
-            lk, lv = lk[order], lv[order]
-            eu, ev = u[~is_label], v[~is_label]
-            comp_u = lv[np.searchsorted(lk, eu)]
-            return pa.table(
-                {
-                    "node": pa.array(np.concatenate([ev, lk])),
-                    "cand": pa.array(np.concatenate([comp_u, lv])),
-                }
-            )
-
-        msgs = (
-            _with_gpart(
-                labels.map_batches(tag_label, batch_format="pyarrow")
-                .union(sym.map_batches(tag_edge, batch_format="pyarrow"))
-                .union(labels.map_batches(shortcut_edges, batch_format="pyarrow")),
-                "u",
-                group_parts,
-            )
+        out = (
+            _with_gpart(static.union(cur), "key", group_parts)
             .groupby("gpart")
             .map_groups(
-                lambda g: scatter(g.drop_columns(["gpart"])),
-                batch_format="pyarrow",
+                lambda g: step(g.drop_columns(["gpart"])), batch_format="pyarrow"
             )
+            .materialize()
         )
-        labels = _min_by_node(msgs, group_parts).materialize()
-        cur_sum = labels.sum("comp")
+        labels = out.filter(expr="v == -2")
+        cur_sum = labels.sum("w")
         if cur_sum == prev_sum:
-            # shuffle stages emit schemaless empty blocks (see stabilize.py);
-            # the label table is a final, graph-sized output — safe to repair
             from .stabilize import stabilize
 
-            return stabilize(labels, CC_SCHEMA)
+            final = labels.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("key"), "comp": t.column("w")},
+                    schema=CC_SCHEMA,
+                ),
+                batch_format="pyarrow",
+            )
+            return stabilize(final, CC_SCHEMA)
         prev_sum = cur_sum
+        cur = out
     raise RuntimeError(
         f"connected_components did not converge within {max_rounds} rounds "
         "(graph diameter exceeds the bound); raise max_rounds"
@@ -210,7 +208,7 @@ def neardup_survivors(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
-    group_parts: int = 64,
+    group_parts: int = 16,
 ) -> rd.Dataset:
     """Corpus-wide dedup decision from a near-dup pair stream.
 
@@ -225,9 +223,14 @@ def neardup_survivors(
     """
     import ray
 
-    comp_tbl = pa.concat_tables(
-        ray.get(connected_components(edges, src, dst, group_parts).to_arrow_refs())
-    )
+    parts = [
+        t
+        for t in ray.get(
+            connected_components(edges, src, dst, group_parts).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    comp_tbl = pa.concat_tables(parts) if parts else CC_SCHEMA.empty_table()
     nodes = comp_tbl.column("node").to_numpy(zero_copy_only=False)
     comps = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
     order = np.argsort(nodes, kind="stable")

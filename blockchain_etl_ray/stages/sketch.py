@@ -193,25 +193,27 @@ def mg_batch_summary(values: pa.Array | pa.ChunkedArray, k: int) -> pa.Table:
     """Misra-Gries summary of one batch: at most ``k`` (value, weight) rows
     with the guarantee weight(v) >= count_batch(v) - n_batch/k.
 
-    Computed from exact per-batch counts (np.unique is vectorized; batch
-    vocabulary is bounded by batch size): when the vocabulary exceeds ``k``,
-    subtract the (k+1)-th largest count from everything and keep the
-    positive remainders — the closed form of running MG decrements over the
-    batch, and at most k values survive because the top k+1 counts cannot
-    all exceed the (k+1)-th.
+    Computed from exact per-batch counts (Arrow's hash ``value_counts``
+    kernel — no per-row Python, no object-array sort): when the vocabulary
+    exceeds ``k``, subtract the (k+1)-th largest count from everything and
+    keep the positive remainders — the closed form of running MG decrements
+    over the batch, and at most k values survive because the top k+1 counts
+    cannot all exceed the (k+1)-th.
     """
+    import pyarrow.compute as pc
+
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    arr = values.to_numpy(zero_copy_only=False)
-    uniq, counts = np.unique(arr, return_counts=True)
+    vc = pc.value_counts(values)
+    uniq, counts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
     if len(uniq) > k:
         t = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
         keep = counts > t
-        uniq, counts = uniq[keep], counts - t
-        counts = counts[keep]
+        uniq = uniq.filter(pa.array(keep))
+        counts = (counts - t)[keep]
     return pa.table(
         {
-            "value": pa.array(uniq.astype(object), type=pa.string()),
+            "value": uniq.cast(pa.string()),
             "w": pa.array(counts.astype(np.int64)),
         }
     )
@@ -221,7 +223,7 @@ def frequent_terms(
     docs: rd.Dataset,
     text_col: str = "text",
     percent: int = 1,
-    group_parts: int = 64,
+    group_parts: int = 16,
 ) -> rd.Dataset:
     """EXACT corpus-wide frequent terms: every token whose total count is
     >= ``percent``% of all tokens — the Zipf-head miner (stopword /
@@ -276,15 +278,12 @@ def frequent_terms(
         return pa.concat_tables([summ, sentinel])
 
     def sum_group(g: pa.Table) -> pa.Table:
-        vals = g.column("value").to_numpy(zero_copy_only=False)
-        ws = g.column("w").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(vals, return_inverse=True)
-        out = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(out, inv, ws)
+        # Arrow hash aggregate (C++) — no Python-object sort
+        agg = g.group_by("value").aggregate([("w", "sum")])
         return pa.table(
             {
-                "value": pa.array(uniq.astype(object), type=pa.string()),
-                "w": pa.array(out),
+                "value": agg.column("value").cast(pa.string()),
+                "w": agg.column("w_sum").cast(pa.int64()),
             }
         )
 

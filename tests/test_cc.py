@@ -51,14 +51,19 @@ def _labels(ds: rd.Dataset) -> dict[int, int]:
     return dict(zip(t["node"].astype(int), t["comp"].astype(int)))
 
 
-def test_matches_union_find_on_random_graph():
+@pytest.mark.parametrize("threshold", [2_000_000, 0])  # fast path / distributed
+def test_matches_union_find_on_random_graph(threshold):
     rng = np.random.default_rng(7)
     nodes = list(range(0, 400, 3))  # sparse ids — labels must be ids, not ranks
     edges = [
         (int(rng.choice(nodes)), int(rng.choice(nodes))) for _ in range(150)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    got = _labels(connected_components(_edges_ds(edges), group_parts=8))
+    got = _labels(
+        connected_components(
+            _edges_ds(edges), group_parts=8, small_graph_threshold=threshold
+        )
+    )
     touched = sorted({n for e in edges for n in e})
     expected = _union_find(touched, edges)
     assert got == expected
@@ -73,17 +78,23 @@ def test_transitive_chain_collapses_to_one_component():
 
 
 def test_long_path_converges_within_log_like_rounds():
-    # a 200-node path is the worst diameter shape; hash-min needs O(depth)
-    # rounds — must converge under the default bound and label everything 0
+    # a 200-node path is the worst diameter shape, run DISTRIBUTED: the
+    # pointer-doubling shortcut edges must converge it in O(log d) rounds
     edges = [(i, i + 1) for i in range(200)]
-    got = _labels(connected_components(_edges_ds(edges), group_parts=4))
+    got = _labels(
+        connected_components(
+            _edges_ds(edges), group_parts=4, small_graph_threshold=0
+        )
+    )
     assert set(got.values()) == {0}
 
 
 def test_max_rounds_raises_instead_of_wrong_answer():
     edges = [(i, i + 1) for i in range(64)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges_ds(edges), max_rounds=2)
+        connected_components(
+            _edges_ds(edges), max_rounds=2, small_graph_threshold=0
+        )
 
 
 def test_empty_edges():
