@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "clicks_before_purchase_range",
     "event_type_sliding_hourly",
     "cdc_ordinal_window",
+    "corpus_frequent_terms",
+    "neardup_dedup_survivors",
 ]
 
 

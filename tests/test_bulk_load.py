@@ -76,9 +76,10 @@ def _state_df(engine, **kw) -> pd.DataFrame:
     )
 
 
-def test_seed_then_tail_equals_full_replay(corpus, tmp_path):
+@pytest.mark.parametrize("cut", [0, 5, 7, 10])  # trivial / off- / on-boundary / near-head
+def test_seed_then_tail_equals_full_replay(corpus, tmp_path, cut):
     snap_dir, covered = _snapshot_with_ops(
-        _partial_dir(corpus, tmp_path, 5), tmp_path / "snap"
+        _partial_dir(corpus, tmp_path, cut), tmp_path / "snap"
     )
 
     seeded = ReplayEngine(str(tmp_path / "st_seed"), ReplayConfig(**CFG))
