@@ -64,6 +64,43 @@ def atomic_write_json(path: Path, obj: dict) -> None:
     atomic_write_bytes(path, json.dumps(obj, sort_keys=True).encode())
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this apply version first.
+
+    Raised by exclusive marker creation (``atomic_create_json``): the commit
+    marker is the cluster-wide linearization point, so it must be
+    first-writer-wins — a second writer racing the same version would
+    otherwise silently CLOBBER the winner's marker and orphan its fragments.
+    The loser's own fragments are unreferenced orphans, GC'd by the next
+    committed step; its safe move is to re-plan from the store's now-longer
+    committed prefix (or stop, if it was never supposed to run concurrently).
+    """
+
+
+def atomic_create_json(path: Path, obj: dict) -> None:
+    """Like :func:`atomic_write_json` but EXCLUSIVE: fails if ``path`` exists.
+
+    ``os.link(tmp, path)`` is the POSIX atomic create-if-absent (rename
+    overwrites); on shared filesystems this is the same primitive lock files
+    are built from."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, prefix="._tmp_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(json.dumps(obj, sort_keys=True).encode())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"apply version marker already committed by another writer: {path}"
+            ) from None
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def atomic_write_table(path: Path, table: pa.Table) -> int:
     """Write a Parquet file atomically; return its byte size."""
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -386,7 +423,9 @@ class StateStore:
         return atomic_write_table(self.base_file(part, version, entity), table)
 
     def commit_cycle(self, version: int, info: dict) -> None:
-        atomic_write_json(self.cycle_file(version), info)
+        # first-writer-wins: a concurrent writer racing the same version gets
+        # ConcurrentCommitError instead of clobbering the committed marker
+        atomic_create_json(self.cycle_file(version), info)
 
     def read_cycle(self, version: int) -> dict:
         return json.loads(self.cycle_file(version).read_text())

@@ -68,3 +68,23 @@ def test_sigkill_mid_replay_then_resume(tmp_path):
     assert engine.gaps(str(events)) == []
     # informational: the test is strongest when the kill landed mid-run
     print(f"killed_mid_run={killed_mid_run}")
+
+
+def test_concurrent_marker_commit_is_first_writer_wins(tmp_path):
+    """Two writers racing the same apply version: the second commit raises
+    ConcurrentCommitError instead of clobbering the winner's marker (the
+    marker is the linearization point; the loser's fragments stay orphaned
+    and are GC'd by the next committed step)."""
+    import pytest
+
+    from blockchain_etl_ray.state.manifest import ConcurrentCommitError, StateStore
+
+    store = StateStore(tmp_path / "st")
+    store.load_or_init_config({"num_partitions": 4})
+    marker = {"version": 0, "epochs": [0], "files": [], "fragments": [],
+              "tables": {}, "file_hashes": {}, "lineage": []}
+    store.commit_cycle(0, marker)
+    with pytest.raises(ConcurrentCommitError, match="already committed"):
+        store.commit_cycle(0, dict(marker, epochs=[1]))
+    # the winner's marker is intact
+    assert store.read_cycle(0)["epochs"] == [0]
