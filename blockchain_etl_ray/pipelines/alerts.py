@@ -135,9 +135,17 @@ class AlertSet:
         alerts: list[Alert],
         receiver_kwargs: dict | None = None,
         receiver_configs: dict[str, dict] | None = None,
+        udfs: dict | None = None,
     ):
+        """``udfs`` binds extra vectorized functions into every rule (the
+        label_of / price_of enrichment-service shape — pass
+        ``functions.rules.BroadcastLookup`` instances; they are captured in
+        the compiled predicates, so each Ray job ships their CURRENT
+        broadcast ref and a driver-side ``refresh()`` between polls takes
+        effect on the next run)."""
         self.alerts = alerts
-        self._preds = {a.name: compile_rule(a.rule) for a in alerts}
+        self.udfs = dict(udfs or {})
+        self._preds = {a.name: compile_rule(a.rule, udfs=self.udfs) for a in alerts}
         kw = receiver_kwargs or {}
         configs = receiver_configs or {}
         self._receivers: dict[str, Receiver] = {}

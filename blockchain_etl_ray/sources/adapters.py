@@ -167,10 +167,14 @@ class AlertAdapter(_DirHead, TailAdapter):
     ``last_synced_block.txt`` analog (``streamer.py:173-196``), giving
     exactly-once alerting per epoch across restarts WITHOUT a state store."""
 
-    def __init__(self, alert_set, events_dir: str, cursor_path: str):
+    def __init__(self, alert_set, events_dir: str, cursor_path: str, lookups=()):
+        """``lookups``: BroadcastLookup services refreshed BEFORE each poll's
+        rule evaluation (the reference's per-epoch label/price cache refresh,
+        SURVEY §2.8 ST5) — an unchanged source file re-ships nothing."""
         super().__init__(events_dir)
         self.alert_set = alert_set
         self.cursor_path = cursor_path
+        self.lookups = tuple(lookups)
 
     def _cursor(self) -> int:
         import os
@@ -190,6 +194,8 @@ class AlertAdapter(_DirHead, TailAdapter):
         new = sorted(e for e in by_epoch if cur < e <= target)
         if not new:
             return {"steps_applied": [], "alerts": {}, "cursor": cur}
+        for svc in self.lookups:
+            svc.refresh()
         files = [f for e in new for f in by_epoch[e]]
         counts = self.alert_set.run(rd.read_parquet(files))
         # checkpoint AFTER the receivers consumed the matches (at-least-once

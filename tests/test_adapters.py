@@ -185,3 +185,47 @@ def test_feed_adapter_streams_windows_exactly_once(tmp_path):
 
     # caught up: nothing new to export
     assert tail.run()[0]["caught_up"]
+
+
+def test_alert_adapter_refreshes_lookup_between_polls(tmp_path):
+    """ST5 shape: the label service refreshes per poll — a label change on
+    disk between polls changes which rows the SAME rule matches."""
+    import pyarrow.parquet as pq_
+
+    from blockchain_etl_ray.functions.rules import BroadcastLookup
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=6, n_epochs=4)
+    # labels keyed on repo (a real event column)
+    some_repo = pq_.read_table(
+        sorted(glob.glob(f"{events}/epoch=*.parquet"))[0], columns=["repo"]
+    ).column("repo")[0].as_py()
+    labels = tmp_path / "labels.parquet"
+    pq_.write_table(
+        pa.table({"repo": pa.array([some_repo]), "label": pa.array(["watch"])}),
+        labels,
+    )
+    svc = BroadcastLookup(str(labels), "repo", "label", default="none")
+    aset = AlertSet(
+        [Alert(name="watched", rule="label_of(repo) == 'watch'",
+               receivers=["memory"])],
+        udfs={"label_of": svc},
+    )
+    cursor = tmp_path / "cur.txt"
+    ad = AlertAdapter(aset, str(events), str(cursor), lookups=[svc])
+
+    out1 = ad.poll(target=1)
+    n1 = out1["alerts"]["watched"]
+    assert n1 > 0
+
+    # unlabel the repo on disk; the adapter must pick it up on the next poll
+    import time
+
+    time.sleep(0.01)
+    pq_.write_table(
+        pa.table({"repo": pa.array([some_repo]), "label": pa.array(["ok"])}),
+        labels,
+    )
+    out2 = ad.poll(target=3)
+    assert out2["alerts"]["watched"] == 0
+    assert svc.version == 2

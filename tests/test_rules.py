@@ -68,3 +68,83 @@ def test_rule_filter_on_dataset():
 
     out = rule_filter(rd.from_arrow(BATCH), "value >= 60 and n % 2 == 0").to_pandas()
     assert out["name"].tolist() == ["Alice", "Carol"]
+
+
+# ---------------------------------------------------------------------------
+# BroadcastLookup: the per-epoch-refreshed enrichment service (ST5 analog)
+# ---------------------------------------------------------------------------
+
+
+def _write_labels(path, pairs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([k for k, _ in pairs], type=pa.int64()),
+                "label": pa.array([v for _, v in pairs], type=pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_broadcast_lookup_maps_and_defaults(tmp_path):
+    import pyarrow as pa
+
+    from blockchain_etl_ray.functions.rules import BroadcastLookup
+
+    p = tmp_path / "labels.parquet"
+    _write_labels(p, [(1, "vip"), (2, "fraud")])
+    svc = BroadcastLookup(str(p), "user_id", "label", default="none")
+    out = svc(pa.chunked_array([pa.array([1, 2, 3], type=pa.int64())]))
+    assert out.to_pylist() == ["vip", "fraud", "none"]
+
+
+def test_broadcast_lookup_refresh_only_on_change(tmp_path):
+    from blockchain_etl_ray.functions.rules import BroadcastLookup
+
+    p = tmp_path / "labels.parquet"
+    _write_labels(p, [(1, "vip")])
+    svc = BroadcastLookup(str(p), "user_id", "label")
+    v1 = svc.version
+    assert svc.refresh() is False and svc.version == v1  # unchanged: no reship
+    import time
+
+    time.sleep(0.01)
+    _write_labels(p, [(1, "blocked")])
+    assert svc.refresh() is True and svc.version == v1 + 1
+
+
+def test_rule_with_bound_lookup_udf_distributed(tmp_path):
+    """A rule using label_of() evaluated inside Ray workers: the binding is
+    captured in the compiled predicate, and a driver refresh() changes the
+    NEXT run's matches (the per-epoch service-refresh contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.functions.rules import BroadcastLookup
+    from blockchain_etl_ray.pipelines.alerts import Alert, AlertSet
+
+    p = tmp_path / "labels.parquet"
+    _write_labels(p, [(1, "vip"), (2, "fraud")])
+    svc = BroadcastLookup(str(p), "user_id", "label", default="none")
+    aset = AlertSet(
+        [Alert(name="fraud_hit", rule="label_of(user_id) == 'fraud'",
+               receivers=["memory"])],
+        udfs={"label_of": svc},
+    )
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array([1, 2, 2, 3], type=pa.int64())})
+    )
+    counts = aset.run(ds)
+    assert counts == {"fraud_hit": 2}
+
+    import time
+
+    time.sleep(0.01)
+    _write_labels(p, [(1, "fraud"), (2, "ok")])
+    assert svc.refresh() is True
+    counts2 = aset.run(ds)
+    assert counts2 == {"fraud_hit": 1}
