@@ -98,6 +98,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="ordinal stamped on rows when the snapshot has no "
                          "ordinal column")
 
+    ep = sub.add_parser(
+        "export-state",
+        help="export the state table (one parquet per partition + manifest; "
+             "tombstone-preserving, re-loadable via bulk-load)",
+    )
+    ep.add_argument("--state", required=True)
+    ep.add_argument("--out", required=True)
+    ep.add_argument("--partitions", type=int, default=32)
+
     lp = sub.add_parser("locate", help="ordinal→epoch range (footer probes only)")
     lp.add_argument("--events", required=True)
     lp.add_argument("--lo", type=int, required=True)
@@ -223,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
             default_ordinal=args.default_ordinal,
         )
         print(json.dumps(summary))
+    elif args.cmd == "export-state":
+        manifest = engine.export_state(args.out)
+        print(json.dumps({k: manifest[k] for k in
+                          ("upto_version", "rows_total", "num_partitions")}))
     elif args.cmd == "tail":
         from blockchain_etl_ray.sources.chain_tail import ChainTail
 

@@ -888,6 +888,80 @@ class ReplayEngine:
             resolve_batch, batch_size=1, batch_format="pyarrow"
         )
 
+    def export_state(self, dest: str, upto: int | None = None) -> dict:
+        """Export the primary table as ONE Parquet file per partition plus a
+        ``manifest.json`` — the K1 partitioned-file-exporter analog, and the
+        sending half of store migration: the export is tombstone-preserving
+        (rows carry ``op``/``ordinal``), so :meth:`bulk_load` on a fresh
+        store rebuilds EXACTLY this state (round-trip identity is tested),
+        and any plain Parquet reader can consume the files directly.
+
+        Each partition resolves and writes in its own Ray task (same
+        merge-on-read machinery as :meth:`read_state`); the manifest records
+        per-file row counts + covered epochs, so a partial/failed export is
+        detectable (no manifest = no export) and re-running overwrites
+        atomically."""
+        import json as _json
+
+        versions = self.store.committed_versions()
+        if not versions:
+            raise ValueError("nothing committed; no state to export")
+        upto = versions[-1] if upto is None else upto
+        plans = self.store.partition_plans(self.config.num_partitions, upto=upto)
+        dest_p = Path(dest)
+        dest_p.mkdir(parents=True, exist_ok=True)
+        salt_max = self.config.resolve_salt_max_pieces
+        items = [
+            {"part": p, "plan": _json.dumps(plan)}
+            for p, plan in plans.items()
+            if plan["pieces"] or plan["base"]
+        ]
+
+        def export_part(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            from ..state.manifest import atomic_write_table
+
+            out = []
+            for part, plan in zip(
+                batch.column("part").to_pylist(), batch.column("plan").to_pylist()
+            ):
+                t = resolve_plan(_json.loads(plan), salt_max_pieces=salt_max)
+                t = t.append_column(
+                    "op",
+                    pc_.if_else(
+                        t.column("deleted"),
+                        pa.scalar("delete"),
+                        pa.scalar("insert"),
+                    ),
+                )
+                f = dest_p / f"part={part:05d}.parquet"
+                atomic_write_table(f, t)
+                out.append({"part": part, "file": str(f), "rows": t.num_rows})
+            return pa.Table.from_pylist(out)
+
+        stats = (
+            rd.from_items(items, override_num_blocks=max(1, len(items)))
+            .map_batches(export_part, batch_size=1, batch_format="pyarrow")
+            .take_all()
+            if items
+            else []
+        )
+        from ..state.manifest import atomic_write_json
+
+        manifest = {
+            "upto_version": upto,
+            "num_partitions": self.config.num_partitions,
+            "covered_epochs": sorted(self.store.applied_epochs()),
+            "files": sorted(
+                ({k: r[k] for k in ("part", "file", "rows")} for r in stats),
+                key=lambda r: r["part"],
+            ),
+            "rows_total": int(sum(r["rows"] for r in stats)),
+        }
+        atomic_write_json(dest_p / "manifest.json", manifest)
+        return manifest
+
     def read_changes(
         self,
         since_version: int,

@@ -208,3 +208,32 @@ def test_entity_tables_seeded_from_same_pass(corpus, tmp_path):
     got = dict(zip(heads["repo"], heads["ordinal"]))
     for repo, ordv in exp_heads.items():
         assert got[repo] == ordv, repo
+
+
+def test_export_state_bulk_load_round_trip(corpus, tmp_path):
+    """Store migration: export_state -> bulk_load on a fresh store is an
+    IDENTITY (tombstones, ordinals, event ids preserved), and the migrated
+    store keeps tailing the same log correctly."""
+    src = ReplayEngine(str(tmp_path / "st_src"), ReplayConfig(**CFG))
+    src.replay(corpus, upto_epoch=7)
+    manifest = src.export_state(str(tmp_path / "export"))
+    assert manifest["rows_total"] > 0
+    assert (Path(tmp_path / "export") / "manifest.json").exists()
+
+    dst = ReplayEngine(str(tmp_path / "st_dst"), ReplayConfig(**CFG))
+    dst.bulk_load(
+        str(tmp_path / "export"), covered_epochs=manifest["covered_epochs"]
+    )
+    a = _state_df(src, include_deleted=True)
+    b = _state_df(dst, include_deleted=True)
+    assert len(a) == len(b)
+    for col in ("repo", "path", "commit", "content_sha256", "ordinal",
+                "deleted", "event_id"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+    # the migrated store tails the SAME log to the same final state
+    src.replay(corpus)
+    dst.replay(corpus)
+    fa, fb = _state_df(src), _state_df(dst)
+    assert fa["content_sha256"].tolist() == fb["content_sha256"].tolist()
+    assert dst.gaps(corpus) == []
