@@ -1735,6 +1735,38 @@ def ann_topk_cosine(sf_dir: str):
     return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
+@register("embedding_kmeans_sizes", None)
+def embedding_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table
+    (``stages/ann.py::kmeans_fit``: per-batch partial sums — KiB per task,
+    never the vectors — folded per iteration), then one assignment pass
+    emitting cluster sizes.  Rows-only: iterative k-means is not
+    SQL-expressible; planted-cluster recovery and serial-Lloyd's parity are
+    asserted in pytest."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    cent, _iters = ann.kmeans_fit(ds, k=8, max_iters=15)
+    import ray
+
+    ref = ray.put(cent)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = ann._to_matrix(t.column("embedding"))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = (m @ c.T).argmax(axis=1)
+        n = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        return pa.table(
+            {"cluster": pa.array(np.arange(len(c), dtype=np.int64)), "n_members": pa.array(n)}
+        )
+
+    out = (
+        ds.map_batches(sizes, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n_members", alias_name="n_members"))
+    )
+    return _stable(out, [("cluster", pa.int64()), ("n_members", pa.int64())])
+
+
 @register("ann_ivf_topk", None)
 def ann_ivf_topk(sf_dir: str):
     """IVF approximate top-k (the ANN scale path; rows-only — approximate by

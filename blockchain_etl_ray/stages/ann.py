@@ -524,3 +524,92 @@ def cosine_neardup_pairs_lsh(
         j2.map_batches(verify, batch_format="pyarrow"),
         [("a", pa.int64()), ("b", pa.int64()), ("cos_x1m", pa.int64())],
     )
+
+
+def kmeans_fit(
+    vectors: rd.Dataset,
+    k: int,
+    vec_col: str = "embedding",
+    max_iters: int = 20,
+    tol: float = 1e-4,
+    sample_size: int = 2048,
+    seed: int = 7,
+) -> tuple[np.ndarray, int]:
+    """Distributed Lloyd's k-means over the FULL dataset (cosine geometry,
+    matching the rest of the ANN family) — the scale path past
+    :func:`kmeans_centroids`' bounded-sample training: sample-only centroids
+    drift when the sample misses small clusters; this refines them against
+    every vector.
+
+    Per iteration: broadcast centroids once (``ray.put``); each batch task
+    assigns its vectors (one matmul) and emits k PARTIAL rows (per-centroid
+    running sum + count — a few KiB, never the vectors); the driver folds
+    the partials (k × n_batches tiny rows) into new centroids.  The
+    normalized matrix is materialized ONCE before the loop so iterations
+    never re-read or re-normalize the source.  An empty cluster keeps its
+    previous centroid.  Converges when the max centroid movement
+    (1 - cosine) drops below ``tol``; returns (centroids, iterations_run).
+    """
+    import ray
+
+    # blob rows: uniform-width float64 payloads, decoded buffer-level
+    def norm_blob_fast(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column(vec_col))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n, d = m.shape
+        flat = np.ascontiguousarray(m).view(np.uint8).reshape(n, d * 8)
+        offs = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int64)
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({"blob": arr})
+
+    mat = vectors.map_batches(norm_blob_fast, batch_format="pyarrow").materialize()
+
+    # deterministic init from a bounded sample (the existing coarse trainer)
+    sample_tbl = pa.concat_tables(
+        [t for t in ray.get(mat.limit(sample_size).to_arrow_refs()) if t.num_rows]
+    )
+    cent = kmeans_centroids(_blob_matrix(sample_tbl.column("blob")), k, seed=seed)
+
+    iters_run = 0
+    for _ in range(max_iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _blob_matrix(t.column("blob"))
+            assign = (m @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            live = counts > 0
+            cids = np.nonzero(live)[0].astype(np.int64)
+            s = np.ascontiguousarray(sums[live])
+            n, d = s.shape
+            offs = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int64)
+            blob = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(s.tobytes())],
+            )
+            return pa.table(
+                {"cid": pa.array(cids), "n": pa.array(counts[live]), "sum": blob}
+            )
+
+        rows = mat.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.frombuffer(r["sum"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        new = cent.copy()
+        live = counts > 0
+        v = sums[live] / counts[live][:, None]
+        new[live] = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        iters_run += 1
+        shift = float(np.max(1.0 - np.sum(new * cent, axis=1)))
+        cent = new
+        if shift < tol:
+            break
+    return cent, iters_run

@@ -409,3 +409,79 @@ def test_bucketed_join_matches_dataset_join():
     assert len(a) == len(b)
     for c in cols:
         assert a[c].tolist() == b[c].tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (stages/ann.py::kmeans_fit)
+# ---------------------------------------------------------------------------
+
+
+def _planted_blobs(n_per: int, k: int, d: int, seed: int):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.concatenate(
+        [c + 0.05 * rng.normal(size=(n_per, d)) for c in centers]
+    )
+    return centers, pts
+
+
+def test_kmeans_fit_recovers_planted_clusters():
+    from blockchain_etl_ray.stages import ann
+
+    true, pts = _planted_blobs(300, 4, 16, seed=3)
+    emb = pa.table({"embedding": pa.array(list(map(list, pts)))})
+    cent, iters = ann.kmeans_fit(
+        rd.from_arrow(emb), k=4, max_iters=30, tol=1e-6
+    )
+    assert iters <= 30
+    truen = true / np.linalg.norm(true, axis=1, keepdims=True)
+    # every true center has a learned centroid within tiny cosine distance
+    sims = truen @ cent.T
+    assert (sims.max(axis=1) > 0.995).all()
+    # and the pairing is a bijection (no two true centers share a centroid)
+    assert len(set(sims.argmax(axis=1))) == 4
+
+
+def test_kmeans_fit_matches_serial_lloyds():
+    """The distributed partial-sum fold must compute the same iterations as a
+    serial Lloyd's from the same init (float tolerance only)."""
+    from blockchain_etl_ray.stages import ann
+
+    _, pts = _planted_blobs(150, 3, 8, seed=9)
+    emb = pa.table({"embedding": pa.array(list(map(list, pts)))})
+    ptsn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    iters = 5
+    got, _ = ann.kmeans_fit(
+        rd.from_arrow(emb), k=3, max_iters=iters, tol=0.0, sample_size=2048
+    )
+    # serial reference: same init (kmeans_centroids on the same first rows),
+    # same update rule
+    cent = ann.kmeans_centroids(ptsn[:2048], 3)
+    for _ in range(iters):
+        assign = (ptsn @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(3):
+            m = assign == c
+            if m.any():
+                v = ptsn[m].mean(axis=0)
+                new[c] = v / max(np.linalg.norm(v), 1e-12)
+        cent = new
+    assert np.allclose(got, cent, atol=1e-8)
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid():
+    from blockchain_etl_ray.stages import ann
+
+    # two tight blobs, k=3: one centroid must end up memberless and SURVIVE
+    rng = np.random.default_rng(1)
+    pts = np.concatenate(
+        [
+            np.array([1.0, 0.0]) + 0.01 * rng.normal(size=(50, 2)),
+            np.array([0.0, 1.0]) + 0.01 * rng.normal(size=(50, 2)),
+        ]
+    )
+    emb = pa.table({"embedding": pa.array(list(map(list, pts)))})
+    cent, _ = ann.kmeans_fit(rd.from_arrow(emb), k=3, max_iters=10)
+    assert cent.shape == (3, 2)
+    assert not np.isnan(cent).any()
