@@ -363,3 +363,91 @@ REPO_TOUCH = register_entity(
         ),
     )
 )
+
+
+def _derive_lang_stats(nt: pa.Table) -> pa.Table:
+    """Per-event additive partial keyed on ``lang`` — a LOW-CARDINALITY
+    HOT-KEY table (a handful of languages absorb every event), the shape
+    where compaction-before-shuffle and the salted resolve fold earn their
+    keep; the per-token-contract aggregate tables of the reference
+    (``postgres_hooks.py:43-96``) have the same skew profile."""
+    n = nt.num_rows
+    content = pc.cast(nt.column("content"), pa.string())
+    nbytes = pc.cast(pc.coalesce(pc.utf8_length(content), pa.scalar(0)), pa.int64())
+    return pa.table(
+        {
+            "lang": nt.column("lang"),
+            "n_events": pa.array([1] * n, type=pa.int64()),
+            "n_deletes": pc.cast(pc.equal(nt.column("op"), "delete"), pa.int64()),
+            "sum_bytes": nbytes,
+            "first_ordinal": nt.column("ordinal"),
+            "last_ordinal": nt.column("ordinal"),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": pa.array(["update"] * n, type=pa.string()),
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+LANG_STATS = register_entity(
+    EntitySpec(
+        name="lang_stats",
+        key_cols=("lang",),
+        fields=(
+            ("lang", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("last_ordinal", pa.int64()),
+        ),
+        derive=_derive_lang_stats,
+        kind="additive",
+        policies=(
+            ("n_events", "sum"),
+            ("n_deletes", "sum"),
+            ("sum_bytes", "sum"),
+            ("first_ordinal", "min"),
+            ("last_ordinal", "max"),
+        ),
+    )
+)
+
+
+def _derive_commit_log(nt: pa.Table) -> pa.Table:
+    """Immutable fact rows keyed (repo, commit) — a COMPOSITE key and an
+    immortal table (the reference's transactions: inserted once, never
+    updated or deleted; redeliveries fold to the first delivery by the
+    standard conflict order).  A delete event still RECORDS its commit (the
+    fact that the commit happened is immutable even though the file died)."""
+    n = nt.num_rows
+    return pa.table(
+        {
+            "repo": nt.column("repo"),
+            "commit": nt.column("commit"),
+            "path": nt.column("path"),
+            "lang": nt.column("lang"),
+            "was_delete": pc.cast(pc.equal(nt.column("op"), "delete"), pa.int64()),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": pa.array(["insert"] * n, type=pa.string()),
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+COMMIT_LOG = register_entity(
+    EntitySpec(
+        name="commit_log",
+        key_cols=("repo", "commit"),
+        fields=(
+            ("repo", pa.string()),
+            ("commit", pa.string()),
+            ("path", pa.string()),
+            ("lang", pa.string()),
+            ("was_delete", pa.int64()),
+        ),
+        derive=_derive_commit_log,
+    )
+)

@@ -2340,6 +2340,114 @@ def cdc_multi_path_heads(sf_dir: str):
     )
 
 
+_CDC_LANG_STATS_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             event_type AS lang,
+             CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS is_del,
+             CASE WHEN event_id % 10 = 9 THEN 0 ELSE length(props) END AS nbytes
+      FROM events)
+    SELECT lang,
+           count(*) AS n_events,
+           sum(is_del) AS n_deletes,
+           sum(nbytes) AS sum_bytes,
+           min(ordinal) AS first_ordinal,
+           max(ordinal) AS last_ordinal
+    FROM cdc GROUP BY lang
+"""
+
+
+@register("cdc_multi_lang_stats", _CDC_LANG_STATS_SQL)
+def cdc_multi_lang_stats(sf_dir: str):
+    """Additive entity keyed on a LOW-CARDINALITY HOT key (a handful of
+    languages absorb every event) — the skew shape compaction-before-shuffle
+    exists for: each chunk folds its rows to <= |langs| partial rows before
+    anything moves, so the hot key never concentrates raw volume in one
+    task.  Oracle is the plain grouped aggregate over the same derivation."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4, entities=("lang_stats",)
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["lang", "n_events", "n_deletes", "sum_bytes",
+             "first_ordinal", "last_ordinal"]
+        )
+
+    return _stable(
+        engine.read_state(table="lang_stats").map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        [
+            ("lang", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("last_ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
+_CDC_COMMIT_LOG_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS lang,
+             CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS was_delete
+      FROM events)
+    SELECT repo, commit_id AS commit, path, lang, was_delete, ordinal
+    FROM cdc
+"""
+
+
+@register("cdc_multi_commit_log", _CDC_COMMIT_LOG_SQL)
+def cdc_multi_commit_log(sf_dir: str):
+    """Immutable facts entity with a COMPOSITE key (repo, commit) — the
+    reference's transactions table shape: inserted once, never updated or
+    deleted (a delete event still records its commit), redeliveries fold to
+    the first delivery.  Exercises multi-column key hashing/folding through
+    the generic entity machinery."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4, entities=("commit_log",)
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["repo", "commit", "path", "lang", "was_delete", "ordinal"])
+
+    return _stable(
+        engine.read_state(table="commit_log").map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        [
+            ("repo", pa.string()),
+            ("commit", pa.string()),
+            ("path", pa.string()),
+            ("lang", pa.string()),
+            ("was_delete", pa.int64()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_REPO_TOUCH_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,
