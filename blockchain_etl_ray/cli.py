@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--out", required=True)
     ep.add_argument("--partitions", type=int, default=32)
 
+    dp = sub.add_parser(
+        "drift",
+        help="schema-drift report vs the canonical event schema "
+             "(footer-only; empty = no drift)",
+    )
+    dp.add_argument("--events", required=True)
+
     lp = sub.add_parser("locate", help="ordinal→epoch range (footer probes only)")
     lp.add_argument("--events", required=True)
     lp.add_argument("--lo", type=int, required=True)
@@ -161,6 +168,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({k: v for k, v in info.items() if k != "files"}))
         return 0
+
+    if args.cmd == "drift":
+        # footer-only schema report — no Ray session needed
+        from blockchain_etl_ray.pipelines.checkers import schema_drift
+
+        rep = schema_drift(args.events)
+        print(json.dumps({"drifted_files": rep.num_rows, "rows": rep.to_pylist()}))
+        return 0 if rep.num_rows == 0 else 3
 
     if args.cmd == "locate":
         # footer-stat probes only — no Ray session needed

@@ -142,3 +142,53 @@ def state_integrity(engine, table: str | None = None) -> pa.Table:
             }
         )
     return pa.concat_tables(parts)
+
+
+def schema_drift(
+    events_dir: str,
+    rename_map: dict[str, str] | None = None,
+) -> pa.Table:
+    """Per-file schema drift report vs the canonical event schema — the
+    completeness half of schema evolution: ``normalize`` silently ACCEPTS
+    declared renames and nullable-adds, and silently DROPS unknown extra
+    columns, so an upstream that started shipping a new column (or stopped
+    shipping one) is invisible until someone asks.  This checker asks.
+
+    Footer-only (reads Parquet schemas, never data; one stat call per file —
+    cheap enough for every tail poll).  Returns one row per DRIFTED file:
+    ``(file, unknown_cols, missing_cols)`` where unknown = delivered but not
+    canonical/renameable (normalize will drop them), missing = canonical
+    non-nullable-add fields absent from the file (normalize will null-fill).
+    Empty result = no drift.  Reference analog: the checker family's
+    tests-as-monitoring posture applied to the converter-chain boundary
+    (``item_exporter_builder.py:55-93``).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ..schema import DEFAULT_RENAMES, EVENT_FIELDS
+
+    renames = DEFAULT_RENAMES if rename_map is None else rename_map
+    canonical = {n for n, _ in EVENT_FIELDS}
+    acceptable = canonical | set(renames)
+    #: fields normalize may legitimately null-fill (nullable adds / computed)
+    fill_ok = {"size", "event_id", "lang"}
+    rows = []
+    for f in sorted(_glob.glob(f"{events_dir}/*.parquet")):
+        names = set(_pq.ParquetFile(f).schema_arrow.names)
+        unknown = sorted(names - acceptable)
+        renamed_away = {renames[s] for s in (names & set(renames))}
+        missing = sorted(canonical - names - renamed_away - fill_ok)
+        if unknown or missing:
+            rows.append(
+                {"file": f, "unknown_cols": unknown, "missing_cols": missing}
+            )
+    schema = pa.schema(
+        [
+            ("file", pa.string()),
+            ("unknown_cols", pa.list_(pa.string())),
+            ("missing_cols", pa.list_(pa.string())),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)

@@ -190,3 +190,30 @@ def test_jsonl_log_rejects_float_columns(ray_session):
     )
     got = back.to_pandas().sort_values("k").reset_index(drop=True)
     assert got["v_x100"].tolist() == [150, 250]
+
+
+def test_schema_drift_checker(tmp_path):
+    """Unknown extra columns and missing canonical columns are surfaced per
+    file; evolution-declared renames and nullable adds are NOT drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.checkers import schema_drift
+
+    ev = tmp_path / "events"
+    # v1 epochs + v2 epochs (filepath rename & size add) — NOT drift
+    write_corpus(ev, n_events=2_000, seed=4, n_epochs=4, schema_evolution_at=2)
+    assert schema_drift(str(ev)).num_rows == 0
+
+    # an upstream starts shipping an unknown column and drops `commit`
+    f = sorted(ev.glob("epoch=*.parquet"))[0]
+    t = pq.read_table(f)
+    t = t.append_column("surprise", pa.array(["x"] * t.num_rows))
+    t = t.drop_columns(["commit"])
+    pq.write_table(t, f)
+    rep = schema_drift(str(ev))
+    assert rep.num_rows == 1
+    row = rep.to_pylist()[0]
+    assert row["unknown_cols"] == ["surprise"]
+    assert row["missing_cols"] == ["commit"]
