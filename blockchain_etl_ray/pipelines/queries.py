@@ -1431,6 +1431,139 @@ def corpus_frequent_terms(sf_dir: str):
     )
 
 
+@register(
+    "corpus_prep_pipeline",
+    """
+    WITH RECURSIVE feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             CAST(ROUND(1000000.0 * len(regexp_extract_all(text, '[.!?,;:]'))
+                        / NULLIF(length(text), 0)) AS BIGINT) AS punct_x1m,
+             CAST(ROUND(1000000.0 * len(regexp_extract_all(text, '[0-9]'))
+                        / NULLIF(length(text), 0)) AS BIGINT) AS digit_x1m
+      FROM documents),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN feats f ON f.doc_id = d.doc_id
+      WHERE f.n_tokens >= 20 AND f.punct_x1m < 100000 AND f.digit_x1m < 300000),
+    uniq AS (
+      SELECT doc_id, text FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM uniq),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS w
+      FROM toks WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE c * 4 >= sa.n + sb.n - c),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    survivors AS (
+      SELECT u.doc_id FROM uniq u LEFT JOIN comp c ON c.node = u.doc_id
+      WHERE COALESCE(c.comp, u.doc_id) = u.doc_id)
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 10000 AS b
+          FROM survivors)
+    """,
+)
+def corpus_prep_pipeline(sf_dir: str):
+    """END-TO-END training-corpus preparation in one call — the composition a
+    reference user would run as their whole prep job: quality filter
+    (length/punct/digit gates) → exact dedup (min doc per content md5) →
+    TRANSITIVE near-dup survivors (exact token-Jaccard pairs → connected
+    components → keep min id per cluster) → deterministic 80/10/10 split
+    assignment.  Every stage is the already-oracled operator; the composition
+    is verified end-to-end against one SQL pipeline.  Survivor-id sets moving
+    between stages are ids only (never content); exact dedup runs BEFORE the
+    n²-bounded pair stage so duplicates shrink its input."""
+    import ray
+
+    from fractions import Fraction
+
+    from ..stages.cc import neardup_survivors
+    from ..stages.sampling import assign_split
+    from ..stages.ssjoin import token_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+
+    def quality_keep(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        nz = pc.if_else(pc.equal(n_chars, 0), pa.scalar(None, pa.int64()), n_chars)
+        n_tokens = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+
+        def ratio_x1m(pattern: str):
+            cnt = pc.cast(pc.count_substring_regex(txt, pattern), pa.int64())
+            frac = pc.divide(
+                pc.multiply(pc.cast(cnt, pa.float64()), 1_000_000.0),
+                pc.cast(nz, pa.float64()),
+            )
+            return pc.cast(
+                pc.round(frac, ndigits=0, round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, 20),
+            pc.and_(
+                pc.less(ratio_x1m(r"[.!?,;:]"), 100_000),
+                pc.less(ratio_x1m(r"[0-9]"), 300_000),
+            ),
+        )
+        return t.filter(keep)
+
+    kept = ds.map_batches(quality_keep, batch_format="pyarrow")
+
+    from ..stages import text as text_stage
+
+    fp = kept.map_batches(
+        text_stage.fingerprint_md5, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+    uniq_ids = _stable(
+        dedup.exact_dedup(fp, fingerprint_col="fingerprint", order_col="doc_id"),
+        [("doc_id", pa.int64()), ("fingerprint", pa.string())],
+    )
+    ids_tbl = pa.concat_tables(
+        [t for t in ray.get(uniq_ids.to_arrow_refs()) if t.num_rows]
+    ).select(["doc_id"])
+    uniq_docs = broadcast_semi_join(kept, ids_tbl, ["doc_id"])
+
+    pairs = token_jaccard_pairs(uniq_docs, threshold=Fraction(1, 4))
+    surv = neardup_survivors(uniq_docs.select_columns(["doc_id"]), pairs)
+    surv_ids = surv.map_batches(
+        lambda t: t.filter(pc.equal(t.column("survivor"), 1)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    out = assign_split(
+        surv_ids, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    ).select_columns(["doc_id", "split"])
+    return _stable(out, [("doc_id", pa.int64()), ("split", pa.string())])
+
+
 #: the SQL twin of functions/hashing.md5_prefix_u32 — first 4 md5 bytes of
 #: the key's decimal string form, as an unsigned int (sampling parity contract)
 _MD5U32_SQL = (
