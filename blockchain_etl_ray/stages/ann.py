@@ -148,10 +148,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     sample_size: int = 2048,
     exclude_self: bool = True,
+    refine_iters: int = 0,
 ) -> rd.Dataset:
     """IVF approximate top-k: the scale path for ANN.
 
     Train ``n_lists`` centroids on a driver-side sample (bounded, one pass);
+    ``refine_iters > 0`` additionally refines them against the FULL dataset
+    with :func:`kmeans_fit` (distributed Lloyd's) — the sample can miss small
+    clusters, which skews list sizes and recall at fixed n_probe;
     broadcast (centroids, queries) once; each batch task assigns its vectors
     to their nearest centroid and scores them ONLY against queries probing
     that centroid (each query probes its ``n_probe`` nearest lists), emitting
@@ -167,6 +171,10 @@ def ivf_topk(
     extra_m = _to_matrix(extra.column(vec_col))
     train = np.vstack([sample, extra_m])
     cent = kmeans_centroids(train, n_lists)
+    if refine_iters > 0:
+        cent, _ = kmeans_fit(
+            vectors, n_lists, vec_col=vec_col, max_iters=refine_iters
+        )
 
     qids = queries.column(id_col).to_pylist()
     qm = _to_matrix(queries.column(vec_col))

@@ -485,3 +485,30 @@ def test_kmeans_fit_empty_cluster_keeps_centroid():
     cent, _ = ann.kmeans_fit(rd.from_arrow(emb), k=3, max_iters=10)
     assert cent.shape == (3, 2)
     assert not np.isnan(cent).any()
+
+
+def test_ivf_refined_centroids_recall():
+    """refine_iters routes centroid training through the distributed
+    full-dataset Lloyd's; recall must stay at or above the sample-trained
+    bar on the fixture embeddings."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    queries = emb.filter(pc.less(pc.field("vec_id"), 5))
+    exact = (
+        ann.brute_force_topk(rd.from_arrow(emb), queries, k=10)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    approx = (
+        ann.ivf_topk(
+            rd.from_arrow(emb), queries, k=10, n_lists=16, n_probe=6,
+            refine_iters=5,
+        )
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
