@@ -888,6 +888,94 @@ class ReplayEngine:
             resolve_batch, batch_size=1, batch_format="pyarrow"
         )
 
+    def get_many(
+        self,
+        keys: list[tuple[str, str]],
+        upto: int | None = None,
+        include_deleted: bool = False,
+    ) -> pa.Table:
+        """Point lookups against the landed state — the reference's per-key
+        history query (J7: ``SELECT … WHERE address=? AND blknum<=? ORDER BY
+        blknum DESC LIMIT 1`` fanned out over a pool,
+        ``eth_balance_adapter.py:61-102``), re-expressed against the
+        hash-partitioned layout: keys group by their partition, ONLY the
+        partitions that own a requested key are resolved (one task each),
+        and each task filters to its keys before anything returns — cost is
+        O(touched partitions), not O(table).
+
+        Returns the matching STATE_SCHEMA rows (absent and — unless
+        ``include_deleted`` — tombstoned keys simply yield no row).
+        """
+        from ..functions.hashing import partition_ids
+
+        if not keys:
+            return STATE_SCHEMA.empty_table()
+        repos = pa.array([k[0] for k in keys], type=pa.string())
+        paths = pa.array([k[1] for k in keys], type=pa.string())
+        parts = partition_ids(repos, paths, self.config.num_partitions)
+        wanted: dict[int, list[int]] = {}
+        for i, p in enumerate(parts.to_pylist()):
+            wanted.setdefault(p, []).append(i)
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        plans = self.store.partition_plans(self.config.num_partitions, upto=upto)
+        import json as _json
+
+        salt_max = self.config.resolve_salt_max_pieces
+        items = []
+        for p, idxs in wanted.items():
+            plan = plans.get(p)
+            if plan is None or not (plan["pieces"] or plan["base"]):
+                continue
+            items.append(
+                {
+                    "plan": _json.dumps(plan),
+                    "repos": [keys[i][0] for i in idxs],
+                    "paths": [keys[i][1] for i in idxs],
+                }
+            )
+        if not items:
+            return STATE_SCHEMA.empty_table()
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            out = []
+            for row in batch.to_pylist():
+                t = resolve_plan(_json.loads(row["plan"]), salt_max_pieces=salt_max)
+                key = pc_.binary_join_element_wise(
+                    t.column("repo"), t.column("path"), "\x00"
+                )
+                want = pa.array(
+                    [f"{r}\x00{p}" for r, p in zip(row["repos"], row["paths"])]
+                )
+                t = t.filter(pc_.is_in(key, value_set=want))
+                if not include_deleted:
+                    t = t.filter(pc_.invert(t.column("deleted")))
+                out.append(t)
+            return pa.concat_tables(out) if out else STATE_SCHEMA.empty_table()
+
+        tables = [
+            b
+            for b in rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(lookup, batch_size=1, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        return (
+            pa.concat_tables(tables).cast(STATE_SCHEMA)
+            if tables
+            else STATE_SCHEMA.empty_table()
+        )
+
+    def get(
+        self, repo: str, path: str, upto: int | None = None
+    ) -> dict | None:
+        """Single-key point lookup; None when absent or tombstoned."""
+        t = self.get_many([(repo, path)], upto=upto)
+        return t.to_pylist()[0] if t.num_rows else None
+
     def export_state(self, dest: str, upto: int | None = None) -> dict:
         """Export the primary table as ONE Parquet file per partition plus a
         ``manifest.json`` — the K1 partitioned-file-exporter analog, and the

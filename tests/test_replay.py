@@ -182,3 +182,34 @@ def test_read_path_column_pruning_and_zone_map(tmp_path):
     exp = live_rows(fold_events(str(d)))
     assert len(got) == len(exp)
     assert got["content_sha256"].tolist() == [r["content_sha256"] for r in exp]
+
+
+def test_point_lookups_match_oracle(small_corpus, tmp_path):
+    """get/get_many resolve ONLY the partitions owning the requested keys and
+    agree with the fold oracle for present, deleted, and absent keys."""
+    from blockchain_etl_ray.fixtures.oracle import fold_events
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+    ev = small_corpus["dir"]
+    eng = ReplayEngine(str(tmp_path / "st_pt"), ReplayConfig(num_partitions=8))
+    eng.replay(ev)
+    state = fold_events(ev)
+    live = [(k, r) for k, r in state.items() if not r["deleted"]][:25]
+    dead = [(k, r) for k, r in state.items() if r["deleted"]][:5]
+
+    got = eng.get_many([k for k, _ in live])
+    by_key = {(r["repo"], r["path"]): r for r in got.to_pylist()}
+    assert len(by_key) == len(live)
+    for k, exp in live:
+        assert by_key[k]["content_sha256"] == exp["content_sha256"], k
+        assert by_key[k]["ordinal"] == exp["ordinal"], k
+
+    # tombstoned keys yield nothing by default, their tombstone on request
+    if dead:
+        k0 = dead[0][0]
+        assert eng.get(*k0) is None
+        t = eng.get_many([k0], include_deleted=True)
+        assert t.num_rows == 1 and t.to_pylist()[0]["deleted"] is True
+
+    assert eng.get("no/such-repo", "nope.py") is None
+    assert eng.get_many([]).num_rows == 0
