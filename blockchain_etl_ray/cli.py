@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--out", required=True)
     ep.add_argument("--partitions", type=int, default=32)
 
+    gp2 = sub.add_parser(
+        "get", help="point lookup of one key against the landed state"
+    )
+    gp2.add_argument("--state", required=True)
+    gp2.add_argument("--partitions", type=int, default=32)
+    gp2.add_argument("--repo", required=True)
+    gp2.add_argument("--path", required=True)
+
     dp = sub.add_parser(
         "drift",
         help="schema-drift report vs the canonical event schema "
@@ -247,6 +255,10 @@ def main(argv: list[str] | None = None) -> int:
             default_ordinal=args.default_ordinal,
         )
         print(json.dumps(summary))
+    elif args.cmd == "get":
+        row = engine.get(args.repo, args.path)
+        print(json.dumps(row, default=str) if row else "null")
+        return 0 if row else 4
     elif args.cmd == "export-state":
         manifest = engine.export_state(args.out)
         print(json.dumps({k: manifest[k] for k in
