@@ -237,3 +237,40 @@ def test_export_state_bulk_load_round_trip(corpus, tmp_path):
     fa, fb = _state_df(src), _state_df(dst)
     assert fa["content_sha256"].tolist() == fb["content_sha256"].tolist()
     assert dst.gaps(corpus) == []
+
+
+def test_reconcile_after_bulk_load_folds_log_truth(corpus, tmp_path):
+    """Documented interaction: when the covered epochs ARE also present in
+    the event log, a full-audit reconcile treats them as newly appeared
+    files and folds the LOG's truth in — after which state equals the full
+    replay oracle even if the snapshot had diverged from the log."""
+    partial = _partial_dir(corpus, tmp_path, 5)
+    snap_dir, covered = _snapshot_with_ops(partial, tmp_path / "snap_rec")
+
+    # corrupt the snapshot AFTER building it: drop ~10% of its rows, so the
+    # seeded state genuinely diverges from what the log says
+    f = Path(snap_dir) / "snapshot.parquet"
+    t = pq.read_table(f)
+    pq.write_table(t.slice(0, int(t.num_rows * 0.9)), f)
+
+    eng = ReplayEngine(str(tmp_path / "st_rec"), ReplayConfig(**CFG))
+    eng.bulk_load(snap_dir, covered_epochs=covered)
+    eng.replay(corpus)  # epochs > 5
+
+    full = ReplayEngine(str(tmp_path / "st_rec_full"), ReplayConfig(**CFG))
+    full.replay(corpus)
+
+    # divergence is real before the audit (the dropped keys are missing
+    # unless later epochs re-touched them)
+    a0 = _state_df(eng)
+    b = _state_df(full)
+
+    out = eng.reconcile(corpus)  # full-history audit
+    assert out["diverged_epochs"] == covered
+    a1 = _state_df(eng)
+    assert len(a1) == len(b)
+    assert a1["content_sha256"].tolist() == b["content_sha256"].tolist()
+    assert a1["ordinal"].tolist() == b["ordinal"].tolist()
+    # and a repeated audit is a no-op
+    out2 = eng.reconcile(corpus)
+    assert out2["diverged_epochs"] == []
