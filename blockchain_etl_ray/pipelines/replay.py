@@ -988,7 +988,14 @@ class ReplayEngine:
         merge-on-read machinery as :meth:`read_state`); the manifest records
         per-file row counts + covered epochs, so a partial/failed export is
         detectable (no manifest = no export) and re-running overwrites
-        atomically."""
+        atomically.  ``upto`` exports a time-travel snapshot (bounded by
+        compaction retention, like :meth:`read_state`).
+
+        Entity/derived tables are NOT exported: a bulk-load of the export
+        re-derives them from the seed rows, which reproduces LWW head tables
+        exactly but RESTARTS additive counters from the snapshot rather than
+        migrating their accumulated history — the snapshot is a fresh
+        history as far as per-delivery counting is concerned."""
         import json as _json
 
         versions = self.store.committed_versions()

@@ -274,3 +274,25 @@ def test_reconcile_after_bulk_load_folds_log_truth(corpus, tmp_path):
     # and a repeated audit is a no-op
     out2 = eng.reconcile(corpus)
     assert out2["diverged_epochs"] == []
+
+
+def test_export_state_time_travel(corpus, tmp_path):
+    """export_state(upto=) exports the exact snapshot after apply step K —
+    identical to read_state(upto=K) at the time and STABLE after more
+    epochs land."""
+    eng = ReplayEngine(str(tmp_path / "st_tt"), ReplayConfig(**CFG))
+    eng.replay(corpus, upto_epoch=5)
+    v = eng.store.committed_versions()[-1]
+    snap_then = (
+        eng.read_state(upto=v, include_deleted=True)
+        .to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    eng.replay(corpus)  # more history lands
+    manifest = eng.export_state(str(tmp_path / "exp_tt"), upto=v)
+    got = (
+        pd.concat([pq.read_table(f["file"]).to_pandas() for f in manifest["files"]])
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(snap_then)
+    assert got["content_sha256"].tolist() == snap_then["content_sha256"].tolist()
+    assert got["ordinal"].tolist() == snap_then["ordinal"].tolist()
