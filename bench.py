@@ -103,6 +103,11 @@ def run_bench() -> dict:
             with open(os.path.join(corpus, f), "rb") as fh:
                 while fh.read(1 << 24):
                     pass
+    # flush writeback (untimed): when THIS process just generated the corpus,
+    # a 12 GB dirty-page flush would otherwise compete with the timed replay's
+    # reads — measured as a 2.7x hi-level slowdown (0.449 efficiency artifact,
+    # see BASELINE.md).  No-op when the corpus was already on disk.
+    os.sync()
 
     # spawn + warm Ray workers (untimed): worker process startup and first
     # imports otherwise land inside the first apply step
