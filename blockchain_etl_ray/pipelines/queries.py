@@ -1900,6 +1900,37 @@ def embedding_kmeans_sizes(sf_dir: str):
     return _stable(out, [("cluster", pa.int64()), ("n_members", pa.int64())])
 
 
+@register("semantic_dedup_survivors", None)
+def semantic_dedup_survivors(sf_dir: str):
+    """SemDeDup-shaped semantic dedup over the embedding table: distributed
+    k-means blocks the space, pairwise cosine runs ONLY within clusters
+    (bounded n², oversized clusters sub-split with a loud warning), and the
+    pair graph collapses to transitive survivor groups.  Rows-only: the
+    clustering step is not SQL-expressible; exact one-cluster parity with
+    brute-force + union-find and blocked planted-dup recall are asserted in
+    pytest."""
+    from ..stages.ann import semantic_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        # plant exact duplicates (same convention as cosine_exact_dup_pairs:
+        # vec_id % 100 == 0 re-inserted at id + 1_000_000) INSIDE the task
+        extra = t.filter(pc.equal(_mod(t.column("vec_id"), 100), 0))
+        extra = extra.set_column(
+            t.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(extra.column("vec_id"), 1_000_000),
+        )
+        return pa.concat_tables([t, extra])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return _stable(
+        semantic_dedup(ds, n_clusters=8, threshold=0.999),
+        [("vec_id", pa.int64()), ("comp", pa.int64()), ("survivor", pa.int32())],
+    )
+
+
 @register("ann_ivf_topk", None)
 def ann_ivf_topk(sf_dir: str):
     """IVF approximate top-k (the ANN scale path; rows-only — approximate by

@@ -621,3 +621,112 @@ def kmeans_fit(
         if shift < tol:
             break
     return cent, iters_run
+
+
+def semantic_dedup(
+    vectors: rd.Dataset,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 8192,
+    refine_iters: int = 5,
+    group_parts: int = 16,
+) -> rd.Dataset:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space with the distributed k-means, compare
+    vectors PAIRWISE ONLY WITHIN their cluster (cosine >= ``threshold``),
+    then collapse the pair graph to TRANSITIVE clusters and keep the
+    minimum id per duplicate group.
+
+    Returns ``(vec_id, comp, survivor)`` over every input vector (the
+    :func:`~blockchain_etl_ray.stages.cc.neardup_survivors` contract).
+
+    Scale shape: the all-pairs cost is bounded per CLUSTER, not corpus-wide
+    — k-means is the blocking function (near-dups land in the same cluster
+    because they are near the same centroid).  An oversized cluster is
+    sub-split deterministically by an id hash with a loud warning (same
+    policy as the LSH bucket cap): pairs ACROSS sub-splits of one cluster
+    are missed, trading bounded task time for recall exactly like the
+    reference of every blocked dedup.  Boundary pairs whose members fall in
+    different clusters are missed by construction (the SemDeDup tradeoff);
+    planted-dup recall is asserted in pytest.
+    """
+    import warnings
+
+    from .cc import neardup_survivors
+
+    cent, _ = kmeans_fit(
+        vectors, n_clusters, vec_col=vec_col, max_iters=refine_iters
+    )
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t.column(vec_col))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cluster = (m @ c.T).argmax(axis=1).astype(np.int64)
+        n, d = m.shape
+        flat = np.ascontiguousarray(m)
+        offs = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int64)
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cluster),
+                "blob": blob,
+            }
+        )
+
+    assigned = vectors.map_batches(assign, batch_format="pyarrow")
+
+    def within_cluster_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _blob_matrix(g.column("blob"))
+        out_a, out_b = [], []
+        # deterministic sub-split of an oversized cluster (bounded n^2)
+        n_sub = max(1, -(-len(ids) // max_cluster))
+        if n_sub > 1:
+            warnings.warn(
+                f"semantic_dedup: cluster of {len(ids)} vectors sub-split "
+                f"{n_sub}x at max_cluster={max_cluster}; cross-split pairs "
+                "are missed (bounded-task-time tradeoff)"
+            )
+        sub = (ids % n_sub) if n_sub > 1 else np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_sub):
+            sel = np.nonzero(sub == s)[0]
+            if len(sel) < 2:
+                continue
+            ms = m[sel]
+            sims = ms @ ms.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            ia, ib = ids[sel[ai]], ids[sel[bi]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=pa.int64()),
+                "id_b": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        assigned.groupby("cluster")
+        .map_groups(within_cluster_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    ids_only = vectors.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column(id_col).combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return neardup_survivors(
+        ids_only, pairs, id_col="vec_id", group_parts=group_parts
+    )

@@ -512,3 +512,78 @@ def test_ivf_refined_centroids_recall():
     )
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_semantic_dedup_matches_bruteforce_with_one_cluster():
+    """n_clusters=1 removes the blocking approximation: survivors must equal
+    all-pairs cosine dedup + union-find exactly."""
+    from blockchain_etl_ray.stages import ann
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 12))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant near-dup chains: 40..44 are jittered copies of 0..4; 45 of 40
+    pts = np.vstack([base, base[:5] + 0.001 * rng.normal(size=(5, 12)),
+                     base[0] + 0.002 * rng.normal(size=12)])
+    ids = np.arange(len(pts))
+    emb = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(map(list, pts)))})
+    got = (
+        ann.semantic_dedup(rd.from_arrow(emb), n_clusters=1, threshold=0.999)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # brute force
+    ptsn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = ptsn @ ptsn.T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.999:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp_members = {}
+    for i in range(len(ids)):
+        comp_members.setdefault(find(i), []).append(i)
+    exp_comp = {}
+    for members in comp_members.values():
+        m = min(members)
+        for i in members:
+            exp_comp[i] = m
+    assert dict(zip(got["vec_id"], got["comp"])) == exp_comp
+    surv = dict(zip(got["vec_id"], got["survivor"]))
+    assert all(surv[i] == (1 if exp_comp[i] == i else 0) for i in exp_comp)
+    assert sum(surv.values()) < len(ids)  # the planted dups were retired
+
+
+def test_semantic_dedup_blocked_recall_on_planted_tight_dups():
+    """With real clustering, jittered copies land in the same cluster and are
+    retired; well-separated vectors all survive."""
+    from blockchain_etl_ray.stages import ann
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup_src = np.arange(0, 120, 6)
+    dups = base[dup_src] + 0.0005 * rng.normal(size=(len(dup_src), 16))
+    pts = np.vstack([base, dups])
+    emb = pa.table(
+        {"vec_id": pa.array(np.arange(len(pts))), "embedding": pa.array(list(map(list, pts)))}
+    )
+    got = (
+        ann.semantic_dedup(rd.from_arrow(emb), n_clusters=6, threshold=0.999)
+        .to_pandas()
+    )
+    surv = dict(zip(got["vec_id"], got["survivor"]))
+    retired = [i for i, s in surv.items() if s == 0]
+    # every retired vector is one of the planted dup pair members
+    planted = set(dup_src.tolist()) | set(range(120, 120 + len(dup_src)))
+    assert set(retired) <= planted
+    # and most planted dups were caught (same-cluster blocking)
+    assert len(retired) >= int(0.8 * len(dup_src))
