@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Mirror of the driver's CORRECTNESS gate, runnable standalone.
+
+For every SQL-paired entry in the catalog: run the Ray pipeline, consume it
+BLOCK-LEVEL (``pa.concat_tables`` over ``to_arrow_refs()`` — strict, so a
+schemaless empty block fails here and not only in the driver), run the oracle
+SQL through DuckDB on the same parquet tables, canonicalize both sides
+(columns sorted by name, rows sorted by all columns) and compare values
+exactly (1e-9 tolerance for float columns only).
+
+Usage:
+    python tools/oracle_sweep.py [SF_DIR]      # default /root/testdata/sf0.01
+Prints one JSON line {"fails": [...], "n": N, "times": {...}}; exit 0 iff
+no failures.  Run it on an IDLE machine — contention skews nothing here
+correctness-wise, but the per-query times become meaningless.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    fails, times = [], {}
+    for name, (fn, sql) in sorted(registry().items()):
+        if sql is None:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            if isinstance(res, rd.Dataset):
+                tabs = [ray.get(r) for r in res.to_arrow_refs()]
+                got = pa.concat_tables(tabs).to_pandas() if tabs else pd.DataFrame()
+            elif isinstance(res, pa.Table):
+                got = res.to_pandas()
+            else:
+                got = res
+            exp = con.execute(sql).fetchdf()
+            g, e = canon(got), canon(exp)
+            ok = len(g) == len(e) and list(g.columns) == list(e.columns)
+            if ok:
+                e2 = e.astype(g.dtypes.to_dict())
+                ok = g.equals(e2) or all(
+                    (
+                        g[c].equals(e2[c])
+                        or (
+                            pd.api.types.is_float_dtype(g[c])
+                            and ((g[c] - e2[c]).abs() < 1e-9).all()
+                        )
+                    )
+                    for c in g.columns
+                )
+            if not ok:
+                fails.append(name)
+        except Exception as ex:  # noqa: BLE001 - a sweep reports, never halts
+            fails.append(f"{name}: {ex!r}")
+        times[name] = round(time.time() - t0, 2)
+    print(json.dumps({"fails": fails, "n": len(times), "times": times}))
+    ray.shutdown()
+    return 0 if not fails else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
