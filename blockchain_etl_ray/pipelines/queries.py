@@ -1564,6 +1564,43 @@ def corpus_prep_pipeline(sf_dir: str):
     return _stable(out, [("doc_id", pa.int64()), ("split", pa.string())])
 
 
+@register(
+    "doc_weighted_sample",
+    """
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    ORDER BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / length(text),
+             doc_id
+    LIMIT 40
+    """,
+)
+def doc_weighted_sample(sf_dir: str):
+    """Deterministic size-weighted sample (40 docs, weight = length): the
+    content hash plays the uniform variate, priority = hash/weight ascending
+    — one exactly-rounded IEEE double division on both engines, so the
+    sample is bit-identical to the SQL oracle (no RNG, no float threshold;
+    scheduling/partition/retry-invariant like every sampling operator)."""
+    from ..stages.sampling import weighted_priority_sample
+
+    def chars(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chars, batch_format="pyarrow"
+    )
+    out = weighted_priority_sample(ds, "doc_id", "n_chars", k=40).select_columns(
+        ["doc_id", "n_chars"]
+    )
+    return _stable(out, [("doc_id", pa.int64()), ("n_chars", pa.int64())])
+
+
 #: the SQL twin of functions/hashing.md5_prefix_u32 — first 4 md5 bytes of
 #: the key's decimal string form, as an unsigned int (sampling parity contract)
 _MD5U32_SQL = (

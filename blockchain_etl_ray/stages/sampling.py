@@ -210,3 +210,59 @@ def pack_sequences(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def weighted_priority_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> rd.Dataset:
+    """Deterministic weighted sample of ``k`` rows: priority =
+    ``md5_u32(key) / weight`` (ascending), so heavier rows draw smaller
+    priorities and are selected more often — the hash plays the uniform
+    variate of a weighted-priority sample (the deterministic cousin of
+    Efraimidis-Spirakis reservoir sampling; like every operator in this
+    module it is scheduling/partition/retry-invariant, and NOT the exact
+    E-S inclusion distribution — documented tradeoff for exactness of the
+    oracle).
+
+    Cross-engine parity: the priority is ONE IEEE-754 double division of
+    exact integer-representable operands — exactly rounded, so DuckDB
+    computes the bit-identical double (oracle: ``ORDER BY
+    md5_u32(key)/weight, key LIMIT k``).  Ties break by key.
+
+    Scale shape: per-batch local top-k (combiner) → one final small fold —
+    the shuffle carries O(k × batches) rows, never the corpus.  Weights
+    must be positive integers (raises otherwise).
+    """
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column(key_col), pa.string())
+        h = md5_prefix_u32(keys).astype(np.float64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        if len(w) and (w <= 0).any():
+            raise ValueError("weighted_priority_sample requires positive weights")
+        prio = h / w.astype(np.float64)
+        sub = t.append_column("_prio", pa.array(prio))
+        order = pc.sort_indices(
+            sub, sort_keys=[("_prio", "ascending"), (key_col, "ascending")]
+        )
+        return sub.take(order[:k])
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("_prio", "ascending"), (key_col, "ascending")]
+        )
+        return g.take(order[:k]).drop_columns(["_prio", "_one"])
+
+    # single final group: every partial row carries the same constant key
+    withg = partials.map_batches(
+        lambda t: t.append_column(
+            "_one", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    return withg.groupby("_one").map_groups(final, batch_format="pyarrow")

@@ -119,3 +119,35 @@ def test_pack_sequences_oversized_doc_gets_own_bin():
     assert (out["bin_id"] == big["bin_id"].iloc[0]).sum() == 1
     small = out[out.doc_id != 1]
     assert small["bin_id"].nunique() == 1  # 10+20 fit one bin
+
+
+def test_weighted_priority_sample_partition_invariant():
+    """Same selection regardless of block layout (combiner correctness),
+    heavier rows overrepresented vs a uniform hash sample."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.sampling import weighted_priority_sample
+
+    n = 2_000
+    ids = list(range(n))
+    w = [1 if i % 2 == 0 else 100 for i in ids]  # odd ids are 100x heavier
+    t = pa.table({"k": pa.array(ids, type=pa.int64()), "w": pa.array(w, type=pa.int64())})
+    sel1 = sorted(
+        weighted_priority_sample(rd.from_arrow(t), "k", "w", k=100)
+        .to_pandas()["k"].tolist()
+    )
+    sel2 = sorted(
+        weighted_priority_sample(
+            rd.from_arrow(t).repartition(17), "k", "w", k=100
+        ).to_pandas()["k"].tolist()
+    )
+    assert sel1 == sel2
+    heavy = sum(1 for k in sel1 if k % 2 == 1)
+    assert heavy > 80  # 100x weight dominates the sample
+    # positive-weight contract
+    bad = pa.table({"k": pa.array([1], type=pa.int64()), "w": pa.array([0], type=pa.int64())})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="positive weights"):
+        weighted_priority_sample(rd.from_arrow(bad), "k", "w", k=1).to_pandas()
