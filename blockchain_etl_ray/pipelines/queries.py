@@ -1564,6 +1564,22 @@ def corpus_prep_pipeline(sf_dir: str):
     return _stable(out, [("doc_id", pa.int64()), ("split", pa.string())])
 
 
+@register("event_value_quantiles_sketch", None)
+def event_value_quantiles_sketch(sf_dir: str):
+    """Approximate grouped quantiles via mergeable t-digest (Dunning & Ertl
+    2019) — the sketch-family member for UNBOUNDED value domains where the
+    exact histogram percentiles (`event_value_percentiles`) don't apply.
+    Per-batch centroid partials (O(200) floats per group per batch, never
+    the values) merged in one small groupby.  Rows-only: approximate by
+    design; rank-error bounds vs exact quantiles are asserted in pytest."""
+    from ..stages.sketch import grouped_tdigest_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_tdigest_quantiles(
+        ds, "event_type", "value", quantiles=(0.5, 0.95)
+    )
+
+
 @register(
     "doc_weighted_sample",
     """

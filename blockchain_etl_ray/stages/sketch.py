@@ -365,3 +365,182 @@ def frequent_terms(
     return stabilize(
         exact, pa.schema([("term", pa.string()), ("n_term", pa.int64())])
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (merging t-digest, Dunning & Ertl 2019)
+# ---------------------------------------------------------------------------
+
+
+def _tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, max_centroids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted (mean, weight) centroids down to <= max_centroids using
+    the k1 scale function's size bound: centroid i may absorb neighbors while
+    its weight stays under ``4 * total * q(1-q) / max_centroids`` (the
+    merging-digest bound — more resolution at the tails, where quantile
+    queries need it)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    if total == 0 or len(means) <= max_centroids // 2:
+        return means, weights
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    cum = 0.0
+    for i in range(1, len(means)):
+        q = (cum + cur_w / 2) / total
+        cap = max(1.0, 4.0 * total * q * (1.0 - q) / max_centroids)
+        if cur_w + weights[i] <= cap:
+            nw = cur_w + float(weights[i])
+            cur_m += (float(means[i]) - cur_m) * float(weights[i]) / nw
+            cur_w = nw
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = float(means[i]), float(weights[i])
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_partial(
+    values: np.ndarray, max_centroids: int = 200
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """One batch -> a compressed (means, weights, min, max) digest."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return np.empty(0), np.empty(0), np.inf, -np.inf
+    m, w = _tdigest_compress(v, np.ones(len(v)), max_centroids)
+    return m, w, float(v.min()), float(v.max())
+
+
+def tdigest_merge(
+    parts: list[tuple[np.ndarray, np.ndarray, float, float]],
+    max_centroids: int = 200,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Associative merge: concatenate centroids, re-compress.  Order of
+    merging only perturbs centroid boundaries, not the rank bound."""
+    if not parts:
+        return np.empty(0), np.empty(0), np.inf, -np.inf
+    means = np.concatenate([p[0] for p in parts])
+    weights = np.concatenate([p[1] for p in parts])
+    lo = min(p[2] for p in parts)
+    hi = max(p[3] for p in parts)
+    if len(means) == 0:
+        return means, weights, lo, hi
+    m, w = _tdigest_compress(means, weights, max_centroids)
+    return m, w, lo, hi
+
+
+def tdigest_quantile(
+    digest: tuple[np.ndarray, np.ndarray, float, float], q: float
+) -> float:
+    """Quantile estimate: linear interpolation between centroid midpoints,
+    clamped to the exact observed min/max."""
+    means, weights, lo, hi = digest
+    if len(means) == 0:
+        return float("nan")
+    total = weights.sum()
+    cum = np.cumsum(weights) - weights / 2
+    target = q * total
+    return float(np.clip(np.interp(target, cum, means), lo, hi))
+
+
+def grouped_tdigest_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    max_centroids: int = 200,
+) -> rd.Dataset:
+    """Approximate grouped quantiles for UNBOUNDED value domains — the
+    missing member of the sketch family (HLL distinct counts, Misra-Gries
+    heavy hitters, Bloom membership; exact histogram percentiles cover only
+    bounded integer domains, ``stages/hashagg.py::grouped_percentiles``).
+    Merging t-digest (Dunning & Ertl 2019, "Computing extremely accurate
+    quantiles using t-digests"): per-batch (group -> compressed centroid
+    set) partials — O(max_centroids) floats per group per batch, never the
+    values — one small groupby merges them associatively, quantiles read
+    off the merged digest.  Rank error concentrates near the median and
+    vanishes at the tails (the k1 size bound); accuracy vs exact quantiles
+    is asserted in pytest on skewed data.
+
+    Returns ``(group, q, value)`` rows, one per requested quantile.
+    """
+    from .stabilize import stabilize
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = []
+        for g in np.unique(groups):
+            m, w, lo, hi = tdigest_partial(vals[groups == g], max_centroids)
+            out.append(
+                {
+                    group_col: g,
+                    "means": m.tobytes(),
+                    "weights": w.tobytes(),
+                    "lo": lo,
+                    "hi": hi,
+                }
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    (group_col, t.schema.field(group_col).type),
+                    ("means", pa.large_binary()),
+                    ("weights", pa.large_binary()),
+                    ("lo", pa.float64()),
+                    ("hi", pa.float64()),
+                ]
+            ),
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        parts = [
+            (
+                np.frombuffer(m, dtype=np.float64),
+                np.frombuffer(w, dtype=np.float64),
+                lo,
+                hi,
+            )
+            for m, w, lo, hi in zip(
+                g.column("means").to_pylist(),
+                g.column("weights").to_pylist(),
+                g.column("lo").to_pylist(),
+                g.column("hi").to_pylist(),
+            )
+        ]
+        digest = tdigest_merge(parts, max_centroids)
+        key = g.column(group_col)[0]
+        return pa.table(
+            {
+                group_col: pa.array([key.as_py()] * len(quantiles), type=key.type),
+                "q": pa.array(list(quantiles), type=pa.float64()),
+                "value": pa.array(
+                    [tdigest_quantile(digest, q) for q in quantiles],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    key_type = ds.schema().base_schema.field(group_col).type
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+    return stabilize(
+        out,
+        pa.schema(
+            [
+                (group_col, key_type),
+                ("q", pa.float64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )

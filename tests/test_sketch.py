@@ -187,3 +187,71 @@ def test_frequent_terms_empty_corpus():
     ds = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
     out = frequent_terms(ds, percent=1)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Mergeable t-digest quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_accuracy_on_skewed_data():
+    from blockchain_etl_ray.stages.sketch import (
+        tdigest_merge,
+        tdigest_partial,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(2)
+    vals = rng.lognormal(mean=1.0, sigma=1.5, size=100_000)
+    # sketch built from 50 independent partials (the distributed shape)
+    parts = [tdigest_partial(c) for c in np.array_split(vals, 50)]
+    digest = tdigest_merge(parts)
+    s = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+        est = tdigest_quantile(digest, q)
+        # rank error: where does the estimate land in the true CDF?
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+    # exact min/max preserved
+    assert tdigest_quantile(digest, 0.0) == s[0]
+    assert tdigest_quantile(digest, 1.0) == s[-1]
+
+
+def test_tdigest_merge_split_invariant_within_tolerance():
+    from blockchain_etl_ray.stages.sketch import (
+        tdigest_merge,
+        tdigest_partial,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=20_000)
+    d1 = tdigest_merge([tdigest_partial(c) for c in np.array_split(vals, 7)])
+    d2 = tdigest_merge([tdigest_partial(c) for c in np.array_split(vals, 33)])
+    for q in (0.1, 0.5, 0.9):
+        a, b = tdigest_quantile(d1, q), tdigest_quantile(d2, q)
+        assert abs(a - b) < 0.05, (q, a, b)
+
+
+def test_grouped_tdigest_quantiles_vs_exact():
+    from blockchain_etl_ray.stages.sketch import grouped_tdigest_quantiles
+
+    rng = np.random.default_rng(4)
+    groups = np.repeat(["a", "b"], 30_000)
+    vals = np.concatenate(
+        [rng.exponential(5.0, 30_000), rng.normal(100.0, 10.0, 30_000)]
+    )
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals)})
+    out = (
+        grouped_tdigest_quantiles(
+            rd.from_arrow(t).repartition(16), "g", "v", quantiles=(0.5, 0.95)
+        )
+        .to_pandas()
+        .set_index(["g", "q"])["value"]
+    )
+    for g, arr in (("a", vals[:30_000]), ("b", vals[30_000:])):
+        s = np.sort(arr)
+        for q in (0.5, 0.95):
+            est = out[(g, q)]
+            rank = np.searchsorted(s, est) / len(s)
+            assert abs(rank - q) < 0.02, (g, q, est, rank)
