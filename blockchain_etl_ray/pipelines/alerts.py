@@ -179,11 +179,19 @@ class AlertSet:
 
             receivers:
               audit: {receiver: jsonl, init_args: {path: /tmp/a.jsonl}}
+            lookups:          # optional: BroadcastLookup services bound as
+              label_of:       # rule UDFs (refreshed per poll by AlertAdapter)
+                path: labels.parquet     # relative to this config file
+                key: user_id
+                value: label
+                default: none
             rules:            # or  rules: !include rules.yaml
               - name: big_purchase
                 rule: "event_type == 'purchase' and value > {{ threshold }}"
                 receivers: [audit]
         """
+        import os as _os
+
         data = load_config_yaml(path, var_dir)
         alerts = [
             Alert(
@@ -193,7 +201,21 @@ class AlertSet:
             )
             for r in (data.get("rules") or [])
         ]
-        return cls(alerts, receiver_configs=data.get("receivers") or {})
+        udfs = {}
+        base = _os.path.dirname(_os.path.abspath(path))
+        for name, spec in (data.get("lookups") or {}).items():
+            from ..functions.rules import BroadcastLookup
+
+            p = spec["path"]
+            udfs[name] = BroadcastLookup(
+                p if _os.path.isabs(p) else _os.path.join(base, p),
+                spec["key"],
+                spec["value"],
+                default=spec.get("default"),
+            )
+        return cls(
+            alerts, receiver_configs=data.get("receivers") or {}, udfs=udfs
+        )
 
     def matches(self, ds: rd.Dataset) -> rd.Dataset:
         """One map_batches pass emitting (rule, *row) for every match."""

@@ -167,13 +167,23 @@ class AlertAdapter(_DirHead, TailAdapter):
     ``last_synced_block.txt`` analog (``streamer.py:173-196``), giving
     exactly-once alerting per epoch across restarts WITHOUT a state store."""
 
-    def __init__(self, alert_set, events_dir: str, cursor_path: str, lookups=()):
+    def __init__(
+        self, alert_set, events_dir: str, cursor_path: str, lookups=None
+    ):
         """``lookups``: BroadcastLookup services refreshed BEFORE each poll's
         rule evaluation (the reference's per-epoch label/price cache refresh,
-        SURVEY §2.8 ST5) — an unchanged source file re-ships nothing."""
+        SURVEY §2.8 ST5) — an unchanged source file re-ships nothing.
+        Defaults to every refreshable UDF bound into the alert set (the
+        YAML ``lookups:`` section lands there)."""
         super().__init__(events_dir)
         self.alert_set = alert_set
         self.cursor_path = cursor_path
+        if lookups is None:
+            lookups = [
+                u
+                for u in getattr(alert_set, "udfs", {}).values()
+                if hasattr(u, "refresh")
+            ]
         self.lookups = tuple(lookups)
 
     def _cursor(self) -> int:

@@ -150,3 +150,48 @@ def test_check_conf_validates_against_canonical_sample(tmp_path):
     rep2 = check_conf(str(tmp_path / "ok.yaml"), sample)
     assert rep2["ok"] is True
     assert rep2["rules"]["purchases"]["sample_matches"] == 1
+
+
+def test_yaml_lookups_bind_and_refresh(tmp_path):
+    """The rule-set YAML `lookups:` section instantiates BroadcastLookup
+    services bound as rule UDFs; AlertAdapter refreshes them per poll by
+    default."""
+    import pyarrow.parquet as pq_
+
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.alerts import AlertSet
+    from blockchain_etl_ray.sources.adapters import AlertAdapter
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=1_500, seed=8, n_epochs=3)
+    some_repo = pq_.read_table(
+        sorted(events.glob("epoch=*.parquet"))[0], columns=["repo"]
+    ).column("repo")[0].as_py()
+    pq_.write_table(
+        pa.table({"repo": pa.array([some_repo]), "label": pa.array(["watch"])}),
+        tmp_path / "labels.parquet",
+    )
+    (tmp_path / "rules.yaml").write_text(
+        "receivers:\n"
+        "  mem: {receiver: memory, init_args: {}}\n"
+        "lookups:\n"
+        "  label_of: {path: labels.parquet, key: repo, value: label, default: none}\n"
+        "rules:\n"
+        "  - name: watched\n"
+        "    rule: \"label_of(repo) == 'watch'\"\n"
+        "    receivers: [mem]\n"
+    )
+    aset = AlertSet.from_yaml(str(tmp_path / "rules.yaml"))
+    ad = AlertAdapter(aset, str(events), str(tmp_path / "cur.txt"))
+    assert len(ad.lookups) == 1  # auto-wired from the YAML section
+    out1 = ad.poll(target=0)
+    assert out1["alerts"]["watched"] > 0
+    import time
+
+    time.sleep(0.01)
+    pq_.write_table(
+        pa.table({"repo": pa.array([some_repo]), "label": pa.array(["ok"])}),
+        tmp_path / "labels.parquet",
+    )
+    out2 = ad.poll(target=2)
+    assert out2["alerts"]["watched"] == 0
