@@ -304,6 +304,44 @@ def check_conf(
         }
         report["ok"] &= ok
 
+    # offline lookup binding: validate each declared lookup file and bind a
+    # LOCAL (no Ray, no broadcast) vectorized mapper so lookup-using rules
+    # parse AND evaluate against the canonical sample
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    udfs: dict = {}
+    report["lookups"] = {}
+    base = _os.path.dirname(_os.path.abspath(path))
+    for lname, spec in (data.get("lookups") or {}).items():
+        p = spec.get("path", "")
+        p = p if _os.path.isabs(p) else _os.path.join(base, p)
+        try:
+            t = _pq.read_table(p, columns=[spec["key"], spec["value"]])
+            keys = t.column(spec["key"]).combine_chunks()
+            vals = t.column(spec["value"]).combine_chunks()
+            default = spec.get("default")
+
+            def _mk(keys=keys, vals=vals, default=default):
+                def f(col):
+                    idx = pc.index_in(col, value_set=keys)
+                    out = pc.take(vals, idx)
+                    if default is not None:
+                        out = pc.coalesce(out, pa.scalar(default, vals.type))
+                    return out
+
+                return f
+
+            udfs[lname] = _mk()
+            report["lookups"][lname] = {"ok": True, "error": None,
+                                        "n_keys": t.num_rows}
+        except Exception as e:  # noqa: BLE001 - collected into the report
+            report["lookups"][lname] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}", "n_keys": None
+            }
+            report["ok"] = False
+
     seen: set[str] = set()
     for r in data.get("rules") or []:
         name = r.get("name") or r.get("id") or "<unnamed>"
@@ -317,7 +355,7 @@ def check_conf(
                      "sample_matches": None, "suspicious": False}
         else:
             try:
-                mask = compile_rule(r["rule"])(sample)
+                mask = compile_rule(r["rule"], udfs=udfs)(sample)
                 n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
                 entry["sample_matches"] = int(n)
                 entry["suspicious"] = n == 0

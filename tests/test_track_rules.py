@@ -195,3 +195,39 @@ def test_yaml_lookups_bind_and_refresh(tmp_path):
     )
     out2 = ad.poll(target=2)
     assert out2["alerts"]["watched"] == 0
+
+
+def test_check_conf_validates_lookups_offline(tmp_path):
+    """check_conf binds declared lookups locally (no Ray) so lookup-using
+    rules evaluate against the sample; a broken lookup path is reported."""
+    import pyarrow.parquet as pq_
+
+    from blockchain_etl_ray.pipelines.alerts import check_conf
+
+    pq_.write_table(
+        pa.table({"repo": pa.array(["r1"]), "label": pa.array(["watch"])}),
+        tmp_path / "labels.parquet",
+    )
+    (tmp_path / "rules.yaml").write_text(
+        "lookups:\n"
+        "  label_of: {path: labels.parquet, key: repo, value: label, default: none}\n"
+        "rules:\n"
+        "  - name: watched\n"
+        "    rule: \"label_of(repo) == 'watch'\"\n"
+        "    receivers: [console]\n"
+    )
+    sample = pa.table({"repo": pa.array(["r1", "r2"])})
+    rep = check_conf(str(tmp_path / "rules.yaml"), sample)
+    assert rep["ok"] and rep["lookups"]["label_of"]["n_keys"] == 1
+    assert rep["rules"]["watched"]["sample_matches"] == 1
+
+    (tmp_path / "rules_bad.yaml").write_text(
+        "lookups:\n"
+        "  label_of: {path: nope.parquet, key: repo, value: label}\n"
+        "rules:\n"
+        "  - name: watched\n"
+        "    rule: \"label_of(repo) == 'watch'\"\n"
+        "    receivers: [console]\n"
+    )
+    rep2 = check_conf(str(tmp_path / "rules_bad.yaml"), sample)
+    assert not rep2["ok"] and not rep2["lookups"]["label_of"]["ok"]
