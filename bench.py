@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "cdc_ordinal_window",
     "corpus_frequent_terms",
     "neardup_dedup_survivors",
+    "doc_weighted_sample",
+    "event_value_quantiles_sketch",
+    "semantic_dedup_survivors",
 ]
 
 
