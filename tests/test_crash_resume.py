@@ -88,3 +88,52 @@ def test_concurrent_marker_commit_is_first_writer_wins(tmp_path):
         store.commit_cycle(0, dict(marker, epochs=[1]))
     # the winner's marker is intact
     assert store.read_cycle(0)["epochs"] == [0]
+
+
+def test_racing_replays_first_writer_wins_engine_level(tmp_path):
+    """Two engines tailing the same store: the slower one hits
+    ConcurrentCommitError at its first marker commit, the winner's state is
+    exactly the oracle, and a retried replay on the loser is a clean no-op
+    (the epochs are already applied)."""
+    import pytest
+
+    from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.state.manifest import ConcurrentCommitError
+
+    ev = tmp_path / "events"
+    write_corpus(ev, n_events=4_000, seed=21, n_epochs=8)
+    cfg = dict(num_partitions=8, epoch_batch_size=4, max_inflight_steps=1)
+    a = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**cfg))
+    b = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**cfg))
+
+    # interleave: while A's first step is in flight (fragments written, no
+    # marker yet), B races through the whole replay and commits first
+    orig = a.apply_step
+    fired = []
+
+    def hijack(files, version, epochs, **kw):
+        res = orig(files, version, epochs, **kw)
+        if not fired:
+            fired.append(True)
+            b.replay(str(ev))
+        return res
+
+    a.apply_step = hijack
+    with pytest.raises(ConcurrentCommitError):
+        a.replay(str(ev))
+
+    # the winner's state is intact and exact
+    got = (
+        b.read_state().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = live_rows(fold_events(str(ev)))
+    assert len(got) == len(exp)
+    assert got["content_sha256"].tolist() == [r["content_sha256"] for r in exp]
+
+    # the loser retries cleanly: everything already applied, nothing re-runs
+    a2 = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**cfg))
+    out = a2.replay(str(ev))
+    assert out["epochs_applied"] == [] and out["steps_applied"] == []
+    assert a2.gaps(str(ev)) == []
