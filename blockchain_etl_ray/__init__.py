@@ -40,6 +40,16 @@ _EXPORTS = {
     "AlertSet": "pipelines.alerts",
     "TrackSet": "pipelines.track",
     "StateStore": "state.manifest",
+    "ConcurrentCommitError": "state.manifest",
+    "BroadcastLookup": "functions.rules",
+    "connected_components": "stages.cc",
+    "neardup_survivors": "stages.cc",
+    "frequent_terms": "stages.sketch",
+    "grouped_tdigest_quantiles": "stages.sketch",
+    "kmeans_fit": "stages.ann",
+    "semantic_dedup": "stages.ann",
+    "weighted_priority_sample": "stages.sampling",
+    "schema_drift": "pipelines.checkers",
 }
 
 
