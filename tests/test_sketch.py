@@ -255,3 +255,18 @@ def test_grouped_tdigest_quantiles_vs_exact():
             est = out[(g, q)]
             rank = np.searchsorted(s, est) / len(s)
             assert abs(rank - q) < 0.02, (g, q, est, rank)
+
+
+def test_grouped_tdigest_int_group_key():
+    from blockchain_etl_ray.stages.sketch import grouped_tdigest_quantiles
+
+    rng = np.random.default_rng(6)
+    t = pa.table(
+        {
+            "g": pa.array(np.repeat([1, 2], 5_000).astype(np.int64)),
+            "v": pa.array(np.concatenate([rng.normal(0, 1, 5_000), rng.normal(10, 1, 5_000)])),
+        }
+    )
+    out = grouped_tdigest_quantiles(rd.from_arrow(t), "g", "v", quantiles=(0.5,)).to_pandas()
+    med = dict(zip(out["g"].astype(int), out["value"]))
+    assert abs(med[1] - 0.0) < 0.1 and abs(med[2] - 10.0) < 0.1
