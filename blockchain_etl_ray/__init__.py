@@ -36,6 +36,7 @@ _EXPORTS = {
     "ReorgAdapter": "sources.adapters",
     "AlertAdapter": "sources.adapters",
     "FeedAdapter": "sources.adapters",
+    "FeedReplica": "sources.adapters",
     "EpochIndex": "sources.epoch_index",
     "AlertSet": "pipelines.alerts",
     "TrackSet": "pipelines.track",

@@ -212,3 +212,101 @@ class AlertAdapter(_DirHead, TailAdapter):
         # delivery + idempotent epoch ranges = the reference's recipe)
         atomic_write_bytes(Path(self.cursor_path), str(max(new)).encode())
         return {"steps_applied": new, "alerts": counts, "cursor": max(new)}
+
+
+class FeedReplica:
+    """Downstream CONSUMER half of the CDC-out feed: folds the window
+    directories a :class:`FeedAdapter` exports into a local, queryable
+    replica table with its own cursor — the reference's downstream-loader
+    role (K5/K7 consumer side) for any system that tails the feed instead of
+    the store.
+
+    Exactly-once effect without exactly-once delivery: windows are folded in
+    name order past the cursor; a crash between fold and cursor advance
+    re-folds the same window, and an upstream cursor loss re-delivers rows
+    under a new window name — both are no-ops for the final state because
+    every feed row carries the FULL conflict key (ordinal, src_epoch,
+    event_id) and the LWW fold is convergent (same total order as the
+    engine, schema.py conflict-order note).
+
+    The replica itself is a single Parquet file rewritten atomically per
+    catch-up (the replica is a downstream cache, usually much smaller than
+    the store; a sharded replica would reuse the engine's own layout)."""
+
+    def __init__(self, feed_dir: str, replica_dir: str):
+        from pathlib import Path
+
+        self.feed_dir = Path(feed_dir)
+        self.replica_dir = Path(replica_dir)
+        self.replica_dir.mkdir(parents=True, exist_ok=True)
+        self.table_path = self.replica_dir / "replica.parquet"
+        self.cursor_path = self.replica_dir / "_cursor"
+
+    def _cursor(self) -> str:
+        if not self.cursor_path.exists():
+            return ""
+        return self.cursor_path.read_text().strip()
+
+    def _fold(self, tables: list) -> "object":
+        import polars as pl
+        import pyarrow as pa
+
+        t = pa.concat_tables(tables, promote_options="default")
+        df = pl.from_arrow(t)
+        # engine conflict order: max ordinal; min src_epoch among equal
+        # ordinals; max event_id among full ties — sort asc/desc/asc, keep last
+        df = df.sort(
+            ["ordinal", "src_epoch", "event_id"],
+            descending=[False, True, False],
+        )
+        return df.group_by(["repo", "path"], maintain_order=True).last()
+
+    def catch_up(self) -> dict:
+        """Fold every window past the cursor; returns {windows, rows}."""
+        import polars as pl
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..state.manifest import atomic_write_bytes, atomic_write_table
+
+        cur = self._cursor()
+        windows = sorted(
+            d.name
+            for d in self.feed_dir.iterdir()
+            if d.is_dir() and d.name.startswith("w=") and d.name > cur
+        )
+        if not windows:
+            return {"windows": [], "rows": self.table().num_rows}
+        parts = []
+        if self.table_path.exists():
+            parts.append(pq.read_table(self.table_path))
+        import json as _json
+
+        for w in windows:
+            rows = []
+            for shard in sorted((self.feed_dir / w).glob("*.jsonl")):
+                rows.extend(
+                    _json.loads(line)
+                    for line in shard.read_text().splitlines()
+                )
+            if rows:
+                parts.append(
+                    pl.from_dicts(rows).to_arrow()
+                )
+        if parts:
+            folded = self._fold(parts).to_arrow()
+            atomic_write_table(self.table_path, folded)
+        atomic_write_bytes(self.cursor_path, windows[-1].encode())
+        return {"windows": windows, "rows": self.table().num_rows}
+
+    def table(self, include_deleted: bool = False):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if not self.table_path.exists():
+            return pa.table({})
+        t = pq.read_table(self.table_path)
+        if not include_deleted and "deleted" in t.column_names:
+            t = t.filter(pc.invert(pc.cast(t.column("deleted"), pa.bool_())))
+        return t

@@ -229,3 +229,54 @@ def test_alert_adapter_refreshes_lookup_between_polls(tmp_path):
     out2 = ad.poll(target=3)
     assert out2["alerts"]["watched"] == 0
     assert svc.version == 2
+
+
+def test_feed_replica_consumer_converges_and_is_idempotent(tmp_path):
+    """FeedReplica folds window dirs into a queryable replica: equals the
+    engine snapshot after catch-up, stays equal across incremental windows,
+    a lost REPLICA cursor refolds idempotently, and tombstoned keys are
+    excluded from the default view."""
+    from blockchain_etl_ray.sources.adapters import FeedAdapter, FeedReplica
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=3_000, seed=9, n_epochs=6)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    out = tmp_path / "feed"
+    tail = ChainTail(adapter=FeedAdapter(engine, str(out)))
+    rep = FeedReplica(str(out), str(tmp_path / "replica"))
+
+    engine.replay(str(events), upto_epoch=2)
+    tail.run()
+    r1 = rep.catch_up()
+    assert r1["windows"] and r1["rows"] > 0
+
+    engine.replay(str(events))
+    tail.run()
+    r2 = rep.catch_up()
+    assert r2["windows"]
+
+    def as_map(t):
+        return {
+            (r["repo"], r["path"]): (r["content_sha256"], r["ordinal"])
+            for r in t.to_pylist()
+        }
+
+    want = as_map(
+        pa.concat_tables(
+            [ray.get(r) for r in engine.read_state().to_arrow_refs()],
+            promote_options="default",
+        )
+    )
+    assert as_map(rep.table()) == want
+
+    # replica cursor loss: full refold converges to the same state
+    rep.cursor_path.unlink()
+    rep.catch_up()
+    assert as_map(rep.table()) == want
+
+    # tombstones retained internally, excluded from the default view
+    full = rep.table(include_deleted=True)
+    assert full.num_rows > rep.table().num_rows
