@@ -78,18 +78,34 @@ def main() -> int:
             exp = con.execute(sql).fetchdf()
             g, e = canon(got), canon(exp)
             ok = len(g) == len(e) and list(g.columns) == list(e.columns)
+            # NO dtype coercion here: the driver hashes raw values, so a
+            # DuckDB HUGEINT→float64 vs pipeline int64 mismatch must FAIL
+            # the sweep too (it masked the round-2 hash failures).
+            if ok and list(map(str, g.dtypes)) != list(map(str, e.dtypes)):
+                fails.append(
+                    f"{name}: dtype "
+                    + str(
+                        {
+                            c: (str(g.dtypes[c]), str(e.dtypes[c]))
+                            for c in g.columns
+                            if str(g.dtypes[c]) != str(e.dtypes[c])
+                        }
+                    )
+                )
+                ok = None  # recorded already
             if ok:
-                e2 = e.astype(g.dtypes.to_dict())
-                ok = g.equals(e2) or all(
+                ok = g.equals(e) or all(
                     (
-                        g[c].equals(e2[c])
+                        g[c].equals(e[c])
                         or (
                             pd.api.types.is_float_dtype(g[c])
-                            and ((g[c] - e2[c]).abs() < 1e-9).all()
+                            and ((g[c] - e[c]).abs() < 1e-9).all()
                         )
                     )
                     for c in g.columns
                 )
+            if ok is None:
+                continue
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 - a sweep reports, never halts
