@@ -199,11 +199,25 @@ def revenue_by_segment(sf_dir: str):
     ).select_columns(["o_orderkey", "c_mktsegment"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # COMBINER before the exchange: collapse the ~4 lineitems per order
+        # to one (l_orderkey, rev partial, count partial) row inside the read
+        # task, so the bucket exchange ships order-cardinality rows (sum of
+        # partials == sum of rows; exact ints)
         disc = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
-        return pa.table(
+        part = pa.table(
             {"l_orderkey": t.column("l_orderkey"), "rev_x100": scaled_int(disc)}
+        )
+        g = part.group_by("l_orderkey").aggregate(
+            [("rev_x100", "sum"), ("rev_x100", "count")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "rev_x100": pc.cast(g.column("rev_x100_sum"), pa.int64()),
+                "n_items": pc.cast(g.column("rev_x100_count"), pa.int64()),
+            }
         )
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
@@ -213,7 +227,7 @@ def revenue_by_segment(sf_dir: str):
         line, orders_seg, on="l_orderkey", right_on="o_orderkey"
     )
     agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("rev_x100", alias_name="revenue_x100"), Count(alias_name="n_items")
+        Sum("rev_x100", alias_name="revenue_x100"), Sum("n_items", alias_name="n_items")
     )
     return _stable(
         agg,
@@ -1222,8 +1236,27 @@ def doc_langid(sf_dir: str):
     )
 
 
-@register("doc_fingerprints", None)
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint FROM documents
+    """,
+)
 def doc_fingerprints(sf_dir: str):
+    """Exact-dup document fingerprints: md5 of the text, bit-identical to
+    DuckDB's ``md5()`` (same recipe as the green md5-parity sampling
+    oracles)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _stable(
+        ds.map_batches(text.fingerprint_md5, batch_format="pyarrow").select_columns(
+            ["doc_id", "fingerprint"]
+        ),
+        [("doc_id", pa.int64()), ("fingerprint", pa.string())],
+    )
+
+
+@register("doc_winnow_fingerprints", None)
+def doc_winnow_fingerprints(sf_dir: str):
     """Rolling-hash (winnowing) document fingerprints — deterministic,
     non-SQL; covered by pytest determinism checks."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

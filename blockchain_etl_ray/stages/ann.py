@@ -697,7 +697,15 @@ def semantic_dedup(
                 f"{n_sub}x at max_cluster={max_cluster}; cross-split pairs "
                 "are missed (bounded-task-time tradeoff)"
             )
-        sub = (ids % n_sub) if n_sub > 1 else np.zeros(len(ids), dtype=np.int64)
+        # multiplicative mix before the modulo (same constant as the LSH
+        # bucket sub-split, dedup.py): plain `ids % n_sub` skews when callers
+        # pass non-uniform ids (e.g. all-even after an upstream filter)
+        sub = (
+            (((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+             % np.uint64(n_sub)).astype(np.int64)
+            if n_sub > 1
+            else np.zeros(len(ids), dtype=np.int64)
+        )
         for s in range(n_sub):
             sel = np.nonzero(sub == s)[0]
             if len(sel) < 2:

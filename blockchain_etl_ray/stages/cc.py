@@ -58,6 +58,25 @@ CC_SCHEMA = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
 _MSG_SCHEMA = pa.schema([("key", pa.int64()), ("v", pa.int64()), ("w", pa.int64())])
 
 
+def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
+    """Rebuild a MATERIALIZED dataset without its 0-row blocks.
+
+    Ray 2.49 shuffle/map stages emit schemaless empty blocks that bypass
+    every downstream UDF and trip "new schema: ." warnings (or strict
+    consumers) in every later round; the filter is by block METADATA only —
+    an object-ref list rebuild, no block data moves (same trick as
+    stages/stabilize.py, minus the re-map the loop doesn't need)."""
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(_MSG_SCHEMA.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def _numpy_cc(eu: np.ndarray, ev: np.ndarray) -> pa.Table:
     """In-memory min-label components for a SMALL edge set: vectorized
     edge-relaxation + pointer jumping, O(E) per iteration, O(log n)
@@ -114,7 +133,9 @@ def connected_components(
             schema=_MSG_SCHEMA,
         )
 
-    static = edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    static = _drop_empty_blocks(
+        edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    )
     n_sym = static.count()
     if n_sym == 0:
         return rd.from_arrow(CC_SCHEMA.empty_table())
@@ -173,7 +194,7 @@ def connected_components(
     cur = static.map_batches(seed, batch_format="pyarrow")
     prev_sum = None
     for _ in range(max_rounds):
-        out = (
+        out = _drop_empty_blocks(
             _with_gpart(static.union(cur), "key", group_parts)
             .groupby("gpart")
             .map_groups(

@@ -400,13 +400,17 @@ def bucketed_join(
     r_only = [c for c in r_names if c not in l_names]
     l_only = [c for c in l_names if c not in r_names]
 
+    canon = l_names + r_only  # ONE column order for both sides: a union whose
+    # branches agree only on the column SET still trips Ray's schema-
+    # mismatch warning (and any strict block consumer) on the ORDER
+
     def pad(missing: list[str], other_schema):
         def f(t: pa.Table) -> pa.Table:
             for c in missing:
                 t = t.append_column(
                     c, pa.nulls(t.num_rows, other_schema.types[other_schema.names.index(c)])
                 )
-            return t
+            return t.select(canon)
 
         return f
 
