@@ -14,7 +14,12 @@ are vectorized column functions registered by name.
 
 Supported syntax: field refs, literals (num/str/bool/None), lists,
 comparisons (== != < <= > >=), ``in`` / ``not in`` (literal lists), boolean
-``and`` / ``or`` / ``not``, arithmetic (+ - * / %), and registered UDF calls.
+``and`` / ``or`` / ``not``, arithmetic (+ - * / %), ternary
+``a if cond else b`` (the rule-engine conditional,
+``/root/reference/rule_engine/ast.py`` TernaryExpression), regex matching
+via ``match(field, 'pattern')`` / ``fullmatch(field, 'pattern')`` (the
+rule-engine ``=~`` / ``=~~`` operators; ``re.search`` / anchored semantics,
+vectorized with ``pc.match_substring_regex``), and registered UDF calls.
 """
 
 from __future__ import annotations
@@ -50,6 +55,24 @@ def _udf_lower(col):
 @register_udf("abs")
 def _udf_abs(col):
     return pc.abs(col)
+
+
+@register_udf("match")
+def _udf_match(col, pattern):
+    """Regex SEARCH over a string column (rule-engine ``=~``; DuckDB
+    ``regexp_matches``).  The pattern must be a literal — compiled once per
+    batch inside Arrow's kernel, no per-row Python."""
+    if not isinstance(pattern, str):
+        raise RuleError("match() requires a literal string pattern")
+    return pc.match_substring_regex(col, pattern)
+
+
+@register_udf("fullmatch")
+def _udf_fullmatch(col, pattern):
+    """Anchored regex match (rule-engine ``=~~``; DuckDB ``regexp_full_match``)."""
+    if not isinstance(pattern, str):
+        raise RuleError("fullmatch() requires a literal string pattern")
+    return pc.match_substring_regex(col, f"^(?:{pattern})$")
 
 
 class RuleError(ValueError):
@@ -166,6 +189,12 @@ def compile_rule(
             if fn is None:
                 raise RuleError(f"unsupported comparison {ast.dump(op)}")
             return fn(left, ev(rhs, batch))
+        if isinstance(node, ast.IfExp):
+            cond = ev(node.test, batch)
+            a, b = ev(node.body, batch), ev(node.orelse, batch)
+            if isinstance(cond, (pa.Array, pa.ChunkedArray)):
+                return pc.if_else(cond, a, b)
+            return a if cond else b
         if isinstance(node, ast.Call):
             name = getattr(node.func, "id", None)
             fn = bound.get(name) or UDFS.get(name)

@@ -524,7 +524,60 @@ def rule_filter_events(sf_dir: str):
             }
         )
 
-    return filtered.map_batches(proj, batch_format="pyarrow")
+    return _stable(
+        filtered.map_batches(proj, batch_format="pyarrow"),
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_x100", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "rule_filter_regex_events",
+    """
+    SELECT event_id, user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_x100
+    FROM events
+    WHERE regexp_matches(props, '"k": 1[0-9]}')
+      AND (CASE WHEN event_type = 'purchase' THEN value > 50 ELSE value > 120 END)
+    """,
+)
+def rule_filter_regex_events(sf_dir: str):
+    """Rule DSL with REGEX + TERNARY — the two rule-engine features round 2
+    lacked (``/root/reference/rule_engine/ast.py`` regex ``=~`` and
+    TernaryExpression): ``match()`` compiles to ``pc.match_substring_regex``
+    (RE2, the same engine behind DuckDB's ``regexp_matches``) and the
+    conditional to ``pc.if_else`` — still zero per-row Python."""
+    from ..functions.rules import rule_filter
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "props"])
+    filtered = rule_filter(
+        ds,
+        "match(props, '\"k\": 1[0-9]}') and "
+        "(value > 50 if event_type == 'purchase' else value > 120)",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+            }
+        )
+
+    return _stable(
+        filtered.map_batches(proj, batch_format="pyarrow"),
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_x100", pa.int64()),
+        ],
+    )
 
 
 @register(
@@ -2658,7 +2711,7 @@ _CDC_COMMIT_LOG_SQL = """
              event_type || '.log' AS path,
              CAST(event_id AS VARCHAR) AS commit_id,
              event_type AS lang,
-             CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS was_delete
+             CAST(CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS BIGINT) AS was_delete
       FROM events)
     SELECT repo, commit_id AS commit, path, lang, was_delete, ordinal
     FROM cdc
@@ -3238,6 +3291,7 @@ _DRIVER_ORDER = [
     "latest_event_per_user",
     "dedup_first_event_per_user_type",
     "rule_filter_events",
+    "rule_filter_regex_events",
     "rule_filter_udf_docs",
     "purchase_last_click_asof",
     "vsum_by_event_type",

@@ -192,3 +192,39 @@ def test_additive_entity_resume_and_compaction(small_corpus, tmp_path):
         for c in ("n_events", "n_deletes", "sum_bytes", "first_ordinal",
                   "first_path", "last_ordinal", "last_path"):
             assert got[c].to_list() == exp[c].to_list(), c
+
+
+def test_partition_ids_for_fastpath_matches_fallback():
+    """The buffer-level string/int fast path must produce the SAME blake2b
+    bytes (and therefore the same placement) as the per-row fallback."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from blockchain_etl_ray.entities import partition_ids_for
+
+    def reference(cols, p):
+        b2 = hashlib.blake2b
+        pylists = [c.to_pylist() for c in cols]
+        return [
+            int.from_bytes(
+                b2(
+                    "\x00".join("" if v is None else str(v) for v in row).encode(),
+                    digest_size=8,
+                ).digest(),
+                "big",
+            )
+            % p
+            for row in zip(*pylists)
+        ]
+
+    cases = [
+        [pa.chunked_array([["a", None], ["b", ""]]), pa.array([1, None, -3, 4])],
+        [pa.array(["solo", "key", None], pa.large_string())],
+        [pa.array([7, 8, 9], pa.int32()), pa.array(["x", "y", "z"])],
+        [pa.array([1.5, None, 2.0])],  # float -> per-row fallback path
+    ]
+    for cols in cases:
+        assert partition_ids_for(cols, 16).to_pylist() == reference(cols, 16)
+    assert partition_ids_for([pa.array([], pa.string())], 8).to_pylist() == []

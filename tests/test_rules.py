@@ -148,3 +148,56 @@ def test_rule_with_bound_lookup_udf_distributed(tmp_path):
     assert svc.refresh() is True
     counts2 = aset.run(ds)
     assert counts2 == {"fraud_hit": 1}
+
+
+def test_regex_match_and_fullmatch():
+    # rule-engine =~ / =~~ analogs (reference rule_engine/ast.py)
+    assert _mask("match(name, 'li')") == [True, False, False, False]
+    assert _mask("match(name, '^[AD]')") == [True, False, False, True]
+    assert _mask("fullmatch(name, '[A-Z][a-z]{4}')") == [True, False, True, False]
+    # anchored: a substring hit is NOT a fullmatch
+    assert _mask("fullmatch(name, 'li')") == [False, False, False, False]
+    with pytest.raises(RuleError, match="literal string pattern"):
+        _mask("match(name, value)")
+
+
+def test_ternary_conditional():
+    # per-row branch selection, vectorized via pc.if_else
+    assert _mask("value > 50 if event_type == 'purchase' else value > 100") == [
+        True,
+        False,
+        True,
+        False,
+    ]
+    # scalar condition folds at compile-eval time
+    assert _mask("value > 50 if 1 == 1 else value > 1000") == [True, True, True, False]
+    # ternary nested inside boolean algebra
+    assert _mask(
+        "match(name, '^[AB]') and (value > 50 if event_type == 'purchase' else value > 10)"
+    ) == [True, True, False, False]
+
+
+def test_check_conf_accepts_regex_ternary_yaml(tmp_path):
+    """A YAML rule set using regex + ternary parses, binds and evaluates
+    against the canonical sample through check_conf (round-2 verdict gap)."""
+    import pyarrow as pa
+
+    from blockchain_etl_ray.pipelines.alerts import check_conf
+
+    sample = pa.table(
+        {
+            "event_type": ["purchase", "signup", "click"],
+            "value": [200.0, 130.0, 5.0],
+            "props": ['{"k": 12}', '{"k": 15}', '{"k": 99}'],
+        }
+    )
+    (tmp_path / "conf.yaml").write_text(
+        "rules:\n"
+        "  - name: regex_ternary\n"
+        "    rule: \"match(props, '\\\"k\\\": 1[0-9]}') and"
+        " (value > 50 if event_type == 'purchase' else value > 120)\"\n"
+        "    receivers: [console]\n"
+    )
+    rep = check_conf(str(tmp_path / "conf.yaml"), sample)
+    assert rep["ok"] is True
+    assert rep["rules"]["regex_ternary"]["sample_matches"] == 2
