@@ -502,3 +502,64 @@ COMMIT_LOG = register_entity(
         derive=_derive_commit_log,
     )
 )
+
+
+#: nested value type of the path_spans entity — the bitcoin
+#: ``inputs[].addresses[]`` schema shape (M11,
+#: ``/root/reference/bitcoinetl/domain/transaction.py``: every transaction
+#: carries a list of structs that downstream jobs flatten/explode)
+SPANS_TYPE = pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int64())]))
+
+
+def _derive_path_spans(nt: pa.Table) -> pa.Table:
+    """(repo, path) → token spans of the LATEST content as a
+    ``list<struct<tok, pos>>`` column (1-based positions, whitespace split) —
+    a NESTED-value LWW entity exercising the Arrow surface the reference's
+    bitcoin data model requires (list-of-struct through derive → fold →
+    fragment parquet → resolve → read/flatten).  All vectorized: one
+    split_pattern, positions from the list offsets, zero per-row Python."""
+    content = pc.cast(nt.column("content"), pa.string())
+    safe = pc.coalesce(content, pa.scalar("", type=pa.string()))
+    toks = pc.split_pattern(safe, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs_np = toks.offsets.to_numpy()
+    if len(flat):
+        parent = pc.list_parent_indices(toks).to_numpy()
+        pos = np.arange(len(flat), dtype=np.int64) - offs_np[parent].astype(np.int64) + 1
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    struct = pa.StructArray.from_arrays(
+        [flat, pa.array(pos, type=pa.int64())], names=["tok", "pos"]
+    )
+    spans = pa.ListArray.from_arrays(toks.offsets, struct)
+    return pa.table(
+        {
+            "repo": nt.column("repo"),
+            "path": nt.column("path"),
+            "spans": spans,
+            "n_spans": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "ordinal": nt.column("ordinal"),
+            "epoch": nt.column("epoch"),
+            "op": nt.column("op"),
+            "event_id": nt.column("event_id"),
+        }
+    )
+
+
+PATH_SPANS = register_entity(
+    EntitySpec(
+        name="path_spans",
+        key_cols=("repo", "path"),
+        fields=(
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("spans", SPANS_TYPE),
+            ("n_spans", pa.int64()),
+        ),
+        derive=_derive_path_spans,
+    )
+)

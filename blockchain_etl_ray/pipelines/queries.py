@@ -2755,6 +2755,80 @@ def cdc_multi_commit_log(sf_dir: str):
     )
 
 
+_CDC_NESTED_SPANS_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) = 1),
+    live AS (SELECT repo, path, content, ordinal FROM latest WHERE op <> 'delete')
+    SELECT repo, path,
+           CAST(generate_subscripts(string_split(content, ' '), 1) AS BIGINT) AS pos,
+           unnest(string_split(content, ' ')) AS tok,
+           ordinal
+    FROM live
+"""
+
+
+@register("cdc_nested_spans", _CDC_NESTED_SPANS_SQL)
+def cdc_nested_spans(sf_dir: str):
+    """NESTED list-of-struct entity end to end (M11, the bitcoin
+    ``inputs[].addresses[]`` schema shape,
+    ``/root/reference/bitcoinetl/domain/transaction.py``): the ``path_spans``
+    entity carries ``spans: list<struct<tok, pos>>`` through derive → polars
+    LWW fold → fragment parquet → resolve, and the query FLATTENS the nested
+    column back to rows (``pc.list_parent_indices`` + ``take`` — the
+    flat_map/explode operator, vectorized).  Oracle: DuckDB ``unnest`` +
+    ``generate_subscripts`` over the LWW window fold."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4, entities=("path_spans",)
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        return pa.table(
+            {
+                "repo": t.column("repo").take(parent),
+                "path": t.column("path").take(parent),
+                "pos": flat.field("pos"),
+                "tok": flat.field("tok"),
+                "ordinal": t.column("ordinal").take(parent),
+            }
+        )
+
+    return _stable(
+        engine.read_state(table="path_spans").map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("pos", pa.int64()),
+            ("tok", pa.string()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_REPO_TOUCH_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,
@@ -3264,6 +3338,7 @@ _DRIVER_ORDER = [
     "cdc_multi_path_heads",
     "cdc_multi_lang_stats",
     "cdc_multi_commit_log",
+    "cdc_nested_spans",
     "cdc_repo_touch",
     "cdc_repo_stats",
     "cdc_top_repos_by_bytes",
@@ -3286,10 +3361,8 @@ _DRIVER_ORDER = [
     "enrich_orders_customer",
     "missing_user_ids",
     "rank_orders_within_customer",
-    "first_last_order_per_customer",
     "nation_region_counts",
     "latest_event_per_user",
-    "dedup_first_event_per_user_type",
     "rule_filter_events",
     "rule_filter_regex_events",
     "rule_filter_udf_docs",
@@ -3312,6 +3385,8 @@ _DRIVER_ORDER = [
     # ---- entries below sit past the driver's 50-query window; all remain
     # ---- verified by tools/oracle_sweep.py (SQL-paired) and pytest.
     "union_value_extremes",
+    "first_last_order_per_customer",
+    "dedup_first_event_per_user_type",
     "check_purchase_count_mismatch",
     "hourly_event_counts",
     "doc_split_assign",
