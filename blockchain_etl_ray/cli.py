@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
             rp.add_argument("--lag", type=int, default=0)
             rp.add_argument("--period-seconds", type=float, default=2.0)
             rp.add_argument("--max-polls", type=int, default=1000)
+            rp.add_argument(
+                "--metrics-json", default=None,
+                help="live gauge file rewritten atomically after every poll "
+                     "(lag, frontier, events/s, dead letters — the "
+                     "dump_exporter Prometheus analog, file-based)",
+            )
 
     for name in ("state", "lineage", "gaps", "compact", "stats",
                  "dead-letters", "retry-dead-letters"):
@@ -267,9 +273,13 @@ def main(argv: list[str] | None = None) -> int:
         from blockchain_etl_ray.sources.chain_tail import ChainTail
 
         tail = ChainTail(engine, args.events, lag=args.lag,
-                         period_seconds=args.period_seconds)
+                         period_seconds=args.period_seconds,
+                         metrics_json=args.metrics_json)
         results = tail.run(max_polls=args.max_polls)
-        print(json.dumps({"polls": len(results), "last": results[-1] if results else None}))
+        out = {"polls": len(results), "last": results[-1] if results else None}
+        if args.metrics_json:
+            out["metrics"] = tail.write_metrics_json()
+        print(json.dumps(out))
     elif args.cmd == "state":
         ds = engine.read_state()
         print(json.dumps({"rows": ds.count()}))

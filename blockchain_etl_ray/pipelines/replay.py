@@ -278,11 +278,13 @@ class ReplayEngine:
         *,
         read_columns: list[str] | None = None,
         event_adapter=None,
-    ) -> tuple[list[dict], list[dict]]:
+    ) -> tuple[list[dict], list[dict], dict, dict]:
         """Apply one step's event files as apply-version ``version``; returns
-        (per-partition lineage rows, fragment descriptors).  Safe under task
-        retries and driver crashes: only fragments referenced by the committed
-        cycle marker are ever read (see state/manifest.py protocol)."""
+        (per-partition lineage rows, primary-table fragment descriptors,
+        per-entity fragment descriptors keyed by entity name, per-file
+        sha256 divergence fingerprints).  Safe under task retries and driver
+        crashes: only fragments referenced by the committed cycle marker are
+        ever read (see state/manifest.py protocol)."""
         # divergence fingerprints for the marker (reorg reconcile input);
         # needed only at COMMIT time, so the sha256 pool runs CONCURRENTLY
         # with the step's Dataset execution below (hashlib releases the GIL
@@ -604,7 +606,15 @@ class ReplayEngine:
             raise ValueError(f"no parquet files under {snapshot!r}")
         import pyarrow.parquet as pq_
 
-        avail = set(pq_.ParquetFile(files[0]).schema_arrow.names)
+        # UNION of all snapshot shards' schemas (footer-only probes): a
+        # multi-file snapshot can be heterogeneous — e.g. one shard carrying
+        # a schema-evolution column like `size` — and deriving the read set
+        # from files[0] alone would silently drop it (or break the pruned
+        # read on shards missing a files[0]-only column; the evolution-aware
+        # reader backfills nulls for absent columns per shard)
+        avail: set[str] = set()
+        for f in files:
+            avail |= set(pq_.ParquetFile(f).schema_arrow.names)
         needed = sorted(
             avail & ({n for n, _ in EVENT_FIELDS} | set(self.config.rename_map))
         )

@@ -269,11 +269,22 @@ class FeedReplica:
 
         from ..state.manifest import atomic_write_bytes, atomic_write_table
 
+        def wkey(name: str) -> tuple[int, int]:
+            # parse "w=<a>-<b>" NUMERICALLY: lexicographic comparison of the
+            # zero-padded names mis-orders windows past 999,999 apply
+            # versions, silently skipping or re-folding them
+            a, b = name[2:].split("-", 1)
+            return (int(a), int(b))
+
         cur = self._cursor()
+        cur_key = wkey(cur) if cur.startswith("w=") else (-1, -1)
         windows = sorted(
-            d.name
-            for d in self.feed_dir.iterdir()
-            if d.is_dir() and d.name.startswith("w=") and d.name > cur
+            (
+                d.name
+                for d in self.feed_dir.iterdir()
+                if d.is_dir() and d.name.startswith("w=") and wkey(d.name) > cur_key
+            ),
+            key=wkey,
         )
         if not windows:
             return {"windows": [], "rows": self.table().num_rows}

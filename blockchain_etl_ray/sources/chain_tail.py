@@ -18,6 +18,8 @@ only; the heavy lifting per poll is Dataset pipelines inside the adapter.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from collections.abc import Callable
 
@@ -35,11 +37,18 @@ class ChainTail:
         head_fn: Callable[[], int | None] | None = None,
         alert_set=None,
         adapter: TailAdapter | None = None,
+        metrics_json: str | None = None,
     ):
         """Either pass ``adapter`` directly, or pass ``engine`` +
         ``events_dir`` (+ optional ``alert_set``) and the main stream adapter
         (:class:`ReplayAdapter`) is built for you — the common case, matching
-        the reference's default dump pipeline."""
+        the reference's default dump pipeline.
+
+        ``metrics_json``: path of a live gauge file — :meth:`run` rewrites it
+        atomically after EVERY poll with the current :meth:`metrics` values
+        (the file-based analog of the reference's Prometheus lag/last-synced
+        gauges, ``blockchainetl/cli/dump_exporter.py:42-60``; an operator
+        tails the file instead of scraping an endpoint)."""
         if adapter is None:
             if engine is None or events_dir is None:
                 raise ValueError("pass adapter=, or engine= and events_dir=")
@@ -50,6 +59,15 @@ class ChainTail:
         self.lag = lag
         self.period_seconds = period_seconds
         self._head_fn = head_fn
+        self.metrics_json = metrics_json
+        #: loop counters since this ChainTail was constructed (store-level
+        #: totals come from the engine's lineage/markers, not from these)
+        self.counters = {
+            "polls": 0,
+            "busy_polls": 0,
+            "events_applied": 0,
+            "busy_seconds": 0.0,
+        }
 
     def head_epoch(self) -> int | None:
         if self._head_fn is not None:
@@ -72,7 +90,82 @@ class ChainTail:
                 "caught_up": not summary.get("steps_applied"),
             }
         )
+        self.counters["polls"] += 1
+        if summary.get("steps_applied"):
+            self.counters["busy_polls"] += 1
+            self.counters["events_applied"] += int(summary.get("events_applied", 0))
+            self.counters["busy_seconds"] += float(summary.get("wall_s", 0.0))
         return summary
+
+    # ------------------------------------------------------------- metrics
+    def metrics(self) -> "pa.Table":
+        """Current streaming gauges as an Arrow table ``(metric, value)`` —
+        the ``dump_exporter.py:42-60`` Prometheus surface re-expressed as
+        data: source frontier, applied frontier, the lag between them, the
+        loop's throughput, and the dead-letter depth.  ``value`` is float64;
+        gauges without a defined value yet (empty store, unreachable head)
+        are null."""
+        import pyarrow as pa
+
+        head = self.head_epoch()
+        applied = version = events_total = dead = None
+        if self.engine is not None:
+            eps = self.engine.store.applied_epochs()
+            applied = max(eps) if eps else None
+            versions = self.engine.store.committed_versions()
+            version = versions[-1] if versions else None
+            lin = self.engine.lineage_table()
+            events_total = (
+                sum(lin.column("events_in").to_pylist()) if lin.num_rows else 0
+            )
+            dead = len(self.engine.dead_letter_entries())
+        c = self.counters
+        eps_rate = (
+            c["events_applied"] / c["busy_seconds"] if c["busy_seconds"] > 0 else None
+        )
+        lag_now = (
+            float(head - applied)
+            if head is not None and applied is not None
+            else None
+        )
+        gauges: list[tuple[str, float | None]] = [
+            ("head_epoch", None if head is None else float(head)),
+            ("applied_epoch", None if applied is None else float(applied)),
+            ("lag_epochs", lag_now),
+            ("configured_lag", float(self.lag)),
+            ("last_committed_version", None if version is None else float(version)),
+            ("events_applied_total", None if events_total is None else float(events_total)),
+            ("events_per_second", eps_rate),
+            ("dead_letter_count", None if dead is None else float(dead)),
+            ("polls", float(c["polls"])),
+            ("busy_polls", float(c["busy_polls"])),
+            (
+                "caught_up",
+                None
+                if head is None
+                else float(applied is not None and applied >= head - self.lag),
+            ),
+        ]
+        return pa.table(
+            {
+                "metric": pa.array([m for m, _ in gauges], pa.string()),
+                "value": pa.array([v for _, v in gauges], pa.float64()),
+            }
+        )
+
+    def write_metrics_json(self, path: str | None = None) -> dict:
+        """Atomically (re)write the gauge file: ``{metric: value}`` one JSON
+        object, plus a ``ts`` stamp.  Returns the dict written."""
+        path = path or self.metrics_json
+        t = self.metrics()
+        obj = dict(zip(t.column("metric").to_pylist(), t.column("value").to_pylist()))
+        obj["ts"] = time.time()
+        if path:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(obj, f, sort_keys=True)
+            os.replace(tmp, path)
+        return obj
 
     def run(self, max_polls: int = 100, stop_when_caught_up: bool = True) -> list[dict]:
         """Poll until caught up (or ``max_polls``); sleeps between idle polls."""
@@ -82,6 +175,8 @@ class ChainTail:
             for _ in range(max_polls):
                 r = self.poll_once()
                 results.append(r)
+                if self.metrics_json:
+                    self.write_metrics_json()
                 if r["caught_up"]:
                     if stop_when_caught_up:
                         break

@@ -172,8 +172,12 @@ def ivf_topk(
     train = np.vstack([sample, extra_m])
     cent = kmeans_centroids(train, n_lists)
     if refine_iters > 0:
+        # seed the distributed refine with the sample-trained centroids so
+        # the documented "queries are always included in training" property
+        # survives the refine path (they anchor the init)
         cent, _ = kmeans_fit(
-            vectors, n_lists, vec_col=vec_col, max_iters=refine_iters
+            vectors, n_lists, vec_col=vec_col, max_iters=refine_iters,
+            init_centroids=cent,
         )
 
     qids = queries.column(id_col).to_pylist()
@@ -542,6 +546,7 @@ def kmeans_fit(
     tol: float = 1e-4,
     sample_size: int = 2048,
     seed: int = 7,
+    init_centroids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Distributed Lloyd's k-means over the FULL dataset (cosine geometry,
     matching the rest of the ANN family) — the scale path past
@@ -575,11 +580,18 @@ def kmeans_fit(
 
     mat = vectors.map_batches(norm_blob_fast, batch_format="pyarrow").materialize()
 
-    # deterministic init from a bounded sample (the existing coarse trainer)
-    sample_tbl = pa.concat_tables(
-        [t for t in ray.get(mat.limit(sample_size).to_arrow_refs()) if t.num_rows]
-    )
-    cent = kmeans_centroids(_blob_matrix(sample_tbl.column("blob")), k, seed=seed)
+    if init_centroids is not None:
+        # caller-provided warm start (e.g. ivf_topk's query-inclusive sample
+        # training) — refine it instead of re-initializing from dataset rows
+        cent = init_centroids / np.maximum(
+            np.linalg.norm(init_centroids, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        # deterministic init from a bounded sample (the existing coarse trainer)
+        sample_tbl = pa.concat_tables(
+            [t for t in ray.get(mat.limit(sample_size).to_arrow_refs()) if t.num_rows]
+        )
+        cent = kmeans_centroids(_blob_matrix(sample_tbl.column("blob")), k, seed=seed)
 
     iters_run = 0
     for _ in range(max_iters):

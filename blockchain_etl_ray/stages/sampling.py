@@ -243,6 +243,10 @@ def weighted_priority_sample(
         w = t.column(weight_col).to_numpy(zero_copy_only=False)
         if len(w) and (w <= 0).any():
             raise ValueError("weighted_priority_sample requires positive weights")
+        if len(w) and (w != np.floor(w)).any():
+            # the bit-identical SQL-oracle parity claim assumes the h/w
+            # division is over integer-representable weights
+            raise ValueError("weighted_priority_sample requires integer weights")
         prio = h / w.astype(np.float64)
         sub = t.append_column("_prio", pa.array(prio))
         order = pc.sort_indices(

@@ -1,0 +1,91 @@
+"""Streaming metrics surface (the dump_exporter Prometheus-gauge analog).
+
+``ChainTail.metrics()`` exposes the loop's gauges as an Arrow table and
+``write_metrics_json`` / ``--metrics-json`` keep a live gauge file current —
+the file-based stand-in for ``blockchainetl/cli/dump_exporter.py:42-60``.
+"""
+
+import json
+
+import pytest
+
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+CFG = dict(num_partitions=4, epoch_batch_size=2)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("metrics") / "events"
+    write_corpus(d, n_events=3_000, seed=31, n_epochs=8)
+    return str(d)
+
+
+def _gauges(tail) -> dict:
+    t = tail.metrics()
+    return dict(zip(t.column("metric").to_pylist(), t.column("value").to_pylist()))
+
+
+def test_metrics_track_multi_poll_tail(corpus, tmp_path):
+    """A head that advances across polls: lag/frontier/caught_up gauges track
+    the loop state at every step."""
+    head = {"now": 3}
+    engine = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**CFG))
+    tail = ChainTail(engine, corpus, lag=0, head_fn=lambda: head["now"])
+
+    before = _gauges(tail)
+    assert before["applied_epoch"] is None
+    assert before["polls"] == 0.0
+
+    tail.poll_once()  # applies epochs 0..3
+    g1 = _gauges(tail)
+    assert g1["applied_epoch"] == 3.0
+    assert g1["lag_epochs"] == 0.0
+    assert g1["polls"] == 1.0 and g1["busy_polls"] == 1.0
+    assert g1["events_applied_total"] > 0
+    assert g1["dead_letter_count"] == 0.0
+    assert g1["caught_up"] == 1.0
+
+    head["now"] = 7  # frontier advances between polls
+    g15 = _gauges(tail)
+    assert g15["lag_epochs"] == 4.0  # behind again until the next poll
+    assert g15["caught_up"] == 0.0
+
+    tail.poll_once()  # applies 4..7
+    g2 = _gauges(tail)
+    assert g2["applied_epoch"] == 7.0
+    assert g2["lag_epochs"] == 0.0
+    assert g2["busy_polls"] == 2.0
+    assert g2["events_applied_total"] > g1["events_applied_total"]
+    assert g2["events_per_second"] and g2["events_per_second"] > 0
+    assert g2["last_committed_version"] >= g1["last_committed_version"]
+
+
+def test_metrics_respect_configured_lag(corpus, tmp_path):
+    """With lag=2 the tail stops 2 epochs behind the head; lag_epochs reports
+    the real distance and caught_up honors the watermark."""
+    engine = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**CFG))
+    tail = ChainTail(engine, corpus, lag=2)
+    tail.run()
+    g = _gauges(tail)
+    assert g["configured_lag"] == 2.0
+    assert g["head_epoch"] - g["applied_epoch"] == 2.0
+    assert g["lag_epochs"] == 2.0
+    assert g["caught_up"] == 1.0  # caught up TO THE WATERMARK
+
+
+def test_metrics_json_gauge_file_is_live(corpus, tmp_path):
+    """run() rewrites the gauge file after every poll; the final file carries
+    the caught-up state and parses as one JSON object."""
+    engine = ReplayEngine(str(tmp_path / "st"), ReplayConfig(**CFG))
+    path = tmp_path / "gauges.json"
+    tail = ChainTail(engine, corpus, lag=0, metrics_json=str(path))
+    tail.run()
+    obj = json.loads(path.read_text())
+    assert obj["caught_up"] == 1.0
+    assert obj["lag_epochs"] == 0.0
+    assert obj["applied_epoch"] == obj["head_epoch"]
+    assert obj["dead_letter_count"] == 0.0
+    assert obj["ts"] > 0
