@@ -16,7 +16,9 @@ Supported syntax: field refs, literals (num/str/bool/None), lists,
 comparisons (== != < <= > >=), ``in`` / ``not in`` (literal lists), boolean
 ``and`` / ``or`` / ``not``, arithmetic (+ - * / %), ternary
 ``a if cond else b`` (the rule-engine conditional,
-``/root/reference/rule_engine/ast.py`` TernaryExpression), regex matching
+``/root/reference/rule_engine/ast.py`` TernaryExpression), attribute paths
+into struct columns (``meta.kind``, the rule-engine SymbolExpression ``.``
+resolution — vectorized ``pc.struct_field``), regex matching
 via ``match(field, 'pattern')`` / ``fullmatch(field, 'pattern')`` (the
 rule-engine ``=~`` / ``=~~`` operators; ``re.search`` / anchored semantics,
 vectorized with ``pc.match_substring_regex``), and registered UDF calls.
@@ -189,6 +191,25 @@ def compile_rule(
             if fn is None:
                 raise RuleError(f"unsupported comparison {ast.dump(op)}")
             return fn(left, ev(rhs, batch))
+        if isinstance(node, ast.Attribute):
+            # attribute path into a STRUCT column (`meta.kind`,
+            # `meta.geo.country`) — the rule-engine attribute resolution
+            # (``/root/reference/rule_engine/ast.py`` SymbolExpression with
+            # ``.`` paths), vectorized via pc.struct_field
+            base = ev(node.value, batch)
+            if not isinstance(base, (pa.Array, pa.ChunkedArray)) or not pa.types.is_struct(
+                base.type
+            ):
+                raise RuleError(
+                    f"attribute access needs a struct column, got {node.attr!r} "
+                    f"on {type(base).__name__}"
+                )
+            if node.attr not in {f.name for f in base.type}:
+                raise RuleError(
+                    f"unknown struct field {node.attr!r}; "
+                    f"available: {[f.name for f in base.type]}"
+                )
+            return pc.struct_field(base, node.attr)
         if isinstance(node, ast.IfExp):
             cond = ev(node.test, batch)
             a, b = ev(node.body, batch), ev(node.orelse, batch)

@@ -2198,10 +2198,21 @@ _CDC_SQL = """
 """
 
 
+_CDC_LOG_CACHE: dict[str, Path] = {}
+
+
 def _write_cdc_log(sf_dir: str) -> tuple[Path, Path]:
     """Derive a deterministic CDC change log from the events table (ordinal =
     event_id, key = (user, event-type), op by event_id % 10, tombstones for
-    % 10 == 9) and write it as per-epoch parquet under a fresh workdir."""
+    % 10 == 9) and write it as per-epoch parquet under a fresh workdir.
+
+    The derived LOG is memoized per ``sf_dir`` (it is pure fixture setup —
+    identical bytes every call — while a dozen CDC queries each need it);
+    every caller still gets a FRESH workdir for its own state store, so the
+    measured replay work is never shared."""
+    cached = _CDC_LOG_CACHE.get(sf_dir)
+    if cached is not None and cached.exists():
+        return cached, Path(tempfile.mkdtemp(prefix="cdc_replay_"))
     ev = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
     n = ev.num_rows
     eid = ev.column("event_id")
@@ -2240,6 +2251,7 @@ def _write_cdc_log(sf_dir: str) -> tuple[Path, Path]:
     for e in pc.unique(log.column("epoch")).to_pylist():
         sub = log.filter(pc.equal(log.column("epoch"), e))
         pq.write_table(sub, events_dir / f"epoch={e:06d}.parquet", row_group_size=16384)
+    _CDC_LOG_CACHE[sf_dir] = events_dir
     return events_dir, workdir
 
 

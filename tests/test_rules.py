@@ -201,3 +201,28 @@ def test_check_conf_accepts_regex_ternary_yaml(tmp_path):
     rep = check_conf(str(tmp_path / "conf.yaml"), sample)
     assert rep["ok"] is True
     assert rep["rules"]["regex_ternary"]["sample_matches"] == 2
+
+
+def test_struct_attribute_access():
+    """Attribute paths into struct columns (rule-engine SymbolExpression '.'
+    resolution) evaluate vectorized, including nested paths."""
+    batch = pa.table(
+        {
+            "value": [10.0, 20.0, 30.0],
+            "meta": pa.array(
+                [
+                    {"kind": "a", "geo": {"country": "de"}},
+                    {"kind": "b", "geo": {"country": "us"}},
+                    {"kind": "a", "geo": {"country": "us"}},
+                ]
+            ),
+        }
+    )
+    pred = compile_rule("meta.kind == 'a'")
+    assert pred(batch).to_pylist() == [True, False, True]
+    pred2 = compile_rule("meta.geo.country == 'us' and value > 15")
+    assert pred2(batch).to_pylist() == [False, True, True]
+    with pytest.raises(RuleError, match="unknown struct field"):
+        compile_rule("meta.nope == 1")(batch)
+    with pytest.raises(RuleError, match="struct column"):
+        compile_rule("value.kind == 1")(batch)
