@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "clicks_before_purchase_range",
     "event_type_sliding_hourly",
     "cdc_ordinal_window",
+    "cdc_nested_spans",
+    "rule_filter_regex_events",
     "corpus_frequent_terms",
     "neardup_dedup_survivors",
     "doc_weighted_sample",
