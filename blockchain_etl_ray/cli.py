@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
             help="journal permanently failing steps to dead_letter.jsonl "
                  "and continue (streamer skip-and-record analog)",
         )
+        rp.add_argument(
+            "--entities", nargs="*", default=[],
+            help="extra entity tables to maintain from the same change "
+                 "stream (the --entity-types analog); e.g. repo_heads "
+                 "path_spans",
+        )
         if name == "tail":
             rp.add_argument("--lag", type=int, default=0)
             rp.add_argument("--period-seconds", type=float, default=2.0)
@@ -86,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         xp.add_argument("--partitions", type=int, default=32)
         if name == "state":
             xp.add_argument("--limit", type=int, default=10)
+            xp.add_argument(
+                "--table", default=None,
+                help="entity table name (default: the primary files table); "
+                     "requires --entities to name it",
+            )
+            xp.add_argument(
+                "--entities", nargs="*", default=[],
+                help="entity tables the store was built with",
+            )
         if name in ("gaps", "retry-dead-letters"):
             xp.add_argument("--events", required=True)
 
@@ -248,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=getattr(args, "partitions", 32),
         epoch_batch_size=getattr(args, "epoch_batch_size", 8),
         skip_failed_steps=getattr(args, "skip_on_failure", False),
+        entities=tuple(getattr(args, "entities", []) or []),
     )
     engine = ReplayEngine(args.state, cfg)
 
@@ -281,7 +297,7 @@ def main(argv: list[str] | None = None) -> int:
             out["metrics"] = tail.write_metrics_json()
         print(json.dumps(out))
     elif args.cmd == "state":
-        ds = engine.read_state()
+        ds = engine.read_state(table=getattr(args, "table", None))
         print(json.dumps({"rows": ds.count()}))
         for row in ds.take(args.limit):
             row = {k: (v if not isinstance(v, str) or len(v) < 60 else v[:57] + "...")

@@ -77,6 +77,40 @@ def _udf_fullmatch(col, pattern):
     return pc.match_substring_regex(col, f"^(?:{pattern})$")
 
 
+@register_udf("ts")
+def _udf_ts(iso):
+    """Datetime literal (rule-engine datetime support,
+    ``/root/reference/rule_engine/ast.py`` DatetimeExpression): ``ts('2024-01-02')``
+    or ``ts('2024-01-02T06:30:00')`` → a timestamp scalar Arrow kernels
+    broadcast against timestamp columns."""
+    import datetime
+
+    if not isinstance(iso, str):
+        raise RuleError("ts() requires a literal ISO-8601 string")
+    try:
+        dt = datetime.datetime.fromisoformat(iso)
+    except ValueError as e:
+        raise RuleError(f"ts(): invalid ISO-8601 literal {iso!r}: {e}") from e
+    return pa.scalar(dt, type=pa.timestamp("us"))
+
+
+def _duration_udf(name: str, seconds: int):
+    def f(n):
+        if not isinstance(n, (int, float)):
+            raise RuleError(f"{name}() requires a numeric literal")
+        return pa.scalar(int(n * seconds * 1_000_000), type=pa.duration("us"))
+
+    UDFS[name] = f
+    return f
+
+
+#: timedelta literals for datetime arithmetic: ts_col < ts('…') + days(7)
+_duration_udf("seconds", 1)
+_duration_udf("minutes", 60)
+_duration_udf("hours", 3600)
+_duration_udf("days", 86400)
+
+
 class RuleError(ValueError):
     pass
 

@@ -581,6 +581,41 @@ def rule_filter_regex_events(sf_dir: str):
 
 
 @register(
+    "rule_filter_time_events",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND ts < TIMESTAMP '2024-01-02 00:00:00' + INTERVAL 7 DAY
+      AND event_type = 'purchase'
+    """,
+)
+def rule_filter_time_events(sf_dir: str):
+    """Rule DSL datetime literals + timedelta arithmetic (the rule-engine
+    datetime family): ``ts('…')`` / ``days(n)`` compile to Arrow
+    timestamp/duration scalars broadcast by the comparison kernels."""
+    from ..functions.rules import rule_filter
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    filtered = rule_filter(
+        ds,
+        "ts >= ts('2024-01-02') and ts < ts('2024-01-02') + days(7) "
+        "and event_type == 'purchase'",
+    )
+    return _stable(
+        filtered.map_batches(
+            lambda t: t.select(["event_id", "user_id", "event_type"]),
+            batch_format="pyarrow",
+        ),
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ],
+    )
+
+
+@register(
     "rule_filter_udf_docs",
     """
     SELECT doc_id, lang FROM documents

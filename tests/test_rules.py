@@ -226,3 +226,36 @@ def test_struct_attribute_access():
         compile_rule("meta.nope == 1")(batch)
     with pytest.raises(RuleError, match="struct column"):
         compile_rule("value.kind == 1")(batch)
+
+
+def test_datetime_literals_and_arithmetic():
+    """Datetime comparisons + timedelta arithmetic (the rule-engine datetime
+    feature family), vectorized through Arrow timestamp/duration kernels."""
+    import datetime
+
+    batch = pa.table(
+        {
+            "ts": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1, 6),
+                    datetime.datetime(2024, 1, 2, 6),
+                    datetime.datetime(2024, 1, 9, 6),
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+
+    def mask(expr):
+        return compile_rule(expr)(batch).to_pylist()
+
+    assert mask("ts >= ts('2024-01-02')") == [False, True, True]
+    assert mask("ts < ts('2024-01-02') + days(7)") == [True, True, False]
+    assert mask(
+        "ts >= ts('2024-01-01T12:00:00') - hours(7) and value < 3"
+    ) == [True, True, False]
+    with pytest.raises(RuleError, match="ISO-8601"):
+        mask("ts >= ts('not-a-date')")
+    with pytest.raises(RuleError, match="numeric literal"):
+        mask("ts < ts('2024-01-02') + days('x')")
