@@ -82,6 +82,79 @@ class ReplayAdapter(_DirHead, TailAdapter):
         return summary
 
 
+class TxPoolAdapter(_DirHead, TailAdapter):
+    """Pending-pool snapshot exporter (the S8 ``export_txpool`` analog,
+    ``ethereumetl/streaming/eth_txpool_adapter.py:37-61`` /
+    ``cli/export_txpool.py``): each poll SNAPSHOTS the current mutable
+    pending set — here, events DELIVERED upstream but not yet applied into
+    state (the unconfirmed analog of txpoolContent) — stamps every row with
+    the current frontier + snapshot wall-time exactly like the reference
+    stamps ``blknum``/``block_timestamp``, attaches the deterministic item
+    id (M8, ``eth_item_id_calculator``), and exports one JSONL snapshot
+    directory per poll.  Re-polling re-snapshots whatever is pending NOW
+    (pool rows are expected to disappear as the main tail confirms them);
+    snapshots are additive observations, not checkpointed state, so the
+    adapter keeps no cursor.  The IPFS/Origin halves of S8 stay
+    out-of-sandbox extension points (network clients)."""
+
+    def __init__(self, engine: ReplayEngine, events_dir: str, out_dir: str):
+        super().__init__(events_dir)
+        self.engine = engine
+        from pathlib import Path
+
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self._snap_n = 0
+
+    def poll(self, target: int) -> dict:
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ..functions.hashing import event_ids
+        from ..sinks import JsonlDatasink
+
+        by_epoch = discover_epoch_files(self.events_dir)
+        applied = self.engine.store.applied_epochs()
+        pending = sorted(e for e in by_epoch if e <= target and e not in applied)
+        if not pending:
+            return {"steps_applied": [], "pool_rows": 0, "pending_epochs": []}
+        files = [f for e in pending for f in by_epoch[e]]
+        snap_ts = _time.time()
+        self._snap_n += 1
+        snap_dir = self.out_dir / f"pool-{self._snap_n:06d}-head={target:06d}"
+
+        def stamp(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            t = t.append_column(
+                "item_id",
+                event_ids(
+                    t.column("repo"), t.column("path"),
+                    t.column("commit"), t.column("op"),
+                ),
+            )
+            t = t.append_column(
+                "snapshot_epoch", pa.array([target] * n, type=pa.int64())
+            )
+            return t.append_column(
+                "snapshot_ts", pc.cast(pa.array([snap_ts] * n), pa.float64())
+            )
+
+        ds = rd.read_parquet(files).map_batches(stamp, batch_format="pyarrow")
+        ds.write_datasink(JsonlDatasink(str(snap_dir)))
+        import pyarrow.parquet as pq_
+
+        rows = sum(pq_.read_metadata(f).num_rows for f in files)  # footer-only
+        return {
+            "steps_applied": pending,
+            "pool_rows": rows,
+            "pending_epochs": pending,
+            "snapshot_dir": str(snap_dir),
+        }
+
+
 class ReorgAdapter(_DirHead, TailAdapter):
     """The reorg-loop adapter (``eth_reorg_adapter`` + ``cli/reorg.py:153-243``
     analog): each cycle re-checks only the trailing ``window`` epochs behind

@@ -280,3 +280,44 @@ def test_feed_replica_consumer_converges_and_is_idempotent(tmp_path):
     # tombstones retained internally, excluded from the default view
     full = rep.table(include_deleted=True)
     assert full.num_rows > rep.table().num_rows
+
+
+def test_txpool_adapter_snapshots_pending_set(tmp_path):
+    """S8 export_txpool analog: each poll snapshots the delivered-but-
+    unapplied pending set stamped with frontier + item ids; confirmed epochs
+    leave the pool."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.sources.adapters import TxPoolAdapter
+    from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=5, n_epochs=6)
+    eng = ReplayEngine(str(tmp_path / "st"), ReplayConfig(num_partitions=4, epoch_batch_size=2))
+    eng.replay(str(events), upto_epoch=2)  # epochs 0-2 confirmed; 3-5 pending
+
+    pool = TxPoolAdapter(eng, str(events), str(tmp_path / "pool"))
+    tail = ChainTail(adapter=pool, lag=0)
+    r = tail.poll_once()
+    assert r["pending_epochs"] == [3, 4, 5]
+    snap = sorted((tmp_path / "pool").glob("pool-*/*.jsonl"))
+    assert snap, "no snapshot shards written"
+    rows = [json.loads(ln) for f in snap for ln in f.read_text().splitlines()]
+    expected = sum(
+        pq.read_metadata(f).num_rows
+        for e in (3, 4, 5)
+        for f in events.glob(f"epoch={e:06d}*.parquet")
+    )
+    assert len(rows) == expected == r["pool_rows"]
+    # frontier stamp + deterministic item id on every row (M8 calculator)
+    assert all(row["snapshot_epoch"] == 5 for row in rows)
+    assert all(len(row["item_id"]) == 64 for row in rows)
+
+    # confirming everything empties the pool
+    eng.replay(str(events))
+    r2 = tail.poll_once()
+    assert r2["pending_epochs"] == [] and r2["pool_rows"] == 0
