@@ -1067,6 +1067,60 @@ class ReplayEngine:
         atomic_write_json(dest_p / "manifest.json", manifest)
         return manifest
 
+    # ------------------------------------------------------------- resharding
+    def reshard(
+        self,
+        new_state_root: str,
+        new_num_partitions: int,
+        snapshot_dir: str | None = None,
+    ) -> "ReplayEngine":
+        """P → P′ partition-count migration.  The hash-partition count is
+        baked into the storage layout (fragments sorted by partition, one
+        row group per partition — that layout IS the exchange), so a store
+        that outgrows its partition count can't just be reconfigured: growth
+        is absorbed by migrating to a store laid out at the new count.  This
+        is the operational reshard every long-lived partitioned deployment
+        needs (the reference's analog is a GreenPlum redistribute /
+        re-``CREATE TABLE ... DISTRIBUTED BY`` migration around
+        ``postgres_utils.py:28-88``'s fixed table layout).
+
+        Mechanics — composition of two already-crash-safe halves, no new
+        failure modes: a tombstone-preserving :meth:`export_state` (rows
+        carry ``op``/``ordinal``, one Ray task per source partition) feeds a
+        :meth:`bulk_load` into a FRESH store configured at
+        ``new_num_partitions``, carrying the applied-epoch frontier so a
+        replay/ChainTail pointed at the new root resumes exactly where this
+        store stopped (seed-then-tail).  The dead-letter journal is copied
+        verbatim, so quarantined epochs stay quarantined and retryable in
+        the new store.  At 100-TB scale both halves stream partition-wise:
+        nothing table-sized lands on the driver and the exchange volume is
+        one pass over live rows.
+
+        LWW heads (primary + entity tables) reproduce exactly — seed rows
+        keep per-row ordinals, so late lower-ordinal events still lose
+        against migrated rows; additive per-delivery counters restart at the
+        snapshot (same bulk_load semantics, documented there).  The old
+        store is left untouched: cut-over = point tails at the new root,
+        verify, then delete the old directory.
+        """
+        if new_num_partitions < 1:
+            raise ValueError(f"new_num_partitions must be >= 1, got {new_num_partitions}")
+        from dataclasses import replace as _dc_replace
+
+        snap = snapshot_dir or (str(new_state_root).rstrip("/") + "-reshard-snapshot")
+        manifest = self.export_state(snap)
+        new_engine = ReplayEngine(
+            str(new_state_root),
+            _dc_replace(self.config, num_partitions=new_num_partitions),
+        )
+        new_engine.bulk_load(snap, covered_epochs=manifest["covered_epochs"])
+        src_journal = self.dead_letter_path()
+        if src_journal.exists():
+            import shutil as _shutil
+
+            _shutil.copy2(src_journal, new_engine.dead_letter_path())
+        return new_engine
+
     def read_changes(
         self,
         since_version: int,

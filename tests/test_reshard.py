@@ -1,0 +1,99 @@
+"""Partition-count migration (reshard): export → bulk_load at a new P.
+
+A long-lived deployment's partition count is baked into the fragment
+layout (the layout IS the hash exchange), so growth is absorbed by
+migrating to a store laid out at the new count — the GreenPlum
+re-``DISTRIBUTED BY`` analog around the reference's fixed table layout
+(``blockchainetl/service/postgres_utils.py:28-88``)."""
+
+import pytest
+
+from blockchain_etl_ray.fixtures.synth import write_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+CFG = dict(num_partitions=8, epoch_batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("reshard") / "events"
+    write_corpus(d, n_events=8_000, seed=23, n_epochs=12)
+    return str(d)
+
+
+def _state_df(engine, **kw):
+    return (
+        engine.read_state(**kw)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("new_p", [3, 16])  # shrink to a non-divisor / grow
+def test_reshard_then_tail_equals_full_replay_at_new_p(corpus, tmp_path, new_p):
+    old = ReplayEngine(
+        str(tmp_path / f"st_old{new_p}"),
+        ReplayConfig(entities=("repo_heads",), **CFG),
+    )
+    old.replay(corpus, upto_epoch=7)
+
+    new = old.reshard(str(tmp_path / f"st_new{new_p}"), new_p)
+    assert new.config.num_partitions == new_p
+
+    # migration is an identity on visible state (tombstones + ids included)
+    a = _state_df(old, include_deleted=True)
+    b = _state_df(new, include_deleted=True)
+    assert len(a) == len(b)
+    for col in (
+        "repo", "path", "commit", "content_sha256", "ordinal", "deleted",
+        "event_id",
+    ):
+        assert a[col].tolist() == b[col].tolist(), col
+
+    # the resharded store tails the rest of the log to the same final state
+    # as a from-scratch replay AT THE NEW PARTITION COUNT
+    new.replay(corpus)
+    full = ReplayEngine(
+        str(tmp_path / f"st_full{new_p}"),
+        ReplayConfig(
+            entities=("repo_heads",), num_partitions=new_p, epoch_batch_size=4
+        ),
+    )
+    full.replay(corpus)
+    fa, fb = _state_df(new), _state_df(full)
+    for col in ("repo", "path", "commit", "content_sha256", "ordinal"):
+        assert fa[col].tolist() == fb[col].tolist(), col
+    assert new.gaps(corpus) == []
+
+    # entity heads re-derived at the new count match the from-scratch store
+    ha = (
+        new.read_state(table="repo_heads")
+        .to_pandas().sort_values("repo").reset_index(drop=True)
+    )
+    hb = (
+        full.read_state(table="repo_heads")
+        .to_pandas().sort_values("repo").reset_index(drop=True)
+    )
+    assert ha["repo"].tolist() == hb["repo"].tolist()
+    assert ha["ordinal"].tolist() == hb["ordinal"].tolist()
+
+
+def test_reshard_carries_dead_letter_quarantine(corpus, tmp_path):
+    old = ReplayEngine(str(tmp_path / "st_dl"), ReplayConfig(**CFG))
+    old.replay(corpus, upto_epoch=5)
+    # journal a quarantined range the way a permanent step failure would
+    old._journal_dead_letter(999, [98, 99], ["missing.parquet"], RuntimeError("rpc down"))
+    assert old.dead_letter_epochs() == {98, 99}
+
+    new = old.reshard(str(tmp_path / "st_dl_new"), 4)
+    # quarantine survives the migration: the epochs are still journaled in
+    # the new store (retryable there), not silently forgotten
+    assert new.dead_letter_epochs() == {98, 99}
+
+
+def test_reshard_rejects_bad_partition_count(corpus, tmp_path):
+    old = ReplayEngine(str(tmp_path / "st_bad"), ReplayConfig(**CFG))
+    old.replay(corpus, upto_epoch=3)
+    with pytest.raises(ValueError):
+        old.reshard(str(tmp_path / "st_bad_new"), 0)
