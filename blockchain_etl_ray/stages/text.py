@@ -97,6 +97,50 @@ def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, type=pa.string()))
 
 
+#: PII / secret patterns (RE2 syntax — the SAME regex engine backs pyarrow's
+#: ``count_substring_regex``/``replace_substring_regex`` and DuckDB's
+#: ``regexp_*``, so pipeline and SQL oracle agree match-for-match).  Dict
+#: order is the REDACTION order (part of the parity contract: redaction is a
+#: sequential fold, ``pii_redact`` and the oracle's nested ``regexp_replace``
+#: must apply patterns identically).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "secret": r"sk_live_[0-9]+",
+}
+
+
+def pii_counts(
+    text_arr: pa.ChunkedArray | pa.Array, patterns: dict[str, str] | None = None
+) -> dict[str, pa.Array]:
+    """Per-document non-overlapping match counts for each PII pattern —
+    one vectorized RE2 pass per pattern (the compliance-scan stage a
+    training-data pipeline runs before release; M5 content-classify shape,
+    ``ethereumetl/service/eth_contract_service.py``)."""
+    pats = patterns or PII_PATTERNS
+    return {
+        kind: pc.cast(pc.count_substring_regex(text_arr, pat), pa.int64())
+        for kind, pat in pats.items()
+    }
+
+
+def pii_redact(
+    text_arr: pa.ChunkedArray | pa.Array,
+    patterns: dict[str, str] | None = None,
+    placeholder: str = "<{kind}>",
+):
+    """Replace every PII match with a typed placeholder, folding the patterns
+    in dict order (equals DuckDB ``regexp_replace(..., 'g')`` nested in the
+    same order)."""
+    pats = patterns or PII_PATTERNS
+    out = text_arr
+    for kind, pat in pats.items():
+        out = pc.replace_substring_regex(
+            out, pat, replacement=placeholder.format(kind=kind.upper())
+        )
+    return out
+
+
 def rolling_fingerprints(
     batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
 ) -> pa.Table:
