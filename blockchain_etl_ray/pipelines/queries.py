@@ -1955,6 +1955,42 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
 
 
+@register(
+    "simhash_md5_signatures",
+    """
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, md5_number_upper(w) AS h FROM words),
+    bits AS (
+      SELECT doc_id, CAST(b.range AS INTEGER) AS bit,
+             SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(64) b
+      GROUP BY doc_id, b.range)
+    SELECT doc_id,
+           lower(lpad(to_hex(CAST(
+             SUM(CASE WHEN s > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)
+             AS UBIGINT)), 16, '0')) AS simhash_hex
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_md5_signatures(sf_dir: str):
+    """SQL-VERIFIED SimHash: every piece of the signature recipe (distinct
+    single-space words → md5-derived ±1 bit vectors → sign fold) has an
+    exact DuckDB twin, so the oracle checks the 64-bit signatures
+    themselves, not just shape — the hash-verified anchor for the whole
+    simhash near-dup family (the production pipeline keeps the faster
+    blake2b variant; both share fold semantics).  Word vectors are cached
+    per actor (Zipfian vocabulary → high hit rate)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _stable(
+        ds.map_batches(dedup.SimHasherMd5, batch_format="pyarrow", concurrency=2),
+        [("doc_id", pa.int64()), ("simhash_hex", pa.string())],
+    )
+
+
 @register("simhash_neardup_pairs", None)
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash near-dup pairs end to end (band-bucket → bounded pair-gen with
@@ -3667,6 +3703,7 @@ _DRIVER_ORDER = [
     "doc_quality_scores",
     "doc_pii_scan",
     "doc_pii_redact",
+    "simhash_md5_signatures",
 ]
 
 

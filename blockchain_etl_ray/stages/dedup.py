@@ -397,6 +397,54 @@ class SimHasher:
         return out
 
 
+#: md5 word-vector cache for the SQL-verifiable SimHash variant (same
+#: bounded-cache policy as ``_WORD_VEC_CACHE``)
+_MD5_VEC_CACHE: dict[str, np.ndarray] = {}
+
+
+def _word_vec_md5(w: str) -> np.ndarray:
+    """±1 bit vector of the FIRST 8 md5 digest bytes read as a little-endian
+    u64 — bit-for-bit what DuckDB's ``md5_number_upper`` returns, so the
+    whole signature is SQL-reproducible (see ``simhash_md5_signatures``)."""
+    v = _MD5_VEC_CACHE.get(w)
+    if v is None:
+        digest = hashlib.md5(w.encode()).digest()
+        v = np.unpackbits(
+            np.frombuffer(digest[:8], dtype=np.uint8), bitorder="little"
+        ).astype(np.int16)
+        v = v * 2 - 1
+        if len(_MD5_VEC_CACHE) >= _WORD_VEC_CACHE_MAX:
+            _MD5_VEC_CACHE.clear()
+        _MD5_VEC_CACHE[w] = v
+    return v
+
+
+class SimHasherMd5:
+    """SQL-verifiable 64-bit SimHash (actor-pool stage): distinct
+    single-space words, md5-derived ±1 word vectors, sign fold — each piece
+    chosen to have an exact DuckDB twin (``string_split`` / ``unnest`` /
+    ``md5_number_upper`` / bit arithmetic), so the signature itself — not
+    just row counts — is oracle-checkable.  Emits the signature as a 16-char
+    lowercase hex string (dtype-exact across DuckDB's HUGEINT/pandas
+    boundary, where a u64 would decay to float64)."""
+
+    @staticmethod
+    def simhash_hex(text: str) -> str:
+        acc = np.zeros(64, dtype=np.int32)
+        for w in set(text.split(" ")):
+            acc += _word_vec_md5(w)
+        sig = int.from_bytes(
+            np.packbits(acc > 0, bitorder="little").tobytes(), "little"
+        )
+        return f"{sig:016x}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash_hex(t) for t in batch.column("text").to_pylist()]
+        return batch.select(["doc_id"]).append_column(
+            "simhash_hex", pa.array(hs, type=pa.string())
+        )
+
+
 def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
     """Explode SimHash signatures to long-format (band_id, band_key, doc_id,
     simhash) rows for bucketing.  The 64-bit signature RIDES ALONG into the
