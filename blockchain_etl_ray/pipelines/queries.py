@@ -887,7 +887,12 @@ def vsum_by_event_type(sf_dir: str):
     ``blockchainetl/misc/pandas_extra.py:18-21``): per-batch Python-int partial
     sums carried as decimal strings (exceeding int64), merged per group —
     exactly the reference's wei-value aggregation strategy."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_type", "value"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
 
     def prep(t: pa.Table) -> pa.Table:
         micros = scaled_int(t.column("value"), scale=6)
@@ -899,7 +904,11 @@ def vsum_by_event_type(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    merged = partials.groupby("event_type").map_groups(
+    # the combiner output is (group-cardinality × blocks) rows — KBs even at
+    # 100 TB for a bounded group domain — so the final combine is ONE
+    # partition (also keeps Ray's sort from emitting schemaless empty
+    # partitions for the many ranges no group lands in)
+    merged = partials.repartition(1).groupby("event_type").map_groups(
         lambda g: merge_partials(g, "event_type"), batch_format="pyarrow"
     )
     return _stable(
