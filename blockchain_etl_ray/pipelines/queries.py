@@ -1349,10 +1349,50 @@ def approx_distinct_users_by_type(sf_dir: str):
     )
 
 
-@register("doc_langid", None)
+#: profile literals shared with the oracle SQL (one definition: the VALUES
+#: rows are built from LangId.PROFILES at import, so pipeline and SQL can
+#: never drift)
+_LANGID_PROFILE_VALUES = ",\n      ".join(
+    f"('{lang}', '{ptext}')" for lang, ptext in sorted(text.LangId.PROFILES.items())
+)
+
+
+@register(
+    "doc_langid",
+    f"""
+    WITH profiles(lang, ptext) AS (VALUES
+      {_LANGID_PROFILE_VALUES}),
+    pgrams AS (
+      SELECT lang, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(s) - 2, 0)),
+               i -> substr(s, i, 3)))) AS g
+      FROM (SELECT lang, lower(ptext) AS s FROM profiles)),
+    dgrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(s) - 2, 0)),
+               i -> substr(s, i, 3)))) AS g
+      FROM (SELECT doc_id, lower(substr(text, 1, 500)) AS s FROM documents)),
+    inter AS (
+      SELECT d.doc_id, p.lang, COUNT(*) AS c
+      FROM dgrams d JOIN pgrams p ON d.g = p.g
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT doc.doc_id, l.lang, COALESCE(i.c, 0) AS c
+      FROM (SELECT doc_id FROM documents) doc
+      CROSS JOIN (SELECT DISTINCT lang FROM profiles) l
+      LEFT JOIN inter i ON i.doc_id = doc.doc_id AND i.lang = l.lang)
+    SELECT doc_id, lang AS lang_pred FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) = 1
+    """,
+)
 def doc_langid(sf_dir: str):
-    """Heuristic n-gram language ID (actor-pool stage; rows-only check —
-    deterministic but not SQL-expressible)."""
+    """Heuristic n-gram language ID (actor-pool stage: per-language trigram
+    profiles built ONCE per actor in ``__init__``).  SQL-PAIRED since round
+    3: distinct-trigram profile overlap with a shared per-doc denominator is
+    argmax-equivalent to ordering by raw intersection count, so the DuckDB
+    oracle reproduces the prediction exactly (ties break to the
+    lexicographically first language on both sides, and the VALUES rows are
+    generated from ``LangId.PROFILES`` so the two sides cannot drift)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
         ds.map_batches(
@@ -3791,6 +3831,7 @@ _DRIVER_ORDER = [
     "doc_pii_redact",
     "simhash_md5_signatures",
     "corpus_release_pipeline",
+    "doc_langid",
 ]
 
 
