@@ -2040,6 +2040,51 @@ def simhash_md5_signatures(sf_dir: str):
     )
 
 
+def _minhash_md5_sql() -> str:
+    """Oracle SQL for ``minhash_md5_signatures`` built from the SAME constants
+    module the pipeline stage reads (``dedup.md5_minhash_consts``) — one
+    source of truth for the universal-hash parameters on both sides."""
+    a, b = dedup.md5_minhash_consts()
+    k = dedup.MD5_MINHASH_K
+    vals = ",".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(range(1, len(ws) - {k - 2}),
+                                          i -> array_to_string(ws[i:i+{k - 1}], ' '))
+                      END) AS shingle
+        FROM toks)),
+    hashed AS (SELECT doc_id, CAST(md5_number_upper(shingle) AS HUGEINT) AS x FROM sh),
+    perms AS (SELECT * FROM (VALUES {vals}) AS t(perm_id, a, b)),
+    mixed AS (SELECT doc_id, perm_id,
+              (CAST(a AS HUGEINT) * x + CAST(b AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT) AS v
+              FROM hashed CROSS JOIN perms)
+    SELECT doc_id, CAST(perm_id AS BIGINT) AS perm_id,
+           lower(lpad(to_hex(CAST(MIN(v) AS UBIGINT)), 16, '0')) AS minhash_hex
+    FROM mixed GROUP BY doc_id, perm_id
+    """
+
+
+@register("minhash_md5_signatures", _minhash_md5_sql())
+def minhash_md5_signatures(sf_dir: str):
+    """SQL-VERIFIED MinHash: distinct k-word shingles → md5 base hashes →
+    universal-hash mixes with explicit mod-2^64 wraparound (numpy uint64 ==
+    DuckDB HUGEINT + mod) → per-permutation minima.  The oracle checks the
+    64-bit minima themselves (hex, dtype-exact), making this the
+    hash-verified anchor for the whole MinHash+LSH near-dup family — the
+    production ``MinHasher`` keeps the faster blake2b shingles with identical
+    fold semantics (``stages/dedup.py``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _stable(
+        ds.map_batches(dedup.MinHasherMd5, batch_format="pyarrow", concurrency=2),
+        [("doc_id", pa.int64()), ("perm_id", pa.int64()), ("minhash_hex", pa.string())],
+    )
+
+
 @register("simhash_neardup_pairs", None)
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash near-dup pairs end to end (band-bucket → bounded pair-gen with
@@ -3830,6 +3875,7 @@ _DRIVER_ORDER = [
     "doc_pii_scan",
     "doc_pii_redact",
     "simhash_md5_signatures",
+    "minhash_md5_signatures",
     "corpus_release_pipeline",
     "doc_langid",
 ]

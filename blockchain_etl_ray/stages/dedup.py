@@ -445,6 +445,80 @@ class SimHasherMd5:
         )
 
 
+#: number of md5-anchored minhash permutations / word-shingle width shared by
+#: ``MinHasherMd5`` and the ``minhash_md5_signatures`` oracle SQL (the SQL
+#: string interpolates ``md5_minhash_consts()`` so both sides read ONE source)
+MD5_MINHASH_PERMS = 8
+MD5_MINHASH_K = 5
+
+
+def md5_minhash_consts(n: int = MD5_MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash constants for the SQL-verifiable minhash:
+    odd multipliers < 2^32 and addends < 2^63, so ``a*x + b`` over a 64-bit
+    base hash stays inside DuckDB's signed-128-bit HUGEINT before the
+    explicit mod-2^64 — the same wraparound numpy's uint64 applies for free."""
+    rng = np.random.default_rng(20240817)
+    a = rng.integers(0, 2**31, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    return a, b
+
+
+class MinHasherMd5:
+    """SQL-VERIFIED MinHash signatures (actor-pool stage): distinct k-word
+    shingles → first-8-md5-bytes little-endian base hashes (DuckDB's
+    ``md5_number_upper`` twin, the ``SimHasherMd5`` recipe) → ``PERMS``
+    universal-hash mixes ``(a·x + b) mod 2^64`` (numpy uint64 wraparound ==
+    DuckDB HUGEINT arithmetic + explicit mod) → min over shingles.  Emits
+    long-format ``(doc_id, perm_id, minhash_hex)`` rows so the 64-bit minima
+    themselves are oracle-checkable (hex strings survive the HUGEINT/pandas
+    dtype boundary).  The production ``MinHasher`` keeps the faster blake2b
+    shingles; both share the shingle → sign → min fold semantics."""
+
+    def __init__(self, num_perm: int = MD5_MINHASH_PERMS, shingle_k: int = MD5_MINHASH_K):
+        self.k = shingle_k
+        self.a, self.b = md5_minhash_consts(num_perm)
+        self.perm_ids = np.arange(num_perm, dtype=np.int64)
+
+    def _shingle_base(self, text: str) -> np.ndarray:
+        words = text.split(" ")
+        if len(words) < self.k:
+            shingles = {" ".join(words)}
+        else:
+            shingles = {
+                " ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)
+            }
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_perm = len(self.a)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mins = np.empty((len(doc_ids), n_perm), dtype=np.uint64)
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            xs = self._shingle_base(text)
+            # (n_perm, n_shingles) wrapped mixes, min over shingles — one
+            # vectorized pass per doc; only the md5 base is per-shingle work
+            mins[r] = (self.a[:, None] * xs[None, :] + self.b[:, None]).min(axis=1)
+        flat = mins.reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, n_perm), type=pa.int64()),
+                "perm_id": pa.array(
+                    np.tile(self.perm_ids, len(doc_ids)), type=pa.int64()
+                ),
+                "minhash_hex": pa.array(
+                    [f"{int(v):016x}" for v in flat], type=pa.string()
+                ),
+            }
+        )
+
+
 def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
     """Explode SimHash signatures to long-format (band_id, band_key, doc_id,
     simhash) rows for bucketing.  The 64-bit signature RIDES ALONG into the

@@ -587,3 +587,36 @@ def test_semantic_dedup_blocked_recall_on_planted_tight_dups():
     assert set(retired) <= planted
     # and most planted dups were caught (same-cluster blocking)
     assert len(retired) >= int(0.8 * len(dup_src))
+
+
+def test_minhash_md5_stage_brute_force_and_edges():
+    """MinHasherMd5 equals an independent per-doc reimplementation (md5 base
+    hashes + uint64-wraparound universal mixes), including the short-text
+    (< k words) and empty-text edges the oracle SQL's CASE branch covers."""
+    import hashlib
+
+    texts = ["", "one", "a b c d e", "w " * 40 + "end", "a b c d e f g a b c d e"]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    stage = dedup.MinHasherMd5()
+    out = stage(batch).to_pydict()
+    a, b = dedup.md5_minhash_consts()
+    k = dedup.MD5_MINHASH_K
+    got = {
+        (d, p): h
+        for d, p, h in zip(out["doc_id"], out["perm_id"], out["minhash_hex"])
+    }
+    assert len(got) == len(texts) * len(a)
+    for did, text in enumerate(texts):
+        ws = text.split(" ")
+        sh = (
+            {" ".join(ws)}
+            if len(ws) < k
+            else {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        )
+        xs = [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in sh]
+        for p in range(len(a)):
+            want = min((int(a[p]) * x + int(b[p])) % (1 << 64) for x in xs)
+            assert got[(did, p)] == f"{want:016x}"
