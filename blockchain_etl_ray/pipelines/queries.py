@@ -2157,6 +2157,84 @@ def media_decode_stats(sf_dir: str):
     )
 
 
+@register(
+    "media_frame_inventory",
+    """
+    WITH m AS (SELECT doc_id,
+                      16 + (doc_id % 5) * 8 AS w,
+                      16 + (doc_id % 3) * 8 AS h,
+                      4 + (doc_id % 3) AS nf
+               FROM documents)
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(-1 AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+    FROM m WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, 'frame', CAST(f.i AS BIGINT),
+           CAST(w AS BIGINT), CAST(h AS BIGINT)
+    FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS i) f
+    WHERE doc_id % 10 = 0
+    """,
+)
+def media_frame_inventory(sf_dir: str):
+    """SQL-VERIFIED multimodal plumbing: the decode/frame-sample actor stages
+    parse width/height/frame structure FROM THE BINARY PAYLOAD HEADERS, and
+    the oracle recomputes them from the fixture's planting formulas — so a
+    header mis-parse, a wrong frame stride, or a dropped frame breaks the
+    hash.  Same actor-pool stages as ``media_decode_stats`` (which stays
+    rows-only for the pixel statistics SQL cannot reach —
+    ``mean_luma``/``phash64`` are pytest-verified instead,
+    ``tests/test_multimodal.py``)."""
+    from ..stages import multimodal as mm
+
+    ds = mm.synth_media_dataset(sf_dir)
+    images = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "image")),
+        batch_format="pyarrow",
+    ).map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+    frames = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
+            batch_format="pyarrow",
+        )
+        .map_batches(mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2)
+        .map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+    )
+
+    def tag(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            fi = (
+                pc.cast(t.column("frame_idx"), pa.int64())
+                if "frame_idx" in t.column_names
+                else pa.array([-1] * t.num_rows, type=pa.int64())
+            )
+            return pa.table(
+                {
+                    "media_id": t.column("media_id"),
+                    "kind": pa.array([kind] * t.num_rows, type=pa.string()),
+                    "frame_idx": fi,
+                    "width": pc.cast(t.column("width"), pa.int64()),
+                    "height": pc.cast(t.column("height"), pa.int64()),
+                }
+            )
+
+        return f
+
+    out = images.map_batches(tag("image"), batch_format="pyarrow").union(
+        frames.map_batches(tag("frame"), batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("frame_idx", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+        ],
+    )
+
+
 # ===========================================================================
 # Embedding similarity (embeddings table)
 # ===========================================================================
@@ -3876,6 +3954,7 @@ _DRIVER_ORDER = [
     "doc_pii_redact",
     "simhash_md5_signatures",
     "minhash_md5_signatures",
+    "media_frame_inventory",
     "corpus_release_pipeline",
     "doc_langid",
 ]

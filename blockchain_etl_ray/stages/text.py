@@ -141,27 +141,32 @@ def pii_redact(
     return out
 
 
+_ROLL_B = np.uint64(131)
+_ROLL_BINV = np.uint64(pow(131, -1, 1 << 64))
+
+
 def rolling_fingerprints(
     batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
 ) -> pa.Table:
     """Rabin-Karp-style rolling-hash document fingerprint: the ``keep``
     smallest window hashes per doc (winnowing sketch), hex-joined.  Non-SQL;
-    deterministic."""
+    deterministic.  Window hashes come from the wraparound-2^64
+    prefix-product identity (``stages/dedup.py::_rolling_window_hashes``):
+    with S[i] = Σ d[j]·B⁻ʲ, the hash of the window ending at i is
+    (S[i] − S[i−W])·Bⁱ — one numpy pass per doc, no per-byte Python (the
+    original per-byte loop was the catalog's last hot-path row loop)."""
     out = []
-    B, M = 131, (1 << 61) - 1
-    pow_b = pow(B, window - 1, M)
     for t in batch.column(text_col).to_pylist():
-        data = t.encode()
-        if len(data) < window:
-            out.append(hashlib.md5(data).hexdigest()[:16])
+        data = np.frombuffer(t.encode(), dtype=np.uint8)
+        n = len(data)
+        if n < window:
+            out.append(hashlib.md5(data.tobytes()).hexdigest()[:16])
             continue
-        h = 0
-        for b in data[:window]:
-            h = (h * B + b) % M
-        mins = [h]
-        for i in range(window, len(data)):
-            h = ((h - data[i - window] * pow_b) * B + data[i]) % M
-            mins.append(h)
-        mins = sorted(set(mins))[:keep]
-        out.append("-".join(f"{m:016x}" for m in mins))
+        binv_pows = np.multiply.accumulate(np.full(n, _ROLL_BINV, dtype=np.uint64))
+        s = np.cumsum(data.astype(np.uint64) * binv_pows, dtype=np.uint64)
+        b_pows = np.multiply.accumulate(np.full(n, _ROLL_B, dtype=np.uint64))
+        left = np.concatenate([[np.uint64(0)], s[: n - window]])
+        h = (s[window - 1 :] - left) * b_pows[window - 1 :]
+        mins = np.unique(h)[:keep]
+        out.append("-".join(f"{int(m):016x}" for m in mins))
     return batch.append_column("fingerprint", pa.array(out, type=pa.string()))
