@@ -1245,6 +1245,29 @@ def doc_token_stats(sf_dir: str):
 
 
 @register(
+    "doc_bpe_token_counts",
+    f"""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{text.BPE_SPLIT_RE.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish token counting: a GPT-2-shaped pretokenizer regex (RE2-safe —
+    no lookarounds, so pyarrow's RE2 and DuckDB's RE2 agree match-for-match)
+    counted in ONE vectorized pass per batch.  Per-doc counts so the oracle
+    hash pins every document's token budget, not just totals — the
+    token-budgeting stage of a training-data pipeline next to the whitespace
+    ``doc_token_stats``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return _stable(
+        ds.map_batches(text.bpe_token_counts, batch_format="pyarrow"),
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_bpe_tokens", pa.int64())],
+    )
+
+
+@register(
     "doc_stopword_profile",
     """
     SELECT lang,
@@ -3955,6 +3978,7 @@ _DRIVER_ORDER = [
     "simhash_md5_signatures",
     "minhash_md5_signatures",
     "media_frame_inventory",
+    "doc_bpe_token_counts",
     "corpus_release_pipeline",
     "doc_langid",
 ]

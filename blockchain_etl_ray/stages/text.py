@@ -141,6 +141,20 @@ def pii_redact(
     return out
 
 
+#: BPE-style pretokenizer (GPT-2 shape, RE2-safe: the original's negative
+#: lookahead is dropped — RE2 has no lookarounds, and this keeps the pattern
+#: bit-identical between pyarrow's RE2 and DuckDB's RE2 ``regexp_extract_all``)
+BPE_SPLIT_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document BPE-ish token count: ONE vectorized RE2 pass
+    (``count_substring_regex``) — the training-data token budgeter that runs
+    next to the whitespace tokenizer (``token_stats``)."""
+    n = pc.cast(pc.count_substring_regex(batch.column(text_col), BPE_SPLIT_RE), pa.int64())
+    return batch.drop_columns([text_col]).append_column("n_bpe_tokens", n)
+
+
 _ROLL_B = np.uint64(131)
 _ROLL_BINV = np.uint64(pow(131, -1, 1 << 64))
 
