@@ -18,6 +18,8 @@ Commands:
   feed     export a change-feed window to a JSONL sink (CDC out; K7 analog)
   locate   ordinal→epoch range via footer-stat interpolation (ST4 analog)
   check-conf  validate an alert rule-set config offline (alert_check_conf)
+  query    run a catalog pipeline over an sf-dir; --oracle-check compares the
+           result against its paired DuckDB oracle SQL (no NAME = list)
 
 Owns the Ray session (guarded init) — library code never does.
 """
@@ -175,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--edges", required=True, help="parquet edge table")
     tp.add_argument("--var-dir", default=None)
 
+    qp = sub.add_parser(
+        "query",
+        help="run a catalog pipeline over an sf-dir (no NAME = list the catalog)",
+    )
+    qp.add_argument("name", nargs="?", default=None)
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--out", default=None,
+                    help="write the full result as parquet instead of printing a head")
+    qp.add_argument("--limit", type=int, default=10, help="rows to print")
+    qp.add_argument("--oracle-check", action="store_true",
+                    help="also run the paired DuckDB oracle SQL and compare")
+
     fp = sub.add_parser("feed", help="export a change-feed window to JSONL")
     fp.add_argument("--state", required=True)
     fp.add_argument("--partitions", type=int, default=32)
@@ -242,6 +256,60 @@ def main(argv: list[str] | None = None) -> int:
 
         ray.shutdown()
         return 0
+
+    if args.cmd == "query":
+        from blockchain_etl_ray.pipelines.queries import registry
+
+        reg = registry()
+        if args.name is None:
+            print(json.dumps(
+                [{"name": n, "sql_paired": sql is not None}
+                 for n, (fn, sql) in reg.items()]))
+            return 0
+        if args.name not in reg:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            return 2
+        import ray
+
+        owned_session = not ray.is_initialized()
+        _ray_init()
+        fn, sql = reg[args.name]
+        res = fn(args.sf_dir)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if args.out:
+            df.to_parquet(args.out, index=False)
+        report: dict = {"name": args.name, "rows": len(df),
+                        "columns": list(map(str, df.columns))}
+        if not args.out:
+            report["head"] = json.loads(
+                df.head(args.limit).to_json(orient="records"))
+        rc = 0
+        if args.oracle_check:
+            if sql is None:
+                report["oracle"] = "rows_only"
+            else:
+                import duckdb
+
+                con = duckdb.connect()
+                for t in ("region", "nation", "customer", "supplier", "part",
+                          "orders", "lineitem", "events", "documents",
+                          "embeddings"):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')")
+                want = con.execute(sql).fetchdf()
+                cols = sorted(map(str, df.columns))
+                ok = sorted(map(str, want.columns)) == cols
+                if ok:
+                    g = df[cols].sort_values(cols).reset_index(drop=True)
+                    w = want[cols].sort_values(cols).reset_index(drop=True)
+                    ok = g.equals(w)
+                report["oracle"] = "match" if ok else "MISMATCH"
+                rc = 0 if ok else 5
+        print(json.dumps(report, default=str))
+        if owned_session:
+            ray.shutdown()
+        return rc
 
     if args.cmd == "track":
         _ray_init()

@@ -1,0 +1,47 @@
+"""CLI `query` command: catalog listing, execution, and the in-process
+oracle cross-check (the user-facing "run any pipeline the reference runs"
+surface; reference `blockchainetl/cli/__init__.py:1-90` click registry)."""
+
+import json
+
+from blockchain_etl_ray.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_query_list_catalog(capsys):
+    assert main(["query"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    names = {e["name"] for e in out}
+    assert {"cdc_replay_state", "pricing_summary", "minhash_md5_signatures"} <= names
+    by_name = {e["name"]: e["sql_paired"] for e in out}
+    assert by_name["pricing_summary"] is True
+    assert by_name["doc_pack_bins"] is False
+
+
+def test_query_unknown_name(capsys):
+    assert main(["query", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().out
+
+
+def test_query_runs_and_oracle_checks(capsys):
+    rc = main(
+        ["query", "nation_region_counts", "--sf-dir", SF, "--limit", "3",
+         "--oracle-check"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == 25
+    assert rep["oracle"] == "match"
+    assert len(rep["head"]) == 3
+
+
+def test_query_writes_parquet(tmp_path, capsys):
+    out = tmp_path / "res.parquet"
+    rc = main(
+        ["query", "nation_region_counts", "--sf-dir", SF, "--out", str(out)]
+    )
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_metadata(out).num_rows == 25
