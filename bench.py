@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     "event_value_quantiles_sketch",
     "semantic_dedup_survivors",
+    "minhash_md5_signatures",
+    "doc_bpe_token_counts",
+    "media_frame_inventory",
 ]
 
 
