@@ -2275,18 +2275,20 @@ _ANN_FIELDS = [
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id < 5),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         scored AS (
+           SELECT q.query_id, v.vec_id,
+                  list_cosine_similarity(q.qe, v.ve) AS cos
+           FROM q CROSS JOIN v
+           WHERE v.vec_id <> q.query_id)
     SELECT query_id, vec_id AS neighbor_id,
            CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_x1m,
            CAST(rank AS BIGINT) AS rank
     FROM (
-      SELECT q.query_id, v.vec_id,
-             list_cosine_similarity(q.qe, v.ve) AS cos,
-             ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                ORDER BY list_cosine_similarity(q.qe, v.ve) DESC,
-                                         v.vec_id ASC) AS rank
-      FROM q CROSS JOIN v
-      WHERE v.vec_id <> q.query_id)
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
     WHERE rank <= 10
     """,
 )
