@@ -3629,6 +3629,88 @@ def doc_quality_scores(sf_dir: str):
     )
 
 
+_DECONTAM_SQL = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(range(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+      FROM words),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 31 = 7),
+    docsh AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 31 <> 7),
+    scored AS (
+      SELECT d.doc_id, COUNT(*) AS n_shingles, COUNT(b.g) AS n_hit
+      FROM docsh d LEFT JOIN bench b ON d.g = b.g
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_shingles, n_hit,
+           CAST(ROUND(1000000.0 * n_hit / n_shingles) AS BIGINT) AS contam_x1m,
+           CAST(ROUND(1000000.0 * n_hit / n_shingles) AS BIGINT) >= 100000
+               AS contaminated
+    FROM scored
+"""
+
+
+@register("doc_decontaminate", _DECONTAM_SQL)
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: score every training document's k-word
+    shingle containment against a held-out benchmark split (here the
+    deterministic eval split ``doc_id % 31 == 7``) and flag contaminated
+    docs — the pre-release overlap filter of public LM training pipelines
+    (13-gram-style containment).  Scale shape: the benchmark side is an eval
+    set, SMALL by definition — its distinct shingles are gathered once and
+    broadcast via ``ray.put`` (read per ACTOR, not per batch); the corpus
+    side is one map-side pass (``pc.is_in`` + per-batch group_by), no
+    shuffle anywhere.  Exact-integer containment (x1m) keeps the DuckDB
+    oracle bit-comparable.  M5 content-classify shape
+    (``ethereumetl/service/eth_contract_service.py``) with a broadcast
+    exclusion set (M3, ``blockchainetl/jobs/exporters/…`` filter analog)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_mod(t.column("doc_id"), 31), 7)
+        return text.word_shingle_rows(t.filter(keep)).select(["shingle"])
+
+    parts = list(
+        docs.map_batches(bench_shingles, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    bench = (
+        pc.unique(pa.concat_tables(parts).column("shingle"))
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    bench_ref = ray.put(bench)
+
+    def drop_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(_mod(t.column("doc_id"), 31), 7))
+
+    scored = docs.map_batches(drop_bench, batch_format="pyarrow").map_batches(
+        text.Decontaminator,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return _stable(
+        scored,
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_hit", pa.int64()),
+            ("contam_x1m", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ],
+    )
+
+
 # --- PII / secret scanning (compliance pass over the documents table) ------
 #: SQL fragment planting deterministic PII into the word-salad corpus so the
 #: scan oracle is non-degenerate: doc_id-derived emails / IPv4s / key tokens
@@ -3983,6 +4065,7 @@ _DRIVER_ORDER = [
     "doc_bpe_token_counts",
     "corpus_release_pipeline",
     "doc_langid",
+    "doc_decontaminate",
 ]
 
 

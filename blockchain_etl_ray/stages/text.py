@@ -141,6 +141,100 @@ def pii_redact(
     return out
 
 
+def word_shingle_rows(
+    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """DISTINCT k-word shingles per document as ``(doc_id, shingle)`` rows —
+    fully vectorized: lowercase → regex word split (``split_pattern_regex``,
+    RE2 — the words are exactly DuckDB's ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')``) → flatten with parent indices → adjacent-k join via
+    ``binary_join_element_wise`` on k shifted slices of the flat word array
+    (a shingle start is valid iff position i and i+k-1 share a parent) →
+    per-doc distinct through one Arrow ``group_by``.  No per-row Python.
+
+    Docs with fewer than k words contribute no shingles (pure k-grams — no
+    whole-text fallback; callers that need every doc must handle absence)."""
+    lower = pc.utf8_lower(batch.column(text_col))
+    words = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words)
+    # split_pattern_regex emits '' at leading/trailing separators; dropping
+    # them keeps only real words, in order (adjacency over non-empty tokens)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    empty = pa.table(
+        {id_col: pa.array([], type=batch.column(id_col).type),
+         "shingle": pa.array([], type=pa.string())}
+    )
+    if n < k:
+        return empty
+    m = n - k + 1
+    sh = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(k)], " ")
+    valid = parent[:m] == parent[k - 1 :]
+    sh = sh.filter(pa.array(valid))
+    doc_ids = batch.column(id_col).take(pa.array(parent[:m][valid]))
+    if len(sh) == 0:
+        return empty
+    return (
+        pa.table({id_col: doc_ids, "shingle": sh})
+        .group_by([id_col, "shingle"])
+        .aggregate([])
+    )
+
+
+class Decontaminator:
+    """Benchmark-decontamination scorer (actor-pool stage): flags training
+    documents whose k-word shingles overlap a held-out benchmark/eval set —
+    the decontamination pass every large-scale training-data pipeline runs
+    before release (e.g. the 13-gram overlap filters described in public LM
+    training reports).  The benchmark shingle set is broadcast ONCE via
+    ``ray.put`` and resolved per actor in ``__init__`` (ST1 shape); scoring
+    is one ``pc.is_in`` membership pass + one per-batch Arrow group_by —
+    entirely map-side, no shuffle (each doc's shingles live in its own
+    batch).  For benchmark sets too large to broadcast exactly, swap the
+    value-set for ``stages.sketch.BloomFilter`` (same call shape)."""
+
+    def __init__(self, bench_ref, k: int = 3, threshold_x1m: int = 100_000):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        )
+        self.k = k
+        self.threshold_x1m = threshold_x1m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = word_shingle_rows(batch, k=self.k)
+        hit = pc.cast(pc.is_in(sh.column("shingle"), value_set=self.bench), pa.int64())
+        g = (
+            pa.table({"doc_id": sh.column("doc_id"), "hit": hit})
+            .group_by("doc_id")
+            .aggregate([("hit", "sum"), ("hit", "count")])
+        )
+        n_sh = pc.cast(g.column("hit_count"), pa.int64())
+        n_hit = pc.cast(g.column("hit_sum"), pa.int64())
+        frac = pc.divide(
+            pc.multiply(pc.cast(n_hit, pa.float64()), 1_000_000.0),
+            pc.cast(n_sh, pa.float64()),
+        )
+        contam = pc.cast(
+            pc.round(frac, ndigits=0, round_mode="half_towards_infinity"), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                "n_shingles": n_sh,
+                "n_hit": n_hit,
+                "contam_x1m": contam,
+                "contaminated": pc.greater_equal(contam, self.threshold_x1m),
+            }
+        )
+
+
 #: BPE-style pretokenizer (GPT-2 shape, RE2-safe: the original's negative
 #: lookahead is dropped — RE2 has no lookarounds, and this keeps the pattern
 #: bit-identical between pyarrow's RE2 and DuckDB's RE2 ``regexp_extract_all``)

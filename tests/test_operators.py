@@ -620,3 +620,45 @@ def test_minhash_md5_stage_brute_force_and_edges():
         for p in range(len(a)):
             want = min((int(a[p]) * x + int(b[p])) % (1 << 64) for x in xs)
             assert got[(did, p)] == f"{want:016x}"
+
+
+def test_word_shingle_rows_and_decontaminator_brute_force():
+    """word_shingle_rows equals a per-doc Python reimplementation (regex word
+    split, distinct k-grams, <k-words and empty edges); Decontaminator's
+    containment math equals hand-computed exact fractions."""
+    import re
+
+    from blockchain_etl_ray.stages import text as tx
+
+    texts = [
+        "",                                   # no words
+        "One two",                            # < k words -> no shingles
+        "Alpha beta gamma",                   # exactly one 3-shingle
+        "a b c a b c a b c",                  # repeats collapse (distinct)
+        "  Punct, split!  UPPER lower 42x ",  # regex split + lowercase
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    out = tx.word_shingle_rows(batch, k=3)
+    got = set(zip(out.column("doc_id").to_pylist(), out.column("shingle").to_pylist()))
+    want = set()
+    for did, t in enumerate(texts):
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        for i in range(len(ws) - 2):
+            want.add((did, " ".join(ws[i : i + 3])))
+    assert got == want
+
+    # containment: bench = doc 3's shingles ("a b c" / "b c a" / "c a b")
+    bench = pc.unique(
+        tx.word_shingle_rows(batch.slice(3, 1), k=3).column("shingle")
+    )
+    dec = tx.Decontaminator(bench, k=3, threshold_x1m=500_000)
+    scored = dec(batch)
+    rows = {r["doc_id"]: r for r in scored.to_pylist()}
+    assert set(rows) == {2, 3, 4}  # docs 0/1 have no shingles
+    assert rows[3]["n_shingles"] == 3 and rows[3]["n_hit"] == 3
+    assert rows[3]["contam_x1m"] == 1_000_000 and rows[3]["contaminated"]
+    assert rows[2]["n_hit"] == 0 and not rows[2]["contaminated"]
+    assert rows[4]["n_hit"] == 0
