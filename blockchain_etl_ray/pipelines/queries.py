@@ -3711,6 +3711,75 @@ def doc_decontaminate(sf_dir: str):
     )
 
 
+#: thresholds interpolated from the ONE module source so pipeline and SQL
+#: cannot drift (same pattern as the minhash mix constants)
+_REPETITION_SQL = f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents),
+    eligible AS (SELECT doc_id, w FROM words WHERE len(w) >= 2),
+    wstats AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct_words
+      FROM eligible),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                 AS g
+      FROM eligible),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    g2s AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+             CAST(MAX(c) AS BIGINT) AS top_2gram_n,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_2gram_occ
+      FROM g2c GROUP BY doc_id),
+    scored AS (
+      SELECT w.doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+             CAST(ROUND(1000000.0 * (n_words - n_distinct_words) / n_words)
+                  AS BIGINT) AS dup_word_x1m,
+             CAST(ROUND(1000000.0 * top_2gram_n / n_2grams) AS BIGINT)
+                 AS top_2gram_x1m,
+             CAST(ROUND(1000000.0 * dup_2gram_occ / n_2grams) AS BIGINT)
+                 AS dup_2gram_x1m
+      FROM wstats w JOIN g2s USING (doc_id))
+    SELECT doc_id, n_words, n_distinct_words, dup_word_x1m, top_2gram_x1m,
+           dup_2gram_x1m,
+           (dup_word_x1m < {text.REPETITION_THRESHOLDS["dup_word_x1m"]}
+            AND top_2gram_x1m < {text.REPETITION_THRESHOLDS["top_2gram_x1m"]}
+            AND dup_2gram_x1m < {text.REPETITION_THRESHOLDS["dup_2gram_x1m"]})
+               AS keep
+    FROM scored
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_SQL)
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality gates (duplicate-word fraction, most
+    frequent 2-gram mass, duplicated-2-gram mass + keep flag) — the
+    'repetitious document' removal rules public LM data pipelines apply
+    alongside the length/punct heuristics of ``doc_quality_scores``.  All
+    stats are per-doc Arrow group_bys inside one map-side pass (no shuffle);
+    exact-x1m integers keep the DuckDB oracle bit-comparable.  M5
+    content-classify shape (``ethereumetl/service/eth_contract_service.py``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _stable(
+        ds.map_batches(text.repetition_stats, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("n_distinct_words", pa.int64()),
+            ("dup_word_x1m", pa.int64()),
+            ("top_2gram_x1m", pa.int64()),
+            ("dup_2gram_x1m", pa.int64()),
+            ("keep", pa.bool_()),
+        ],
+    )
+
+
 # --- PII / secret scanning (compliance pass over the documents table) ------
 #: SQL fragment planting deterministic PII into the word-salad corpus so the
 #: scan oracle is non-degenerate: doc_id-derived emails / IPv4s / key tokens
@@ -4066,6 +4135,7 @@ _DRIVER_ORDER = [
     "corpus_release_pipeline",
     "doc_langid",
     "doc_decontaminate",
+    "doc_repetition_stats",
 ]
 
 

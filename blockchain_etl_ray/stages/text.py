@@ -141,18 +141,19 @@ def pii_redact(
     return out
 
 
-def word_shingle_rows(
+def word_ngram_rows(
     batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
-    """DISTINCT k-word shingles per document as ``(doc_id, shingle)`` rows —
-    fully vectorized: lowercase → regex word split (``split_pattern_regex``,
-    RE2 — the words are exactly DuckDB's ``regexp_extract_all(lower(text),
-    '[a-z0-9]+')``) → flatten with parent indices → adjacent-k join via
+    """ALL k-word grams per document (one row per occurrence, in-order
+    duplicates kept) as ``(doc_id, shingle)`` rows — fully vectorized:
+    lowercase → regex word split (``split_pattern_regex``, RE2 — the words
+    are exactly DuckDB's ``regexp_extract_all(lower(text), '[a-z0-9]+')``) →
+    flatten with parent indices → adjacent-k join via
     ``binary_join_element_wise`` on k shifted slices of the flat word array
-    (a shingle start is valid iff position i and i+k-1 share a parent) →
-    per-doc distinct through one Arrow ``group_by``.  No per-row Python.
+    (a gram start is valid iff position i and i+k-1 share a parent).  No
+    per-row Python.
 
-    Docs with fewer than k words contribute no shingles (pure k-grams — no
+    Docs with fewer than k words contribute no grams (pure k-grams — no
     whole-text fallback; callers that need every doc must handle absence)."""
     lower = pc.utf8_lower(batch.column(text_col))
     words = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
@@ -173,16 +174,113 @@ def word_shingle_rows(
     if n < k:
         return empty
     m = n - k + 1
-    sh = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(k)], " ")
-    valid = parent[:m] == parent[k - 1 :]
-    sh = sh.filter(pa.array(valid))
+    if k == 1:
+        sh = flat
+        valid = np.ones(m, dtype=bool)
+    else:
+        sh = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(k)], " ")
+        valid = parent[:m] == parent[k - 1 :]
+        sh = sh.filter(pa.array(valid))
     doc_ids = batch.column(id_col).take(pa.array(parent[:m][valid]))
     if len(sh) == 0:
         return empty
-    return (
-        pa.table({id_col: doc_ids, "shingle": sh})
-        .group_by([id_col, "shingle"])
-        .aggregate([])
+    return pa.table({id_col: doc_ids, "shingle": sh})
+
+
+def word_shingle_rows(
+    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """DISTINCT k-word shingles per document (``word_ngram_rows`` deduped
+    through one Arrow ``group_by``) — the shingle-set view used by the
+    decontamination and set-similarity families."""
+    rows = word_ngram_rows(batch, k=k, text_col=text_col, id_col=id_col)
+    return rows.group_by([id_col, "shingle"]).aggregate([])
+
+
+#: keep-thresholds for ``repetition_stats`` (x1m exact fractions), shared
+#: with the oracle SQL — Gopher-style repetition quality gates, calibrated
+#: so the synthetic corpus splits ~85/15 (sf0.01: dup-word p50 538k,
+#: top-2gram p95 87k, dup-2gram p95 161k)
+REPETITION_THRESHOLDS: dict[str, int] = {
+    "dup_word_x1m": 650_000,
+    "top_2gram_x1m": 100_000,
+    "dup_2gram_x1m": 150_000,
+}
+
+
+def repetition_stats(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style within-document repetition quality stats: duplicate-word
+    fraction, most-frequent-2-gram mass and duplicated-2-gram mass (the
+    'repetitious document' removal rules of public LM data pipelines), as
+    exact x1m integers plus a combined ``keep`` flag.  One ``word_ngram_rows``
+    pass per gram size + Arrow group_bys — entirely map-side, no shuffle
+    (each doc's grams live in its own batch).  Docs with <2 words are
+    dropped (no 2-grams to score — mirrored by the oracle's eligibility
+    filter)."""
+    g1 = word_ngram_rows(batch, k=1, text_col=text_col, id_col=id_col)
+    g2 = word_ngram_rows(batch, k=2, text_col=text_col, id_col=id_col)
+    c1 = g1.group_by([id_col, "shingle"]).aggregate([("shingle", "count")])
+    w = c1.group_by(id_col).aggregate(
+        [("shingle_count", "sum"), ("shingle_count", "count")]
+    )
+    w = pa.table(
+        {
+            id_col: w.column(id_col),
+            "n_words": pc.cast(w.column("shingle_count_sum"), pa.int64()),
+            "n_distinct_words": pc.cast(w.column("shingle_count_count"), pa.int64()),
+        }
+    )
+    c2 = g2.group_by([id_col, "shingle"]).aggregate([("shingle", "count")])
+    cnt = pc.cast(c2.column("shingle_count"), pa.int64())
+    dup_occ = pc.if_else(pc.greater(cnt, 1), cnt, pa.scalar(0, pa.int64()))
+    c2 = pa.table({id_col: c2.column(id_col), "c": cnt, "dup_occ": dup_occ})
+    s2 = c2.group_by(id_col).aggregate(
+        [("c", "sum"), ("c", "max"), ("dup_occ", "sum")]
+    )
+    s2 = pa.table(
+        {
+            id_col: s2.column(id_col),
+            "n_2grams": pc.cast(s2.column("c_sum"), pa.int64()),
+            "top_2gram_n": pc.cast(s2.column("c_max"), pa.int64()),
+            "dup_2gram_occ": pc.cast(s2.column("dup_occ_sum"), pa.int64()),
+        }
+    )
+    j = w.join(s2, keys=id_col, join_type="inner")
+
+    def ratio_x1m(num, den):
+        frac = pc.divide(
+            pc.multiply(pc.cast(num, pa.float64()), 1_000_000.0),
+            pc.cast(den, pa.float64()),
+        )
+        return pc.cast(
+            pc.round(frac, ndigits=0, round_mode="half_towards_infinity"), pa.int64()
+        )
+
+    dup_word = ratio_x1m(
+        pc.subtract(j.column("n_words"), j.column("n_distinct_words")),
+        j.column("n_words"),
+    )
+    top2 = ratio_x1m(j.column("top_2gram_n"), j.column("n_2grams"))
+    dup2 = ratio_x1m(j.column("dup_2gram_occ"), j.column("n_2grams"))
+    th = REPETITION_THRESHOLDS
+    keep = pc.and_kleene(
+        pc.less(dup_word, th["dup_word_x1m"]),
+        pc.and_kleene(
+            pc.less(top2, th["top_2gram_x1m"]), pc.less(dup2, th["dup_2gram_x1m"])
+        ),
+    )
+    return pa.table(
+        {
+            id_col: pc.cast(j.column(id_col), pa.int64()),
+            "n_words": j.column("n_words"),
+            "n_distinct_words": j.column("n_distinct_words"),
+            "dup_word_x1m": dup_word,
+            "top_2gram_x1m": top2,
+            "dup_2gram_x1m": dup2,
+            "keep": keep,
+        }
     )
 
 

@@ -662,3 +662,55 @@ def test_word_shingle_rows_and_decontaminator_brute_force():
     assert rows[3]["contam_x1m"] == 1_000_000 and rows[3]["contaminated"]
     assert rows[2]["n_hit"] == 0 and not rows[2]["contaminated"]
     assert rows[4]["n_hit"] == 0
+
+
+def test_repetition_stats_brute_force():
+    """repetition_stats equals a per-doc Python reimplementation (word
+    counts, top/dup 2-gram mass, rounding, keep), including <2-word drops."""
+    import re
+    from collections import Counter
+
+    from blockchain_etl_ray.stages import text as tx
+
+    texts = [
+        "",                       # no words -> dropped
+        "solo",                   # 1 word -> dropped
+        "a b a b a b",            # heavy 2-gram repetition
+        "x y z w v u t s r q p o",  # 12 distinct words (top-2gram 1/11 < gate)
+        "One, one ONE two-two!",  # case/punct normalization
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_stats(batch).to_pylist()}
+    assert set(got) == {2, 3, 4}
+    th = tx.REPETITION_THRESHOLDS
+    for did in (2, 3, 4):
+        ws = re.findall(r"[a-z0-9]+", texts[did].lower())
+        g2 = Counter(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+        n2 = sum(g2.values())
+        r = got[did]
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct_words"] == len(set(ws))
+
+        def x1m(num, den):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            return int(
+                (Decimal(num) * 1_000_000 / Decimal(den)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+
+        assert r["dup_word_x1m"] == x1m(len(ws) - len(set(ws)), len(ws))
+        assert r["top_2gram_x1m"] == x1m(max(g2.values()), n2)
+        assert r["dup_2gram_x1m"] == x1m(
+            sum(c for c in g2.values() if c > 1), n2
+        )
+        assert r["keep"] == (
+            r["dup_word_x1m"] < th["dup_word_x1m"]
+            and r["top_2gram_x1m"] < th["top_2gram_x1m"]
+            and r["dup_2gram_x1m"] < th["dup_2gram_x1m"]
+        )
+    assert not got[2]["keep"] and got[3]["keep"]
