@@ -563,3 +563,58 @@ PATH_SPANS = register_entity(
         derive=_derive_path_spans,
     )
 )
+
+
+def _derive_content_first(nt: pa.Table) -> pa.Table:
+    """Content-occurrence index keyed by ``content_sha256`` — the INCREMENTAL
+    exact-dedup entity: as epochs apply, the additive fold keeps the earliest
+    (min-ordinal) occurrence and a copy counter per distinct content, so
+    "is this content already in the landed corpus?" becomes a point lookup /
+    per-epoch partitioned lookup against maintained state instead of a
+    whole-corpus rescan.  Deletes and null content contribute nothing (a
+    derive may FILTER — entity change rows need not be 1:1 with events);
+    content hashes as keys give uniform hash partitioning by construction.
+    The dedup analog of the reference's by-hash upserts
+    (``blockchainetl/streaming/postgres_utils.py:28-70``) pointed at the
+    training-data exact-dedup problem."""
+    keep = pc.and_kleene(
+        pc.not_equal(nt.column("op"), "delete"), pc.is_valid(nt.column("content"))
+    )
+    t = nt.filter(keep)
+    n = t.num_rows
+    return pa.table(
+        {
+            "content_sha256": t.column("content_sha256"),
+            "n_copies": pa.array([1] * n, type=pa.int64()),
+            "first_ordinal": t.column("ordinal"),
+            "first_repo": t.column("repo"),
+            "first_path": t.column("path"),
+            "ordinal": t.column("ordinal"),
+            "epoch": t.column("epoch"),
+            "op": pa.array(["update"] * n, type=pa.string()),
+            "event_id": t.column("event_id"),
+        }
+    )
+
+
+CONTENT_FIRST = register_entity(
+    EntitySpec(
+        name="content_first",
+        key_cols=("content_sha256",),
+        fields=(
+            ("content_sha256", pa.string()),
+            ("n_copies", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("first_repo", pa.string()),
+            ("first_path", pa.string()),
+        ),
+        derive=_derive_content_first,
+        kind="additive",
+        policies=(
+            ("n_copies", "sum"),
+            ("first_ordinal", "min"),
+            ("first_repo", "first_by:first_ordinal"),
+            ("first_path", "first_by:first_ordinal"),
+        ),
+    )
+)

@@ -3240,6 +3240,66 @@ def cdc_repo_stats(sf_dir: str):
     )
 
 
+_CDC_CONTENT_DEDUP_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events)
+    SELECT sha256(content) AS content_sha256,
+           COUNT(*) AS n_copies,
+           MIN(ordinal) AS first_ordinal,
+           arg_min(repo, ordinal) AS first_repo,
+           arg_min(path, ordinal) AS first_path
+    FROM cdc WHERE op <> 'delete' AND content IS NOT NULL
+    GROUP BY content HAVING COUNT(*) > 1
+"""
+
+
+@register("cdc_content_dedup", _CDC_CONTENT_DEDUP_SQL)
+def cdc_content_dedup(sf_dir: str):
+    """INCREMENTAL exact dedup against the landed corpus: replay the CDC log
+    with the ``content_first`` entity (key = content sha256, additive fold:
+    copy counter + earliest occurrence), then read back the duplicated
+    contents.  This is the shape a continuously-ingesting 100 TB training
+    pipeline needs — each epoch folds its content hashes into maintained
+    hash-partitioned state instead of re-scanning the corpus, so dedup cost
+    tracks the DELTA, not the corpus (contrast ``doc_exact_dedup``, the
+    batch formulation).  Oracle: a plain GROUP BY over the whole log — the
+    incremental fold must converge to exactly the batch answer."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4, entities=("content_first",)
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_copies"), 1))
+
+    return _stable(
+        engine.read_state(table="content_first").map_batches(
+            dups, batch_format="pyarrow"
+        ),
+        [
+            ("content_sha256", pa.string()),
+            ("n_copies", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("first_repo", pa.string()),
+            ("first_path", pa.string()),
+        ],
+        num_blocks=8,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -4072,6 +4132,7 @@ _DRIVER_ORDER = [
     "cdc_nested_spans",
     "cdc_repo_touch",
     "cdc_repo_stats",
+    "cdc_content_dedup",
     "cdc_top_repos_by_bytes",
     "receipts_consistency_fill",
     "trace_export_synthetic",

@@ -228,3 +228,59 @@ def test_partition_ids_for_fastpath_matches_fallback():
     for cols in cases:
         assert partition_ids_for(cols, 16).to_pylist() == reference(cols, 16)
     assert partition_ids_for([pa.array([], pa.string())], 8).to_pylist() == []
+
+
+def test_content_first_incremental_matches_batch(small_corpus, tmp_path):
+    """content_first (the incremental exact-dedup index) converges to the
+    brute-force batch answer and is invariant under resume split points and
+    compaction — per-DELIVERY counting like every additive entity."""
+    events_dir = small_corpus["dir"]
+    cfg = dict(num_partitions=8, epoch_batch_size=4, entities=("content_first",))
+
+    one = ReplayEngine(tmp_path / "one", ReplayConfig(**cfg))
+    one.replay(events_dir)
+    split = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split.replay(events_dir, upto_epoch=6)
+    split2 = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split2.replay(events_dir)
+    split2.compact_state()
+
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for f in sorted(_glob.glob(events_dir + "/epoch=*.parquet")):
+        t = _pq.read_table(f)
+        if "filepath" in t.column_names:
+            t = t.rename_columns(
+                [("path" if c == "filepath" else c) for c in t.column_names]
+            )
+        rows.append(t.select(["ordinal", "op", "repo", "path", "content"]))
+    df = pl.from_arrow(pa.concat_tables(rows, promote_options="default"))
+    df = df.filter((pl.col("op") != "delete") & pl.col("content").is_not_null())
+    df = df.with_columns(
+        pl.col("content")
+        .cast(pl.Utf8)
+        .map_elements(
+            lambda c: hashlib.sha256(c.encode()).hexdigest(), return_dtype=pl.Utf8
+        )
+        .alias("content_sha256")
+    )
+    exp = (
+        df.sort("ordinal")
+        .group_by("content_sha256")
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_copies"),
+            pl.col("ordinal").min().alias("first_ordinal"),
+            pl.col("repo").first().alias("first_repo"),
+            pl.col("path").first().alias("first_path"),
+        )
+        .sort("content_sha256")
+    )
+    for eng in (one, split2):
+        got = pl.from_arrow(_read(eng, "content_first")).sort("content_sha256")
+        assert got["content_sha256"].to_list() == exp["content_sha256"].to_list()
+        for c in ("n_copies", "first_ordinal", "first_repo", "first_path"):
+            assert got[c].to_list() == exp[c].to_list(), c
