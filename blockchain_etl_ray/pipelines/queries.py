@@ -1444,10 +1444,73 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
-@register("doc_winnow_fingerprints", None)
+def _winnow_sql() -> str:
+    """Oracle SQL for ``doc_winnow_fingerprints`` built from the SAME module
+    constants the pipeline stage uses (``text._ROLL_B/_ROLL_BINV`` +
+    ``WINNOW_WINDOW/KEEP``) — the wraparound-2^64 rolling-hash identity
+    reproduced in DuckDB HUGEINT arithmetic: per-byte rows via
+    ``ascii(substr(...))`` (the corpus is ASCII, so bytes == code points),
+    Bᵢ⁻ʲ / Bʲ power tables from a recursive CTE, the prefix-sum window
+    identity h = (S[p] − S[p−W])·Bᵖ with a 32-bit-split modmul (a full
+    64×64→mod-2^64 product overflows HUGEINT; splitting one operand keeps
+    every intermediate < 2^96), then the K smallest distinct window hashes
+    per doc — the exact ``rolling_fingerprints`` numpy fold, bit-for-bit."""
+    b, binv = int(text._ROLL_B), int(text._ROLL_BINV)
+    m, w, k = 1 << 64, text.WINNOW_WINDOW, text.WINNOW_KEEP
+    return f"""
+    WITH RECURSIVE pw(i, bp, vp) AS (
+        SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+      UNION ALL
+        SELECT i + 1,
+          (bp * {b}) % {m},
+          (((vp * ({binv} // 4294967296)) % {m}) * 4294967296
+           + vp * ({binv} % 4294967296)) % {m}
+        FROM pw WHERE i < (SELECT COALESCE(MAX(length(text)), 0) FROM documents)
+    ),
+    long_docs AS (SELECT doc_id, text AS t FROM documents
+                  WHERE length(text) >= {w}),
+    bytes AS (
+      SELECT doc_id, i AS p, CAST(ascii(substr(t, CAST(i AS INT), 1)) AS HUGEINT) AS d
+      FROM long_docs, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    prefix AS (
+      SELECT b.doc_id, b.p,
+             SUM((b.d * pw.vp) % {m}) OVER (PARTITION BY b.doc_id ORDER BY b.p)
+               % {m} AS s
+      FROM bytes b JOIN pw ON pw.i = b.p
+    ),
+    windows AS (
+      SELECT doc_id, p,
+             (s - COALESCE(LAG(s, {w}) OVER (PARTITION BY doc_id ORDER BY p), 0)
+              + {m}) % {m} AS diff
+      FROM prefix QUALIFY p >= {w}
+    ),
+    hashes AS (
+      SELECT w.doc_id,
+             (((w.diff * (pw.bp // 4294967296)) % {m}) * 4294967296
+              + w.diff * (pw.bp % 4294967296)) % {m} AS h
+      FROM windows w JOIN pw ON pw.i = w.p
+    ),
+    agg AS (
+      SELECT doc_id, array_to_string(
+        list_transform(list_sort(list_distinct(list(h)))[1:{k}],
+                       v -> lower(lpad(to_hex(CAST(v AS UBIGINT)), 16, '0'))),
+        '-') AS fingerprint
+      FROM hashes GROUP BY doc_id)
+    SELECT doc_id, fingerprint FROM agg
+    UNION ALL
+    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+    FROM documents WHERE length(text) < {w}
+    """
+
+
+@register("doc_winnow_fingerprints", _winnow_sql())
 def doc_winnow_fingerprints(sf_dir: str):
-    """Rolling-hash (winnowing) document fingerprints — deterministic,
-    non-SQL; covered by pytest determinism checks."""
+    """Rolling-hash (winnowing) document fingerprints, now SQL-VERIFIED: the
+    oracle reproduces the wraparound-2^64 prefix-product identity in DuckDB
+    HUGEINT (see ``_winnow_sql``), so the 64-bit window hashes themselves are
+    checked bit-for-bit — the hash-verified anchor for the winnowing family,
+    same role ``minhash_md5_signatures`` plays for MinHash."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
         ds.map_batches(
@@ -4197,6 +4260,7 @@ _DRIVER_ORDER = [
     "doc_langid",
     "doc_decontaminate",
     "doc_repetition_stats",
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -349,10 +349,16 @@ def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 _ROLL_B = np.uint64(131)
 _ROLL_BINV = np.uint64(pow(131, -1, 1 << 64))
+#: winnowing defaults, shared with the oracle SQL builder (_winnow_sql)
+WINNOW_WINDOW = 16
+WINNOW_KEEP = 4
 
 
 def rolling_fingerprints(
-    batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
+    batch: pa.Table,
+    text_col: str = "text",
+    window: int = WINNOW_WINDOW,
+    keep: int = WINNOW_KEEP,
 ) -> pa.Table:
     """Rabin-Karp-style rolling-hash document fingerprint: the ``keep``
     smallest window hashes per doc (winnowing sketch), hex-joined.  Non-SQL;
