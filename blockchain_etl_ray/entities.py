@@ -22,6 +22,7 @@ Entity selection uses the requires-closure (M13 analog,
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
@@ -616,5 +617,81 @@ CONTENT_FIRST = register_entity(
             ("first_repo", "first_by:first_ordinal"),
             ("first_path", "first_by:first_ordinal"),
         ),
+    )
+)
+
+
+#: module-level LSH hasher for the band_index derive — built ONCE per worker
+#: process (derives run inside replay map tasks; the permutation params are
+#: deterministic, seed=1, so every worker builds the identical hasher)
+_BAND_HASHER = None
+_BAND_PERMS, _BAND_BANDS = 16, 4
+
+
+def _derive_band_index(nt: pa.Table) -> pa.Table:
+    """Incremental MinHash-LSH band index over the change stream's content —
+    the NEAR-dup companion of ``content_first``: each applied epoch folds its
+    contents' (band, bucket) keys into maintained hash-partitioned state, so
+    "does new content near-duplicate anything already landed?" is a
+    per-epoch lookup against bucket counts instead of an all-pairs LSH rerun
+    over the corpus (the incremental form of ``stages/dedup.py``'s batch
+    MinHash+LSH).  One row per (event, band); deletes and null content
+    contribute nothing.  Signature work is per-row Python (same cost profile
+    as the batch ``MinHasher`` stage it reuses)."""
+    global _BAND_HASHER
+    if _BAND_HASHER is None:
+        from .stages.dedup import MinHasher
+
+        _BAND_HASHER = MinHasher(num_perm=_BAND_PERMS, bands=_BAND_BANDS)
+    h = _BAND_HASHER
+    keep = pc.and_kleene(
+        pc.not_equal(nt.column("op"), pa.scalar("delete")),
+        pc.is_valid(nt.column("content")),
+    )
+    t = nt.filter(keep)
+    n = t.num_rows
+    buckets = np.empty((n, h.bands), dtype=np.int64)
+    for r, text in enumerate(pc.cast(t.column("content"), pa.string()).to_pylist()):
+        sig = h.signature(text)
+        for b in range(h.bands):
+            chunk = sig[b * h.rows : (b + 1) * h.rows]
+            buckets[r, b] = (
+                int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                )
+                >> 1
+            )
+    rep_idx = pa.array(np.repeat(np.arange(n), h.bands))
+
+    def rep(col):
+        return t.column(col).take(rep_idx)
+
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(h.bands, dtype=np.int64), n)),
+            "bucket": pa.array(buckets.reshape(-1)),
+            "n_docs": pa.array(np.ones(n * h.bands, dtype=np.int64)),
+            "first_ordinal": rep("ordinal"),
+            "ordinal": rep("ordinal"),
+            "epoch": rep("epoch"),
+            "op": pa.array(["update"] * (n * h.bands), type=pa.string()),
+            "event_id": rep("event_id"),
+        }
+    )
+
+
+BAND_INDEX = register_entity(
+    EntitySpec(
+        name="band_index",
+        key_cols=("band", "bucket"),
+        fields=(
+            ("band", pa.int64()),
+            ("bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("first_ordinal", pa.int64()),
+        ),
+        derive=_derive_band_index,
+        kind="additive",
+        policies=(("n_docs", "sum"), ("first_ordinal", "min")),
     )
 )

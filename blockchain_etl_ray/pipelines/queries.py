@@ -3363,6 +3363,42 @@ def cdc_content_dedup(sf_dir: str):
     )
 
 
+@register("cdc_neardup_candidates", None)
+def cdc_neardup_candidates(sf_dir: str):
+    """INCREMENTAL near-dup candidate index: replay the CDC log with the
+    ``band_index`` entity (MinHash-LSH band buckets as maintained additive
+    state) and read back the collided buckets — new content near-duplicating
+    anything already landed shows up as a bucket whose count grew past 1,
+    without re-running LSH over the corpus (the incremental form of
+    ``minhash_neardup_pairs``; cost tracks the delta).  Rows-only by design
+    (LSH bucket membership is probabilistic); pytest plants a near-identical
+    pair across epochs and asserts collision + resume invariance."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, entities=("band_index",)),
+    )
+    engine.replay(str(events_dir))
+
+    def collided(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_docs"), 1))
+
+    return _stable(
+        engine.read_state(table="band_index").map_batches(
+            collided, batch_format="pyarrow"
+        ),
+        [
+            ("band", pa.int64()),
+            ("bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("first_ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================

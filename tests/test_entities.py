@@ -284,3 +284,72 @@ def test_content_first_incremental_matches_batch(small_corpus, tmp_path):
         assert got["content_sha256"].to_list() == exp["content_sha256"].to_list()
         for c in ("n_copies", "first_ordinal", "first_repo", "first_path"):
             assert got[c].to_list() == exp[c].to_list(), c
+
+
+def _write_epoch(events_dir, epoch, rows):
+    """rows: list of (ordinal, op, repo, path, content)."""
+    from blockchain_etl_ray.schema import EVENT_SCHEMA
+
+    events_dir.mkdir(parents=True, exist_ok=True)
+    t = pa.table(
+        {
+            "ordinal": pa.array([r[0] for r in rows], type=pa.int64()),
+            "epoch": pa.array([epoch] * len(rows), type=pa.int64()),
+            "op": pa.array([r[1] for r in rows], type=pa.string()),
+            "repo": pa.array([r[2] for r in rows], type=pa.string()),
+            "path": pa.array([r[3] for r in rows], type=pa.string()),
+            "commit": pa.array([str(r[0]) for r in rows], type=pa.string()),
+            "lang": pa.array(["py"] * len(rows), type=pa.string()),
+            "content": pa.array([r[4] for r in rows], type=pa.large_string()),
+            "size": pa.array([None] * len(rows), type=pa.int64()),
+            "event_id": pa.array([f"e{r[0]}" for r in rows], type=pa.string()),
+        }
+    ).cast(EVENT_SCHEMA)
+    pq.write_table(t, events_dir / f"epoch={epoch}.parquet")
+
+
+def test_band_index_detects_incremental_neardup(tmp_path):
+    """The band_index entity (incremental MinHash-LSH bucket counts): a
+    near-identical content arriving in a LATER epoch collides with the landed
+    original's bucket (count grows past 1, first_ordinal = the original);
+    distinct contents collide nowhere; split-resume equals one-shot."""
+    words = [f"w{i}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    others = [
+        " ".join(f"r{i}x{j}" for j in range(60)) for i in range(6)
+    ]
+    events_dir = tmp_path / "events"
+    _write_epoch(
+        events_dir, 0,
+        [(1, "insert", "rbase", "a.log", base)]
+        + [(2 + i, "insert", f"ro{i}", "b.log", others[i]) for i in range(3)],
+    )
+    _write_epoch(
+        events_dir, 1,
+        [(10, "insert", "rnear", "c.log", near)]
+        + [(11 + i, "insert", f"ro{3+i}", "d.log", others[3 + i]) for i in range(3)],
+    )
+    cfg = dict(num_partitions=4, epoch_batch_size=1, entities=("band_index",))
+    one = ReplayEngine(tmp_path / "one", ReplayConfig(**cfg))
+    one.replay(str(events_dir))
+    split = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split.replay(str(events_dir), upto_epoch=0)
+    split2 = ReplayEngine(tmp_path / "split", ReplayConfig(**cfg))
+    split2.replay(str(events_dir))
+
+    tabs = {}
+    for name, eng in (("one", one), ("split", split2)):
+        tabs[name] = (
+            pl.from_arrow(_read(eng, "band_index")).sort(["band", "bucket"])
+        )
+    assert tabs["one"].equals(tabs["split"])
+    t = tabs["one"]
+    hit = t.filter(pl.col("n_docs") > 1)
+    # near-dup must collide in >= 1 band; 64-bit buckets make random
+    # collisions impossible, so every collision IS the planted pair
+    assert hit.height >= 1
+    assert set(hit["n_docs"].to_list()) == {2}
+    assert set(hit["first_ordinal"].to_list()) == {1}
+    # 8 distinct contents x 4 bands, minus one shared bucket per collision
+    assert t["n_docs"].sum() == 8 * 4
