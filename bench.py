@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "minhash_md5_signatures",
     "doc_bpe_token_counts",
     "media_frame_inventory",
+    "doc_decontaminate",
+    "doc_repetition_stats",
+    "doc_winnow_fingerprints",
+    "cdc_content_dedup",
+    "embedding_quantize_int8",
 ]
 
 

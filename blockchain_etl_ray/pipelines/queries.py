@@ -2371,6 +2371,38 @@ def ann_topk_cosine(sf_dir: str):
     return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                 AS scale
+      FROM embeddings)
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CASE WHEN scale = 0 OR scale IS NULL THEN 0
+                ELSE CAST(FLOOR(127.0 * CAST(unnest(embedding) AS DOUBLE)
+                                / scale + 0.5) AS BIGINT)
+           END AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding table (long
+    form, bit-exact vs the SQL oracle): the 4x storage/bandwidth reduction a
+    100 TB embedding store applies before ANN.  One vectorized numpy pass
+    per batch over the zero-copy matrix view; explicit half-up rounding on
+    both sides (numpy banker's rounding vs DuckDB ROUND would drift at .5).
+    ``stages/ann.py::dequantized_matrix`` is the read side; pytest checks
+    quantized cosine top-k recall against the float baseline."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _stable(
+        ds.map_batches(ann.quantize_int8_rows, batch_format="pyarrow"),
+        [("vec_id", pa.int64()), ("pos", pa.int64()), ("q", pa.int64())],
+    )
+
+
 @register("embedding_kmeans_sizes", None)
 def embedding_kmeans_sizes(sf_dir: str):
     """Distributed Lloyd's k-means over the full embedding table
@@ -3939,6 +3971,81 @@ def doc_repetition_stats(sf_dir: str):
     )
 
 
+def _bm25_sql() -> str:
+    """Oracle SQL for ``doc_bm25_scores`` built from the SAME module
+    constants the pipeline uses (``text.BM25_K1/B/QUERY_TERMS``); float
+    constants are interpolated via repr() so both engines parse identical
+    IEEE doubles, and every expression mirrors the numpy parenthesization
+    (IEEE ops are deterministic given order)."""
+    k1, b = text.BM25_K1, text.BM25_B
+    terms_values = ", ".join(f"('{t}')" for t in text.BM25_QUERY_TERMS)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM docs),
+    terms(term) AS (VALUES {terms_values}),
+    tf AS (
+      SELECT d.doc_id, d.dl, t.term,
+             len(regexp_extract_all(d.t, '\\b' || t.term || '\\b')) AS tf
+      FROM docs d CROSS JOIN terms t),
+    df AS (SELECT term,
+                  CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM df, stats)
+    SELECT f.doc_id, f.term, f.tf,
+           CAST(ROUND(i.idf * (f.tf * {k1 + 1.0!r}) /
+                      (f.tf + {k1!r} * (1.0 - {b!r} + {b!r} * f.dl / s.avgdl))
+                      * 1000000) AS BIGINT) AS score_x1m
+    FROM tf f JOIN idf i USING (term), stats s
+    WHERE f.tf > 0
+    """
+
+
+@register("doc_bm25_scores", _bm25_sql())
+def doc_bm25_scores(sf_dir: str):
+    """BM25 retrieval scoring of the corpus against a fixed query-term set —
+    the relevance-scoring pass of a data-curation pipeline (rank documents
+    by topical match before sampling).  Two-pass scale shape: pass 1 is a
+    map-side combiner emitting ONE summary row per batch (doc count, total
+    length, per-term document frequencies — the driver sums a handful of
+    ints); pass 2 scores each batch against the baked-in (N, avgdl, idf)
+    stats, entirely map-side.  LONG per-term output avoids cross-term float
+    summation, keeping the DuckDB oracle bit-exact (both sides evaluate the
+    identical IEEE expression tree; see ``_bm25_sql``)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = pa.concat_tables(
+        list(
+            docs.map_batches(text.bm25_partials, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    n_docs = pc.sum(parts.column("n_docs")).as_py()
+    sum_dl = pc.sum(parts.column("sum_dl")).as_py()
+    dfs = tuple(
+        pc.sum(parts.column(f"df_{i}")).as_py()
+        for i in range(len(text.BM25_QUERY_TERMS))
+    )
+    scored = docs.map_batches(
+        text.BM25Scorer,
+        fn_constructor_args=(n_docs, sum_dl, dfs),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return _stable(
+        scored,
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("score_x1m", pa.int64()),
+        ],
+    )
+
+
 # --- PII / secret scanning (compliance pass over the documents table) ------
 #: SQL fragment planting deterministic PII into the word-salad corpus so the
 #: scan oracle is non-degenerate: doc_id-derived emails / IPv4s / key tokens
@@ -4297,6 +4404,8 @@ _DRIVER_ORDER = [
     "doc_decontaminate",
     "doc_repetition_stats",
     "doc_winnow_fingerprints",
+    "embedding_quantize_int8",
+    "doc_bm25_scores",
 ]
 
 

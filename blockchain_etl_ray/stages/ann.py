@@ -750,3 +750,56 @@ def semantic_dedup(
     return neardup_survivors(
         ids_only, pairs, id_col="vec_id", group_parts=group_parts
     )
+
+
+def quantize_int8_rows(
+    batch: pa.Table, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> pa.Table:
+    """Per-vector symmetric int8 quantization in LONG form ``(vec_id, pos,
+    q)`` — the storage/bandwidth saver a 100 TB embedding store runs before
+    ANN (4x smaller vectors, matmuls on int8 with one rescale).  Parity
+    contract with the SQL oracle: all math in float64 from the float32-exact
+    inputs, q = floor(127·v/scale + 0.5) (explicit half-up — numpy's
+    banker's rounding and DuckDB's ROUND disagree at .5), scale =
+    max(|v|) per vector, zero vectors quantize to all-zero.  Positions are
+    1-based to match DuckDB ``generate_subscripts``.  Buffer-level matrix
+    view (``_to_matrix``), one vectorized pass."""
+    m = _to_matrix(batch.column(vec_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    if n == 0 or m.size == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "q": pa.array([], type=pa.int64()),
+            }
+        )
+    d = m.shape[1]
+    scale = np.abs(m).max(axis=1)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.floor(127.0 * m / safe[:, None] + 0.5).astype(np.int64)
+    q[scale == 0.0] = 0
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1)),
+        }
+    )
+
+
+def dequantized_matrix(long_rows: pa.Table, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit-normalized float matrix) from quantized LONG rows — the
+    read side of the int8 path: cosine over dequantized int8 equals cosine
+    over q directly (per-vector scale cancels under normalization)."""
+    ids = long_rows.column("vec_id").to_numpy(zero_copy_only=False)
+    pos = long_rows.column("pos").to_numpy(zero_copy_only=False)
+    qv = long_rows.column("q").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((pos, ids))
+    ids_o, qv_o = ids[order], qv[order]
+    uids = ids_o[::d]
+    m = qv_o.reshape(-1, d)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return uids.astype(np.int64), m / norms

@@ -382,3 +382,106 @@ def rolling_fingerprints(
         mins = np.unique(h)[:keep]
         out.append("-".join(f"{int(m):016x}" for m in mins))
     return batch.append_column("fingerprint", pa.array(out, type=pa.string()))
+
+
+#: BM25 parameters + the fixed query-term set, shared with the oracle SQL
+#: (constants are interpolated into the SQL via repr() so both engines parse
+#: the same IEEE doubles)
+BM25_K1: float = 1.2
+BM25_B: float = 0.75
+BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "filter", "merge")
+
+
+def bm25_partials(
+    batch: pa.Table, terms: tuple[str, ...] = BM25_QUERY_TERMS, text_col: str = "text"
+) -> pa.Table:
+    """ONE summary row per batch: (n_docs, sum_dl, df_<term>...) — the
+    map-side combiner for the BM25 corpus statistics (doc count, total
+    length, per-term document frequency).  The driver sums a handful of
+    integer partials; nothing doc-sized moves."""
+    lower = pc.utf8_lower(batch.column(text_col))
+    dl = pc.cast(pc.count_substring_regex(lower, "[a-z0-9]+"), pa.int64())
+    out = {
+        "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+        "sum_dl": pa.array([pc.sum(dl).as_py() or 0], type=pa.int64()),
+    }
+    for i, t in enumerate(terms):
+        tf = pc.count_substring_regex(lower, rf"\b{t}\b")
+        df = pc.sum(pc.cast(pc.greater(tf, 0), pa.int64())).as_py() or 0
+        out[f"df_{i}"] = pa.array([df], type=pa.int64())
+    return pa.table(out)
+
+
+class BM25Scorer:
+    """Per-term BM25 scores over the documents table (actor-pool stage): the
+    retrieval-scoring pass of a training-data/curation pipeline.  Corpus
+    stats (N, avgdl, per-term idf) are precomputed once from the summed
+    partials and baked into the actor; scoring is one vectorized float64
+    pass per term per batch.  Output is LONG (doc_id, term, tf, score_x1m)
+    with tf > 0 only — per-term rows avoid cross-term float-summation
+    ordering, keeping the oracle bit-exact.  Parity contract: every float
+    expression mirrors the SQL's parenthesization (IEEE ops are
+    deterministic given order); x1m half-up rounding."""
+
+    def __init__(
+        self,
+        n_docs: int,
+        sum_dl: int,
+        dfs: tuple[int, ...],
+        terms: tuple[str, ...] = BM25_QUERY_TERMS,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ):
+        import math
+
+        self.terms, self.k1, self.b = terms, k1, b
+        self.avgdl = sum_dl / n_docs
+        self.idf = [
+            math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        dl = (
+            pc.cast(pc.count_substring_regex(lower, "[a-z0-9]+"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_term, out_tf, out_score = [], [], [], []
+        for i, t in enumerate(self.terms):
+            tf = (
+                pc.cast(pc.count_substring_regex(lower, rf"\b{t}\b"), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            m = tf > 0
+            if not m.any():
+                continue
+            tff = tf[m].astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dl[m] / self.avgdl)
+            score = self.idf[i] * (tff * (self.k1 + 1.0)) / denom
+            out_id.append(ids[m])
+            out_term.extend([t] * int(m.sum()))
+            out_tf.append(tf[m])
+            out_score.append(score * 1000000.0)
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "score_x1m": pa.array([], type=pa.int64()),
+                }
+            )
+        scores = pa.array(np.concatenate(out_score), type=pa.float64())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "term": pa.array(out_term, type=pa.string()),
+                "tf": pa.array(np.concatenate(out_tf).astype(np.int64)),
+                "score_x1m": pc.cast(
+                    pc.round(scores, ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
