@@ -50,7 +50,14 @@ _EXPORTS = {
     "kmeans_fit": "stages.ann",
     "semantic_dedup": "stages.ann",
     "weighted_priority_sample": "stages.sampling",
+    "mixture_sample": "stages.sampling",
     "schema_drift": "pipelines.checkers",
+    "Decontaminator": "stages.text",
+    "word_shingle_rows": "stages.text",
+    "repetition_stats": "stages.text",
+    "BM25Scorer": "stages.text",
+    "quantize_int8_rows": "stages.ann",
+    "dequantized_matrix": "stages.ann",
 }
 
 

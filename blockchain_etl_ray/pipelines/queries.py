@@ -1975,6 +1975,40 @@ def doc_source_quota(sf_dir: str):
     return group_quota_sample(ds, "source", "doc_id", quota=20)
 
 
+@register(
+    "doc_mixture_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, {_BUCKET_SQL.format(key='doc_id')} AS b,
+             1000 + 400 * (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5)
+                 AS kb
+      FROM documents)
+    WHERE b < kb
+    """,
+)
+def doc_mixture_sample(sf_dir: str):
+    """Domain-mixture reweighting (the data-mixing step of LM training
+    pipelines): each source gets its own deterministic sampling rate —
+    here 10%–26% derived from the source index — and rows are kept iff
+    their md5 hash bucket falls under the source's keep count.  Pure
+    shuffle-free filter, bit-identical to the SQL oracle (same md5 bucket
+    expression as the already-green split/sample family)."""
+    from ..stages.sampling import mixture_sample
+
+    def rates(src):
+        idx = pc.cast(
+            pc.replace_substring_regex(pc.cast(src, pa.string()), "[^0-9]", ""),
+            pa.int64(),
+        )
+        return pc.add(
+            pa.scalar(1000, pa.int64()), pc.multiply(pa.scalar(400, pa.int64()), _mod(idx, 5))
+        ).to_numpy(zero_copy_only=False)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = mixture_sample(ds, "doc_id", "source", rates)
+    return _stable(out, [("doc_id", pa.int64()), ("source", pa.string())])
+
+
 @register("doc_pack_bins", None)
 def doc_pack_bins(sf_dir: str):
     """Greedy partition-local sequence packing of documents into 4096-char
@@ -4317,6 +4351,177 @@ def corpus_release_pipeline(sf_dir: str):
     )
 
 
+_RELEASE_V2_SQL = f"""
+    WITH planted AS ({_PII_PLANT_SQL}),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IPV4>', 'g'),
+               '{_PII_SECRET}', '<SECRET>', 'g') AS text
+      FROM planted),
+    kept AS (
+      SELECT doc_id, text FROM red
+      WHERE len(regexp_extract_all(text, '\\S+')) >= 20),
+    words AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM kept),
+    eligible AS (SELECT doc_id, text, w FROM words WHERE len(w) >= 2),
+    wstats AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct_words
+      FROM eligible),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                 AS g
+      FROM eligible),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    g2s AS (
+      SELECT doc_id, SUM(c) AS n2, MAX(c) AS top2,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+      FROM g2c GROUP BY doc_id),
+    repok AS (
+      SELECT e.doc_id, e.text, e.w
+      FROM eligible e JOIN wstats USING (doc_id) JOIN g2s USING (doc_id)
+      WHERE CAST(ROUND(1000000.0 * (n_words - n_distinct_words) / n_words)
+                 AS BIGINT) < {text.REPETITION_THRESHOLDS["dup_word_x1m"]}
+        AND CAST(ROUND(1000000.0 * top2 / n2) AS BIGINT)
+                < {text.REPETITION_THRESHOLDS["top_2gram_x1m"]}
+        AND CAST(ROUND(1000000.0 * dup2 / n2) AS BIGINT)
+                < {text.REPETITION_THRESHOLDS["dup_2gram_x1m"]}),
+    rawwords AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents WHERE doc_id % 31 = 7),
+    benchsh AS (
+      SELECT DISTINCT unnest(CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+          ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM rawwords),
+    docsh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+          ELSE CAST([] AS VARCHAR[]) END)) AS g
+      FROM repok WHERE doc_id % 31 <> 7),
+    contam AS (
+      SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.g) AS n_hit
+      FROM docsh d LEFT JOIN benchsh b ON d.g = b.g GROUP BY d.doc_id),
+    clean AS (
+      SELECT r.doc_id, r.text FROM repok r JOIN contam c USING (doc_id)
+      WHERE CAST(ROUND(1000000.0 * n_hit / n_sh) AS BIGINT) < 100000),
+    uniq AS (
+      SELECT doc_id, text FROM clean
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+    SELECT doc_id, md5(text) AS fingerprint,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, text, {_BUCKET_SQL.format(key='doc_id')} AS b FROM uniq)
+"""
+
+
+class _ReleaseV2Gate:
+    """Actor-pool stage for corpus_release_v2: PII plant+redact → quality
+    floor → repetition gate → benchmark-split drop → decontamination gate →
+    md5 fingerprint.  All gates are per-batch (each doc is one row), the
+    benchmark shingle set is resolved once per actor."""
+
+    def __init__(self, bench_ref):
+        import ray
+
+        self.dec = text.Decontaminator(bench_ref, threshold_x1m=100_000)
+        self.pats = {"email": _PII_EMAIL, "ipv4": _PII_IPV4, "secret": _PII_SECRET}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        from ..stages.text import pii_redact, repetition_stats
+
+        t = _plant_pii(t)
+        red = pii_redact(t.column("text"), self.pats)
+        keep = pc.greater_equal(
+            pc.cast(pc.count_substring_regex(red, r"\S+"), pa.int64()), 20
+        )
+        t2 = pa.table({"doc_id": t.column("doc_id"), "text": red}).filter(keep)
+        rep = repetition_stats(t2)
+        ok = rep.filter(rep.column("keep")).column("doc_id")
+        t3 = t2.filter(pc.is_in(t2.column("doc_id"), value_set=pc.unique(ok)))
+        t4 = t3.filter(pc.not_equal(_mod(t3.column("doc_id"), 31), 7))
+        dec = self.dec(t4)
+        clean_ids = dec.filter(
+            pc.invert(dec.column("contaminated"))
+        ).column("doc_id")
+        t5 = t4.filter(pc.is_in(t4.column("doc_id"), value_set=pc.unique(clean_ids)))
+        md5 = _hl.md5
+        fp = [md5(s.encode()).hexdigest() for s in t5.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t5.column("doc_id"),
+                "fingerprint": pa.array(fp, type=pa.string()),
+            }
+        )
+
+
+@register("corpus_release_v2", _RELEASE_V2_SQL)
+def corpus_release_v2(sf_dir: str):
+    """The FULL training-data release composition, v2: compliance pass (PII
+    redaction) → quality floor → Gopher repetition gates → benchmark-split
+    drop + k-shingle decontamination → exact dedup → deterministic
+    train/val/test split — every gate this round's operators added, verified
+    end-to-end as ONE SQL-paired query.  Scale shape: the benchmark shingles
+    broadcast once per actor; every gate is map-side; only
+    (doc_id, fingerprint) crosses the dedup exchange; split assignment is a
+    pure projection."""
+    import ray
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.sampling import assign_split
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_mod(t.column("doc_id"), 31), 7)
+        return text.word_shingle_rows(t.filter(keep)).select(["shingle"])
+
+    parts = list(
+        raw.map_batches(bench_shingles, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    bench = (
+        pc.unique(pa.concat_tables(parts).column("shingle"))
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    bench_ref = ray.put(bench)
+
+    gated = raw.map_batches(
+        _ReleaseV2Gate,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    uniq = exact_dedup(gated, fingerprint_col="fingerprint", order_col="doc_id")
+    out = assign_split(
+        uniq, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    ).select_columns(["doc_id", "fingerprint", "split"])
+    return _stable(
+        out,
+        [
+            ("doc_id", pa.int64()),
+            ("fingerprint", pa.string()),
+            ("split", pa.string()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in
@@ -4406,6 +4611,8 @@ _DRIVER_ORDER = [
     "doc_winnow_fingerprints",
     "embedding_quantize_int8",
     "doc_bm25_scores",
+    "doc_mixture_sample",
+    "corpus_release_v2",
 ]
 
 

@@ -270,3 +270,28 @@ def weighted_priority_sample(
         batch_format="pyarrow",
     )
     return withg.groupby("_one").map_groups(final, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    keep_buckets_for_group,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Domain-mixture reweighting: keep each row iff its hash bucket falls
+    under its GROUP's keep-bucket count — per-source sampling rates in one
+    deterministic, shuffle-free filter (the data-mixing step of LM training
+    pipelines: up/down-sample domains toward a target mixture without RNG,
+    stable across runs, partitions and cluster sizes).
+
+    ``keep_buckets_for_group`` maps the group column (``pa.Array``) to int
+    keep-bucket counts (vectorized); rows with count >= n_buckets are always
+    kept, count <= 0 never."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        kb = np.asarray(keep_buckets_for_group(t.column(group_col)), dtype=np.int64)
+        b = _buckets(t, key_col, n_buckets).astype(np.int64)
+        return t.filter(pa.array(b < kb))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
