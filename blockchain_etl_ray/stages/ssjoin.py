@@ -62,27 +62,47 @@ def _doc_shingles(tokens: list[str], k: int) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _distinct_shingle_rows(
+    batch: pa.Table, text_col: str, shingle_words: int
+) -> tuple[pa.Table, np.ndarray]:
+    """Vectorized distinct (doc_id, shingle) rows + their int64 hashes:
+    ``text.word_ngram_rows`` (binary_join_element_wise over shifted slices)
+    → one Arrow group_by distinct → blake2b over the DICTIONARY of distinct
+    shingle strings only (each unique gram hashed once per batch)."""
+    from .text import word_ngram_rows
+
+    dist = (
+        word_ngram_rows(
+            batch, k=shingle_words, text_col=text_col, pattern=TOKEN_SPLIT_PATTERN
+        )
+        .group_by(["doc_id", "shingle"])
+        .aggregate([])
+    )
+    sh = dist.column("shingle")
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    if len(sh) == 0:
+        return dist, np.empty(0, dtype=np.int64)
+    enc = sh.dictionary_encode()
+    dict_hashes = _tok_hash_u64(np.asarray(enc.dictionary.to_pylist(), dtype=object))
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return dist, dict_hashes[idx]
+
+
 def distinct_token_rows(
     batch: pa.Table, text_col: str = "text", shingle_words: int = 3
 ) -> pa.Table:
     """Explode docs to DISTINCT (doc_id, token, tok_hash) word-n-gram shingle
     rows.  The int64 ``tok_hash`` is emitted here once so every downstream
     exchange (df aggregate, df join, prefix bucketing) keys on a fixed-width
-    integer instead of re-shuffling shingle strings."""
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
-    )
-    ids, grams = [], []
-    for did, lst in zip(batch.column("doc_id").to_pylist(), toks.to_pylist()):
-        for g in _doc_shingles(lst, shingle_words):
-            ids.append(did)
-            grams.append(g)
-    grams_np = np.array(grams, dtype=object)
+    integer instead of re-shuffling shingle strings.  Fully vectorized (the
+    former per-doc Python set loop was this stage's hot path)."""
+    dist, hashes = _distinct_shingle_rows(batch, text_col, shingle_words)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "token": pa.array(grams, type=pa.string()),
-            "tok_hash": pa.array(_tok_hash_u64(grams_np)),
+            "doc_id": pc.cast(dist.column("doc_id"), pa.int64()),
+            "token": dist.column("shingle"),
+            "tok_hash": pa.array(hashes),
         }
     )
 
@@ -152,16 +172,21 @@ def token_set_rows(
     ~15x over string-set intersection).  Set size/intersections computed on
     hashes equal the string-set values up to 64-bit collisions
     (~n²/2⁶⁴ per doc — negligible against any data-scale error source)."""
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(batch.column(text_col)), pattern=TOKEN_SPLIT_PATTERN
-    )
+    dist, hashes = _distinct_shingle_rows(batch, text_col, shingle_words)
+    doc = pc.cast(dist.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((hashes, doc))
+    doc_o, h_o = doc[order], hashes[order]
+    starts = np.concatenate([[0], np.nonzero(doc_o[1:] != doc_o[:-1])[0] + 1]) \
+        if len(doc_o) else np.empty(0, dtype=np.int64)
+    ends = np.concatenate([starts[1:], [len(doc_o)]]) if len(doc_o) else starts
     ids, blobs, sizes = [], [], []
-    for did, lst in zip(batch.column("doc_id").to_pylist(), toks.to_pylist()):
-        sh = _doc_shingles(lst, shingle_words)
-        h = np.unique(_tok_hash_u64(np.array(list(sh), dtype=object)))
-        ids.append(did)
+    for st, en in zip(starts, ends):
+        h = np.unique(h_o[st:en])  # distinct grams may collide in hash
+        ids.append(int(doc_o[st]))
         blobs.append(h.tobytes())
         sizes.append(len(h))
+    # docs with zero shingles (< k words) never reach candidates (they emit
+    # no prefix rows), so their absence here is safe — as before
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),

@@ -142,7 +142,11 @@ def pii_redact(
 
 
 def word_ngram_rows(
-    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[^a-z0-9]+",
 ) -> pa.Table:
     """ALL k-word grams per document (one row per occurrence, in-order
     duplicates kept) as ``(doc_id, shingle)`` rows — fully vectorized:
@@ -156,7 +160,7 @@ def word_ngram_rows(
     Docs with fewer than k words contribute no grams (pure k-grams — no
     whole-text fallback; callers that need every doc must handle absence)."""
     lower = pc.utf8_lower(batch.column(text_col))
-    words = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+    words = pc.split_pattern_regex(lower, pattern=pattern)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     flat = words.flatten()
