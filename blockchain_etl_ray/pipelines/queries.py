@@ -2205,6 +2205,174 @@ def minhash_md5_signatures(sf_dir: str):
     )
 
 
+#: planting parameters of the SQL-anchored near-dup PAIR queries — one source
+#: for the pipeline `_plant_copies` call and the oracle's UNION ALL branch
+_MD5_PAIRS_MOD, _MD5_PAIRS_OFFSET, _MD5_PAIRS_SUFFIX = 9, 4_000_000, "glossextra"
+_SIM_PAIRS_MOD, _SIM_PAIRS_OFFSET, _SIM_PAIRS_SUFFIX = 13, 5_000_000, "zsimtail"
+
+
+def _planted_docs_sql(mod: int, offset: int, suffix: str) -> str:
+    """Planted-copy corpus + exact dedup (min doc_id per md5(text)) as CTEs —
+    the SQL twin of ``_plant_copies`` → ``fingerprint_md5`` → ``exact_dedup``
+    that heads both SQL-anchored pair pipelines."""
+    return f"""
+    docs_p AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {offset}, text || ' {suffix}'
+      FROM documents WHERE doc_id % {mod} = 0),
+    docs_u AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM docs_p) WHERE rn = 1)
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    """Oracle for ``minhash_md5_neardup_pairs``: reproduces EVERY pipeline
+    stage — planting, exact dedup, md5 minhash minima (same interpolated
+    constants as ``_minhash_md5_sql``), band keys
+    (``string_agg`` of the hex minima in perm order), band-equality candidate
+    pairs, exact distinct-shingle intersection counts, and the integer
+    threshold ``inter·den ≥ num·union``."""
+    a, b = dedup.md5_minhash_consts()
+    k = dedup.MD5_MINHASH_K
+    vals = ",".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
+    return f"""
+    WITH {_planted_docs_sql(_MD5_PAIRS_MOD, _MD5_PAIRS_OFFSET, _MD5_PAIRS_SUFFIX)},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs_u),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(range(1, len(ws) - {k - 2}),
+                                          i -> array_to_string(ws[i:i+{k - 1}], ' '))
+                      END) AS shingle
+        FROM toks)),
+    hashed AS (SELECT doc_id, CAST(md5_number_upper(shingle) AS HUGEINT) AS x FROM sh),
+    perms AS (SELECT * FROM (VALUES {vals}) AS t(perm_id, a, b)),
+    minima AS (
+      SELECT doc_id, perm_id,
+             lower(lpad(to_hex(CAST(MIN(
+               (CAST(a AS HUGEINT) * x + CAST(b AS HUGEINT))
+                 % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT)), 16, '0')) AS mh
+      FROM hashed CROSS JOIN perms GROUP BY doc_id, perm_id),
+    bandvals AS (
+      SELECT doc_id, perm_id // 2 AS band_id,
+             string_agg(mh, '' ORDER BY perm_id) AS band_key
+      FROM minima GROUP BY doc_id, perm_id // 2),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bandvals x JOIN bandvals y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS c
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT i.a, i.b, CAST(i.c AS BIGINT) AS inter,
+           CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.c * 2 >= (za.n + zb.n - i.c)
+    """
+
+
+@register("minhash_md5_neardup_pairs", _minhash_pairs_sql())
+def minhash_md5_neardup_pairs_query(sf_dir: str):
+    """SQL-VERIFIED MinHash-LSH near-dup detection END TO END: plant copies →
+    exact dedup (md5 fingerprint, min doc_id survives) → md5 minhash band
+    buckets → candidate pairs → exact-count Jaccard verify (J ≥ 1/2).  The
+    oracle reproduces every stage, so the driver hash-checks the full LSH
+    pipeline — candidates included — not just the signature anchor
+    (``minhash_md5_signatures``).  The production ``minhash_neardup_pairs``
+    keeps the faster blake2b path with capped degenerate buckets."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _plant_copies(
+        base, "doc_id", _MD5_PAIRS_MOD, _MD5_PAIRS_OFFSET,
+        lambda t: t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                t.column("text"), " " + _MD5_PAIRS_SUFFIX, ""
+            ),
+        ),
+    ).map_batches(text.fingerprint_md5, batch_format="pyarrow")
+    uniq = dedup.exact_dedup(ds, fingerprint_col="fingerprint", order_col="doc_id")
+    uniq = uniq.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    return dedup.minhash_md5_neardup_pairs(uniq, threshold_num=1, threshold_den=2)
+
+
+def _simhash_pairs_sql() -> str:
+    """Oracle for ``simhash_md5_neardup_pairs``: md5 simhash signatures as
+    UBIGINT (the ``simhash_md5_signatures`` recipe), 32-bit band slices,
+    band-equality candidates, XOR-popcount hamming ≤ 3 (wide bands + tight
+    bound — see ``simhash_md5_near_dups`` for the measured rationale)."""
+    return f"""
+    WITH {_planted_docs_sql(_SIM_PAIRS_MOD, _SIM_PAIRS_OFFSET, _SIM_PAIRS_SUFFIX)},
+    words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM docs_u),
+    hashed AS (
+      SELECT doc_id, md5_number_upper(w) AS h FROM words),
+    bits AS (
+      SELECT doc_id, CAST(b.range AS INTEGER) AS bit,
+             SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(64) b
+      GROUP BY doc_id, b.range),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::HUGEINT << bit)
+                      ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+      FROM bits GROUP BY doc_id),
+    bandvals AS (
+      SELECT doc_id, sig, CAST(b.range AS INTEGER) AS band_id,
+             (sig >> (32 * CAST(b.range AS INTEGER))) & 4294967295 AS band_key
+      FROM sigs, range(2) b),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sig_a, y.sig AS sig_b
+      FROM bandvals x JOIN bandvals y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id)
+    SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register("simhash_md5_neardup_pairs", _simhash_pairs_sql())
+def simhash_md5_neardup_pairs_query(sf_dir: str):
+    """SQL-VERIFIED SimHash near-dup detection END TO END: plant copies →
+    exact dedup → md5 simhash → 32-bit band buckets → XOR-popcount hamming
+    verify (≤ 3) — the one-shuffle near-dup shape with every stage
+    DuckDB-reproduced (the production ``simhash_neardup_pairs`` keeps the
+    faster blake2b signatures and capped buckets)."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _plant_copies(
+        base, "doc_id", _SIM_PAIRS_MOD, _SIM_PAIRS_OFFSET,
+        lambda t: t.set_column(
+            t.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                t.column("text"), " " + _SIM_PAIRS_SUFFIX, ""
+            ),
+        ),
+    ).map_batches(text.fingerprint_md5, batch_format="pyarrow")
+    uniq = dedup.exact_dedup(ds, fingerprint_col="fingerprint", order_col="doc_id")
+    uniq = uniq.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    return _stable(
+        dedup.simhash_md5_near_dups(uniq),
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())],
+    )
+
+
 @register("simhash_neardup_pairs", None)
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash near-dup pairs end to end (band-bucket → bounded pair-gen with

@@ -139,6 +139,8 @@ def _run_pairs_table(
     group per (band, sub-partition) amortizes it to ~1k dispatches with the
     same parallelism and bounded group sizes."""
     keys = group.column(key_col).to_numpy(zero_copy_only=False)
+    if keys.dtype == object:  # string band keys: factorize to int codes
+        _, keys = np.unique(keys.astype(str), return_inverse=True)
     ids = group.column(id_col).to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, keys))
     k, i = keys[order], ids[order]
@@ -496,7 +498,9 @@ class MinHasherMd5:
             count=len(shingles),
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _mins(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, (n_docs, n_perm) minima matrix) — shared by the long
+        signature emitter below and the banded pair variant."""
         n_perm = len(self.a)
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         mins = np.empty((len(doc_ids), n_perm), dtype=np.uint64)
@@ -505,6 +509,11 @@ class MinHasherMd5:
             # (n_perm, n_shingles) wrapped mixes, min over shingles — one
             # vectorized pass per doc; only the md5 base is per-shingle work
             mins[r] = (self.a[:, None] * xs[None, :] + self.b[:, None]).min(axis=1)
+        return doc_ids, mins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_perm = len(self.a)
+        doc_ids, mins = self._mins(batch)
         flat = mins.reshape(-1)
         return pa.table(
             {
@@ -517,6 +526,244 @@ class MinHasherMd5:
                 ),
             }
         )
+
+
+class MinHashBandsMd5(MinHasherMd5):
+    """Banded LSH keys over the SQL-verifiable md5 minhash: each band's key is
+    the CONCATENATED 16-hex big-endian representations of its ``rows_per_band``
+    permutation minima — exactly what DuckDB's
+    ``string_agg(lpad(to_hex(...)), '' ORDER BY perm_id)`` produces, so the
+    candidate buckets themselves (not just the signatures) have a SQL twin.
+    ``gpart`` pre-buckets the exchange (band minima are already uniform
+    hashes, so the first min mod group_parts balances)."""
+
+    def __init__(
+        self,
+        num_perm: int = MD5_MINHASH_PERMS,
+        shingle_k: int = MD5_MINHASH_K,
+        rows_per_band: int = 2,
+        group_parts: int = 64,
+    ):
+        super().__init__(num_perm, shingle_k)
+        assert num_perm % rows_per_band == 0
+        self.rpb = rows_per_band
+        self.group_parts = group_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import binascii
+
+        doc_ids, mins = self._mins(batch)
+        n_docs, n_perm = mins.shape
+        bands = n_perm // self.rpb
+        # hex of the big-endian bytes of each u64 == lpad(to_hex(v),16,'0');
+        # contiguous band slices hexlify in one pass, sliced per band
+        blob = binascii.hexlify(mins.astype(">u8").tobytes())
+        step = 16 * self.rpb
+        keys = [
+            blob[i * step : (i + 1) * step].decode() for i in range(n_docs * bands)
+        ]
+        gpart = (mins[:, :: self.rpb] % np.uint64(self.group_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(doc_ids, bands).astype(np.int64), type=pa.int64()
+                ),
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n_docs)
+                ),
+                "band_key": pa.array(keys, type=pa.string()),
+                "gpart": pa.array(gpart.reshape(-1)),
+            }
+        )
+
+
+def _md5_shingle_base(text: str, k: int) -> np.ndarray:
+    """Distinct k-word (space-split) shingles → first-8-md5-bytes
+    little-endian u64 — the ``MinHasherMd5`` base-hash recipe as a module
+    function (shared with the verify step so both sides see one shingle
+    definition)."""
+    words = text.split(" ")
+    if len(words) < k:
+        shingles = {" ".join(words)}
+    else:
+        shingles = {
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        }
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def md5_shingle_set_rows(batch: pa.Table, shingle_k: int = MD5_MINHASH_K) -> pa.Table:
+    """(doc_id, n, shingles) rows for the exact-count verify join: sorted u64
+    md5 shingle hashes as binary blobs (same transport trick as
+    ``shingle_set_rows``); ``n`` is the DISTINCT shingle count."""
+    ids, sets_, ns = [], [], []
+    for did, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        h = np.unique(_md5_shingle_base(text, shingle_k))
+        ids.append(did)
+        sets_.append(h.view(np.int64).tobytes())
+        ns.append(len(h))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "shingles": pa.array(sets_, type=pa.large_binary()),
+        }
+    )
+
+
+def minhash_md5_neardup_pairs(
+    docs: rd.Dataset,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_k: int = MD5_MINHASH_K,
+    rows_per_band: int = 2,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """SQL-VERIFIED MinHash-LSH near-dup pairs END TO END: md5 minhash bands
+    (``MinHashBandsMd5``) → bucket pair-gen → distinct pairs → EXACT-count
+    Jaccard verify over md5 shingle sets.  Returns
+    ``(a, b, inter, n_a, n_b)`` integers with
+    ``inter·den ≥ num·(n_a + n_b − inter)`` (J ≥ num/den) — every stage has a
+    DuckDB twin, so the driver can hash-check the full pipeline, not just the
+    signature anchor.  Callers should EXACT-DEDUP first (identical docs make
+    degenerate buckets; the production blake2b path survives them via capped
+    sub-splits, which this SQL-anchored variant deliberately avoids — the
+    ``max_bucket`` here is a guard rail sized to never trigger after exact
+    dedup at test scale)."""
+    from .joins import partitioned_join
+    from .stabilize import stabilize
+
+    bands = docs.map_batches(
+        MinHashBandsMd5,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k, rows_per_band=rows_per_band),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    cand = bands.groupby(["band_id", "gpart"]).map_groups(
+        lambda g: _run_pairs_table(g, "band_key", "doc_id", max_bucket),
+        batch_format="pyarrow",
+    )
+    pairs = _dedup_pairs(cand)
+
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("inter", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    sh = docs.map_batches(
+        lambda t: md5_shingle_set_rows(t, shingle_k), batch_format="pyarrow"
+    ).materialize()
+    j1 = partitioned_join(
+        pairs, sh, on=("a",), right_on=("doc_id",), num_partitions=4
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [
+                {"shingles": "sh_a", "n": "na"}.get(c, c)
+                for c in t.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",), num_partitions=4)
+
+    def check(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("n").to_numpy(zero_copy_only=False)
+        blobs_a = t.column("sh_a").to_pylist()
+        blobs_b = t.column("shingles").to_pylist()
+        rows = {k: [] for k in ("a", "b", "inter", "n_a", "n_b")}
+        for i in range(len(a)):
+            sa = np.frombuffer(blobs_a[i], dtype=np.int64)
+            sb = np.frombuffer(blobs_b[i], dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = int(na[i]) + int(nb[i]) - inter
+            if inter * threshold_den >= threshold_num * union:
+                rows["a"].append(int(a[i]))
+                rows["b"].append(int(b[i]))
+                rows["inter"].append(inter)
+                rows["n_a"].append(int(na[i]))
+                rows["n_b"].append(int(nb[i]))
+        return pa.table(
+            {k: pa.array(v, type=pa.int64()) for k, v in rows.items()}
+        )
+
+    out = j2.map_batches(check, batch_format="pyarrow")
+    return stabilize(out, [(f.name, f.type) for f in out_schema])
+
+
+class SimHashBandsMd5(SimHasherMd5):
+    """Band rows over the SQL-verifiable md5 SimHash: (band_id, band_key,
+    doc_id, simhash) where band_key = 16-bit signature slice
+    (``(sig >> 16·b) & 0xFFFF`` — DuckDB-expressible) and the int64-offset
+    signature rides along so hamming verification needs no join back."""
+
+    def __init__(self, bands: int = 4):
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_pylist()
+        sigs = [
+            int(self.simhash_hex(t), 16)
+            for t in batch.column("text").to_pylist()
+        ]
+        width = 64 // self.bands
+        mask = (1 << width) - 1
+        out_did, out_band, out_key, out_sig = [], [], [], []
+        for did, h in zip(dids, sigs):
+            for b in range(self.bands):
+                out_did.append(did)
+                out_band.append(b)
+                out_key.append((h >> (b * width)) & mask)
+                out_sig.append(h - (1 << 63))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_did, type=pa.int64()),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key, type=pa.int64()),
+                "simhash": pa.array(out_sig, type=pa.int64()),
+            }
+        )
+
+
+def simhash_md5_near_dups(
+    docs: rd.Dataset, max_hamming: int = 3, bands: int = 2, max_bucket: int = 4096
+) -> rd.Dataset:
+    """SQL-VERIFIED SimHash near-dup pairs END TO END: md5 simhash → 32-bit
+    band buckets → bounded pair-gen with the signature riding along → XOR
+    popcount verify.  Returns (a, b, hamming), a < b, unique — DuckDB
+    reproduces every stage (``xor``/``bit_count`` over the UBIGINT signature
+    the ``simhash_md5_signatures`` CTE already builds).  Same one-shuffle
+    shape as the production blake2b ``simhash_near_dups`` — but with WIDE
+    (32-bit) bands and a tight hamming bound: this synthetic corpus draws
+    docs from one shared vocabulary, so 16-bit band slices collide across a
+    huge near-clique (measured 1.47M pairs / 182 s at sf0.1 with the loose
+    settings vs ~10k pairs here; recall floor: an undetected pair needs BOTH
+    32-bit halves touched, P < max_hamming²/128 for random flip positions)."""
+    rows = docs.map_batches(
+        SimHashBandsMd5,
+        fn_constructor_kwargs=dict(bands=bands),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return _simhash_pairs_from_band_rows(rows, max_hamming, max_bucket)
 
 
 def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
@@ -554,30 +801,30 @@ def simhash_near_dups(
     one of its ``bands`` signature slices matches exactly (Hamming ≤
     64·(bands−1)/bands guaranteed catchable); verification is a popcount of
     the XOR — no text access after signing."""
-    from ray.data.aggregate import Min
-
-    from .stabilize import stabilize
-
     rows = docs.map_batches(
         lambda t: simhash_band_rows(t, bands), batch_format="pyarrow"
     )
+    return _simhash_pairs_from_band_rows(rows, max_hamming, max_bucket)
+
+
+def _simhash_pairs_from_band_rows(
+    rows: rd.Dataset, max_hamming: int, max_bucket: int
+) -> rd.Dataset:
+    """(band_id, band_key, doc_id, simhash) rows → verified (a, b, hamming)
+    pairs — the bucket/pair/XOR-popcount tail shared by the blake2b and the
+    SQL-anchored md5 simhash variants.
+
+    Verification runs BEFORE the cross-band dedup exchange: hamming is a pure
+    per-row function (the signatures ride with the pair), so filtering first
+    means only SURVIVING pairs are shuffled.  Dedup is the hash-bucket
+    vectorized unique of ``_dedup_pairs``, not a per-group aggregate — a
+    ``groupby(a, b).aggregate(Min)`` pays Python dispatch per distinct pair
+    (minutes at ~1M candidates, measured)."""
+    from .stabilize import stabilize
 
     cand = _with_gpart(rows, "band_key", 64).groupby(["band_id", "gpart"]).map_groups(
         lambda g: _run_pairs_table(g, "band_key", "doc_id", max_bucket, sig_col="simhash"),
         batch_format="pyarrow",
-    )
-    # dedup across bands; signatures are functions of the id so Min() is exact
-    uniq = cand.groupby(["a", "b"]).aggregate(
-        Min("sig_a", alias_name="sig_a"), Min("sig_b", alias_name="sig_b")
-    )
-    uniq = stabilize(
-        uniq,
-        [
-            ("a", pa.int64()),
-            ("b", pa.int64()),
-            ("sig_a", pa.int64()),
-            ("sig_b", pa.int64()),
-        ],
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -604,7 +851,43 @@ def simhash_near_dups(
             }
         )
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column(
+            "gpart2",
+            pa.array(((h >> np.uint64(33)) % np.uint64(64)).astype(np.int32)),
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        ham = g.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, ham = a[order], b[order], ham[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    out = (
+        cand.map_batches(verify, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart2")
+        .map_groups(
+            lambda g: uniq(g.drop_columns(["gpart2"])), batch_format="pyarrow"
+        )
+    )
+    return stabilize(
+        out, [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    )
 
 
 _CDC_W = 16
