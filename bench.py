@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "doc_winnow_fingerprints",
     "cdc_content_dedup",
     "embedding_quantize_int8",
+    "minhash_md5_neardup_pairs",
+    "simhash_md5_neardup_pairs",
+    "doc_substring_dup_stats",
 ]
 
 

@@ -1444,21 +1444,21 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
-def _winnow_sql() -> str:
-    """Oracle SQL for ``doc_winnow_fingerprints`` built from the SAME module
-    constants the pipeline stage uses (``text._ROLL_B/_ROLL_BINV`` +
-    ``WINNOW_WINDOW/KEEP``) — the wraparound-2^64 rolling-hash identity
-    reproduced in DuckDB HUGEINT arithmetic: per-byte rows via
-    ``ascii(substr(...))`` (the corpus is ASCII, so bytes == code points),
-    Bᵢ⁻ʲ / Bʲ power tables from a recursive CTE, the prefix-sum window
-    identity h = (S[p] − S[p−W])·Bᵖ with a 32-bit-split modmul (a full
-    64×64→mod-2^64 product overflows HUGEINT; splitting one operand keeps
-    every intermediate < 2^96), then the K smallest distinct window hashes
-    per doc — the exact ``rolling_fingerprints`` numpy fold, bit-for-bit."""
+def _rolling_hash_ctes() -> str:
+    """The wraparound-2^64 rolling-hash identity reproduced in DuckDB
+    HUGEINT arithmetic (shared by the winnowing and substring-duplication
+    oracles): per-byte rows via ``ascii(substr(...))`` (the corpus is ASCII,
+    so bytes == code points), Bᵢ⁻ʲ / Bʲ power tables from a recursive CTE,
+    the prefix-sum window identity h = (S[p] − S[p−W])·Bᵖ with a
+    32-bit-split modmul (a full 64×64→mod-2^64 product overflows HUGEINT;
+    splitting one operand keeps every intermediate < 2^96).  Yields a
+    ``hashes (doc_id, h)`` CTE with ONE ROW PER WINDOW POSITION — the exact
+    ``text._doc_window_hashes`` numpy fold, bit-for-bit.  Must follow a
+    ``WITH RECURSIVE`` keyword."""
     b, binv = int(text._ROLL_B), int(text._ROLL_BINV)
-    m, w, k = 1 << 64, text.WINNOW_WINDOW, text.WINNOW_KEEP
+    m, w = 1 << 64, text.WINNOW_WINDOW
     return f"""
-    WITH RECURSIVE pw(i, bp, vp) AS (
+    pw(i, bp, vp) AS (
         SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
       UNION ALL
         SELECT i + 1,
@@ -1490,7 +1490,19 @@ def _winnow_sql() -> str:
              (((w.diff * (pw.bp // 4294967296)) % {m}) * 4294967296
               + w.diff * (pw.bp % 4294967296)) % {m} AS h
       FROM windows w JOIN pw ON pw.i = w.p
-    ),
+    )
+    """
+
+
+def _winnow_sql() -> str:
+    """Oracle SQL for ``doc_winnow_fingerprints`` built from the SAME module
+    constants the pipeline stage uses (``text._ROLL_B/_ROLL_BINV`` +
+    ``WINNOW_WINDOW/KEEP``) — the shared rolling-hash CTEs
+    (``_rolling_hash_ctes``), then the K smallest distinct window hashes per
+    doc — the exact ``rolling_fingerprints`` numpy fold, bit-for-bit."""
+    w, k = text.WINNOW_WINDOW, text.WINNOW_KEEP
+    return f"""
+    WITH RECURSIVE {_rolling_hash_ctes()},
     agg AS (
       SELECT doc_id, array_to_string(
         list_transform(list_sort(list_distinct(list(h)))[1:{k}],
@@ -1518,6 +1530,38 @@ def doc_winnow_fingerprints(sf_dir: str):
         ).select_columns(["doc_id", "fingerprint"]),
         [("doc_id", pa.int64()), ("fingerprint", pa.string())],
     )
+
+
+def _substring_dup_sql() -> str:
+    """Oracle for ``doc_substring_dup_stats``: the shared rolling-hash CTEs,
+    then per-hash position counts, per-doc duplicated-position counts, and a
+    LEFT JOIN back to documents so windowless short docs report zeros."""
+    w = text.WINNOW_WINDOW
+    return f"""
+    WITH RECURSIVE {_rolling_hash_ctes()},
+    counts AS (SELECT h, count(*) AS c FROM hashes GROUP BY h),
+    dup AS (
+      SELECT doc_id, count(*) AS n_dup
+      FROM hashes JOIN counts USING (h)
+      WHERE c >= 2 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(greatest(length(d.text) - {w - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(u.n_dup, 0) AS BIGINT) AS n_dup_windows
+    FROM documents d LEFT JOIN dup u ON u.doc_id = d.doc_id
+    """
+
+
+@register("doc_substring_dup_stats", _substring_dup_sql())
+def doc_substring_dup_stats(sf_dir: str):
+    """EXACT substring duplication per document (Lee et al. 2022 ExactSubstr
+    shape, SQL-VERIFIED): for every doc, the number of its 16-byte windows
+    whose content occurs anywhere else in the corpus — the signal the
+    suffix-array pass of public LM pipelines extracts before span removal.
+    One hash-partition exchange (positions of a hash co-locate), doc-sized
+    partials out; the oracle reproduces the rolling hash in HUGEINT and the
+    duplication counts exactly (``stages/dedup.py::substring_dup_stats``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    return dedup.substring_dup_stats(ds, window=text.WINNOW_WINDOW)
 
 
 def _plant_copies(

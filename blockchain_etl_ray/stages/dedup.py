@@ -890,6 +890,149 @@ def _simhash_pairs_from_band_rows(
     )
 
 
+def substring_dup_stats(
+    docs: rd.Dataset, window: int = 16, group_parts: int = 64
+) -> rd.Dataset:
+    """EXACT substring-duplication stats (Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better', ExactSubstr shape): for
+    every doc, how many of its length-``window`` byte windows occur anywhere
+    else in the corpus (another position, any doc — self-repetition counts).
+    Returns (doc_id, n_windows, n_dup_windows).
+
+    Scale shape: window hashes explode to (doc_id, h) rows; ONE
+    hash-partition exchange co-locates all positions of each hash (h
+    determines its gpart), so per-group numpy value counts decide
+    duplication locally and only doc-sized partials leave the group; a small
+    doc-keyed fold then sums partials.  No suffix array, no corpus
+    broadcast; the exchange is window-count-sized (≈ bytes), the result
+    doc-count-sized."""
+    from .joins import partitioned_join
+    from .stabilize import stabilize
+
+    rows = docs.map_batches(
+        lambda t: _text_mod().window_hash_rows(t, window), batch_format="pyarrow"
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        g = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+            group_parts
+        )
+        return t.append_column("gpart", pa.array(g.astype(np.int32)))
+
+    def dup_partials(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        is_dup = cnt[inv] >= 2
+        # per-doc totals and dup counts within this hash partition
+        uids, dinv = np.unique(did, return_inverse=True)
+        tot = np.bincount(dinv, minlength=len(uids))
+        dup = np.bincount(dinv, weights=is_dup, minlength=len(uids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "tot": pa.array(tot.astype(np.int64)),
+                "dup": pa.array(dup),
+            }
+        )
+
+    partials = (
+        rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: dup_partials(g.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tot = g.column("tot").to_numpy(zero_copy_only=False)
+        dup = g.column("dup").to_numpy(zero_copy_only=False)
+        uids, dinv = np.unique(did, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_dup_windows": pa.array(
+                    np.bincount(dinv, weights=dup, minlength=len(uids)).astype(
+                        np.int64
+                    )
+                ),
+                "tot": pa.array(
+                    np.bincount(dinv, weights=tot, minlength=len(uids)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def dtag(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+            group_parts
+        )
+        return t.append_column("gpart", pa.array(g.astype(np.int32)))
+
+    dups = (
+        partials.map_batches(dtag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: fold(g.drop_columns(["gpart"])), batch_format="pyarrow"
+        )
+    )
+
+    # every doc appears in the output, including short docs with no windows:
+    # n_windows derives from the text length; dup counts left-join in
+    def totals(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        nw = pc.max_element_wise(
+            pc.subtract(n, pa.scalar(window - 1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_windows": nw}
+        )
+
+    base = docs.map_batches(totals, batch_format="pyarrow")
+    joined = partitioned_join(
+        base,
+        dups.map_batches(
+            lambda t: t.select(["doc_id", "n_dup_windows"]),
+            batch_format="pyarrow",
+        ),
+        on=("doc_id",),
+        join_type="left_outer",
+        num_partitions=4,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_windows": t.column("n_windows"),
+                "n_dup_windows": pc.coalesce(
+                    t.column("n_dup_windows"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return stabilize(
+        joined.map_batches(fill, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_dup_windows", pa.int64()),
+        ],
+    )
+
+
+def _text_mod():
+    from . import text
+
+    return text
+
+
 _CDC_W = 16
 _CDC_B = 131
 _CDC_BINV = pow(_CDC_B, -1, 1 << 64)

@@ -358,6 +358,22 @@ WINNOW_WINDOW = 16
 WINNOW_KEEP = 4
 
 
+def _doc_window_hashes(data: np.ndarray, window: int) -> np.ndarray:
+    """Wraparound-2^64 rolling hash of EVERY full length-``window`` byte
+    window (one u64 per position): with S[i] = Σ d[j]·B⁻ʲ, the hash of the
+    window ending at i is (S[i] − S[i−W])·Bⁱ — one numpy pass per doc, no
+    per-byte Python.  Shared by the winnowing fingerprints and the exact
+    substring-duplication stats."""
+    n = len(data)
+    if n < window:
+        return np.empty(0, dtype=np.uint64)
+    binv_pows = np.multiply.accumulate(np.full(n, _ROLL_BINV, dtype=np.uint64))
+    s = np.cumsum(data.astype(np.uint64) * binv_pows, dtype=np.uint64)
+    b_pows = np.multiply.accumulate(np.full(n, _ROLL_B, dtype=np.uint64))
+    left = np.concatenate([[np.uint64(0)], s[: n - window]])
+    return (s[window - 1 :] - left) * b_pows[window - 1 :]
+
+
 def rolling_fingerprints(
     batch: pa.Table,
     text_col: str = "text",
@@ -365,27 +381,48 @@ def rolling_fingerprints(
     keep: int = WINNOW_KEEP,
 ) -> pa.Table:
     """Rabin-Karp-style rolling-hash document fingerprint: the ``keep``
-    smallest window hashes per doc (winnowing sketch), hex-joined.  Non-SQL;
-    deterministic.  Window hashes come from the wraparound-2^64
-    prefix-product identity (``stages/dedup.py::_rolling_window_hashes``):
-    with S[i] = Σ d[j]·B⁻ʲ, the hash of the window ending at i is
-    (S[i] − S[i−W])·Bⁱ — one numpy pass per doc, no per-byte Python (the
-    original per-byte loop was the catalog's last hot-path row loop)."""
+    smallest window hashes per doc (winnowing sketch), hex-joined.
+    Deterministic; SQL twin in ``_winnow_sql``."""
     out = []
     for t in batch.column(text_col).to_pylist():
         data = np.frombuffer(t.encode(), dtype=np.uint8)
-        n = len(data)
-        if n < window:
+        if len(data) < window:
             out.append(hashlib.md5(data.tobytes()).hexdigest()[:16])
             continue
-        binv_pows = np.multiply.accumulate(np.full(n, _ROLL_BINV, dtype=np.uint64))
-        s = np.cumsum(data.astype(np.uint64) * binv_pows, dtype=np.uint64)
-        b_pows = np.multiply.accumulate(np.full(n, _ROLL_B, dtype=np.uint64))
-        left = np.concatenate([[np.uint64(0)], s[: n - window]])
-        h = (s[window - 1 :] - left) * b_pows[window - 1 :]
+        h = _doc_window_hashes(data, window)
         mins = np.unique(h)[:keep]
         out.append("-".join(f"{int(m):016x}" for m in mins))
     return batch.append_column("fingerprint", pa.array(out, type=pa.string()))
+
+
+def window_hash_rows(
+    batch: pa.Table, window: int = WINNOW_WINDOW, text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, h) rows — one per full window POSITION (duplicates within a
+    doc kept: position counts are the unit of the substring-duplication
+    stats).  Docs shorter than ``window`` emit no rows.  ``h`` is the u64
+    rolling hash viewed as int64 (group-key use only)."""
+    ids, hs = [], []
+    for did, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        h = _doc_window_hashes(np.frombuffer(t.encode(), dtype=np.uint8), window)
+        if len(h):
+            ids.append(np.full(len(h), did, dtype=np.int64))
+            hs.append(h.view(np.int64))
+    if not ids:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids)),
+            "h": pa.array(np.concatenate(hs)),
+        }
+    )
 
 
 #: BM25 parameters + the fixed query-term set, shared with the oracle SQL

@@ -773,3 +773,52 @@ def test_int8_quantization_roundtrip_and_topk_recall():
         top_f = set(np.argsort(-sims_f[r])[:10].tolist())
         hits += len(top_q & top_f)
     assert hits / (20 * 10) >= 0.9, hits / 200
+
+
+def test_substring_dup_stats_planted_and_edges():
+    """substring_dup_stats: a 30-byte span planted in two docs marks exactly
+    its window positions as duplicated in both; a unique-content doc reports
+    zero; docs shorter than the window report (0, 0); self-repetition inside
+    one doc counts (every position of a repeated window)."""
+    import string
+
+    from blockchain_etl_ray.stages.dedup import substring_dup_stats
+
+    w = 16
+    shared = "SHAREDSPANSHAREDSPANSHAREDSPAN"  # 30 bytes, > w
+    uniq_a = string.ascii_lowercase + string.digits  # 36 unique-ish bytes
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "AAAA" + shared + "BBBBCCCCDDDDEEEE",
+                    "ZZZZ" + shared + "YYYYXXXXWWWWVVVV",
+                    uniq_a,
+                    "short",  # < w: no windows at all
+                    "Q" * 40,  # pure self-repetition: every window identical
+                ]
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in substring_dup_stats(
+            rd.from_arrow(docs), window=w
+        ).take_all()
+    }
+    # brute-force oracle over raw substrings
+    from collections import Counter
+
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    cnt = Counter()
+    for t in texts.values():
+        for i in range(max(len(t) - w + 1, 0)):
+            cnt[t[i : i + w]] += 1
+    for did, t in texts.items():
+        n_w = max(len(t) - w + 1, 0)
+        n_dup = sum(1 for i in range(n_w) if cnt[t[i : i + w]] >= 2)
+        assert got[did] == (n_w, n_dup), (did, got[did], (n_w, n_dup))
+    assert got[3][1] == 0 and got[4] == (0, 0)
+    assert got[5][1] == got[5][0] > 0  # all windows duplicated (self)
+    assert got[1][1] >= len(shared) - w + 1  # the planted span is flagged
