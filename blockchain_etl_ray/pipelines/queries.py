@@ -4250,6 +4250,29 @@ def _bm25_sql() -> str:
     """
 
 
+@register(
+    "corpus_inverted_index",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def corpus_inverted_index(sf_dir: str):
+    """Distributed inverted-index build: (term, df, ascending-doc_id
+    postings) — the index the BM25 scorer would serve from.  One term-hash
+    exchange; posting lists assembled by a per-group numpy lexsort +
+    run-detect (no per-term dispatch); SQL-exact including the posting-list
+    contents (``stages/text.py::inverted_index``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    return text.inverted_index(ds)
+
+
 @register("doc_bm25_scores", _bm25_sql())
 def doc_bm25_scores(sf_dir: str):
     """BM25 retrieval scoring of the corpus against a fixed query-term set —

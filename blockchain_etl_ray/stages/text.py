@@ -201,6 +201,96 @@ def word_shingle_rows(
     return rows.group_by([id_col, "shingle"]).aggregate([])
 
 
+def inverted_index(
+    docs, min_df: int = 1, text_col: str = "text", group_parts: int = 64
+):
+    """Distributed inverted-index build (the retrieval sibling of the BM25
+    scorer): (term, df, postings) with postings = comma-joined ASCENDING
+    doc_ids.  Scale shape: distinct (doc, term) rows (vectorized tokenizer),
+    ONE term-hash exchange (all of a term's docs co-locate — ``gpart`` from
+    blake2b over each batch's term DICTIONARY, so hashing cost is
+    vocabulary-, not occurrence-, bounded), then a per-group numpy
+    lexsort + run-detect builds every posting list in one pass — no
+    per-term groupby dispatch (millions of terms at corpus scale).
+    Postings travel as strings: list payloads exceed the driver-hash
+    contract, and the csv form is exactly DuckDB's
+    ``array_to_string(list_sort(list(doc_id)), ',')``."""
+    from .stabilize import stabilize
+
+    def rows_of(t: pa.Table) -> pa.Table:
+        rows = word_shingle_rows(t, k=1, text_col=text_col)
+        term = rows.column("shingle")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        if len(term) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "gpart": pa.array([], type=pa.int32()),
+                }
+            )
+        enc = term.dictionary_encode()
+        dict_g = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=4).digest(), "big"
+                )
+                % group_parts
+                for s in enc.dictionary.to_pylist()
+            ),
+            dtype=np.int32,
+            count=len(enc.dictionary),
+        )
+        g = dict_g[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "term": term,
+                "doc_id": pc.cast(rows.column("doc_id"), pa.int64()),
+                "gpart": pa.array(g),
+            }
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        uterm, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((dids, codes))
+        c, d = codes[order], dids[order]
+        starts = (
+            np.concatenate([[0], np.nonzero(c[1:] != c[:-1])[0] + 1])
+            if len(c)
+            else np.empty(0, dtype=np.int64)
+        )
+        ends = np.concatenate([starts[1:], [len(c)]]) if len(c) else starts
+        out_t, out_df, out_p = [], [], []
+        for st, en in zip(starts, ends):
+            if en - st < min_df:
+                continue
+            out_t.append(str(uterm[c[st]]))
+            out_df.append(int(en - st))
+            out_p.append(",".join(map(str, d[st:en].tolist())))
+        return pa.table(
+            {
+                "term": pa.array(out_t, type=pa.string()),
+                "df": pa.array(out_df, type=pa.int64()),
+                "postings": pa.array(out_p, type=pa.string()),
+            }
+        )
+
+    out = (
+        docs.map_batches(rows_of, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: build(g.drop_columns(["gpart"])), batch_format="pyarrow"
+        )
+    )
+    return stabilize(
+        out,
+        [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())],
+    )
+
+
 #: keep-thresholds for ``repetition_stats`` (x1m exact fractions), shared
 #: with the oracle SQL — Gopher-style repetition quality gates, calibrated
 #: so the synthetic corpus splits ~85/15 (sf0.01: dup-word p50 538k,
