@@ -963,6 +963,35 @@ def hourly_event_counts(sf_dir: str):
     )
 
 
+#: the events fixture's closed category set, shared with the pivot oracle
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "hourly_type_pivot",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+    """
+    + ",\n".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{c}') AS BIGINT) AS n_{c}"
+        for c in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY bucket
+    """,
+)
+def hourly_type_pivot(sf_dir: str):
+    """Tumbling hourly counts PIVOTED WIDE (one n_<type> column per event
+    type) — the M9/M12 wide-converter shape over a window aggregate.  Each
+    batch collapses to bucket-sized partial rows carrying the full category
+    vector before the exchange (``stages/windows.py::tumbling_pivot``)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return windows.tumbling_pivot(
+        ds, ts_col="ts", width_seconds=3600, cat_col="event_type",
+        categories=_EVENT_TYPES,
+    )
+
+
 @register(
     "users_without_big_purchase",
     """

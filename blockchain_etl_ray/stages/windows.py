@@ -95,6 +95,73 @@ def tumbling_count(
     )
 
 
+def tumbling_pivot(
+    ds: rd.Dataset,
+    ts_col: str,
+    width_seconds: int,
+    cat_col: str,
+    categories: tuple[str, ...],
+    group_parts: int = 16,
+) -> rd.Dataset:
+    """Tumbling-window counts PIVOTED WIDE: one row per bucket, one
+    ``n_<category>`` column per known category (the M9/M12 wide-converter
+    shape over a window aggregate).  Map-side combiner: each batch collapses
+    to at most (buckets-in-batch) partial rows with the full category vector
+    (``np.add.at`` scatter — no per-category pass), so the exchange is
+    bucket-, not event-, sized; a hash-bucket fold sums partials.  Unknown
+    category values raise (the pivot schema is fixed up front)."""
+    import numpy as np
+
+    us = width_seconds * 1_000_000
+    cat_code = {c: i for i, c in enumerate(categories)}
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        b = micros // us
+        cats = t.column(cat_col).to_numpy(zero_copy_only=False)
+        codes = np.fromiter(
+            (cat_code[c] for c in cats), dtype=np.int64, count=len(cats)
+        )
+        ub, binv = np.unique(b, return_inverse=True)
+        mat = np.zeros((len(ub), len(categories)), dtype=np.int64)
+        np.add.at(mat, (binv, codes), 1)
+        out = {"bucket": pa.array(ub, type=pa.int64())}
+        for j, name in enumerate(cols):
+            out[name] = pa.array(mat[:, j])
+        return pa.table(out)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((b * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+            group_parts
+        )
+        return t.append_column("gpart", pa.array(g.astype(np.int32)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        b = g.column("bucket").to_numpy(zero_copy_only=False)
+        ub, binv = np.unique(b, return_inverse=True)
+        out = {"bucket": pa.array(ub, type=pa.int64())}
+        for name in cols:
+            v = g.column(name).to_numpy(zero_copy_only=False)
+            out[name] = pa.array(
+                np.bincount(binv, weights=v, minlength=len(ub)).astype(np.int64)
+            )
+        return pa.table(out)
+
+    from .stabilize import stabilize
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(lambda g: fold(g.drop_columns(["gpart"])), batch_format="pyarrow")
+    )
+    return stabilize(
+        out, [("bucket", pa.int64())] + [(c, pa.int64()) for c in cols]
+    )
+
+
 def sliding_window_count(
     ds: rd.Dataset,
     ts_col: str,
