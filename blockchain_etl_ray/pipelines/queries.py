@@ -4302,6 +4302,72 @@ def corpus_inverted_index(sf_dir: str):
     return text.inverted_index(ds)
 
 
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+    lp AS (
+      SELECT term,
+             CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)) * 1000000
+                        + 0.5) AS BIGINT) AS lp
+      FROM cnt),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens, SUM(l.lp) AS s
+      FROM toks t JOIN lp l USING (term) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS logprob_x1m
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def doc_unigram_logprob(sf_dir: str):
+    """Corpus-unigram LM log-likelihood per document — the CCNet-style LM
+    quality signal (docs far from the corpus distribution score low; the
+    perplexity-filter analog with the LM fitted ON the corpus itself).
+    Two-pass scale shape: pass 1 sums vocabulary-sized per-batch term-count
+    partials (tokens never leave their batch); the fitted
+    {term → round(ln(c/N)·1e6)} table broadcasts ONCE via ``ray.put``; pass
+    2 scores map-side, summing INT64 per-token contributions per doc —
+    integer summation is order-independent, so the oracle is bit-exact
+    (both engines evaluate the identical float tree once per term;
+    explicit floor(x+0.5) rounding agrees across engines on negatives,
+    where ROUND() would not)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = pa.concat_tables(
+        list(
+            docs.map_batches(
+                text.unigram_count_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    counts = parts.group_by("term").aggregate([("c", "sum")])
+    counts = pa.table(
+        {"term": counts.column("term"), "c": counts.column("c_sum")}
+    )
+    logp_ref = ray.put(text.fit_unigram_logp(counts))
+    return _stable(
+        docs.map_batches(
+            text.UnigramScorer,
+            fn_constructor_args=(logp_ref,),
+            batch_format="pyarrow",
+            concurrency=2,
+        ),
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("logprob_x1m", pa.int64()),
+        ],
+    )
+
+
 @register("doc_bm25_scores", _bm25_sql())
 def doc_bm25_scores(sf_dir: str):
     """BM25 retrieval scoring of the corpus against a fixed query-term set —

@@ -201,6 +201,75 @@ def word_shingle_rows(
     return rows.group_by([id_col, "shingle"]).aggregate([])
 
 
+def unigram_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (term, c) partial counts — the map-side combiner of the
+    unigram-LM fit (vocabulary-sized rows leave the batch, never tokens)."""
+    rows = word_ngram_rows(batch, k=1, text_col=text_col)
+    g = rows.group_by("shingle").aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "term": g.column("shingle"),
+            "c": pc.cast(g.column("count_all"), pa.int64()),
+        }
+    )
+
+
+class UnigramScorer:
+    """Per-doc corpus-unigram log-likelihood (actor-pool stage) — the
+    CCNet-style LM quality signal (docs far from the corpus distribution
+    score low).  The fitted model {term → round(ln(c/N)·1e6)} is baked into
+    the actor ONCE (broadcast via ``ray.put``); scoring maps each batch's
+    term DICTIONARY through the table (vocabulary-bounded python work) and
+    sums int64 contributions per doc — integer summation is
+    order-independent, so the DuckDB oracle is bit-exact (both engines
+    evaluate the identical ``floor(ln(c/N)·1e6 + 0.5)`` IEEE tree once per
+    term; half-up via explicit floor(x+0.5), which unlike ROUND() agrees
+    across engines for the negative logprobs)."""
+
+    def __init__(self, logp_ref):
+        import ray
+
+        self.logp = ray.get(logp_ref) if not isinstance(logp_ref, dict) else logp_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = word_ngram_rows(batch, k=1)
+        term = rows.column("shingle")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = np.zeros(len(out_ids), dtype=np.int64)
+        s = np.zeros(len(out_ids), dtype=np.int64)
+        if len(term):
+            enc = term.dictionary_encode()
+            dict_lp = np.fromiter(
+                (self.logp[t] for t in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            lp = dict_lp[enc.indices.to_numpy(zero_copy_only=False)]
+            order = np.argsort(out_ids, kind="stable")
+            dinv = order[np.searchsorted(out_ids[order], did)]
+            np.add.at(n_tok, dinv, 1)
+            np.add.at(s, dinv, lp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "logprob_x1m": pa.array(s),
+            }
+        )
+
+
+def fit_unigram_logp(counts: pa.Table) -> dict[str, int]:
+    """{term → round(ln(c/N)·1e6)} from summed (term, c) partials — ONE
+    float expression per term, mirrored exactly by the oracle SQL."""
+    c = counts.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = float(c.sum())
+    lp = np.floor(np.log(c / n) * 1000000.0 + 0.5).astype(np.int64)
+    return dict(zip(counts.column("term").to_pylist(), lp.tolist()))
+
+
 def inverted_index(
     docs, min_df: int = 1, text_col: str = "text", group_parts: int = 64
 ):
