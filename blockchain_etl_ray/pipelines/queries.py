@@ -4368,6 +4368,62 @@ def doc_unigram_logprob(sf_dir: str):
     )
 
 
+@register(
+    "doc_token_ids",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos
+      FROM words),
+    vocab AS (
+      SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS id
+      FROM toks GROUP BY term),
+    per AS (
+      SELECT t.doc_id,
+             array_to_string(list(v.id ORDER BY t.pos), ',') AS token_ids
+      FROM toks t JOIN vocab v USING (term) GROUP BY t.doc_id)
+    SELECT d.doc_id, COALESCE(p.token_ids, '') AS token_ids
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def doc_token_ids(sf_dir: str):
+    """Tokenizer ENCODE pass: fit a frequency-ranked vocabulary over the
+    corpus (ids by count desc, term asc), then map every document to its
+    in-order token-id sequence — the text→ids step ahead of sequence
+    packing.  Vocab fit reuses the unigram count partials; encoding is
+    map-side against the broadcast vocabulary
+    (``stages/text.py::VocabEncoder``); the oracle rebuilds the ranking
+    with a window function and checks the SEQUENCES (order included)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = pa.concat_tables(
+        list(
+            docs.map_batches(
+                text.unigram_count_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    counts = parts.group_by("term").aggregate([("c", "sum")])
+    counts = pa.table(
+        {"term": counts.column("term"), "c": counts.column("c_sum")}
+    )
+    vocab_ref = ray.put(text.fit_vocab_ids(counts))
+    return _stable(
+        docs.map_batches(
+            text.VocabEncoder,
+            fn_constructor_args=(vocab_ref,),
+            batch_format="pyarrow",
+            concurrency=2,
+        ),
+        [("doc_id", pa.int64()), ("token_ids", pa.string())],
+    )
+
+
 @register("doc_bm25_scores", _bm25_sql())
 def doc_bm25_scores(sf_dir: str):
     """BM25 retrieval scoring of the corpus against a fixed query-term set —

@@ -261,6 +261,67 @@ class UnigramScorer:
         )
 
 
+def fit_vocab_ids(counts: pa.Table) -> dict[str, int]:
+    """{term → vocab id} with ids assigned by DESCENDING corpus count, ties
+    broken by term (ascending) — the frequency-ranked vocabulary of a
+    tokenizer fit, deterministic on both engines (SQL twin:
+    ``row_number() OVER (ORDER BY c DESC, term)``)."""
+    c = counts.column("c").to_numpy(zero_copy_only=False)
+    terms = np.asarray(counts.column("term").to_pylist(), dtype=object)
+    order = np.lexsort((terms, -c))
+    return {str(terms[i]): rank + 1 for rank, i in enumerate(order)}
+
+
+class VocabEncoder:
+    """Tokenizer ENCODE pass (actor-pool stage): text → comma-joined vocab-id
+    sequence, in token order.  The fitted vocabulary broadcasts once via
+    ``ray.put``; per batch, the term dictionary maps through it
+    (vocabulary-bounded python) and sequences assemble map-side — no
+    shuffle, the output stays doc-sized.  Ids as a csv string: the sequence
+    is order-carrying payload, exactly DuckDB's
+    ``array_to_string(list(id ORDER BY pos), ',')``."""
+
+    def __init__(self, vocab_ref):
+        import ray
+
+        self.vocab = (
+            ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = word_ngram_rows(batch, k=1)
+        term = rows.column("shingle")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        seqs = [""] * len(out_ids)
+        if len(term):
+            enc = term.dictionary_encode()
+            dict_ids = np.fromiter(
+                (self.vocab[t] for t in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            tok_ids = dict_ids[enc.indices.to_numpy(zero_copy_only=False)]
+            did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(out_ids, kind="stable")
+            dinv = order[np.searchsorted(out_ids[order], did)]
+            # word_ngram_rows emits occurrences in document order; doc runs
+            # are contiguous, so slicing by run bounds preserves the sequence
+            starts = np.concatenate(
+                [[0], np.nonzero(dinv[1:] != dinv[:-1])[0] + 1]
+            )
+            ends = np.concatenate([starts[1:], [len(dinv)]])
+            for st, en in zip(starts, ends):
+                seqs[dinv[st]] = ",".join(map(str, tok_ids[st:en].tolist()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "token_ids": pa.array(seqs, type=pa.string()),
+            }
+        )
+
+
 def fit_unigram_logp(counts: pa.Table) -> dict[str, int]:
     """{term → round(ln(c/N)·1e6)} from summed (term, c) partials — ONE
     float expression per term, mirrored exactly by the oracle SQL."""
