@@ -500,15 +500,90 @@ class MinHasherMd5:
 
     def _mins(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, (n_docs, n_perm) minima matrix) — shared by the long
-        signature emitter below and the banded pair variant."""
+        signature emitter below and the banded pair variant.
+
+        Vectorized batch-level: literal-space split (case-preserved, empties
+        kept — ``str.split(' ')`` / DuckDB ``string_split`` semantics),
+        k-grams via ``binary_join_element_wise`` over shifted slices,
+        whole-text fallback rows for <k-word docs (space-rejoin is the
+        identity, so the fallback shingle IS the text), one Arrow distinct,
+        md5 once per DISTINCT shingle in the batch (template corpora repeat
+        grams heavily), permutation mixes min-folded per doc with
+        ``np.minimum.reduceat`` — the former per-doc loop md5-hashed every
+        doc's shingles independently."""
+        import pyarrow.compute as pc
+
         n_perm = len(self.a)
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mins = np.empty((len(doc_ids), n_perm), dtype=np.uint64)
-        for r, text in enumerate(batch.column("text").to_pylist()):
-            xs = self._shingle_base(text)
-            # (n_perm, n_shingles) wrapped mixes, min over shingles — one
-            # vectorized pass per doc; only the md5 base is per-shingle work
-            mins[r] = (self.a[:, None] * xs[None, :] + self.b[:, None]).min(axis=1)
+        n_docs = len(doc_ids)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, pattern=" ")
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        k = self.k
+        rows_idx, sh_arrays = [], []
+        n = len(flat)
+        m = n - k + 1
+        if m > 0:
+            sh = pc.binary_join_element_wise(
+                *[flat.slice(j, m) for j in range(k)], " "
+            )
+            valid = parent[:m] == parent[k - 1 :]
+            rows_idx.append(parent[:m][valid])
+            sh_arrays.append(sh.filter(pa.array(valid)))
+        fb = nw < k
+        if fb.any():
+            fb_rows = np.nonzero(fb)[0]
+            rows_idx.append(fb_rows.astype(np.int64))
+            sh_arrays.append(texts.take(pa.array(fb_rows)))
+        dist = (
+            pa.table(
+                {
+                    "row": pa.array(
+                        np.concatenate(rows_idx).astype(np.int64)
+                    ),
+                    "s": pa.concat_arrays(
+                        [
+                            a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                            for a in sh_arrays
+                        ]
+                    ),
+                }
+            )
+            .group_by(["row", "s"])
+            .aggregate([])
+        )
+        s = dist.column("s")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        enc = s.dictionary_encode()
+        dict_h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "little")
+                for x in enc.dictionary.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        )
+        xs = dict_h[enc.indices.to_numpy(zero_copy_only=False)]
+        row = dist.column("row").to_numpy(zero_copy_only=False)
+        order = np.argsort(row, kind="stable")
+        xs_o = xs[order]
+        row_o = row[order]
+        # every doc contributes >= 1 shingle (fallback covers <k-word docs),
+        # so the runs cover rows 0..n_docs-1 exactly once, ascending
+        starts = (
+            np.concatenate([[0], np.nonzero(row_o[1:] != row_o[:-1])[0] + 1])
+            if len(row_o)
+            else np.empty(0, dtype=np.int64)
+        )
+        mixed = self.a[:, None] * xs_o[None, :] + self.b[:, None]
+        mins = np.empty((n_docs, n_perm), dtype=np.uint64)
+        for p in range(n_perm):
+            mins[:, p] = np.minimum.reduceat(mixed[p], starts)
         return doc_ids, mins
 
     def __call__(self, batch: pa.Table) -> pa.Table:
