@@ -440,10 +440,56 @@ class SimHasherMd5:
         )
         return f"{sig:016x}"
 
+    @staticmethod
+    def batch_sigs(batch: pa.Table) -> np.ndarray:
+        """Vectorized u64 signatures for the whole batch: literal-space
+        split → one Arrow distinct over (doc, word) → md5 bit vectors ONCE
+        per DISTINCT word in the batch (Zipfian vocabularies repeat) →
+        per-doc ±1 sums via one ``np.add.at`` scatter → sign fold.
+        Bit-identical to ``simhash_hex`` per doc (same fold, same hashes)."""
+        import pyarrow.compute as pc
+
+        n_docs = batch.num_rows
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, pattern=" ")
+        dist = (
+            pa.table(
+                {
+                    "row": pc.list_parent_indices(words),
+                    "w": words.flatten(),
+                }
+            )
+            .group_by(["row", "w"])
+            .aggregate([])
+        )
+        w = dist.column("w")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        enc = w.dictionary_encode()
+        dict_words = enc.dictionary.to_pylist()
+        digests = b"".join(
+            hashlib.md5(x.encode()).digest()[:8] for x in dict_words
+        )
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int32)
+        vecs = bits * 2 - 1  # (n_dict, 64) ±1 word vectors
+        rows = dist.column("row").to_numpy(zero_copy_only=False)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        acc = np.zeros((n_docs, 64), dtype=np.int32)
+        np.add.at(acc, rows, vecs[codes])
+        packed = np.packbits(acc > 0, axis=1, bitorder="little")
+        return packed.copy().view(np.uint64).reshape(-1)  # little-endian u64
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash_hex(t) for t in batch.column("text").to_pylist()]
+        sigs = self.batch_sigs(batch)
         return batch.select(["doc_id"]).append_column(
-            "simhash_hex", pa.array(hs, type=pa.string())
+            "simhash_hex",
+            pa.array([f"{int(v):016x}" for v in sigs], type=pa.string()),
         )
 
 
@@ -795,10 +841,7 @@ class SimHashBandsMd5(SimHasherMd5):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dids = batch.column("doc_id").to_pylist()
-        sigs = [
-            int(self.simhash_hex(t), 16)
-            for t in batch.column("text").to_pylist()
-        ]
+        sigs = [int(v) for v in self.batch_sigs(batch)]
         width = 64 // self.bands
         mask = (1 << width) - 1
         out_did, out_band, out_key, out_sig = [], [], [], []
