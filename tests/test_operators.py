@@ -822,3 +822,79 @@ def test_substring_dup_stats_planted_and_edges():
     assert got[3][1] == 0 and got[4] == (0, 0)
     assert got[5][1] == got[5][0] > 0  # all windows duplicated (self)
     assert got[1][1] >= len(shared) - w + 1  # the planted span is flagged
+
+
+def test_unigram_vocab_encoder_edges():
+    """VocabEncoder/UnigramScorer edges: empty-text docs emit '' / (0, 0);
+    vocabulary ids are frequency-ranked with ties broken by term; sequences
+    preserve token order."""
+    from blockchain_etl_ray.stages.text import (
+        UnigramScorer,
+        VocabEncoder,
+        fit_unigram_logp,
+        fit_vocab_ids,
+        unigram_count_partials,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+            "text": pa.array(["b a b", "", "a b c a"]),
+        }
+    )
+    counts = unigram_count_partials(t)
+    vocab = fit_vocab_ids(counts)
+    # counts: a=3, b=3, c=1 -> tie a/b broken by term: a=1, b=2, c=3
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    enc = VocabEncoder(vocab)(t)
+    got = dict(
+        zip(enc.column("doc_id").to_pylist(), enc.column("token_ids").to_pylist())
+    )
+    assert got == {10: "2,1,2", 11: "", 12: "1,2,3,1"}
+
+    logp = fit_unigram_logp(counts)
+    scored = UnigramScorer(logp)(t)
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_x1m"])
+        for r in scored.to_pylist()
+    }
+    assert rows[11] == (0, 0)
+    assert rows[10] == (3, 2 * logp["b"] + logp["a"])
+    assert rows[12] == (4, 2 * logp["a"] + logp["b"] + logp["c"])
+
+
+def test_tumbling_pivot_unknown_category_raises():
+    """tumbling_pivot: the pivot schema is fixed up front — a category value
+    outside the declared set must raise, not silently drop."""
+    import pytest as _pt
+
+    from blockchain_etl_ray.stages.windows import tumbling_pivot
+
+    t = pa.table(
+        {
+            "ts": pa.array([1_000_000, 2_000_000], type=pa.timestamp("us")),
+            "kind": pa.array(["known", "SURPRISE"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    with _pt.raises(Exception, match="SURPRISE|KeyError|key"):
+        tumbling_pivot(
+            ds, ts_col="ts", width_seconds=3600, cat_col="kind",
+            categories=("known",),
+        ).take_all()
+
+
+def test_inverted_index_min_df_and_postings_order():
+    from blockchain_etl_ray.stages.text import inverted_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9], type=pa.int64()),
+            "text": pa.array(["zz yy", "zz", "zz yy!"]),
+        }
+    )
+    out = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(rd.from_arrow(t), min_df=2).take_all()
+    }
+    assert out == {"zz": (3, "3,5,9"), "yy": (2, "5,9")}
