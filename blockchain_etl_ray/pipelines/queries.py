@@ -1561,22 +1561,31 @@ def doc_winnow_fingerprints(sf_dir: str):
     )
 
 
+def _substring_dup_ctes() -> str:
+    """Rolling-hash CTEs + per-doc duplicated-position counts
+    (→ ``sdup (doc_id, n_dup)``), shared by ``doc_substring_dup_stats`` and
+    the release-v3 gate.  Must follow a ``WITH RECURSIVE`` keyword."""
+    return f"""
+    {_rolling_hash_ctes()},
+    h_counts AS (SELECT h, count(*) AS c FROM hashes GROUP BY h),
+    sdup AS (
+      SELECT doc_id, count(*) AS n_dup
+      FROM hashes JOIN h_counts USING (h)
+      WHERE c >= 2 GROUP BY doc_id)
+    """
+
+
 def _substring_dup_sql() -> str:
     """Oracle for ``doc_substring_dup_stats``: the shared rolling-hash CTEs,
     then per-hash position counts, per-doc duplicated-position counts, and a
     LEFT JOIN back to documents so windowless short docs report zeros."""
     w = text.WINNOW_WINDOW
     return f"""
-    WITH RECURSIVE {_rolling_hash_ctes()},
-    counts AS (SELECT h, count(*) AS c FROM hashes GROUP BY h),
-    dup AS (
-      SELECT doc_id, count(*) AS n_dup
-      FROM hashes JOIN counts USING (h)
-      WHERE c >= 2 GROUP BY doc_id)
+    WITH RECURSIVE {_substring_dup_ctes()}
     SELECT d.doc_id,
            CAST(greatest(length(d.text) - {w - 1}, 0) AS BIGINT) AS n_windows,
            CAST(COALESCE(u.n_dup, 0) AS BIGINT) AS n_dup_windows
-    FROM documents d LEFT JOIN dup u ON u.doc_id = d.doc_id
+    FROM documents d LEFT JOIN sdup u ON u.doc_id = d.doc_id
     """
 
 
@@ -4302,28 +4311,35 @@ def corpus_inverted_index(sf_dir: str):
     return text.inverted_index(ds)
 
 
-@register(
-    "doc_unigram_logprob",
-    """
-    WITH toks AS (
+#: unigram-LM CTE block (→ ``u_per (doc_id, n_tokens, s)``), shared by
+#: ``doc_unigram_logprob`` and the release-v3 gate
+_UNIGRAM_CTES = """
+    u_toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                 x -> x <> '')) AS term
       FROM documents),
-    cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
-    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
-    lp AS (
+    u_cnt AS (SELECT term, count(*) AS c FROM u_toks GROUP BY term),
+    u_tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM u_cnt),
+    u_lp AS (
       SELECT term,
-             CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)) * 1000000
+             CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT n FROM u_tot)) * 1000000
                         + 0.5) AS BIGINT) AS lp
-      FROM cnt),
-    per AS (
+      FROM u_cnt),
+    u_per AS (
       SELECT t.doc_id, count(*) AS n_tokens, SUM(l.lp) AS s
-      FROM toks t JOIN lp l USING (term) GROUP BY t.doc_id)
+      FROM u_toks t JOIN u_lp l USING (term) GROUP BY t.doc_id)
+"""
+
+
+@register(
+    "doc_unigram_logprob",
+    f"""
+    WITH {_UNIGRAM_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(COALESCE(p.s, 0) AS BIGINT) AS logprob_x1m
-    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    FROM documents d LEFT JOIN u_per p ON p.doc_id = d.doc_id
     """,
 )
 def doc_unigram_logprob(sf_dir: str):
@@ -4895,6 +4911,151 @@ def corpus_release_v2(sf_dir: str):
         concurrency=2,
     )
     uniq = exact_dedup(gated, fingerprint_col="fingerprint", order_col="doc_id")
+    out = assign_split(
+        uniq, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    ).select_columns(["doc_id", "fingerprint", "split"])
+    return _stable(
+        out,
+        [
+            ("doc_id", pa.int64()),
+            ("fingerprint", pa.string()),
+            ("split", pa.string()),
+        ],
+    )
+
+
+#: release-v3 corpus-prior gate thresholds (calibrated at sf0.01: the
+#: unigram floor is the p10 mean per-token logprob ×1e6, the substring-dup
+#: ceiling the p85 duplicated-window fraction ×1e6) — shared with the SQL
+_V3_ULP_MIN_X1M = -3_410_000
+_V3_DUP_MAX_X1M = 450_000
+
+
+def _release_v3_sql() -> str:
+    """Oracle for ``corpus_release_v3``: the v2 composition with two
+    CORPUS-PRIOR gates spliced in between decontamination and dedup — a
+    unigram-LM mean-logprob floor and a substring-duplication ceiling, both
+    computed over the RAW corpus (integer compares; u_per/sdup CTE blocks
+    shared with their standalone queries).  Built by extending the v2 SQL
+    string so the two compositions cannot drift."""
+    w = text.WINNOW_WINDOW
+    gates = f"""
+    ulpok AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN u_per p ON p.doc_id = d.doc_id
+      WHERE COALESCE(p.s, 0) >= COALESCE(p.n_tokens, 0) * {_V3_ULP_MIN_X1M}),
+    sdok AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN sdup u ON u.doc_id = d.doc_id
+      WHERE COALESCE(u.n_dup, 0) * 1000000
+              <= greatest(length(d.text) - {w - 1}, 0) * {_V3_DUP_MAX_X1M}),
+    clean3 AS (
+      SELECT c.doc_id, c.text FROM clean c
+      JOIN ulpok USING (doc_id) JOIN sdok USING (doc_id)),
+    uniq AS (
+      SELECT doc_id, text FROM clean3"""
+    old_uniq = """uniq AS (
+      SELECT doc_id, text FROM clean"""
+    assert _RELEASE_V2_SQL.count(old_uniq) == 1
+    sql = _RELEASE_V2_SQL.replace(old_uniq, gates.strip() + "\n      ", 1)
+    assert sql.count("WITH planted") == 1
+    return sql.replace(
+        "WITH planted",
+        f"WITH RECURSIVE {_UNIGRAM_CTES.strip()},\n    {_substring_dup_ctes().strip()},\n    planted",
+        1,
+    )
+
+
+@register("corpus_release_v3", _release_v3_sql())
+def corpus_release_v3(sf_dir: str):
+    """The training-data release composition, v3: everything v2 does (PII
+    redaction → quality floor → repetition gates → benchmark drop +
+    decontamination) PLUS two corpus-prior gates — a unigram-LM mean-logprob
+    floor (CCNet-style: docs far from the corpus distribution drop) and an
+    exact substring-duplication ceiling (ExactSubstr-style: boilerplate-heavy
+    docs drop) — then exact dedup and the deterministic split.  The priors
+    are computed over the RAW corpus in two extra passes whose outputs are
+    doc-keyed id sets; gating is two partitioned semi-joins (never a corpus
+    broadcast).  SQL is the v2 oracle string with the gate CTEs spliced in,
+    so the two release compositions cannot drift."""
+    import ray
+
+    from ..stages.dedup import exact_dedup, substring_dup_stats
+    from ..stages.joins import partitioned_join
+    from ..stages.sampling import assign_split
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_mod(t.column("doc_id"), 31), 7)
+        return text.word_shingle_rows(t.filter(keep)).select(["shingle"])
+
+    parts = list(
+        raw.map_batches(bench_shingles, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    bench = (
+        pc.unique(pa.concat_tables(parts).column("shingle"))
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    bench_ref = ray.put(bench)
+    gated = raw.map_batches(
+        _ReleaseV2Gate,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    # corpus-prior gates over the RAW text (doc-keyed id sets)
+    cparts = pa.concat_tables(
+        list(
+            raw.map_batches(
+                text.unigram_count_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    counts = cparts.group_by("term").aggregate([("c", "sum")])
+    counts = pa.table(
+        {"term": counts.column("term"), "c": counts.column("c_sum")}
+    )
+    logp_ref = ray.put(text.fit_unigram_logp(counts))
+
+    def ulp_keep(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t.column("logprob_x1m"),
+            pc.multiply(t.column("n_tokens"), pa.scalar(_V3_ULP_MIN_X1M, pa.int64())),
+        )
+        return t.filter(keep).select(["doc_id"])
+
+    keep_lp = raw.map_batches(
+        text.UnigramScorer,
+        fn_constructor_args=(logp_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).map_batches(ulp_keep, batch_format="pyarrow")
+
+    def sd_keep(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.multiply(t.column("n_dup_windows"), pa.scalar(1_000_000, pa.int64())),
+            pc.multiply(
+                t.column("n_windows"), pa.scalar(_V3_DUP_MAX_X1M, pa.int64())
+            ),
+        )
+        return t.filter(keep).select(["doc_id"])
+
+    keep_sd = substring_dup_stats(raw, window=text.WINNOW_WINDOW).map_batches(
+        sd_keep, batch_format="pyarrow"
+    )
+
+    gated2 = partitioned_join(
+        partitioned_join(gated, keep_lp, on=("doc_id",), num_partitions=4),
+        keep_sd,
+        on=("doc_id",),
+        num_partitions=4,
+    )
+    uniq = exact_dedup(gated2, fingerprint_col="fingerprint", order_col="doc_id")
     out = assign_split(
         uniq, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
     ).select_columns(["doc_id", "fingerprint", "split"])
