@@ -1385,6 +1385,28 @@ def event_value_percentiles(sf_dir: str):
     )
 
 
+@register(
+    "exact_distinct_users_by_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_distinct_users_by_type(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT) — the exact twin of the HLL sketch
+    below (and the yardstick its error bound is stated against): per-batch
+    pair dedup map-side, value-keyed bucket exchange (bucket-local distinct
+    pairs are globally distinct), tiny partial fold
+    (``stages/hashagg.py::grouped_distinct_count``)."""
+    from ..stages.hashagg import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return _stable(
+        grouped_distinct_count(ds, "event_type", "user_id"),
+        [("event_type", pa.string()), ("n", pa.int64())],
+    )
+
+
 @register("approx_distinct_users_by_type", None)
 def approx_distinct_users_by_type(sf_dir: str):
     """Mergeable HyperLogLog distinct-count (beyond-reference sketch

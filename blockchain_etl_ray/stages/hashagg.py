@@ -66,6 +66,43 @@ def bucketed_group_aggregate(
     )
 
 
+def grouped_distinct_count(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """EXACT grouped COUNT(DISTINCT val) — the exact twin of the HLL sketch
+    (run it where the answer must be right; the sketch where one pass over
+    less memory matters).  Scale shape: per-batch (key, val) dedup shrinks
+    the stream map-side, the bucket exchange keys on VAL (every value lands
+    in one bucket, so bucket-local distinct pairs are globally distinct),
+    per-bucket Arrow group_by counts, and a tiny final fold sums
+    buckets×keys partial rows.  Callers stabilize the (key, n) output to
+    their key's concrete type."""
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.select([key_col, val_col]).group_by([key_col, val_col]).aggregate([])
+        )
+
+    def agg(g: pa.Table) -> pa.Table:
+        d = g.group_by([key_col, val_col]).aggregate([])
+        c = d.group_by(key_col).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: c.column(key_col),
+                "n": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = bucketed_group_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), val_col, agg, num_buckets
+    )
+    return partials.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+
+
 def grouped_percentiles(
     ds: rd.Dataset,
     group_col: str,
