@@ -2999,6 +2999,66 @@ def cdc_replay_state(sf_dir: str):
     )
 
 
+@register(
+    "cdc_release_candidates",
+    f"""
+    WITH state AS ({_CDC_SQL}),
+    gated AS (
+      SELECT * FROM state
+      WHERE content IS NOT NULL AND length(content) >= 9)
+    SELECT repo, path, content_sha256, CAST(ordinal AS BIGINT) AS ordinal
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_sha256
+                                   ORDER BY ordinal) AS rn
+      FROM gated)
+    WHERE rn = 1
+    """,
+)
+def cdc_release_candidates(sf_dir: str):
+    """CDC × LLM capstone: training-data candidates FROM THE REPLAYED STATE
+    — fold the change log through the full replay engine, then gate the live
+    rows (content present, ≥9 bytes) and exact-dedup by content sha256
+    (earliest ordinal survives).  The 'train on what has landed' read path:
+    curation runs over maintained state, not a raw export.  Oracle = the LWW
+    window fold (+ the same gates/dedup) in one SQL query."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+    from ..stages.dedup import exact_dedup
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+
+    def gate(tbl: pa.Table) -> pa.Table:
+        content = pc.cast(tbl.column("content"), pa.string())
+        nch = pc.cast(pc.utf8_length(content), pa.int64())
+        keep = pc.and_kleene(
+            pc.is_valid(content), pc.greater_equal(nch, 9)
+        )
+        return pa.table(
+            {
+                "repo": tbl.column("repo"),
+                "path": tbl.column("path"),
+                "content_sha256": tbl.column("content_sha256"),
+                "ordinal": tbl.column("ordinal"),
+            }
+        ).filter(keep)
+
+    gated = engine.read_state().map_batches(gate, batch_format="pyarrow")
+    uniq = exact_dedup(gated, fingerprint_col="content_sha256", order_col="ordinal")
+    return _stable(
+        uniq,
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("content_sha256", pa.string()),
+            ("ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_EVO_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,
