@@ -3059,6 +3059,67 @@ def cdc_release_candidates(sf_dir: str):
     )
 
 
+_CDC_DIFF_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    olds AS (
+      SELECT repo, path, commit_id, sha256(content) AS content_sha256, ordinal
+      FROM (SELECT * FROM cdc
+            WHERE ordinal < 4 * (SELECT COUNT(*) // 10 FROM events)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path
+                                       ORDER BY ordinal DESC) = 1)
+      WHERE op <> 'delete'),
+    news AS (
+      SELECT repo, path, commit_id, sha256(content) AS content_sha256, ordinal
+      FROM (SELECT * FROM cdc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path
+                                       ORDER BY ordinal DESC) = 1)
+      WHERE op <> 'delete')
+    SELECT COALESCE(o.repo, n.repo) AS repo,
+           COALESCE(o.path, n.path) AS path,
+           CASE WHEN o.repo IS NULL THEN 'added'
+                WHEN n.repo IS NULL THEN 'deleted'
+                ELSE 'modified' END AS change,
+           o.commit_id AS old_commit,
+           n.commit_id AS new_commit,
+           o.content_sha256 AS old_sha256,
+           n.content_sha256 AS new_sha256,
+           COALESCE(o.ordinal, -1) AS old_ordinal,
+           COALESCE(n.ordinal, -1) AS new_ordinal
+    FROM olds o FULL OUTER JOIN news n
+      ON o.repo = n.repo AND o.path = n.path
+    WHERE COALESCE(o.ordinal, -1) <> COALESCE(n.ordinal, -1)
+"""
+
+
+@register("cdc_snapshot_diff", _CDC_DIFF_SQL)
+def cdc_snapshot_diff(sf_dir: str):
+    """Time-travel CDC read: replay the change log, then ask the store what
+    changed between apply step 0 and the final snapshot — each live key
+    classified added/deleted/modified (the Delta ``table_changes`` / Iceberg
+    changelog-scan analog; query form of the reorg detector's
+    landed-vs-recomputed diff, eth_reorg_adapter.py).  Both snapshots share
+    one hash-partitioned layout, so the engine diffs each partition inside a
+    single task — NO shuffle at any scale.  Oracle = two LWW window folds
+    (cutoff at version 0's epoch boundary vs full log) FULL OUTER JOINed."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events_dir))
+    return _stable(engine.snapshot_diff(0), ReplayEngine.DIFF_SCHEMA, num_blocks=8)
+
+
 _CDC_EVO_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

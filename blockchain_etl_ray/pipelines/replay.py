@@ -986,6 +986,136 @@ class ReplayEngine:
         t = self.get_many([(repo, path)], upto=upto)
         return t.to_pylist()[0] if t.num_rows else None
 
+    #: output schema of :meth:`snapshot_diff` — absent-side ordinals are -1
+    #: (not NULL) so the column stays non-null int64 end to end (a nullable
+    #: int64 decays to float64 in pandas, which breaks exact oracle parity)
+    DIFF_SCHEMA = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("change", pa.string()),
+            ("old_commit", pa.string()),
+            ("new_commit", pa.string()),
+            ("old_sha256", pa.string()),
+            ("new_sha256", pa.string()),
+            ("old_ordinal", pa.int64()),
+            ("new_ordinal", pa.int64()),
+        ]
+    )
+
+    def snapshot_diff(
+        self, v_old: int, v_new: int | None = None, table: str | None = None
+    ) -> rd.Dataset:
+        """Net per-key changes between two committed snapshots — the lake
+        CDC-read analog (Delta ``table_changes`` / Iceberg changelog scan),
+        and the query form of the reorg detector's landed-vs-recomputed diff
+        (reference: eth_reorg_adapter.py compares the landed table against a
+        re-derivation; here both sides are first-class snapshots, S9/U7).
+
+        Each live key is classified ``added`` (absent at ``v_old``),
+        ``deleted`` (absent at ``v_new``) or ``modified`` (live in both with
+        a different winning ordinal); keys whose winning row is unchanged
+        emit nothing.  Both versions share the SAME hash-partitioned layout,
+        so partition p's two plans resolve inside ONE task and the diff is
+        co-partitioned by construction — NO shuffle at any scale, cost is
+        one merge-on-read resolve per partition per side.  Absent-side
+        columns are NULL strings / -1 ordinals (see :attr:`DIFF_SCHEMA`).
+        Bounded by compaction retention exactly like :meth:`read_state`.
+        """
+        import json as _json
+
+        if table is not None:
+            raise ValueError(
+                "snapshot_diff reads the primary table; entity tables have "
+                "bespoke key/value schemas — diff them via read_state(table=...)"
+            )
+        if v_new is None:
+            versions = self.store.committed_versions()
+            v_new = versions[-1] if versions else -1
+        if v_old > v_new:
+            raise ValueError(
+                f"snapshot_diff: v_old={v_old} must be <= v_new={v_new}"
+            )
+        nparts = self.config.num_partitions
+        plans_old = self.store.partition_plans(nparts, upto=v_old, table=table)
+        plans_new = self.store.partition_plans(nparts, upto=v_new, table=table)
+        missing = [
+            f
+            for plans in (plans_old, plans_new)
+            for plan in plans.values()
+            for f in ([plan["base"]] if plan["base"] else [])
+            + [f for f, _ in plan["pieces"]]
+            if not os.path.exists(f)
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff {v_old}->{v_new} is no longer readable: "
+                f"{len(missing)} plan file(s) were compacted and GC'd "
+                f"(e.g. {missing[0]}); reads are bounded by compaction/"
+                "vacuum retention"
+            )
+        _empty = {"part": -1, "base": None, "pieces": []}
+        items = []
+        for p in range(nparts):
+            po = plans_old.get(p) or _empty
+            pn = plans_new.get(p) or _empty
+            if (po["pieces"] or po["base"]) or (pn["pieces"] or pn["base"]):
+                items.append({"old": _json.dumps(po), "new": _json.dumps(pn)})
+        diff_schema = self.DIFF_SCHEMA
+        if not items:
+            return rd.from_arrow(diff_schema.empty_table())
+
+        salt_max = self.config.resolve_salt_max_pieces
+
+        def diff_batch(batch: pa.Table):
+            import polars as pl
+
+            def live(plan_s: str, suffix: str) -> "pl.DataFrame":
+                t = resolve_plan(
+                    _json.loads(plan_s), None, salt_max_pieces=salt_max
+                )
+                t = t.filter(pa.compute.invert(t.column("deleted")))
+                t = t.select(["repo", "path", "commit", "content_sha256", "ordinal"])
+                return pl.from_arrow(t).rename(
+                    {
+                        "commit": f"{suffix}_commit",
+                        "content_sha256": f"{suffix}_sha256",
+                        "ordinal": f"{suffix}_ordinal",
+                    }
+                )
+
+            outs = []
+            for row in batch.to_pylist():
+                j = live(row["old"], "old").join(
+                    live(row["new"], "new"),
+                    on=["repo", "path"],
+                    how="full",
+                    coalesce=True,
+                )
+                j = j.with_columns(
+                    pl.col("old_ordinal").fill_null(-1),
+                    pl.col("new_ordinal").fill_null(-1),
+                )
+                j = j.filter(pl.col("old_ordinal") != pl.col("new_ordinal"))
+                j = j.with_columns(
+                    change=pl.when(pl.col("old_ordinal") == -1)
+                    .then(pl.lit("added"))
+                    .when(pl.col("new_ordinal") == -1)
+                    .then(pl.lit("deleted"))
+                    .otherwise(pl.lit("modified"))
+                )
+                out = j.select(
+                    [f.name for f in diff_schema]
+                ).to_arrow().cast(diff_schema)
+                if out.num_rows:
+                    outs.append(out)
+            if outs:
+                yield pa.concat_tables(outs)
+
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            diff_batch, batch_size=1, batch_format="pyarrow"
+        )
+
     def export_state(self, dest: str, upto: int | None = None) -> dict:
         """Export the primary table as ONE Parquet file per partition plus a
         ``manifest.json`` — the K1 partitioned-file-exporter analog, and the

@@ -68,3 +68,59 @@ def test_time_travel_bounded_by_compaction(tmp_path):
     # a pre-compaction snapshot is gone — loud, named error
     with pytest.raises(ValueError, match="no longer readable"):
         engine.read_state(upto=0)
+
+
+def _diff_map(engine, v_old, v_new=None):
+    refs = engine.snapshot_diff(v_old, v_new).to_arrow_refs()
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not tables:
+        return {}
+    tbl = pa.concat_tables(tables, promote_options="default")
+    return {(r["repo"], r["path"]): r["change"] for r in tbl.to_pylist()}
+
+
+def test_snapshot_diff_matches_snapshot_pair(tmp_path):
+    """snapshot_diff(v0, v1) == the brute-force diff of the two snapshots:
+    added/deleted/modified classification, unchanged keys silent."""
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=43, n_epochs=10)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+    versions = engine.store.committed_versions()
+    assert len(versions) >= 3
+
+    for v_old, v_new in [(0, versions[-1]), (1, 3), (2, 2)]:
+        old = _snapshot_map(engine, upto=v_old)
+        new = _snapshot_map(engine, upto=v_new)
+        want = {}
+        for k in set(old) | set(new):
+            a, b = old.get(k), new.get(k)
+            if a == b:
+                continue  # same winning (sha, ordinal) — silent
+            want[k] = (
+                "added" if a is None else "deleted" if b is None else "modified"
+            )
+        assert _diff_map(engine, v_old, v_new) == want
+    # every change kind is actually exercised by the corpus
+    kinds = set(_diff_map(engine, 0).values())
+    assert kinds == {"added", "deleted", "modified"}
+
+
+def test_snapshot_diff_guards(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=47, n_epochs=4)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=2, compact_every=None),
+    )
+    engine.replay(str(events))
+    with pytest.raises(ValueError, match="v_old"):
+        engine.snapshot_diff(5, 0)
+    with pytest.raises(ValueError, match="primary table"):
+        engine.snapshot_diff(0, table="repo_touch")
+    engine.compact_state()
+    with pytest.raises(ValueError, match="no longer readable"):
+        engine.snapshot_diff(0)
