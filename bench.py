@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "minhash_md5_neardup_pairs",
     "simhash_md5_neardup_pairs",
     "doc_substring_dup_stats",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -4247,6 +4247,98 @@ def doc_quality_scores(sf_dir: str):
     )
 
 
+@register(
+    "code_quality_gates",
+    """
+    WITH code AS (
+      SELECT doc_id, replace(text, ' line ', chr(10)) AS code FROM documents),
+    feats AS (
+      SELECT doc_id,
+             length(code) AS n_chars,
+             CAST(len(string_split(code, chr(10))) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(string_split(code, chr(10)),
+                                          x -> length(x))) AS BIGINT)
+                 AS max_line_len,
+             CAST(len(regexp_extract_all(code, '[a-zA-Z0-9]')) AS BIGINT)
+                 AS alnum_cnt
+      FROM code)
+    SELECT doc_id, n_chars, n_lines, max_line_len, alnum_cnt,
+           (max_line_len <= 300
+            AND n_chars - n_lines + 1 <= 80 * n_lines
+            AND 5 * alnum_cnt >= 4 * n_chars) AS keep
+    FROM feats
+    """,
+)
+def code_quality_gates(sf_dir: str):
+    """Source-file quality gates in the StarCoder/CodeParrot preprocessing
+    style (Li et al. 2023: max line length, mean line length, alphanumeric
+    fraction — the filters code-corpus pipelines run before training; the
+    payload-side twin of ``doc_quality_scores``'s prose heuristics).  Line
+    structure is derived deterministically (the corpus ships single-line
+    text: ``' line '`` becomes the newline on BOTH sides, proven
+    byte-identical between ``pc.replace_substring`` and DuckDB ``replace``).
+    All three gates are integer-exact — mean-line-length compares
+    ``sum_line_len <= 80 * n_lines`` via ``n_chars - n_lines + 1`` (no
+    float division), alnum fraction cross-multiplies ``5*alnum >=
+    4*n_chars`` — so the keep flag is bit-reproducible.  Per-line max is
+    the one list-typed feature; it runs through polars' vectorized
+    ``list.eval`` (no Python per-row work)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        code = pc.replace_substring(t.column("text"), " line ", "\n")
+        n_chars = pc.cast(pc.utf8_length(code), pa.int64())
+        n_lines = pc.add(
+            pc.cast(pc.count_substring(code, "\n"), pa.int64()), 1
+        )
+        alnum = pc.cast(pc.count_substring_regex(code, "[a-zA-Z0-9]"), pa.int64())
+        mll = (
+            pl.from_arrow(pa.table({"code": code}))
+            .select(
+                pl.col("code")
+                .str.split("\n")
+                .list.eval(pl.element().str.len_chars())
+                .list.max()
+                .cast(pl.Int64)
+                .alias("m")
+            )["m"]
+            .to_arrow()
+        )
+        mll = pa.chunked_array([mll]).combine_chunks() if isinstance(mll, pa.Array) else mll
+        sum_line_len = pc.add(pc.subtract(n_chars, n_lines), 1)
+        keep = pc.and_kleene(
+            pc.less_equal(mll, 300),
+            pc.and_kleene(
+                pc.less_equal(sum_line_len, pc.multiply(n_lines, 80)),
+                pc.greater_equal(pc.multiply(alnum, 5), pc.multiply(n_chars, 4)),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": n_chars,
+                "n_lines": n_lines,
+                "max_line_len": pc.cast(mll, pa.int64()),
+                "alnum_cnt": alnum,
+                "keep": keep,
+            }
+        )
+
+    return _stable(
+        ds.map_batches(feats, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("max_line_len", pa.int64()),
+            ("alnum_cnt", pa.int64()),
+            ("keep", pa.bool_()),
+        ],
+    )
+
+
 _DECONTAM_SQL = """
     WITH words AS (
       SELECT doc_id,
