@@ -33,16 +33,31 @@ import sys
 
 
 def _ray_init():
+    """Own a Ray session for a CLI invocation.
+
+    ``RAY_ADDRESS=local`` (or unset) starts a single-node session sized by
+    ``RAY_GRAFT_CPUS``; any other value attaches to that running cluster —
+    the ``ray job submit`` path (the job container exports the cluster
+    address, and an attached session must NOT constrain ``num_cpus``).
+    """
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
