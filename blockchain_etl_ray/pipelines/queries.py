@@ -1470,7 +1470,7 @@ def doc_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
         ds.map_batches(
-            text.LangId, batch_format="pyarrow", concurrency=2
+            text.LangId, batch_format="pyarrow", concurrency=(1, 2)
         ).select_columns(["doc_id", "lang_pred"]),
         [("doc_id", pa.int64()), ("lang_pred", pa.string())],
     )
@@ -2225,7 +2225,7 @@ def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building
     block) — deterministic, rows-only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=(1, 2))
 
 
 @register(
@@ -2259,7 +2259,7 @@ def simhash_md5_signatures(sf_dir: str):
     per actor (Zipfian vocabulary → high hit rate)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
-        ds.map_batches(dedup.SimHasherMd5, batch_format="pyarrow", concurrency=2),
+        ds.map_batches(dedup.SimHasherMd5, batch_format="pyarrow", concurrency=(1, 2)),
         [("doc_id", pa.int64()), ("simhash_hex", pa.string())],
     )
 
@@ -2304,7 +2304,7 @@ def minhash_md5_signatures(sf_dir: str):
     fold semantics (``stages/dedup.py``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
-        ds.map_batches(dedup.MinHasherMd5, batch_format="pyarrow", concurrency=2),
+        ds.map_batches(dedup.MinHasherMd5, batch_format="pyarrow", concurrency=(1, 2)),
         [("doc_id", pa.int64()), ("perm_id", pa.int64()), ("minhash_hex", pa.string())],
     )
 
@@ -2518,16 +2518,16 @@ def media_decode_stats(sf_dir: str):
         batch_format="pyarrow",
     )
     decoded = images.map_batches(
-        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
     )
     videos = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
         batch_format="pyarrow",
     )
     frames = videos.map_batches(
-        mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2
+        mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
     ).map_batches(
-        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
     )
 
     def tag(name):
@@ -2583,14 +2583,14 @@ def media_frame_inventory(sf_dir: str):
     images = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("media_type"), "image")),
         batch_format="pyarrow",
-    ).map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+    ).map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2))
     frames = (
         ds.map_batches(
             lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
             batch_format="pyarrow",
         )
-        .map_batches(mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2)
-        .map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+        .map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2))
     )
 
     def tag(kind: str):
@@ -4407,7 +4407,7 @@ def doc_decontaminate(sf_dir: str):
         text.Decontaminator,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return _stable(
         scored,
@@ -4609,7 +4609,7 @@ def doc_unigram_logprob(sf_dir: str):
             text.UnigramScorer,
             fn_constructor_args=(logp_ref,),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         ),
         [
             ("doc_id", pa.int64()),
@@ -4669,7 +4669,7 @@ def doc_token_ids(sf_dir: str):
             text.VocabEncoder,
             fn_constructor_args=(vocab_ref,),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         ),
         [("doc_id", pa.int64()), ("token_ids", pa.string())],
     )
@@ -4704,7 +4704,7 @@ def doc_bm25_scores(sf_dir: str):
         text.BM25Scorer,
         fn_constructor_args=(n_docs, sum_dl, dfs),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return _stable(
         scored,
@@ -5143,7 +5143,7 @@ def corpus_release_v2(sf_dir: str):
         _ReleaseV2Gate,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     uniq = exact_dedup(gated, fingerprint_col="fingerprint", order_col="doc_id")
     out = assign_split(
@@ -5240,7 +5240,7 @@ def corpus_release_v3(sf_dir: str):
         _ReleaseV2Gate,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     # corpus-prior gates over the RAW text (doc-keyed id sets)
@@ -5268,7 +5268,7 @@ def corpus_release_v3(sf_dir: str):
         text.UnigramScorer,
         fn_constructor_args=(logp_ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).map_batches(ulp_keep, batch_format="pyarrow")
 
     def sd_keep(t: pa.Table) -> pa.Table:

@@ -187,7 +187,7 @@ def asof_join(
             )
             return out
 
-    return left.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
+    return left.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def partitioned_join(
