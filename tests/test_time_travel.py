@@ -124,3 +124,46 @@ def test_snapshot_diff_guards(tmp_path):
     engine.compact_state()
     with pytest.raises(ValueError, match="no longer readable"):
         engine.snapshot_diff(0)
+
+
+def test_snapshot_diff_consistent_with_change_feed(tmp_path):
+    """The two CDC read surfaces must agree: every snapshot_diff(v0) row's
+    key appears in read_changes(v0)'s net window effect, with consistent
+    classification — a net retraction for 'deleted', the winning new ordinal
+    for 'added'/'modified'.  (The reverse need not hold: a window can touch
+    a key with only LOSING rows — a late lower-ordinal redelivery — which
+    the feed reports but the snapshot pair correctly treats as unchanged.)"""
+    events = tmp_path / "events"
+    write_corpus(events, n_events=6_000, seed=53, n_epochs=12)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=4, epoch_batch_size=3, compact_every=None),
+    )
+    engine.replay(str(events))
+    v_last = engine.store.committed_versions()[-1]
+    assert v_last >= 2
+
+    for v0 in (0, 1):
+        diff_refs = engine.snapshot_diff(v0).to_arrow_refs()
+        diff_tbls = [t for t in (ray.get(r) for r in diff_refs) if t.num_rows]
+        diff = pa.concat_tables(diff_tbls, promote_options="default")
+        feed_refs = engine.read_changes(v0).to_arrow_refs()
+        feed = pa.concat_tables(
+            [t for t in (ray.get(r) for r in feed_refs) if t.num_rows],
+            promote_options="default",
+        )
+        fmap = {
+            (r["repo"], r["path"]): (r["deleted"], r["ordinal"])
+            for r in feed.to_pylist()
+        }
+        assert diff.num_rows > 0
+        for r in diff.to_pylist():
+            k = (r["repo"], r["path"])
+            assert k in fmap, f"diff key {k} missing from the change feed"
+            f_deleted, f_ordinal = fmap[k]
+            if r["change"] == "deleted":
+                assert f_deleted, f"{k}: diff says deleted, feed has a live row"
+            else:
+                # added/modified: the diff's new winner IS the window's net row
+                assert not f_deleted
+                assert f_ordinal == r["new_ordinal"], k
