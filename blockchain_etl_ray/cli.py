@@ -43,7 +43,9 @@ def _ray_init():
     import ray
 
     if not ray.is_initialized():
-        addr = os.environ.get("RAY_ADDRESS", "local")
+        # `or "local"`: a set-but-empty RAY_ADDRESS (common shell leftover)
+        # must fall back to the single-node session, not ray.init(address="")
+        addr = os.environ.get("RAY_ADDRESS") or "local"
         if addr == "local":
             ray.init(
                 address="local",

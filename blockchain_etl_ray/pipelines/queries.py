@@ -3073,7 +3073,7 @@ _CDC_DIFF_SQL = """
     olds AS (
       SELECT repo, path, commit_id, sha256(content) AS content_sha256, ordinal
       FROM (SELECT * FROM cdc
-            WHERE ordinal < 4 * (SELECT COUNT(*) // 10 FROM events)
+            WHERE ordinal < 4 * (SELECT GREATEST(1, COUNT(*) // 10) FROM events)
             QUALIFY ROW_NUMBER() OVER (PARTITION BY repo, path
                                        ORDER BY ordinal DESC) = 1)
       WHERE op <> 'delete'),
@@ -3114,7 +3114,12 @@ def cdc_snapshot_diff(sf_dir: str):
 
     events_dir, workdir = _write_cdc_log(sf_dir)
     engine = ReplayEngine(
-        workdir / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+        workdir / "state",
+        # version-0 fragments must stay readable for the diff — disable
+        # auto-compaction like the other retention-sensitive reader,
+        # cdc_change_feed (it folds version-0 into a base after
+        # compact_every steps, and the diff would raise "no longer readable")
+        ReplayConfig(num_partitions=8, epoch_batch_size=4, compact_every=None),
     )
     engine.replay(str(events_dir))
     return _stable(engine.snapshot_diff(0), ReplayEngine.DIFF_SCHEMA, num_blocks=8)
@@ -4306,7 +4311,6 @@ def code_quality_gates(sf_dir: str):
             )["m"]
             .to_arrow()
         )
-        mll = pa.chunked_array([mll]).combine_chunks() if isinstance(mll, pa.Array) else mll
         sum_line_len = pc.add(pc.subtract(n_chars, n_lines), 1)
         keep = pc.and_kleene(
             pc.less_equal(mll, 300),

@@ -833,6 +833,26 @@ class ReplayEngine:
             err=f"snapshot at apply version {upto}",
         )
 
+    def _require_plans_readable(self, plans, err: str) -> None:
+        """Compaction-retention guard shared by every plan-based reader
+        (snapshot, change feed, snapshot diff): a plan referencing a file
+        that compaction/vacuum folded into a later base and GC'd raises a
+        loud named error instead of resolving partial state."""
+        missing = [
+            f
+            for plan in plans
+            for f in ([plan["base"]] if plan["base"] else [])
+            + [f for f, _ in plan["pieces"]]
+            if not os.path.exists(f)
+        ]
+        if missing:
+            raise ValueError(
+                f"{err} is no longer readable: {len(missing)} plan file(s) "
+                f"were compacted into later bases and GC'd "
+                f"(e.g. {missing[0]}); reads are bounded by compaction/vacuum "
+                "retention"
+            )
+
     def _resolve_plans(
         self,
         plans: dict[int, dict],
@@ -846,20 +866,7 @@ class ReplayEngine:
         existence check (a plan referencing a GC'd file raises loudly)."""
         import json as _json
 
-        missing = [
-            f
-            for plan in plans.values()
-            for f in ([plan["base"]] if plan["base"] else [])
-            + [f for f, _ in plan["pieces"]]
-            if not os.path.exists(f)
-        ]
-        if missing:
-            raise ValueError(
-                f"{err} is no longer readable: {len(missing)} plan file(s) "
-                f"were compacted into later bases and GC'd "
-                f"(e.g. {missing[0]}); reads are bounded by compaction/vacuum "
-                "retention"
-            )
+        self._require_plans_readable(plans.values(), err)
         items = [
             {"plan": _json.dumps(plan)}
             for plan in plans.values()
@@ -1039,21 +1046,10 @@ class ReplayEngine:
         nparts = self.config.num_partitions
         plans_old = self.store.partition_plans(nparts, upto=v_old, table=table)
         plans_new = self.store.partition_plans(nparts, upto=v_new, table=table)
-        missing = [
-            f
-            for plans in (plans_old, plans_new)
-            for plan in plans.values()
-            for f in ([plan["base"]] if plan["base"] else [])
-            + [f for f, _ in plan["pieces"]]
-            if not os.path.exists(f)
-        ]
-        if missing:
-            raise ValueError(
-                f"snapshot_diff {v_old}->{v_new} is no longer readable: "
-                f"{len(missing)} plan file(s) were compacted and GC'd "
-                f"(e.g. {missing[0]}); reads are bounded by compaction/"
-                "vacuum retention"
-            )
+        self._require_plans_readable(
+            [*plans_old.values(), *plans_new.values()],
+            f"snapshot_diff {v_old}->{v_new}",
+        )
         _empty = {"part": -1, "base": None, "pieces": []}
         items = []
         for p in range(nparts):
