@@ -3483,6 +3483,70 @@ def cdc_multi_path_heads(sf_dir: str):
     )
 
 
+_CDC_PATH_DIFF_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             event_type || '.log' AS path,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    olds AS (
+      SELECT path, ordinal
+      FROM (SELECT * FROM cdc
+            WHERE ordinal < 4 * (SELECT GREATEST(1, COUNT(*) // 10) FROM events)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY path
+                                       ORDER BY ordinal DESC) = 1)
+      WHERE op <> 'delete'),
+    news AS (
+      SELECT path, ordinal
+      FROM (SELECT * FROM cdc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY path
+                                       ORDER BY ordinal DESC) = 1)
+      WHERE op <> 'delete')
+    SELECT COALESCE(o.path, n.path) AS path,
+           CASE WHEN o.path IS NULL THEN 'added'
+                WHEN n.path IS NULL THEN 'deleted'
+                ELSE 'modified' END AS change,
+           COALESCE(o.ordinal, -1) AS old_ordinal,
+           COALESCE(n.ordinal, -1) AS new_ordinal
+    FROM olds o FULL OUTER JOIN news n ON o.path = n.path
+    WHERE COALESCE(o.ordinal, -1) <> COALESCE(n.ordinal, -1)
+"""
+
+
+@register("cdc_path_heads_diff", _CDC_PATH_DIFF_SQL)
+def cdc_path_heads_diff(sf_dir: str):
+    """Snapshot diff of an ENTITY table: what changed in ``path_heads``
+    (mortal LWW heads) between apply step 0 and the final snapshot — the
+    multi-table face of ``cdc_snapshot_diff``, same per-partition
+    dual-resolve with no shuffle.  The key space is the corpus's handful of
+    hot paths, so this also covers the diff over a low-cardinality hot-key
+    entity.  Oracle = two cutoff LWW folds of the path-heads derivation
+    FULL OUTER JOINed."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4, compact_every=None,
+            entities=("path_heads",),
+        ),
+    )
+    engine.replay(str(events_dir))
+    return _stable(
+        engine.snapshot_diff(0, table="path_heads"),
+        [
+            ("path", pa.string()),
+            ("change", pa.string()),
+            ("old_ordinal", pa.int64()),
+            ("new_ordinal", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_LANG_STATS_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,

@@ -1028,14 +1028,40 @@ class ReplayEngine:
         one merge-on-read resolve per partition per side.  Absent-side
         columns are NULL strings / -1 ordinals (see :attr:`DIFF_SCHEMA`).
         Bounded by compaction retention exactly like :meth:`read_state`.
+
+        ``table`` selects an entity table: the output is then that entity's
+        key columns + ``change``/``old_ordinal``/``new_ordinal`` (both LWW
+        and additive state carry the max folded ordinal, so ``modified``
+        means "the key's winning fold advanced" — for additive counters
+        that is "touched by the window", the honest semantics for a fold
+        whose value is not versioned row-by-row).
         """
         import json as _json
 
         if table is not None:
-            raise ValueError(
-                "snapshot_diff reads the primary table; entity tables have "
-                "bespoke key/value schemas — diff them via read_state(table=...)"
+            from ..entities import REGISTRY
+
+            spec = REGISTRY[table]
+            key_cols = list(spec.key_cols)
+            diff_schema = pa.schema(
+                [(c, dt) for c, dt in spec.fields if c in spec.key_cols]
+                + [
+                    ("change", pa.string()),
+                    ("old_ordinal", pa.int64()),
+                    ("new_ordinal", pa.int64()),
+                ]
             )
+            sel_cols = key_cols + ["ordinal"]
+            renames = {"ordinal": "{}_ordinal"}
+        else:
+            key_cols = ["repo", "path"]
+            diff_schema = self.DIFF_SCHEMA
+            sel_cols = key_cols + ["commit", "content_sha256", "ordinal"]
+            renames = {
+                "commit": "{}_commit",
+                "content_sha256": "{}_sha256",
+                "ordinal": "{}_ordinal",
+            }
         if v_new is None:
             versions = self.store.committed_versions()
             v_new = versions[-1] if versions else -1
@@ -1057,34 +1083,36 @@ class ReplayEngine:
             pn = plans_new.get(p) or _empty
             if (po["pieces"] or po["base"]) or (pn["pieces"] or pn["base"]):
                 items.append({"old": _json.dumps(po), "new": _json.dumps(pn)})
-        diff_schema = self.DIFF_SCHEMA
         if not items:
             return rd.from_arrow(diff_schema.empty_table())
 
         salt_max = self.config.resolve_salt_max_pieces
+        ent_name = table
 
         def diff_batch(batch: pa.Table):
             import polars as pl
 
+            ent = None
+            if ent_name is not None:
+                from ..entities import REGISTRY as _REG
+
+                ent = _REG[ent_name]
+
             def live(plan_s: str, suffix: str) -> "pl.DataFrame":
                 t = resolve_plan(
-                    _json.loads(plan_s), None, salt_max_pieces=salt_max
+                    _json.loads(plan_s), ent, salt_max_pieces=salt_max
                 )
                 t = t.filter(pa.compute.invert(t.column("deleted")))
-                t = t.select(["repo", "path", "commit", "content_sha256", "ordinal"])
+                t = t.select(sel_cols)
                 return pl.from_arrow(t).rename(
-                    {
-                        "commit": f"{suffix}_commit",
-                        "content_sha256": f"{suffix}_sha256",
-                        "ordinal": f"{suffix}_ordinal",
-                    }
+                    {c: pat.format(suffix) for c, pat in renames.items()}
                 )
 
             outs = []
             for row in batch.to_pylist():
                 j = live(row["old"], "old").join(
                     live(row["new"], "new"),
-                    on=["repo", "path"],
+                    on=key_cols,
                     how="full",
                     coalesce=True,
                 )

@@ -119,11 +119,63 @@ def test_snapshot_diff_guards(tmp_path):
     engine.replay(str(events))
     with pytest.raises(ValueError, match="v_old"):
         engine.snapshot_diff(5, 0)
-    with pytest.raises(ValueError, match="primary table"):
-        engine.snapshot_diff(0, table="repo_touch")
     engine.compact_state()
     with pytest.raises(ValueError, match="no longer readable"):
         engine.snapshot_diff(0)
+
+
+def test_snapshot_diff_entity_table(tmp_path):
+    """Entity-table diff == brute-force diff of the entity's two snapshots
+    on (key -> ordinal): path_heads is LWW WITH tombstones, so all three
+    change kinds are reachable."""
+    events = tmp_path / "events"
+    write_corpus(events, n_events=5_000, seed=59, n_epochs=10)
+    engine = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(
+            num_partitions=4,
+            epoch_batch_size=2,
+            compact_every=None,
+            entities=("path_heads",),
+        ),
+    )
+    engine.replay(str(events))
+    v_last = engine.store.committed_versions()[-1]
+
+    def snap(upto):
+        refs = engine.read_state(upto=upto, table="path_heads").to_arrow_refs()
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in refs], promote_options="default"
+        )
+        return {r["path"]: r["ordinal"] for r in tbl.to_pylist()}
+
+    for v0 in (0, 2):
+        old, new = snap(v0), snap(v_last)
+        want = {}
+        for k in set(old) | set(new):
+            a, b = old.get(k), new.get(k)
+            if a == b:
+                continue
+            want[k] = (
+                "added" if a is None else "deleted" if b is None else "modified"
+            )
+        refs = engine.snapshot_diff(v0, table="path_heads").to_arrow_refs()
+        tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        got_tbl = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else None
+        )
+        got = (
+            {r["path"]: r["change"] for r in got_tbl.to_pylist()}
+            if got_tbl is not None
+            else {}
+        )
+        assert got == want
+        if got_tbl is not None:
+            assert got_tbl.schema.names == [
+                "path", "change", "old_ordinal", "new_ordinal",
+            ]
 
 
 def test_snapshot_diff_consistent_with_change_feed(tmp_path):
