@@ -33,7 +33,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.bigint import batch_partial_vsum, merge_partials
 from ..functions.parity import scaled_int
-from ..stages import ann, dedup, text, windows
+from ..stages import ann, dedup, streamwin, text, windows
 from ..stages.joins import broadcast_enrich, broadcast_semi_join
 from ..stages.stabilize import stabilize
 
@@ -5370,6 +5370,246 @@ def corpus_release_v3(sf_dir: str):
             ("split", pa.string()),
         ],
     )
+
+
+# ===========================================================================
+# Event-time watermarked windows (§2.9 streaming: out-of-order arrival,
+# watermark finalization, late-data journal) and DSIR importance resampling
+# ===========================================================================
+
+#: watermark-window scenario constants, shared verbatim with the oracle SQL:
+#: 2 h arrival polls, 1 h tumbling windows, 15 min allowed lateness, ±1 h
+#: deterministic arrival jitter (streamwin.JITTER_*)
+_WM_POLL_S = 7200
+_WM_WIN_S = 3600
+_WM_LATE_S = 900
+
+#: shared CTE block (→ ``ev2`` rows with poll/window columns, ``wm`` per-poll
+#: watermarks) for the two watermark queries; integer ``//`` division on both
+#: engines so bucket edges are exact
+_WM_CTES = f"""
+    ev AS (
+      SELECT event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100
+      FROM events),
+    ev2 AS (
+      SELECT event_type, ts_us, vx100,
+             (ts_us + ((event_id * {streamwin.JITTER_MULT}) % {streamwin.JITTER_MOD}
+                       - {streamwin.JITTER_HALF_S}) * 1000000)
+               // {_WM_POLL_S * 1_000_000} AS poll,
+             (ts_us // {_WM_WIN_S * 1_000_000}) * {_WM_WIN_S * 1_000_000}
+               AS win_start_us
+      FROM ev),
+    pm AS (SELECT poll, MAX(ts_us) AS mx FROM ev2 GROUP BY poll),
+    wm AS (
+      SELECT poll,
+             MAX(mx) OVER (ORDER BY poll ROWS UNBOUNDED PRECEDING)
+               - {_WM_LATE_S * 1_000_000} AS wm_after,
+             COALESCE(MAX(mx) OVER (ORDER BY poll
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - {_WM_LATE_S * 1_000_000},
+                      {streamwin.WM_FLOOR}) AS wm_before
+      FROM pm)
+"""
+
+
+def _watermark_partials(sf_dir: str) -> pa.Table:
+    """Distributed half of the watermark queries: one ``map_batches`` pass
+    collapses the event volume to (poll, window, key) cells; the folded cell
+    table that reaches the driver is (polls × open windows × keys)-sized."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        return streamwin.poll_window_partials(
+            t, poll_width_s=_WM_POLL_S, window_width_s=_WM_WIN_S
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    return streamwin.merge_partials(folded)
+
+
+@register(
+    "watermark_window_counts",
+    f"""
+    WITH {_WM_CTES},
+    live AS (
+      SELECT e.* FROM ev2 e JOIN wm USING (poll)
+      WHERE e.win_start_us + {_WM_WIN_S * 1_000_000} > wm.wm_before),
+    agg AS (
+      SELECT win_start_us, event_type AS key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx100) AS BIGINT) AS sum_x100
+      FROM live GROUP BY win_start_us, event_type),
+    emitp AS (
+      SELECT a.win_start_us, MIN(w.poll) AS ep
+      FROM (SELECT DISTINCT win_start_us FROM agg) a
+      LEFT JOIN wm w ON w.wm_after >= a.win_start_us + {_WM_WIN_S * 1_000_000}
+      GROUP BY a.win_start_us)
+    SELECT a.win_start_us, a.key, a.n, a.sum_x100,
+           CAST(COALESCE(e.ep, {streamwin.EMIT_AT_FLUSH}) AS BIGINT) AS emit_poll
+    FROM agg a JOIN emitp e USING (win_start_us)
+    """,
+)
+def watermark_window_counts(sf_dir: str):
+    """Event-time watermarked tumbling windows over a polled stream (§2.9):
+    arrival order = ts + deterministic ±1 h jitter bucketed into 2 h polls;
+    the watermark (max event time seen − 15 min) finalizes each 1 h window
+    at the first poll that passes its end (``emit_poll``; end-of-stream
+    flush = −1), and rows whose window closed before their poll are LATE and
+    excluded.  Reference analog: the streamer's out-of-order range retries
+    (``blockchainetl/streaming/streamer.py:76-107``) with time-based instead
+    of range-based finalization (``stages/streamwin.py``)."""
+    wt, _late = streamwin.watermark_run(
+        _watermark_partials(sf_dir), window_width_s=_WM_WIN_S, lateness_s=_WM_LATE_S
+    )
+    return wt
+
+
+@register(
+    "watermark_late_events",
+    f"""
+    WITH {_WM_CTES}
+    SELECT e.poll, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM ev2 e JOIN wm USING (poll)
+    WHERE e.win_start_us + {_WM_WIN_S * 1_000_000} <= wm.wm_before
+    GROUP BY e.poll
+    """,
+)
+def watermark_late_events(sf_dir: str):
+    """The late-data journal of :func:`watermark_window_counts`: per poll,
+    how many rows arrived for already-finalized windows (the dead-letter
+    shape of ``blockchainetl/streaming/streamer_jsonl_skiper.py`` applied to
+    event time) — journaled, never silently dropped."""
+    _wt, late = streamwin.watermark_run(
+        _watermark_partials(sf_dir), window_width_s=_WM_WIN_S, lateness_s=_WM_LATE_S
+    )
+    return late
+
+
+#: DSIR target class: documents from this source define the target
+#: distribution; everything else is the raw/source pool
+_DSIR_TARGET_SRC = "src0"
+
+#: shared DSIR CTE block (→ ``dsir_per (doc_id, n_scored, s)``)
+_DSIR_CTES = f"""
+    k_toks AS (
+      SELECT d.doc_id, d.source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents d),
+    k_tcnt AS (SELECT term, count(*) AS c FROM k_toks
+               WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY term),
+    k_scnt AS (SELECT term, count(*) AS c FROM k_toks
+               WHERE source <> '{_DSIR_TARGET_SRC}' GROUP BY term),
+    k_ttot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM k_tcnt),
+    k_stot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM k_scnt),
+    k_lr AS (
+      SELECT t.term,
+             CAST(floor(ln(CAST(t.c AS DOUBLE) / (SELECT n FROM k_ttot)) * 1000000
+                        + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(s.c AS DOUBLE) / (SELECT n FROM k_stot)) * 1000000
+                        + 0.5) AS BIGINT) AS w
+      FROM k_tcnt t JOIN k_scnt s USING (term)),
+    dsir_per AS (
+      SELECT k.doc_id, count(*) AS n_scored, SUM(l.w) AS s
+      FROM k_toks k JOIN k_lr l USING (term) GROUP BY k.doc_id)
+"""
+
+
+def _dsir_weights_ds(sf_dir: str):
+    """Shared pipeline of the DSIR queries: fit the two-class unigram models
+    from one partial pass, broadcast the int64 log-ratio table once, score
+    map-side (``stages/text.py::DsirScorer``)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        return text.dsir_count_partials(t, target_value=_DSIR_TARGET_SRC)
+
+    folded = pa.concat_tables(
+        list(
+            docs.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["term", "cls"]).aggregate([("c", "sum")])
+    counts = pa.table(
+        {"term": g.column("term"), "cls": g.column("cls"), "c": g.column("c_sum")}
+    )
+    lr_ref = ray.put(text.fit_dsir_logratio(counts))
+    return docs.map_batches(
+        text.DsirScorer,
+        fn_constructor_args=(lr_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+@register(
+    "doc_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_scored, 0) AS BIGINT) AS n_scored,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS dsir_x1m
+    FROM documents d LEFT JOIN dsir_per p ON p.doc_id = d.doc_id
+    """,
+)
+def doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc sum of
+    ``ln p_target(term) − ln p_source(term)`` over tokens, with the target
+    distribution fitted on the '{_DSIR_TARGET_SRC}' documents and the source
+    on the rest.  Both unigram fits come from ONE combined partial pass
+    (2×vocabulary rows per batch, tokens never leave their task); the int64
+    log-ratio table broadcasts once; scoring is map-side integer summation —
+    order-independent, so the oracle is bit-exact.  Terms outside either
+    vocabulary carry no ratio evidence and are skipped (``n_scored`` counts
+    the scored tokens)."""
+    return _stable(
+        _dsir_weights_ds(sf_dir),
+        [
+            ("doc_id", pa.int64()),
+            ("n_scored", pa.int64()),
+            ("dsir_x1m", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "doc_dsir_resample",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS dsir_x1m
+    FROM documents d LEFT JOIN dsir_per p ON p.doc_id = d.doc_id
+    ORDER BY dsir_x1m DESC, d.doc_id LIMIT 100
+    """,
+)
+def doc_dsir_resample(sf_dir: str):
+    """The resampling half of DSIR: keep the top-k documents by importance
+    weight (the temperature→0 variant of importance resampling; determinism
+    contract: ties break by doc_id).  The sort input is one row per doc —
+    weights, not text, move through the sort."""
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "dsir_x1m"])
+
+    out = (
+        _dsir_weights_ds(sf_dir)
+        .map_batches(slim, batch_format="pyarrow")
+        .sort(["dsir_x1m", "doc_id"], descending=[True, False])
+        .limit(100)
+    )
+    return _stable(out, [("doc_id", pa.int64()), ("dsir_x1m", pa.int64())])
 
 
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST

@@ -1,0 +1,258 @@
+"""Event-time watermarked tumbling windows over a polled stream (§2.9).
+
+The reference's streamer delivers blocks in arrival order while event time
+(``block_timestamp``) arrives OUT of order across polls (re-orgs, lagging
+providers — ``blockchainetl/streaming/streamer.py:76-107`` retries ranges out
+of sequence).  Its window-ish aggregates sidestep the problem by recomputing
+over stored state; a true streaming engine instead tracks a WATERMARK — the
+event-time frontier minus an allowed lateness — finalizes a window once the
+watermark passes its end, and journals anything older as LATE (the
+dead-letter shape of ``streamer_jsonl_skiper.py``, applied to time instead of
+ranges).
+
+Ray-Data-first shape, two layers:
+
+1. :func:`poll_window_partials` — the distributed layer.  One ``map_batches``
+   pass over the event volume emits per-batch ``(poll, win_start, key)``
+   partial aggregates (count / scaled sum / max event ts).  Everything
+   event-sized stays in the tasks; what reaches the driver is bounded by
+   (#polls × #open-windows × #keys), which the lateness horizon keeps small
+   by construction.
+2. :func:`watermark_run` / :class:`WatermarkWindower` — the state machine
+   over those partials.  Per poll, in order: fold non-late partials into the
+   open-window state, advance the watermark to ``max(event_ts seen) -
+   lateness``, emit-and-close every window whose end the watermark passed.
+   A partial is LATE iff its window closed before the poll began
+   (``win_end <= watermark_before_poll``); late rows are journaled per poll,
+   never silently dropped.
+
+Determinism contract (what makes the SQL oracle exact): arrival order is a
+pure function of the row — ``arrival = ts + jitter(id)`` with an integer
+multiplicative-hash jitter — and polls are fixed arrival-time buckets, so
+both engines agree on poll membership, per-poll watermarks, and lateness for
+every row without sharing any runtime state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: jitter hash constants (Knuth multiplicative; shared verbatim with the SQL
+#: oracle — ``(id * MULT) % MOD - HALF`` seconds of arrival delay)
+JITTER_MULT = 2654435761
+JITTER_HALF_S = 3600
+JITTER_MOD = 2 * JITTER_HALF_S + 1
+
+#: the "never seen a poll yet" watermark (matches the SQL COALESCE sentinel)
+WM_FLOOR = -9223372036854775807
+
+#: emit_poll sentinel for windows still open at end-of-stream (flushed, not
+#: watermark-finalized)
+EMIT_AT_FLUSH = -1
+
+
+def arrival_jitter_us(event_id: np.ndarray) -> np.ndarray:
+    """Deterministic per-row arrival delay in microseconds, ±JITTER_HALF_S."""
+    j = (event_id.astype(np.int64) * JITTER_MULT) % JITTER_MOD - JITTER_HALF_S
+    return j * 1_000_000
+
+
+def poll_window_partials(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    poll_width_s: int = 7200,
+    window_width_s: int = 3600,
+) -> pa.Table:
+    """Map-side combiner: collapse one event batch to (poll, win_start, key)
+    partial rows — n, sum_x100, max_ts_us.  ``max_ts_us`` is over ALL rows of
+    the (poll, win, key) cell including ones that will classify late: late
+    rows still carry real observed event time and must advance the watermark
+    exactly as they do in the oracle."""
+    ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    arr_us = ts_us + arrival_jitter_us(ids)
+    poll_us = poll_width_s * 1_000_000
+    win_us = window_width_s * 1_000_000
+    poll = arr_us // poll_us
+    win_start = (ts_us // win_us) * win_us
+    vals = pc.cast(
+        pc.round(
+            pc.multiply(batch.column(val_col), pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = keys.dictionary_encode()
+    kcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # cell id = (poll, win, key) via lexsort-unique — one pass, no hashing
+    order = np.lexsort((kcode, win_start, poll))
+    p, w, k = poll[order], win_start[order], kcode[order]
+    new = np.empty(len(p), dtype=bool)
+    if len(p):
+        new[0] = True
+        new[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1]) | (k[1:] != k[:-1])
+    cell = np.cumsum(new) - 1 if len(p) else new.astype(np.int64)
+    n_cells = int(cell[-1] + 1) if len(p) else 0
+    n = np.bincount(cell, minlength=n_cells).astype(np.int64)
+    sums = np.bincount(cell, weights=vals[order], minlength=n_cells).astype(np.int64)
+    mx = np.full(n_cells, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(mx, cell, ts_us[order])
+    starts = np.nonzero(new)[0] if len(p) else np.array([], dtype=np.int64)
+    kd = enc.dictionary.to_pylist()
+    return pa.table(
+        {
+            "poll": pa.array(p[starts], type=pa.int64()),
+            "win_start_us": pa.array(w[starts], type=pa.int64()),
+            "key": pa.array([kd[i] for i in k[starts]], type=pa.string()),
+            "n": pa.array(n),
+            "sum_x100": pa.array(sums),
+            "max_ts_us": pa.array(mx),
+        }
+    )
+
+
+def merge_partials(parts: pa.Table) -> pa.Table:
+    """Associative fold of partial cells across batches (same key triple)."""
+    g = parts.group_by(["poll", "win_start_us", "key"]).aggregate(
+        [("n", "sum"), ("sum_x100", "sum"), ("max_ts_us", "max")]
+    )
+    return pa.table(
+        {
+            "poll": g.column("poll"),
+            "win_start_us": g.column("win_start_us"),
+            "key": g.column("key"),
+            "n": g.column("n_sum"),
+            "sum_x100": g.column("sum_x100_sum"),
+            "max_ts_us": g.column("max_ts_us_max"),
+        }
+    )
+
+
+class WatermarkWindower:
+    """The per-poll state machine.  Feed polls IN ARRIVAL ORDER; state is
+    (open windows × keys)-sized — bounded by the lateness horizon, never by
+    event volume.
+
+    ``feed(cells)`` takes one poll's partial cells (columns ``win_start_us,
+    key, n, sum_x100, max_ts_us``) and returns ``(emitted, n_late)`` where
+    ``emitted`` is a list of finalized-window dicts (``win_start_us, key, n,
+    sum_x100, emit_poll``) and ``n_late`` counts rows whose window had
+    already closed before this poll (their windows' emissions are final;
+    late rows are journaled by the caller, not merged).  ``flush()`` emits
+    every still-open window with ``emit_poll = EMIT_AT_FLUSH``."""
+
+    def __init__(self, window_width_s: int = 3600, lateness_s: int = 900):
+        self.win_us = window_width_s * 1_000_000
+        self.late_us = lateness_s * 1_000_000
+        self.watermark = WM_FLOOR
+        self.open: dict[tuple[int, str], list[int]] = {}
+
+    def feed(self, cells: pa.Table, poll: int) -> tuple[list[dict], int]:
+        wm_before = self.watermark
+        wins = cells.column("win_start_us").to_numpy(zero_copy_only=False)
+        keys = cells.column("key").to_pylist()
+        ns = cells.column("n").to_numpy(zero_copy_only=False)
+        sums = cells.column("sum_x100").to_numpy(zero_copy_only=False)
+        mxs = cells.column("max_ts_us").to_numpy(zero_copy_only=False)
+        n_late = 0
+        poll_max = WM_FLOOR
+        for w, k, n, s, mx in zip(wins, keys, ns, sums, mxs):
+            poll_max = max(poll_max, int(mx))
+            if w + self.win_us <= wm_before:
+                n_late += int(n)
+                continue
+            st = self.open.setdefault((int(w), k), [0, 0])
+            st[0] += int(n)
+            st[1] += int(s)
+        self.watermark = max(self.watermark, poll_max - self.late_us)
+        emitted = [
+            {
+                "win_start_us": w,
+                "key": k,
+                "n": st[0],
+                "sum_x100": st[1],
+                "emit_poll": int(poll),
+            }
+            for (w, k), st in sorted(self.open.items())
+            if w + self.win_us <= self.watermark
+        ]
+        for e in emitted:
+            del self.open[(e["win_start_us"], e["key"])]
+        return emitted, n_late
+
+    def flush(self) -> list[dict]:
+        out = [
+            {
+                "win_start_us": w,
+                "key": k,
+                "n": st[0],
+                "sum_x100": st[1],
+                "emit_poll": EMIT_AT_FLUSH,
+            }
+            for (w, k), st in sorted(self.open.items())
+        ]
+        self.open.clear()
+        return out
+
+
+def watermark_run(
+    parts: pa.Table, window_width_s: int = 3600, lateness_s: int = 900
+) -> tuple[pa.Table, pa.Table]:
+    """Run the state machine over a folded partial table (any row order) and
+    return ``(windows, late)``:
+
+    - ``windows``: one row per (window, key) that ever held a non-late row —
+      ``win_start_us, key, n, sum_x100, emit_poll`` (the poll whose watermark
+      finalized it, or ``EMIT_AT_FLUSH`` for end-of-stream survivors);
+    - ``late``: ``(poll, n_late)`` for every poll that delivered late rows.
+    """
+    wm = WatermarkWindower(window_width_s, lateness_s)
+    order = pc.sort_indices(parts, sort_keys=[("poll", "ascending")])
+    parts = parts.take(order)
+    polls = parts.column("poll").to_numpy(zero_copy_only=False)
+    emitted: list[dict] = []
+    late: list[dict] = []
+    bounds = np.concatenate(
+        [[0], np.nonzero(polls[1:] != polls[:-1])[0] + 1, [len(polls)]]
+    )
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if lo == hi:
+            continue
+        poll = int(polls[lo])
+        ems, n_late = wm.feed(parts.slice(lo, hi - lo), poll)
+        emitted.extend(ems)
+        if n_late:
+            late.append({"poll": poll, "n_late": n_late})
+    emitted.extend(wm.flush())
+    win_schema = pa.schema(
+        [
+            ("win_start_us", pa.int64()),
+            ("key", pa.string()),
+            ("n", pa.int64()),
+            ("sum_x100", pa.int64()),
+            ("emit_poll", pa.int64()),
+        ]
+    )
+    late_schema = pa.schema([("poll", pa.int64()), ("n_late", pa.int64())])
+    wt = (
+        pa.Table.from_pylist(emitted, schema=win_schema)
+        if emitted
+        else win_schema.empty_table()
+    )
+    lt = (
+        pa.Table.from_pylist(late, schema=late_schema)
+        if late
+        else late_schema.empty_table()
+    )
+    return wt, lt

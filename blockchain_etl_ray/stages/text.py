@@ -261,6 +261,102 @@ class UnigramScorer:
         )
 
 
+def dsir_count_partials(
+    batch: pa.Table,
+    text_col: str = "text",
+    class_col: str = "source",
+    target_value: str = "src0",
+) -> pa.Table:
+    """Per-batch (term, cls, c) partial counts for the DSIR fit — ``cls=1``
+    rows count tokens of TARGET documents (``class_col == target_value``),
+    ``cls=0`` the rest (the raw/source pool).  One pass over the batch: the
+    class flag maps to token rows through the same searchsorted doc-id join
+    the scorers use; what leaves the batch is (2 × vocabulary)-bounded."""
+    rows = word_ngram_rows(batch, k=1, text_col=text_col)
+    out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    is_t = pc.equal(batch.column(class_col), target_value).to_numpy(
+        zero_copy_only=False
+    )
+    did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(out_ids, kind="stable")
+    dinv = order[np.searchsorted(out_ids[order], did)]
+    cls = is_t[dinv].astype(np.int8)
+    g = (
+        pa.table({"term": rows.column("shingle"), "cls": pa.array(cls)})
+        .group_by(["term", "cls"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "term": g.column("term"),
+            "cls": g.column("cls"),
+            "c": pc.cast(g.column("count_all"), pa.int64()),
+        }
+    )
+
+
+def fit_dsir_logratio(counts: pa.Table) -> dict[str, int]:
+    """{term → round(ln(c_t/N_t)·1e6) − round(ln(c_s/N_s)·1e6)} from summed
+    (term, cls, c) partials — the DSIR importance log-ratio (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"), kept as
+    an exact int64 difference of the two per-class unigram fits so the DuckDB
+    oracle is bit-exact.  Only terms present in BOTH classes score (OOV
+    terms carry no evidence for the ratio); each class's float tree is
+    exactly :func:`fit_unigram_logp`'s."""
+    t_mask = pc.equal(counts.column("cls"), 1)
+    t = counts.filter(t_mask)
+    s = counts.filter(pc.invert(t_mask))
+    lp_t = fit_unigram_logp(pa.table({"term": t.column("term"), "c": t.column("c")}))
+    lp_s = fit_unigram_logp(pa.table({"term": s.column("term"), "c": s.column("c")}))
+    return {k: v - lp_s[k] for k, v in lp_t.items() if k in lp_s}
+
+
+class DsirScorer:
+    """Per-doc DSIR importance weight (actor-pool stage): sum of the fitted
+    int64 log-ratios over the doc's tokens, skipping terms outside the
+    fitted (both-classes) vocabulary.  Same broadcast-once / map-side shape
+    as :class:`UnigramScorer`; integer summation keeps the oracle bit-exact.
+    Output: (doc_id, n_scored, dsir_x1m)."""
+
+    def __init__(self, lr_ref):
+        import ray
+
+        self.lr = ray.get(lr_ref) if not isinstance(lr_ref, dict) else lr_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = word_ngram_rows(batch, k=1)
+        term = rows.column("shingle")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_scored = np.zeros(len(out_ids), dtype=np.int64)
+        s = np.zeros(len(out_ids), dtype=np.int64)
+        if len(term):
+            enc = term.dictionary_encode()
+            dvals = [self.lr.get(t) for t in enc.dictionary.to_pylist()]
+            dict_lr = np.fromiter(
+                (0 if v is None else v for v in dvals),
+                dtype=np.int64,
+                count=len(dvals),
+            )
+            dict_hit = np.fromiter(
+                (v is not None for v in dvals), dtype=np.int64, count=len(dvals)
+            )
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            order = np.argsort(out_ids, kind="stable")
+            dinv = order[np.searchsorted(out_ids[order], did)]
+            np.add.at(n_scored, dinv, dict_hit[idx])
+            np.add.at(s, dinv, dict_lr[idx])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_scored": pa.array(n_scored),
+                "dsir_x1m": pa.array(s),
+            }
+        )
+
+
 def fit_vocab_ids(counts: pa.Table) -> dict[str, int]:
     """{term → vocab id} with ids assigned by DESCENDING corpus count, ties
     broken by term (ascending) — the frequency-ranked vocabulary of a

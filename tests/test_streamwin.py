@@ -1,0 +1,196 @@
+"""Watermarked tumbling windows (stages/streamwin.py) and DSIR scoring
+(stages/text.py) — pure-table unit tests (no Ray session needed beyond the
+autouse fixture)."""
+
+import numpy as np
+import pyarrow as pa
+
+from blockchain_etl_ray.stages import streamwin, text
+
+US = 1_000_000
+
+
+def _cells(rows):
+    """rows: (win_start_s, key, n, sum_x100, max_ts_s)."""
+    return pa.table(
+        {
+            "win_start_us": pa.array([r[0] * US for r in rows], type=pa.int64()),
+            "key": pa.array([r[1] for r in rows], type=pa.string()),
+            "n": pa.array([r[2] for r in rows], type=pa.int64()),
+            "sum_x100": pa.array([r[3] for r in rows], type=pa.int64()),
+            "max_ts_us": pa.array([r[4] * US for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def test_windower_emission_late_and_flush():
+    wm = streamwin.WatermarkWindower(window_width_s=10, lateness_s=5)
+
+    # poll 0: window [0,10) open, max ts 8 -> watermark 3 -> nothing closes
+    ems, late = wm.feed(_cells([(0, "a", 2, 200, 8)]), poll=0)
+    assert ems == [] and late == 0
+
+    # poll 1: ts jumps to 22 -> watermark 17 >= 10 -> window [0,10) emits,
+    # including this poll's own on-time row for it (win_end 10 > wm_before 3)
+    ems, late = wm.feed(
+        _cells([(0, "a", 1, 50, 9), (20, "a", 3, 300, 22)]), poll=1
+    )
+    assert late == 0
+    assert ems == [
+        {"win_start_us": 0, "key": "a", "n": 3, "sum_x100": 250, "emit_poll": 1}
+    ]
+
+    # poll 2: a straggler for the closed window [0,10) is LATE (win_end 10 <=
+    # wm_before 17) and must NOT resurrect it; watermark only moves forward
+    ems, late = wm.feed(_cells([(0, "a", 4, 400, 9)]), poll=2)
+    assert ems == [] and late == 4
+    assert (0, "a") not in wm.open
+
+    # flush: the still-open [20,30) window drains with the sentinel
+    flushed = wm.flush()
+    assert flushed == [
+        {
+            "win_start_us": 20 * US,
+            "key": "a",
+            "n": 3,
+            "sum_x100": 300,
+            "emit_poll": streamwin.EMIT_AT_FLUSH,
+        }
+    ]
+    assert wm.open == {}
+
+
+def test_watermark_run_conservation_and_order():
+    """Every input row lands exactly once: emitted n + late n == total n, and
+    emit polls never decrease with window end (watermarks move forward)."""
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = rng.integers(0, 3600, n)  # 1h of seconds
+    ids = np.arange(n)
+    batch = pa.table(
+        {
+            "event_id": pa.array(ids, type=pa.int64()),
+            "ts": pa.array(ts * US, type=pa.timestamp("us")),
+            "event_type": pa.array(rng.choice(["x", "y"], n)),
+            "value": pa.array(rng.uniform(0, 10, n)),
+        }
+    )
+    parts = streamwin.poll_window_partials(
+        batch, poll_width_s=600, window_width_s=300
+    )
+    wt, lt = streamwin.watermark_run(parts, window_width_s=300, lateness_s=60)
+    n_emitted = sum(wt.column("n").to_pylist())
+    n_late = sum(lt.column("n_late").to_pylist())
+    assert n_emitted + n_late == n
+    # windows are unique per (win, key)
+    pairs = list(
+        zip(wt.column("win_start_us").to_pylist(), wt.column("key").to_pylist())
+    )
+    assert len(pairs) == len(set(pairs))
+    # watermark-finalized emit polls are monotone in window end per key
+    fin = [
+        (w, p)
+        for w, p in zip(
+            wt.column("win_start_us").to_pylist(), wt.column("emit_poll").to_pylist()
+        )
+        if p != streamwin.EMIT_AT_FLUSH
+    ]
+    fin.sort()
+    polls = [p for _, p in fin]
+    assert polls == sorted(polls)
+
+
+def test_partials_split_invariance():
+    """Partials are associative: fold(split batches) == fold(whole batch),
+    and the state machine sees identical cells either way."""
+    rng = np.random.default_rng(11)
+    n = 300
+    batch = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 7200, n) * US, type=pa.timestamp("us")),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            "value": pa.array(rng.uniform(0, 100, n)),
+        }
+    )
+    whole = streamwin.merge_partials(
+        streamwin.poll_window_partials(batch, poll_width_s=900, window_width_s=300)
+    )
+    split = streamwin.merge_partials(
+        pa.concat_tables(
+            [
+                streamwin.poll_window_partials(
+                    batch.slice(0, 100), poll_width_s=900, window_width_s=300
+                ),
+                streamwin.poll_window_partials(
+                    batch.slice(100, 120), poll_width_s=900, window_width_s=300
+                ),
+                streamwin.poll_window_partials(
+                    batch.slice(220), poll_width_s=900, window_width_s=300
+                ),
+            ]
+        )
+    )
+    key = ["poll", "win_start_us", "key"]
+    ws = whole.sort_by([(k, "ascending") for k in key]).to_pylist()
+    ss = split.sort_by([(k, "ascending") for k in key]).to_pylist()
+    assert ws == ss
+
+
+def test_dsir_logratio_fit_and_scorer():
+    import math
+
+    # target docs use {red, blue}; source docs use {red, green}: 'blue' and
+    # 'green' are single-class (excluded); only 'red' scores.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["red blue red", "red green", "green green red"]),
+            "source": pa.array(["src0", "srcX", "srcX"]),
+        }
+    )
+    parts = text.dsir_count_partials(docs, target_value="src0")
+    lr = text.fit_dsir_logratio(parts)
+    # target: red 2/3, source: red 2/5
+    exp_red = math.floor(math.log(2 / 3) * 1e6 + 0.5) - math.floor(
+        math.log(2 / 5) * 1e6 + 0.5
+    )
+    assert set(lr) == {"red"}
+    assert lr["red"] == exp_red
+
+    scored = text.DsirScorer(lr)(docs).to_pylist()
+    by_id = {r["doc_id"]: r for r in scored}
+    assert by_id[0] == {"doc_id": 0, "n_scored": 2, "dsir_x1m": 2 * exp_red}
+    assert by_id[1] == {"doc_id": 1, "n_scored": 1, "dsir_x1m": exp_red}
+    assert by_id[2] == {"doc_id": 2, "n_scored": 1, "dsir_x1m": exp_red}
+
+
+def test_dsir_partials_split_invariance():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b a", "b c", "a a c", "c b a"]),
+            "source": pa.array(["src0", "src0", "srcX", "srcY"]),
+        }
+    )
+
+    def fold(t):
+        g = t.group_by(["term", "cls"]).aggregate([("c", "sum")])
+        return sorted(
+            zip(
+                g.column("term").to_pylist(),
+                g.column("cls").to_pylist(),
+                g.column("c_sum").to_pylist(),
+            )
+        )
+
+    whole = fold(text.dsir_count_partials(docs))
+    split = fold(
+        pa.concat_tables(
+            [
+                text.dsir_count_partials(docs.slice(0, 2)),
+                text.dsir_count_partials(docs.slice(2)),
+            ]
+        )
+    )
+    assert whole == split
