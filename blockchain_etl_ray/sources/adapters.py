@@ -82,6 +82,92 @@ class ReplayAdapter(_DirHead, TailAdapter):
         return summary
 
 
+class WindowedReplayAdapter(ReplayAdapter):
+    """:class:`ReplayAdapter` plus a live watermarked-window consumer over
+    the tail (§2.9, ``stages/streamwin.py``): each poll's NEWLY APPLIED
+    epochs form one arrival poll; event time is the change-log ``ordinal``
+    (the corpus delivers ~0.5% of ordinals one epoch late, so real
+    out-of-order data flows through the watermark); emitted windows append
+    to ``self.emitted``, late arrivals to ``self.late_polls``.
+
+    The window pass is the same distributed shape as the batch queries: one
+    ``map_batches`` over ONLY the new epochs' files collapses events to
+    (window, key) cells; the driver folds cells into the windower whose
+    state is bounded by the lateness horizon.  Consumer state is in-memory
+    and downstream-best-effort (exactly like ``alert_set``): a restarted
+    tail re-derives windows from the epochs it replays, while the engine's
+    exactly-once applies stay authoritative."""
+
+    def __init__(
+        self,
+        engine: ReplayEngine,
+        events_dir: str,
+        window_width: int = 200,
+        lateness: int = 100,
+        key_col: str = "op",
+        alert_set=None,
+    ):
+        super().__init__(engine, events_dir, alert_set=alert_set)
+        from ..stages.streamwin import WatermarkWindower
+
+        self.windower = WatermarkWindower(window_width, lateness, scale=1)
+        self.window_width = window_width
+        self.key_col = key_col
+        self._cycle = 0
+        self.emitted: list[dict] = []
+        self.late_polls: list[dict] = []
+
+    def poll(self, target: int) -> dict:
+        before = set(self.engine.store.applied_epochs())
+        summary = super().poll(target)
+        new = sorted(set(self.engine.store.applied_epochs()) - before)
+        if new:
+            import pyarrow as pa
+            import ray.data as rd
+
+            from ..stages.streamwin import cdc_ordinal_cells
+
+            by_epoch = discover_epoch_files(self.events_dir)
+            files = [f for e in new for f in by_epoch.get(e, [])]
+
+            def cells(t: pa.Table) -> pa.Table:
+                return cdc_ordinal_cells(
+                    t, window_width=self.window_width, key_col=self.key_col
+                )
+
+            parts = pa.concat_tables(
+                list(
+                    rd.read_parquet(files)
+                    .map_batches(cells, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
+                )
+            )
+            folded = parts.group_by(["win_start_us", "key"]).aggregate(
+                [("n", "sum"), ("sum_x100", "sum"), ("max_ts_us", "max")]
+            )
+            folded = pa.table(
+                {
+                    "win_start_us": folded.column("win_start_us"),
+                    "key": folded.column("key"),
+                    "n": folded.column("n_sum"),
+                    "sum_x100": folded.column("sum_x100_sum"),
+                    "max_ts_us": folded.column("max_ts_us_max"),
+                }
+            )
+            ems, n_late = self.windower.feed(folded, poll=self._cycle)
+            self.emitted.extend(ems)
+            if n_late:
+                self.late_polls.append({"poll": self._cycle, "n_late": n_late})
+            summary["windows_emitted"] = len(ems)
+            summary["window_rows_late"] = n_late
+            self._cycle += 1
+        return summary
+
+    def close(self) -> None:
+        self.emitted.extend(self.windower.flush())
+        super().close()
+
+
 class TxPoolAdapter(_DirHead, TailAdapter):
     """Pending-pool snapshot exporter (the S8 ``export_txpool`` analog,
     ``ethereumetl/streaming/eth_txpool_adapter.py:37-61`` /

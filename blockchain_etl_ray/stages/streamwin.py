@@ -149,11 +149,20 @@ class WatermarkWindower:
     sum_x100, emit_poll``) and ``n_late`` counts rows whose window had
     already closed before this poll (their windows' emissions are final;
     late rows are journaled by the caller, not merged).  ``flush()`` emits
-    every still-open window with ``emit_poll = EMIT_AT_FLUSH``."""
+    every still-open window with ``emit_poll = EMIT_AT_FLUSH``.
 
-    def __init__(self, window_width_s: int = 3600, lateness_s: int = 900):
-        self.win_us = window_width_s * 1_000_000
-        self.late_us = lateness_s * 1_000_000
+    ``scale`` sets the event-time unit: the default (1e6) reads the widths
+    as SECONDS over microsecond timestamps; ``scale=1`` makes them raw units
+    of whatever monotone clock the cells carry (e.g. CDC ordinals)."""
+
+    def __init__(
+        self,
+        window_width_s: int = 3600,
+        lateness_s: int = 900,
+        scale: int = 1_000_000,
+    ):
+        self.win_us = window_width_s * scale
+        self.late_us = lateness_s * scale
         self.watermark = WM_FLOOR
         self.open: dict[tuple[int, str], list[int]] = {}
 
@@ -205,8 +214,48 @@ class WatermarkWindower:
         return out
 
 
+def cdc_ordinal_cells(
+    batch: pa.Table, window_width: int, key_col: str = "op"
+) -> pa.Table:
+    """Window cells over a CDC change-log batch with ORDINAL event time (the
+    corpus's monotone logical clock; delivery is out of order across epochs
+    by construction): ``win_start_us``/``max_ts_us`` carry raw ordinals
+    (``scale=1`` windower), ``sum_x100`` carries content bytes.  The caller
+    stamps the poll."""
+    ordinal = pc.cast(batch.column("ordinal"), pa.int64())
+    win = pc.multiply(
+        pc.divide(ordinal, pa.scalar(window_width, pa.int64())),
+        pa.scalar(window_width, pa.int64()),
+    )
+    nbytes = pc.fill_null(
+        pc.cast(pc.binary_length(batch.column("content")), pa.int64()), 0
+    )
+    g = pa.table(
+        {
+            "win_start_us": win,
+            "key": pc.cast(batch.column(key_col), pa.string()),
+            "b": nbytes,
+            "o": ordinal,
+        }
+    ).group_by(["win_start_us", "key"]).aggregate(
+        [("b", "sum"), ("o", "max"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "win_start_us": g.column("win_start_us"),
+            "key": g.column("key"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "sum_x100": g.column("b_sum"),
+            "max_ts_us": g.column("o_max"),
+        }
+    )
+
+
 def watermark_run(
-    parts: pa.Table, window_width_s: int = 3600, lateness_s: int = 900
+    parts: pa.Table,
+    window_width_s: int = 3600,
+    lateness_s: int = 900,
+    scale: int = 1_000_000,
 ) -> tuple[pa.Table, pa.Table]:
     """Run the state machine over a folded partial table (any row order) and
     return ``(windows, late)``:
@@ -216,7 +265,7 @@ def watermark_run(
       finalized it, or ``EMIT_AT_FLUSH`` for end-of-stream survivors);
     - ``late``: ``(poll, n_late)`` for every poll that delivered late rows.
     """
-    wm = WatermarkWindower(window_width_s, lateness_s)
+    wm = WatermarkWindower(window_width_s, lateness_s, scale=scale)
     order = pc.sort_indices(parts, sort_keys=[("poll", "ascending")])
     parts = parts.take(order)
     polls = parts.column("poll").to_numpy(zero_copy_only=False)

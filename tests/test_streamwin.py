@@ -137,6 +137,58 @@ def test_partials_split_invariance():
     assert ws == ss
 
 
+def test_windowed_tail_adapter_live_stream(small_corpus, tmp_path):
+    """Live §2.9 integration: the tail's newly applied epochs feed the
+    windower poll by poll; the corpus's genuinely out-of-order ordinal
+    delivery produces real late rows; every delivered row lands exactly once
+    (emitted or late), and late classification matches a row-level pandas
+    recomputation."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.sources.adapters import WindowedReplayAdapter
+
+    W, L = 200, 100
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    ad = WindowedReplayAdapter(
+        engine, small_corpus["dir"], window_width=W, lateness=L
+    )
+    ad.open()
+    targets = (3, 7, 11, 15)
+    for t in targets:
+        ad.poll(t)
+    ad.close()
+
+    files = sorted(glob.glob(str(small_corpus["dir"]) + "/epoch=*.parquet"))
+    delivered = sum(pq.read_metadata(f).num_rows for f in files)
+    n_emitted = sum(e["n"] for e in ad.emitted)
+    n_late = sum(p["n_late"] for p in ad.late_polls)
+    assert n_emitted + n_late == delivered
+    assert n_late > 0, "corpus delivers ~0.5% of ordinals late by construction"
+    pairs = [(e["win_start_us"], e["key"]) for e in ad.emitted]
+    assert len(pairs) == len(set(pairs))
+
+    # row-level recomputation of the late count, independent of the cell path
+    dfs = []
+    for f in files:
+        ep = int(f.rsplit("epoch=", 1)[1].split(".")[0])
+        poll = min(i for i, t in enumerate(targets) if ep <= t)
+        d = pq.read_table(f, columns=["ordinal"]).to_pandas()
+        d["poll"] = poll
+        dfs.append(d)
+    df = pd.concat(dfs)
+    pm = df.groupby("poll")["ordinal"].max().sort_index()
+    wm_before = (pm.cummax() - L).shift(1, fill_value=-(2**62))
+    win_end = (df["ordinal"] // W) * W + W
+    exp_late = int((win_end.values <= wm_before.loc[df["poll"]].values).sum())
+    assert n_late == exp_late
+
+
 def test_dsir_logratio_fit_and_scorer():
     import math
 
