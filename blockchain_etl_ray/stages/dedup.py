@@ -1285,3 +1285,100 @@ def exact_dedup(ds: rd.Dataset, fingerprint_col: str, order_col: str) -> rd.Data
         return group.take(idx[:1])
 
     return ds.groupby(fingerprint_col).map_groups(first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-LINE removal (RefinedWeb / Penedo et al. 2023 §3.3:
+# drop lines repeated across documents — boilerplate headers, navigation,
+# license banners — while keeping the surrounding document)
+# ---------------------------------------------------------------------------
+
+#: derived line structure shared with the oracle SQL: the corpus ships
+#: single-line text, so this marker becomes the newline on both engines
+#: (proven byte-identical between pc.replace_substring and DuckDB replace)
+LINE_MARKER = " line "
+
+
+def doc_line_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, line) rows — one per line occurrence, document order
+    preserved (rows of a doc are contiguous), fully vectorized."""
+    code = pc.replace_substring(batch.column(text_col), LINE_MARKER, "\n")
+    lines = pc.split_pattern(code, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    parent = pc.list_parent_indices(lines)
+    return pa.table(
+        {"doc_id": batch.column("doc_id").take(parent), "line": flat}
+    )
+
+
+def duplicate_lines(docs: rd.Dataset, min_df: int = 2) -> pa.Array:
+    """The EXACT set of lines appearing in >= ``min_df`` DISTINCT documents.
+    Scale shape: per-batch (line, doc) dedup map-side, one value-keyed bucket
+    exchange for the exact distinct count (``hashagg.grouped_distinct_count``
+    — pairs, not documents, move), distributed ``df >= min_df`` filter, and
+    only the qualifying lines (the boilerplate set — tiny by construction at
+    any threshold worth running) reach the driver for broadcast."""
+    from .hashagg import grouped_distinct_count
+
+    pairs = docs.map_batches(doc_line_rows, batch_format="pyarrow")
+    counts = grouped_distinct_count(pairs, key_col="line", val_col="doc_id")
+
+    def bad_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), min_df)).select(["line"])
+
+    parts = list(
+        counts.map_batches(bad_only, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    if not parts:
+        return pa.array([], type=pa.string())
+    out = pa.concat_tables(parts).column("line")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+class LineDeduper:
+    """Map-side line filter (actor-pool stage): drop every line in the
+    broadcast duplicate set, reassemble the survivors in document order.
+    Membership is one vectorized ``pc.is_in`` against the set; reassembly
+    slices the flat line array by per-doc run bounds (the VocabEncoder
+    pattern).  Output: (doc_id, n_lines, n_dropped, kept_text)."""
+
+    def __init__(self, bad_ref):
+        self.bad = ray.get(bad_ref) if not isinstance(bad_ref, pa.Array) else bad_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        code = pc.replace_substring(batch.column("text"), LINE_MARKER, "\n")
+        lines = pc.split_pattern(code, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        drop = (
+            pc.is_in(flat, value_set=self.bad).to_numpy(zero_copy_only=False)
+            if len(self.bad)
+            else np.zeros(len(flat), dtype=bool)
+        )
+        n_docs = batch.num_rows
+        n_lines = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        n_dropped = np.bincount(
+            parent, weights=drop.astype(np.float64), minlength=n_docs
+        ).astype(np.int64)
+        flat_py = flat.to_pylist()
+        kept_text = [""] * n_docs
+        starts = np.concatenate([[0], np.cumsum(n_lines)]).astype(np.int64)
+        for d in range(n_docs):
+            lo, hi = int(starts[d]), int(starts[d + 1])
+            kept_text[d] = "\n".join(
+                flat_py[i] for i in range(lo, hi) if not drop[i]
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines),
+                "n_dropped": pa.array(n_dropped),
+                "kept_text": pa.array(kept_text, type=pa.string()),
+            }
+        )

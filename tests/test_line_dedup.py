@@ -1,0 +1,59 @@
+"""Duplicate-line removal (stages/dedup.py::duplicate_lines/LineDeduper)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.stages import dedup
+
+
+def _docs():
+    # ' line ' is the derived newline; 'shared header' appears in docs 0+1,
+    # 'only here' repeats WITHIN doc 2 only (within-doc repeats are kept)
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "shared header line body zero",
+                    "shared header line body one line tail one",
+                    "only here line only here",
+                ]
+            ),
+        }
+    )
+
+
+def test_duplicate_lines_exact_df():
+    bad = dedup.duplicate_lines(rd.from_arrow(_docs()), min_df=2)
+    assert bad.to_pylist() == ["shared header"]
+
+
+def test_line_deduper_rewrites_in_order():
+    bad = pa.array(["shared header"], type=pa.string())
+    out = dedup.LineDeduper(bad)(_docs()).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0] == {
+        "doc_id": 0,
+        "n_lines": 2,
+        "n_dropped": 1,
+        "kept_text": "body zero",
+    }
+    assert by_id[1] == {
+        "doc_id": 1,
+        "n_lines": 3,
+        "n_dropped": 1,
+        "kept_text": "body one\ntail one",
+    }
+    # within-doc repetition survives (df counts DISTINCT docs)
+    assert by_id[2] == {
+        "doc_id": 2,
+        "n_lines": 2,
+        "n_dropped": 0,
+        "kept_text": "only here\nonly here",
+    }
+
+
+def test_line_deduper_empty_set_is_identity_rewrite():
+    out = dedup.LineDeduper(pa.array([], type=pa.string()))(_docs()).to_pylist()
+    assert all(r["n_dropped"] == 0 for r in out)
+    assert out[0]["kept_text"] == "shared header\nbody zero"
