@@ -93,10 +93,17 @@ class WindowedReplayAdapter(ReplayAdapter):
     The window pass is the same distributed shape as the batch queries: one
     ``map_batches`` over ONLY the new epochs' files collapses events to
     (window, key) cells; the driver folds cells into the windower whose
-    state is bounded by the lateness horizon.  Consumer state is in-memory
-    and downstream-best-effort (exactly like ``alert_set``): a restarted
-    tail re-derives windows from the epochs it replays, while the engine's
-    exactly-once applies stay authoritative."""
+    state is bounded by the lateness horizon.
+
+    Crash safety (``checkpoint_path``): the consumer is EXACTLY-ONCE per
+    epoch.  Which epochs have fed the windower is tracked in the SAME
+    atomic checkpoint JSON as the windower state, the cycle counter and the
+    emissions, written AFTER the in-memory feed — so a crash anywhere
+    between the engine's apply and the checkpoint write loses the whole
+    in-memory feed along with its fed-set update, and the restarted adapter
+    re-derives ``new = applied − fed`` and feeds those epochs once (merged
+    into one arrival poll).  Without a checkpoint path the consumer is
+    in-memory best-effort, exactly like ``alert_set``."""
 
     def __init__(
         self,
@@ -106,6 +113,7 @@ class WindowedReplayAdapter(ReplayAdapter):
         lateness: int = 100,
         key_col: str = "op",
         alert_set=None,
+        checkpoint_path: str | None = None,
     ):
         super().__init__(engine, events_dir, alert_set=alert_set)
         from ..stages.streamwin import WatermarkWindower
@@ -113,14 +121,48 @@ class WindowedReplayAdapter(ReplayAdapter):
         self.windower = WatermarkWindower(window_width, lateness, scale=1)
         self.window_width = window_width
         self.key_col = key_col
+        self.checkpoint_path = checkpoint_path
         self._cycle = 0
+        self.fed: set[int] = set()
         self.emitted: list[dict] = []
         self.late_polls: list[dict] = []
 
+    def open(self) -> None:
+        super().open()
+        if self.checkpoint_path:
+            import json
+            import os
+
+            if os.path.exists(self.checkpoint_path):
+                with open(self.checkpoint_path) as f:
+                    d = json.load(f)
+                self.windower.load_state(d["windower"])
+                self._cycle = int(d["cycle"])
+                self.fed = set(d["fed"])
+                self.emitted = d["emitted"]
+                self.late_polls = d["late_polls"]
+
+    def _write_checkpoint(self) -> None:
+        if not self.checkpoint_path:
+            return
+        import json
+        import os
+
+        d = {
+            "windower": self.windower.state_dict(),
+            "cycle": self._cycle,
+            "fed": sorted(self.fed),
+            "emitted": self.emitted,
+            "late_polls": self.late_polls,
+        }
+        tmp = f"{self.checkpoint_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, self.checkpoint_path)
+
     def poll(self, target: int) -> dict:
-        before = set(self.engine.store.applied_epochs())
         summary = super().poll(target)
-        new = sorted(set(self.engine.store.applied_epochs()) - before)
+        new = sorted(set(self.engine.store.applied_epochs()) - self.fed)
         if new:
             import pyarrow as pa
             import ray.data as rd
@@ -161,6 +203,8 @@ class WindowedReplayAdapter(ReplayAdapter):
             summary["windows_emitted"] = len(ems)
             summary["window_rows_late"] = n_late
             self._cycle += 1
+            self.fed.update(new)
+            self._write_checkpoint()
         return summary
 
     def close(self) -> None:

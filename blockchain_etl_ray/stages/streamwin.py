@@ -199,6 +199,18 @@ class WatermarkWindower:
             del self.open[(e["win_start_us"], e["key"])]
         return emitted, n_late
 
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot of the windower (watermark + open
+        windows) for checkpointing consumers."""
+        return {
+            "watermark": self.watermark,
+            "open": [[w, k, st[0], st[1]] for (w, k), st in sorted(self.open.items())],
+        }
+
+    def load_state(self, d: dict) -> None:
+        self.watermark = int(d["watermark"])
+        self.open = {(int(w), k): [int(n), int(s)] for w, k, n, s in d["open"]}
+
     def flush(self) -> list[dict]:
         out = [
             {
