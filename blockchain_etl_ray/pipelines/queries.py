@@ -5269,23 +5269,14 @@ def _release_v3_sql() -> str:
     )
 
 
-@register("corpus_release_v3", _release_v3_sql())
-def corpus_release_v3(sf_dir: str):
-    """The training-data release composition, v3: everything v2 does (PII
-    redaction → quality floor → repetition gates → benchmark drop +
-    decontamination) PLUS two corpus-prior gates — a unigram-LM mean-logprob
-    floor (CCNet-style: docs far from the corpus distribution drop) and an
-    exact substring-duplication ceiling (ExactSubstr-style: boilerplate-heavy
-    docs drop) — then exact dedup and the deterministic split.  The priors
-    are computed over the RAW corpus in two extra passes whose outputs are
-    doc-keyed id sets; gating is two partitioned semi-joins (never a corpus
-    broadcast).  SQL is the v2 oracle string with the gate CTEs spliced in,
-    so the two release compositions cannot drift."""
+def _release_v3_gated(sf_dir: str):
+    """Shared core of the v3/v4 release compositions: the v2 gate chain plus
+    the two corpus-prior gates, up to (but not including) dedup + split.
+    Returns the gated (doc_id, fingerprint) Dataset."""
     import ray
 
-    from ..stages.dedup import exact_dedup, substring_dup_stats
+    from ..stages.dedup import substring_dup_stats
     from ..stages.joins import partitioned_join
-    from ..stages.sampling import assign_split
 
     raw = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -5352,13 +5343,21 @@ def corpus_release_v3(sf_dir: str):
         sd_keep, batch_format="pyarrow"
     )
 
-    gated2 = partitioned_join(
+    return partitioned_join(
         partitioned_join(gated, keep_lp, on=("doc_id",), num_partitions=4),
         keep_sd,
         on=("doc_id",),
         num_partitions=4,
     )
-    uniq = exact_dedup(gated2, fingerprint_col="fingerprint", order_col="doc_id")
+
+
+def _release_dedup_split(gated):
+    """Shared tail of the release compositions: exact dedup on the redacted
+    fingerprint, then the deterministic train/val/test split."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.sampling import assign_split
+
+    uniq = exact_dedup(gated, fingerprint_col="fingerprint", order_col="doc_id")
     out = assign_split(
         uniq, "doc_id", {"train": 8000, "val": 1000, "test": 1000}
     ).select_columns(["doc_id", "fingerprint", "split"])
@@ -5370,6 +5369,21 @@ def corpus_release_v3(sf_dir: str):
             ("split", pa.string()),
         ],
     )
+
+
+@register("corpus_release_v3", _release_v3_sql())
+def corpus_release_v3(sf_dir: str):
+    """The training-data release composition, v3: everything v2 does (PII
+    redaction → quality floor → repetition gates → benchmark drop +
+    decontamination) PLUS two corpus-prior gates — a unigram-LM mean-logprob
+    floor (CCNet-style: docs far from the corpus distribution drop) and an
+    exact substring-duplication ceiling (ExactSubstr-style: boilerplate-heavy
+    docs drop) — then exact dedup and the deterministic split.  The priors
+    are computed over the RAW corpus in two extra passes whose outputs are
+    doc-keyed id sets; gating is two partitioned semi-joins (never a corpus
+    broadcast).  SQL is the v2 oracle string with the gate CTEs spliced in,
+    so the two release compositions cannot drift."""
+    return _release_dedup_split(_release_v3_gated(sf_dir))
 
 
 # ===========================================================================
@@ -5666,6 +5680,108 @@ def doc_line_dedup(sf_dir: str):
             ("kept_text", pa.string()),
         ],
     )
+
+
+#: v4 gate thresholds (x1m integer compares, shared with the oracle SQL):
+#: DSIR per-scored-token mean floor (≈ the 5th percentile of the corpus) and
+#: the boilerplate-line ceiling (drop docs where >half the lines are
+#: corpus-duplicated)
+_V4_DSIR_MIN_X1M = -60_000
+
+
+def _release_v4_sql() -> str:
+    """Oracle for ``corpus_release_v4``: the v3 composition with two MORE
+    gates spliced between the corpus priors and dedup — a DSIR importance
+    floor (docs far from the target distribution drop) and a duplicate-line
+    ceiling (docs that are mostly corpus-boilerplate drop).  Built by
+    extending the v3 SQL string so the three compositions cannot drift."""
+    v3 = _release_v3_sql()
+    gates = f"""
+    v4dsirok AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN dsir_per p ON p.doc_id = d.doc_id
+      WHERE COALESCE(p.s, 0) >= COALESCE(p.n_scored, 0) * {_V4_DSIR_MIN_X1M}),
+    v4code AS (
+      SELECT doc_id, string_split(replace(text, ' line ', chr(10)), chr(10)) AS arr
+      FROM documents),
+    v4lines AS (SELECT doc_id, unnest(arr) AS line FROM v4code),
+    v4badln AS (
+      SELECT line FROM v4lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    v4lper AS (
+      SELECT l.doc_id, count(*) AS n_lines,
+             count(*) FILTER (WHERE b.line IS NOT NULL) AS n_dropped
+      FROM v4lines l LEFT JOIN v4badln b USING (line) GROUP BY l.doc_id),
+    v4linok AS (SELECT doc_id FROM v4lper WHERE n_dropped * 2 <= n_lines),
+    clean4 AS (
+      SELECT c.doc_id, c.text FROM clean3 c
+      JOIN v4dsirok USING (doc_id) JOIN v4linok USING (doc_id)),
+    uniq AS (
+      SELECT doc_id, text FROM clean4"""
+    old_uniq = """uniq AS (
+      SELECT doc_id, text FROM clean3"""
+    assert v3.count(old_uniq) == 1
+    sql = v3.replace(old_uniq, gates.strip() + "\n      ", 1)
+    assert sql.count("WITH RECURSIVE ") == 1
+    return sql.replace(
+        "WITH RECURSIVE ", f"WITH RECURSIVE {_DSIR_CTES.strip()},\n    ", 1
+    )
+
+
+@register("corpus_release_v4", _release_v4_sql())
+def corpus_release_v4(sf_dir: str):
+    """The training-data release composition, v4: everything v3 does PLUS
+    the two gates this session added — a DSIR importance floor (Xie et al.
+    2023: docs whose per-scored-token target/source log-ratio mean falls
+    below {_V4_DSIR_MIN_X1M} ppm drop) and a duplicate-line ceiling
+    (RefinedWeb-style: docs where more than half the lines are
+    corpus-boilerplate drop).  Both gates are doc-keyed id sets computed
+    over the RAW corpus and applied as partitioned semi-joins, exactly like
+    the v3 priors; the SQL is the v3 oracle string with the gate CTEs
+    spliced in, so the compositions cannot drift."""
+    import ray
+
+    from ..stages.joins import partitioned_join
+
+    gated = _release_v3_gated(sf_dir)
+
+    def dsir_keep(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t.column("dsir_x1m"),
+            pc.multiply(
+                t.column("n_scored"), pa.scalar(_V4_DSIR_MIN_X1M, pa.int64())
+            ),
+        )
+        return t.filter(keep).select(["doc_id"])
+
+    keep_dsir = _dsir_weights_ds(sf_dir).map_batches(
+        dsir_keep, batch_format="pyarrow"
+    )
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+    bad_ref = ray.put(dedup.duplicate_lines(raw, min_df=2))
+
+    def line_keep(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.multiply(t.column("n_dropped"), pa.scalar(2, pa.int64())),
+            t.column("n_lines"),
+        )
+        return t.filter(keep).select(["doc_id"])
+
+    keep_lines = raw.map_batches(
+        dedup.LineDeduper,
+        fn_constructor_args=(bad_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).map_batches(line_keep, batch_format="pyarrow")
+
+    gated4 = partitioned_join(
+        partitioned_join(gated, keep_dsir, on=("doc_id",), num_partitions=4),
+        keep_lines,
+        on=("doc_id",),
+        num_partitions=4,
+    )
+    return _release_dedup_split(gated4)
 
 
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
