@@ -5682,6 +5682,62 @@ def doc_line_dedup(sf_dir: str):
     )
 
 
+def _profile_col_sql(c: str) -> str:
+    return f"""
+      SELECT '{c}' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(MIN({c}) AS VARCHAR) AS min_val,
+             CAST(MAX({c}) AS VARCHAR) AS max_val
+      FROM ev"""
+
+
+@register(
+    "events_profile",
+    """
+    WITH ev AS (
+      SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+             event_type, CAST(ROUND(value * 100) AS BIGINT) AS value_x100,
+             props
+      FROM events)
+    """
+    + " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["event_id", "ts_us", "user_id", "event_type", "value_x100", "props"]
+    ),
+)
+def events_profile(sf_dir: str):
+    """Table profiler (the ANALYZE / data-quality inspection analog of the
+    reference's checker family): one row per column with exact
+    ``n_rows/n_null/n_distinct/min/max``.  Columns project to an exactly
+    string-castable form first (epoch-us timestamps, cent-scaled doubles) so
+    min/max cross the engine boundary bit-exactly.  Scale shape: count/extent
+    partials are a handful of rows per batch; the exact distinct counts of
+    ALL columns share ONE value-keyed bucket exchange
+    (``stages/hashagg.py::profile_columns``)."""
+    from ..stages.hashagg import profile_columns
+
+    ds = _read(sf_dir, "events")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value_x100": scaled_int(t.column("value")),
+                "props": t.column("props"),
+            }
+        )
+
+    return profile_columns(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["event_id", "ts_us", "user_id", "event_type", "value_x100", "props"],
+    )
+
+
 #: v4 gate thresholds (x1m integer compares, shared with the oracle SQL):
 #: DSIR per-scored-token mean floor (≈ the 5th percentile of the corpus) and
 #: the boilerplate-line ceiling (drop docs where >half the lines are

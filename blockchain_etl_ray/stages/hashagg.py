@@ -37,7 +37,7 @@ def bucketed_group_aggregate(
     agg_fn: Callable[[pa.Table], pa.Table],
     num_buckets: int = 32,
 ) -> rd.Dataset:
-    """Exact per-key aggregation for HIGH-CARDINALITY int64 keys.
+    """Exact per-key aggregation for HIGH-CARDINALITY int64 or string keys.
 
     ``agg_fn`` receives one bucket's rows (a ``pa.Table`` WITHOUT the bucket
     column) and must return that bucket's fully-aggregated rows — typically a
@@ -46,9 +46,23 @@ def bucketed_group_aggregate(
     width = (1 << 31) // num_buckets + 1
 
     def bucketize(t: pa.Table) -> pa.Table:
+        kt = t.column(key).type
+        if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+            # vectorized string partitioning hash; polars' seeded hash is
+            # deterministic across worker processes for one polars version,
+            # which is all a within-run exchange needs
+            import polars as pl
+
+            h64 = pl.from_arrow(t.column(key)).hash(seed=0)
+            b = pa.array(
+                ((h64.to_numpy() >> 33) % num_buckets).astype("int64")
+            )
+            return t.append_column("_bucket", b)
+        if not pa.types.is_integer(kt):
+            raise TypeError(
+                f"bucketed aggregate needs an integer or string key, got {kt}"
+            )
         k = pc.cast(t.column(key), pa.int64())
-        if not pa.types.is_integer(t.column(key).type):
-            raise TypeError(f"bucketed aggregate needs an integer key, got {t.column(key).type}")
         h = pc.bit_wise_and(
             pc.multiply(k, pa.scalar(_MULT, pa.int64())),
             pa.scalar((1 << 31) - 1, pa.int64()),
@@ -101,6 +115,112 @@ def grouped_distinct_count(
         ds.map_batches(pre, batch_format="pyarrow"), val_col, agg, num_buckets
     )
     return partials.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+
+
+def profile_columns(ds: rd.Dataset, columns: list[str], num_buckets: int = 32):
+    """Per-column table profile — the ANALYZE / data-quality checker analog
+    (the reference's check family inspects tables the same way;
+    SURVEY.md §2 checkers): one row per column with ``n_rows, n_null,
+    n_distinct, min_val, max_val`` (min/max as strings so the output schema
+    is column-type-agnostic; callers project non-string columns to an
+    exactly string-castable form first).
+
+    Scale shape, two passes: (1) per-batch (column, n, n_null, min, max)
+    partials — a handful of rows per batch, folded on the driver; (2) ONE
+    value-keyed bucket exchange for the exact distinct counts of ALL columns
+    together (each batch contributes its distinct (column, value) pairs;
+    ``grouped_distinct_count`` machinery keyed on the column name).  Returns
+    a pyarrow Table (columns × 6 — driver-sized by construction)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = t.column(c)
+            # min/max on the NATIVE type (lexicographic string min of "9" vs
+            # "10" would be wrong for numerics); stringify only for transport
+            mm = pc.min_max(col)
+            kind = "i" if pa.types.is_integer(col.type) else "s"
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            rows.append(
+                {
+                    "col_name": c,
+                    "kind": kind,
+                    "n": t.num_rows,
+                    "n_null": col.null_count,
+                    "min_val": None if lo is None else str(lo),
+                    "max_val": None if hi is None else str(hi),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            v = pc.drop_null(pc.cast(t.column(c), pa.string()))
+            u = pc.unique(v)
+            outs.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * len(u), type=pa.string()),
+                        "val": u,
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    distinct = grouped_distinct_count(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        key_col="col_name",
+        val_col="val",
+        num_buckets=num_buckets,
+    )
+    import ray
+
+    nd = {}
+    for ref in distinct.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:  # shuffle-derived empty blocks carry no schema
+            continue
+        nd.update(
+            zip(t.column("col_name").to_pylist(), t.column("n").to_pylist())
+        )
+    fold: dict[str, list] = {}  # col -> [n, n_null, min_native, max_native]
+    for r in parts.to_pylist():
+        parse = int if r["kind"] == "i" else str
+        lo = None if r["min_val"] is None else parse(r["min_val"])
+        hi = None if r["max_val"] is None else parse(r["max_val"])
+        st = fold.setdefault(r["col_name"], [0, 0, None, None])
+        st[0] += r["n"]
+        st[1] += r["n_null"]
+        if lo is not None:
+            st[2] = lo if st[2] is None else min(st[2], lo)
+        if hi is not None:
+            st[3] = hi if st[3] is None else max(st[3], hi)
+    return pa.table(
+        {
+            "col_name": pa.array(columns, type=pa.string()),
+            "n_rows": pa.array([fold[c][0] for c in columns], type=pa.int64()),
+            "n_null": pa.array([fold[c][1] for c in columns], type=pa.int64()),
+            "n_distinct": pa.array(
+                [nd.get(c, 0) for c in columns], type=pa.int64()
+            ),
+            "min_val": pa.array(
+                [None if fold[c][2] is None else str(fold[c][2]) for c in columns],
+                type=pa.string(),
+            ),
+            "max_val": pa.array(
+                [None if fold[c][3] is None else str(fold[c][3]) for c in columns],
+                type=pa.string(),
+            ),
+        }
+    )
 
 
 def grouped_percentiles(

@@ -1,0 +1,37 @@
+"""Table profiler (stages/hashagg.py::profile_columns)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from blockchain_etl_ray.stages.hashagg import profile_columns
+
+
+def test_profile_columns_exact():
+    t = pa.table(
+        {
+            # 9 vs 10: numeric min/max must fold natively, not as strings
+            "a": pa.array([9, 10, 10, None, 2], type=pa.int64()),
+            "s": pa.array(["b", "a", None, "a", "c"], type=pa.string()),
+        }
+    )
+    # two blocks so the cross-batch fold and the bucket exchange both run
+    out = profile_columns(
+        rd.from_arrow([t.slice(0, 2), t.slice(2)]), ["a", "s"], num_buckets=4
+    ).to_pylist()
+    by = {r["col_name"]: r for r in out}
+    assert by["a"] == {
+        "col_name": "a",
+        "n_rows": 5,
+        "n_null": 1,
+        "n_distinct": 3,
+        "min_val": "2",
+        "max_val": "10",
+    }
+    assert by["s"] == {
+        "col_name": "s",
+        "n_rows": 5,
+        "n_null": 1,
+        "n_distinct": 3,
+        "min_val": "a",
+        "max_val": "c",
+    }
