@@ -113,6 +113,7 @@ class WindowedReplayAdapter(ReplayAdapter):
         lateness: int = 100,
         key_col: str = "op",
         alert_set=None,
+        window_alert_set=None,
         checkpoint_path: str | None = None,
     ):
         super().__init__(engine, events_dir, alert_set=alert_set)
@@ -121,6 +122,10 @@ class WindowedReplayAdapter(ReplayAdapter):
         self.windower = WatermarkWindower(window_width, lateness, scale=1)
         self.window_width = window_width
         self.key_col = key_col
+        #: rule-DSL alerts evaluated over each poll's FINALIZED windows (the
+        #: §2.10 alert surface composed onto the §2.9 stream: "page me when a
+        #: closed window's aggregate crosses a threshold")
+        self.window_alert_set = window_alert_set
         self.checkpoint_path = checkpoint_path
         self._cycle = 0
         self.fed: set[int] = set()
@@ -202,6 +207,10 @@ class WindowedReplayAdapter(ReplayAdapter):
                 self.late_polls.append({"poll": self._cycle, "n_late": n_late})
             summary["windows_emitted"] = len(ems)
             summary["window_rows_late"] = n_late
+            if self.window_alert_set is not None and ems:
+                summary["window_alerts"] = self.window_alert_set.run(
+                    rd.from_arrow(pa.Table.from_pylist(ems))
+                )
             self._cycle += 1
             self.fed.update(new)
             self._write_checkpoint()

@@ -277,6 +277,39 @@ def test_windowed_tail_apply_without_feed_crash(small_corpus, tmp_path):
     assert n_emitted + n_late == delivered
 
 
+def test_window_alerts_fire_on_finalized_windows(small_corpus, tmp_path):
+    """§2.10 × §2.9 composition: rule-DSL alerts evaluate over each poll's
+    FINALIZED windows; counts match a recomputation over the adapter's own
+    emissions."""
+    from blockchain_etl_ray.pipelines.alerts import Alert, AlertSet
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    from blockchain_etl_ray.sources.adapters import WindowedReplayAdapter
+
+    aset = AlertSet(
+        [Alert("hot_window", "key == 'insert' and n >= 50", receivers=["memory"])]
+    )
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    ad = WindowedReplayAdapter(
+        engine, small_corpus["dir"], window_width=200, lateness=100,
+        window_alert_set=aset,
+    )
+    ad.open()
+    fired = 0
+    for t in (3, 7, 11, 15):
+        s = ad.poll(t)
+        fired += s.get("window_alerts", {}).get("hot_window", 0)
+    ad.close()
+    expected = sum(
+        1 for e in ad.emitted if e["key"] == "insert" and e["n"] >= 50
+        and e["emit_poll"] != streamwin.EMIT_AT_FLUSH
+    )
+    assert fired == expected and fired > 0
+    mem = aset._receivers["memory"].alerts
+    assert len(mem) == fired
+
+
 def test_dsir_logratio_fit_and_scorer():
     import math
 
