@@ -5799,7 +5799,12 @@ def corpus_release_v4(sf_dir: str):
 
     from ..stages.joins import partitioned_join
 
-    gated = _release_v3_gated(sf_dir)
+    # stage the composition: each sub-pipeline completes and releases its
+    # actor pools before the next starts (v4's combined lazy DAG holds four
+    # min-1 actor pools plus three join layers in ONE streaming topology,
+    # which starves a 4-CPU cluster — each stage alone is proven fine there).
+    # The staged surfaces are doc-keyed id/fingerprint rows, ~50 B/doc.
+    gated = _release_v3_gated(sf_dir).materialize()
 
     def dsir_keep(t: pa.Table) -> pa.Table:
         keep = pc.greater_equal(
@@ -5810,9 +5815,14 @@ def corpus_release_v4(sf_dir: str):
         )
         return t.filter(keep).select(["doc_id"])
 
+    # materialize the tiny id-only keep sets EAGERLY: their scorer pools
+    # release before the main gated DAG executes, so the combined pipeline
+    # never holds more than v3's two actor pools at once (four min-1 pools
+    # pinned all CPUs of a 4-CPU cluster and starved the read tasks — the
+    # session-5 deadlock signature, reproduced in the suite on this query)
     keep_dsir = _dsir_weights_ds(sf_dir).map_batches(
         dsir_keep, batch_format="pyarrow"
-    )
+    ).materialize()
 
     raw = _read(sf_dir, "documents", ["doc_id", "text"])
     bad_ref = ray.put(dedup.duplicate_lines(raw, min_df=2))
@@ -5829,7 +5839,7 @@ def corpus_release_v4(sf_dir: str):
         fn_constructor_args=(bad_ref,),
         batch_format="pyarrow",
         concurrency=(1, 2),
-    ).map_batches(line_keep, batch_format="pyarrow")
+    ).map_batches(line_keep, batch_format="pyarrow").materialize()
 
     gated4 = partitioned_join(
         partitioned_join(gated, keep_dsir, on=("doc_id",), num_partitions=4),
