@@ -5850,6 +5850,62 @@ def corpus_release_v4(sf_dir: str):
     return _release_dedup_split(gated4)
 
 
+@register(
+    "doc_token_budget_mixture",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             {_MD5U32_SQL.format(key='doc_id')} AS h
+      FROM documents),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+      FROM base)
+    SELECT doc_id, source, n_tokens FROM cum WHERE c <= 800
+    """,
+)
+def doc_token_budget_mixture(sf_dir: str):
+    """Token-budget data mixture (the mixture-building primitive LM corpora
+    are assembled with: "take ~800 tokens from EVERY source"): per source,
+    keep documents in deterministic md5 order while the running token sum
+    stays under budget — a weighted quota, where ``doc_source_quota`` counts
+    documents.  Scale shape (``stages/sampling.py::weighted_prefix_take``):
+    no global sort — a coarse-bucket weight histogram (tiny partials) finds
+    each source's cutoff bucket, only the ONE boundary bucket's rows return
+    for exact resolution, and the final pass is a map-side filter with the
+    cutoffs + boundary keep-set broadcast once."""
+    from ..stages.sampling import weighted_prefix_take
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t.column("text"))
+        n = pc.cast(pc.count_substring_regex(lower, "[a-z0-9]+"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tokens": n,
+            }
+        )
+
+    weighted = docs.map_batches(with_tokens, batch_format="pyarrow")
+    out = weighted_prefix_take(
+        weighted, group_col="source", key_col="doc_id",
+        weight_col="n_tokens", budget=800,
+    )
+    return _stable(
+        out,
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in

@@ -295,3 +295,154 @@ def mixture_sample(
         return t.filter(pa.array(b < kb))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_prefix_take(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    coarse_bits: int = 8,
+):
+    """Deterministic per-group WEIGHTED-budget selection (the token-budget
+    data-mixture primitive: "take ~``budget`` tokens from every source"):
+    keep each group's rows in ascending (md5(key), key) order while the
+    running ``weight_col`` sum stays <= ``budget`` — exactly SQL
+    ``SUM(w) OVER (PARTITION BY g ORDER BY md5_u32(key), key) <= budget``.
+    ``key_col`` must be unique (it is the tie-break and the boundary id).
+
+    Distributed shape (no global sort): the md5-u32 order is split into
+    2^``coarse_bits`` COARSE prefix buckets.
+    1. one pass of (group, coarse, sum_w) partials — tiny — finds, per
+       group, the cutoff bucket where the cumulative budget is crossed:
+       buckets below it keep wholesale, above it drop wholesale;
+    2. only the single BOUNDARY bucket's rows (~1/2^bits of each group)
+       come back for exact (hash, key) resolution;
+    3. a map-side filter applies {group -> cutoff} + the boundary keep-set,
+       both broadcast once.
+    """
+    import ray
+
+    shift = np.uint32(32 - coarse_bits)
+
+    def part(t: pa.Table) -> pa.Table:
+        h = _md5_u32_of(t, key_col)
+        g = (
+            pa.table(
+                {
+                    "g": t.column(group_col),
+                    "cb": pa.array((h >> shift).astype(np.int64)),
+                    "w": pc.cast(t.column(weight_col), pa.int64()),
+                }
+            )
+            .group_by(["g", "cb"])
+            .aggregate([("w", "sum")])
+        )
+        return pa.table(
+            {"g": g.column("g"), "cb": g.column("cb"), "w": g.column("w_sum")}
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(part, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    folded = parts.group_by(["g", "cb"]).aggregate([("w", "sum")])
+    cutoff: dict = {}
+    prefix: dict = {}
+    rows = sorted(
+        zip(
+            folded.column("g").to_pylist(),
+            folded.column("cb").to_pylist(),
+            folded.column("w_sum").to_pylist(),
+        )
+    )
+    run_g, run_sum = None, 0
+    n_coarse = 1 << coarse_bits
+    for g, cb, w in rows:
+        if g != run_g:
+            run_g, run_sum = g, 0
+            cutoff[g] = n_coarse  # no bucket overflows -> whole group keeps
+        if g in cutoff and cutoff[g] != n_coarse:
+            continue  # already past this group's boundary
+        if run_sum + w > budget:
+            cutoff[g] = cb
+            prefix[g] = run_sum
+        else:
+            run_sum += w
+
+    def boundary(t: pa.Table) -> pa.Table:
+        h = _md5_u32_of(t, key_col)
+        cb = (h >> shift).astype(np.int64)
+        gv = t.column(group_col).to_pylist()
+        want = np.fromiter(
+            (cutoff.get(g, n_coarse) == b for g, b in zip(gv, cb)),
+            dtype=bool,
+            count=len(gv),
+        )
+        out = t.select([group_col, key_col, weight_col]).filter(pa.array(want))
+        hh = _md5_u32_of(out, key_col)
+        return out.append_column("h", pa.array(hh.astype(np.int64)))
+
+    bt = pa.concat_tables(
+        list(
+            ds.map_batches(boundary, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    keep_keys: list = []
+    if bt.num_rows:
+        order = np.lexsort(
+            (
+                bt.column(key_col).to_numpy(zero_copy_only=False),
+                bt.column("h").to_numpy(zero_copy_only=False),
+            )
+        )
+        gv = np.asarray(bt.column(group_col).to_pylist(), dtype=object)[order]
+        kv = bt.column(key_col).to_numpy(zero_copy_only=False)[order]
+        wv = bt.column(weight_col).to_numpy(zero_copy_only=False)[order]
+        run: dict = {}
+        closed: set = set()
+        for g, k, w in zip(gv, kv, wv):
+            if g in closed:
+                continue
+            c = run.get(g, prefix.get(g, 0)) + int(w)
+            if c <= budget:
+                run[g] = c
+                keep_keys.append(k)
+            else:
+                # the running sum is monotone: once a row overflows, every
+                # later row's prefix also overflows (SQL `c <= budget` drops
+                # the rest of the group; waterfilling smaller later rows
+                # back in would diverge from the window-function semantics)
+                closed.add(g)
+    sch = ds.schema()
+    key_type = getattr(sch, "base_schema", sch).field(key_col).type
+    keep_ref = ray.put(pa.array(keep_keys, type=key_type))
+    cutoff_ref = ray.put(cutoff)
+
+    def filt(t: pa.Table) -> pa.Table:
+        keeps = ray.get(keep_ref) if not isinstance(keep_ref, pa.Array) else keep_ref
+        cut = ray.get(cutoff_ref) if not isinstance(cutoff_ref, dict) else cutoff_ref
+        h = _md5_u32_of(t, key_col)
+        cb = (h >> shift).astype(np.int64)
+        gv = t.column(group_col).to_pylist()
+        below = np.fromiter(
+            (b < cut.get(g, n_coarse) for g, b in zip(gv, cb)),
+            dtype=bool,
+            count=len(gv),
+        )
+        in_bnd = pc.is_in(t.column(key_col), value_set=keeps).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(below | in_bnd))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _md5_u32_of(t: pa.Table, key_col: str) -> np.ndarray:
+    return md5_prefix_u32(pc.cast(t.column(key_col), pa.string())).astype(np.uint32)

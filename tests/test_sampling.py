@@ -151,3 +151,51 @@ def test_weighted_priority_sample_partition_invariant():
 
     with _pytest.raises(Exception, match="positive weights"):
         weighted_priority_sample(rd.from_arrow(bad), "k", "w", k=1).to_pandas()
+
+
+def test_weighted_prefix_take_matches_bruteforce():
+    """Distributed coarse-bucket + boundary resolution == serial prefix scan
+    in (md5, key) order, including the stop-at-first-overflow semantics
+    (a later smaller row must NOT waterfill back in)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.functions.hashing import md5_prefix_u32
+    from blockchain_etl_ray.stages.sampling import weighted_prefix_take
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), type=pa.int64()),
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "w": pa.array(rng.integers(1, 40, n), type=pa.int64()),
+        }
+    )
+    budget = 300
+    got = pa.concat_tables(
+        [
+            b
+            for b in weighted_prefix_take(
+                rd.from_arrow([t.slice(0, 150), t.slice(150)]),
+                group_col="g", key_col="k", weight_col="w",
+                budget=budget, coarse_bits=3,  # tiny buckets: boundary path exercised
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+    )
+    # serial oracle
+    import pyarrow.compute as pc
+
+    h = md5_prefix_u32(pc.cast(t.column("k"), pa.string())).astype(np.uint64)
+    order = np.lexsort((t.column("k").to_numpy(), h))
+    run, keep = {}, set()
+    for i in order:
+        g = t.column("g")[int(i)].as_py()
+        c = run.get(g, 0) + int(t.column("w")[int(i)].as_py())
+        run[g] = c  # SQL cumsum includes dropped rows
+        if c <= budget:
+            keep.add(int(t.column("k")[int(i)].as_py()))
+    assert set(got.column("k").to_pylist()) == keep
+    assert len(keep) > 0 and len(keep) < n
