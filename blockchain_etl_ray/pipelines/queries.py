@@ -5409,7 +5409,9 @@ _WM_CTES = f"""
       FROM events),
     ev2 AS (
       SELECT event_type, ts_us, vx100,
-             (ts_us + ((event_id * {streamwin.JITTER_MULT}) % {streamwin.JITTER_MOD}
+             (ts_us + (((event_id % {streamwin.JITTER_MOD})
+                        * {streamwin.JITTER_MULT % streamwin.JITTER_MOD})
+                         % {streamwin.JITTER_MOD}
                        - {streamwin.JITTER_HALF_S}) * 1000000)
                // {_WM_POLL_S * 1_000_000} AS poll,
              (ts_us // {_WM_WIN_S * 1_000_000}) * {_WM_WIN_S * 1_000_000}

@@ -54,8 +54,14 @@ EMIT_AT_FLUSH = -1
 
 
 def arrival_jitter_us(event_id: np.ndarray) -> np.ndarray:
-    """Deterministic per-row arrival delay in microseconds, ±JITTER_HALF_S."""
-    j = (event_id.astype(np.int64) * JITTER_MULT) % JITTER_MOD - JITTER_HALF_S
+    """Deterministic per-row arrival delay in microseconds, ±JITTER_HALF_S.
+
+    Computed as ``((id % MOD) * (MULT % MOD)) % MOD`` — identical to
+    ``(id * MULT) % MOD`` but overflow-free at ANY id (a raw 10^10-scale id
+    times the Knuth constant would wrap int64; DuckDB would raise)."""
+    j = (
+        (event_id.astype(np.int64) % JITTER_MOD) * (JITTER_MULT % JITTER_MOD)
+    ) % JITTER_MOD - JITTER_HALF_S
     return j * 1_000_000
 
 
