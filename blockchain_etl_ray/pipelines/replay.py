@@ -84,6 +84,64 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def emit_forget_epoch(
+    events_dir: str,
+    keys: list[tuple[str, str]],
+    commit: str = "gdpr-forget",
+) -> int:
+    """Right-to-be-forgotten as DATA: append ONE synthetic epoch of delete
+    events for the given ``(repo, path)`` keys to the change log, so
+    forgetting flows through the exact same machinery as any other change —
+    replay, LWW fold, tombstones (resurrection-blocked), change feed,
+    snapshot diff, downstream feed replicas — exactly once, resumable,
+    reconcilable.  (The CDC analog of a compliance delete propagating
+    through a lake; the reference's reorg machinery rewrites history the
+    same way, by emitting events, `blockchainetl/streaming/streamer.py`.)
+
+    Ordinals are ``max(log ordinal) + 1 …`` (parquet row-group statistics
+    only — no data scan), so the deletes WIN last-writer-wins against every
+    existing version of the keys.  Returns the new epoch number."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.hashing import event_ids
+    from ..schema import EVENT_SCHEMA
+    from ..state.manifest import atomic_write_table
+
+    by_epoch = discover_epoch_files(events_dir)
+    if not by_epoch:
+        raise ValueError(f"no epochs found under {events_dir}")
+    new_epoch = max(by_epoch) + 1
+    max_ord = -1
+    for files in by_epoch.values():
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("ordinal")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    max_ord = max(max_ord, int(st.max))
+    repos = [k[0] for k in keys]
+    paths = [k[1] for k in keys]
+    n = len(keys)
+    t = pa.table(
+        {
+            "ordinal": pa.array(range(max_ord + 1, max_ord + 1 + n), pa.int64()),
+            "epoch": pa.array([new_epoch] * n, pa.int64()),
+            "op": pa.array(["delete"] * n, pa.string()),
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array([commit] * n, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
+            "content": pa.array([None] * n, pa.large_string()),
+            "size": pa.array([None] * n, pa.int64()),
+            "event_id": event_ids(repos, paths, [commit] * n, ["delete"] * n),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    atomic_write_table(Path(events_dir) / f"epoch={new_epoch:06d}.parquet", t)
+    return new_epoch
+
+
 def make_snapshot_adapter(default_ordinal: int = 0, seed_epoch: int = -1):
     """Per-chunk converter turning SNAPSHOT rows (final table form, no ``op``)
     into insert change events, so the staged bulk-load path reuses the whole

@@ -1,0 +1,61 @@
+"""Right-to-be-forgotten flow (pipelines/replay.py::emit_forget_epoch):
+compliance deletes are ordinary change-log events and flow through replay,
+tombstones, the snapshot diff, and the pure-Python oracle unchanged."""
+
+from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+from blockchain_etl_ray.pipelines.replay import (
+    ReplayConfig,
+    ReplayEngine,
+    emit_forget_epoch,
+)
+from blockchain_etl_ray.sources.chain_tail import ChainTail
+
+
+def test_forget_keys_disappear_and_stay_gone(small_corpus, tmp_path):
+    import shutil
+
+    events = tmp_path / "events"
+    shutil.copytree(small_corpus["dir"], events)
+    engine = ReplayEngine(
+        tmp_path / "state", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events))
+    v_before = engine.store.committed_versions()[-1]
+    state = engine.read_state().to_pandas()
+    victims = [
+        (r, p)
+        for r, p in zip(state["repo"].head(5), state["path"].head(5))
+    ]
+
+    new_epoch = emit_forget_epoch(str(events), victims)
+    assert new_epoch == 16  # fixture delivers epochs 0..15
+    # the forget epoch is an ordinary tail poll
+    ChainTail(engine, str(events), lag=0).run()
+
+    after = engine.read_state().to_pandas()
+    gone = set(zip(after["repo"], after["path"]))
+    for k in victims:
+        assert k not in gone
+
+    # the whole extended log still matches the pure-Python oracle
+    exp = live_rows(fold_events(str(events)))
+    assert len(after) == len(exp)
+    assert sorted(zip(after["repo"], after["path"])) == [
+        (r["repo"], r["path"]) for r in exp
+    ]
+
+    # snapshot diff classifies exactly the victims as deleted
+    v_after = engine.store.committed_versions()[-1]
+    diff = engine.snapshot_diff(v_before, v_after).to_pandas()
+    deleted = set(
+        zip(
+            diff[diff["change"] == "deleted"]["repo"],
+            diff[diff["change"] == "deleted"]["path"],
+        )
+    )
+    assert deleted == set(victims)
+
+    # a redelivered (duplicate) forget epoch is idempotent
+    n_before = len(after)
+    ChainTail(engine, str(events), lag=0).run()
+    assert len(engine.read_state().to_pandas()) == n_before
