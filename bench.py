@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_repetition_stats",
     "doc_winnow_fingerprints",
+    "watermark_window_counts",
+    "doc_dsir_weights",
+    "doc_line_dedup",
+    "doc_token_budget_mixture",
+    "events_profile",
     "cdc_content_dedup",
     "embedding_quantize_int8",
     "minhash_md5_neardup_pairs",

@@ -87,7 +87,7 @@ def discover_epoch_files(events_dir: str) -> dict[int, list[str]]:
 def emit_forget_epoch(
     events_dir: str,
     keys: list[tuple[str, str]],
-    commit: str = "gdpr-forget",
+    commit: str | None = None,
 ) -> int:
     """Right-to-be-forgotten as DATA: append ONE synthetic epoch of delete
     events for the given ``(repo, path)`` keys to the change log, so
@@ -111,6 +111,13 @@ def emit_forget_epoch(
     if not by_epoch:
         raise ValueError(f"no epochs found under {events_dir}")
     new_epoch = max(by_epoch) + 1
+    if commit is None:
+        # salt the commit with the epoch so REPEATED forgets of the same key
+        # get distinct event_ids — a constant commit would make a later
+        # forget an exact "redelivery" of the first, and the per-event_id
+        # dedup (min-ordinal wins) could drop the newer delete, resurrecting
+        # a key that was re-ingested in between
+        commit = f"gdpr-forget-{new_epoch}"
     max_ord = -1
     for files in by_epoch.values():
         for f in files:

@@ -151,7 +151,9 @@ class WindowedReplayAdapter(ReplayAdapter):
         if not self.checkpoint_path:
             return
         import json
-        import os
+        from pathlib import Path
+
+        from ..state.manifest import atomic_write_bytes
 
         d = {
             "windower": self.windower.state_dict(),
@@ -160,10 +162,9 @@ class WindowedReplayAdapter(ReplayAdapter):
             "emitted": self.emitted,
             "late_polls": self.late_polls,
         }
-        tmp = f"{self.checkpoint_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(d, f)
-        os.replace(tmp, self.checkpoint_path)
+        # tmp + fsync + rename (the repo's durable-write helper): a bare
+        # os.replace can survive power loss while the data does not
+        atomic_write_bytes(Path(self.checkpoint_path), json.dumps(d).encode())
 
     def poll(self, target: int) -> dict:
         summary = super().poll(target)

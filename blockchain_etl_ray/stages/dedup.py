@@ -1366,19 +1366,21 @@ class LineDeduper:
         n_dropped = np.bincount(
             parent, weights=drop.astype(np.float64), minlength=n_docs
         ).astype(np.int64)
-        flat_py = flat.to_pylist()
-        kept_text = [""] * n_docs
-        starts = np.concatenate([[0], np.cumsum(n_lines)]).astype(np.int64)
-        for d in range(n_docs):
-            lo, hi = int(starts[d]), int(starts[d + 1])
-            kept_text[d] = "\n".join(
-                flat_py[i] for i in range(lo, hi) if not drop[i]
-            )
+        # vectorized reassembly: filter the flat line array, rebuild the
+        # per-doc list structure from kept counts, join with one kernel
+        keep = ~drop
+        kept_flat = flat.filter(pa.array(keep))
+        kept_counts = n_lines - n_dropped
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), kept_flat.cast(pa.string())
+        )
+        kept_text = pc.binary_join(lists, "\n")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_lines": pa.array(n_lines),
                 "n_dropped": pa.array(n_dropped),
-                "kept_text": pa.array(kept_text, type=pa.string()),
+                "kept_text": pc.cast(kept_text, pa.string()),
             }
         )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -48,15 +49,15 @@ def bucketed_group_aggregate(
     def bucketize(t: pa.Table) -> pa.Table:
         kt = t.column(key).type
         if pa.types.is_string(kt) or pa.types.is_large_string(kt):
-            # vectorized string partitioning hash; polars' seeded hash is
-            # deterministic across worker processes for one polars version,
-            # which is all a within-run exchange needs
-            import polars as pl
+            # version-stable vectorized string hash (md5 prefix — the same
+            # primitive the sampling parity contract uses): a mixed-version
+            # cluster node hashing the same value into a different bucket
+            # would silently double-count distincts, so never use a
+            # library-version-dependent hash for an exchange key
+            from ..functions.hashing import md5_prefix_u32
 
-            h64 = pl.from_arrow(t.column(key)).hash(seed=0)
-            b = pa.array(
-                ((h64.to_numpy() >> 33) % num_buckets).astype("int64")
-            )
+            h = md5_prefix_u32(t.column(key))
+            b = pa.array((h % np.uint32(num_buckets)).astype("int64"))
             return t.append_column("_bucket", b)
         if not pa.types.is_integer(kt):
             raise TypeError(
@@ -136,6 +137,16 @@ def profile_columns(ds: rd.Dataset, columns: list[str], num_buckets: int = 32):
         rows = []
         for c in columns:
             col = t.column(c)
+            if not (
+                pa.types.is_integer(col.type)
+                or pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)
+            ):
+                raise TypeError(
+                    f"profile_columns needs int or string columns (project "
+                    f"floats/timestamps to an exactly string-castable form "
+                    f"first); column {c!r} is {col.type}"
+                )
             # min/max on the NATIVE type (lexicographic string min of "9" vs
             # "10" would be wrong for numerics); stringify only for transport
             mm = pc.min_max(col)

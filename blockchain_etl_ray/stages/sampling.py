@@ -325,6 +325,11 @@ def weighted_prefix_take(
     import ray
 
     shift = np.uint32(32 - coarse_bits)
+    # three passes follow (coarse histogram, boundary rows, final filter);
+    # pin the input once so the caller's upstream lineage (read + weight
+    # computation) does not re-execute per pass — callers pass a SLIM
+    # (group, key, weight) projection, so the pinned blocks are small
+    ds = ds.materialize()
 
     def part(t: pa.Table) -> pa.Table:
         h = _md5_u32_of(t, key_col)

@@ -86,14 +86,9 @@ def poll_window_partials(
     win_us = window_width_s * 1_000_000
     poll = arr_us // poll_us
     win_start = (ts_us // win_us) * win_us
-    vals = pc.cast(
-        pc.round(
-            pc.multiply(batch.column(val_col), pa.scalar(100.0)),
-            ndigits=0,
-            round_mode="half_towards_infinity",
-        ),
-        pa.int64(),
-    ).to_numpy(zero_copy_only=False)
+    from ..functions.parity import scaled_int
+
+    vals = scaled_int(batch.column(val_col)).to_numpy(zero_copy_only=False)
     keys = batch.column(key_col)
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()

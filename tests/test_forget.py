@@ -59,3 +59,67 @@ def test_forget_keys_disappear_and_stay_gone(small_corpus, tmp_path):
     n_before = len(after)
     ChainTail(engine, str(events), lag=0).run()
     assert len(engine.read_state().to_pandas()) == n_before
+
+
+def test_forget_reingest_forget_again(small_corpus, tmp_path):
+    """forget K -> re-ingest K -> forget K again must stay deleted even when
+    a from-scratch replay folds all three epochs in ONE compact batch: the
+    epoch-salted commit keeps the two forgets' event_ids distinct, so the
+    per-event_id redelivery dedup cannot drop the newer delete."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.functions.hashing import event_ids
+    from blockchain_etl_ray.pipelines.replay import discover_epoch_files
+    from blockchain_etl_ray.schema import EVENT_SCHEMA
+    from blockchain_etl_ray.state.manifest import atomic_write_table
+
+    events = tmp_path / "events"
+    shutil.copytree(small_corpus["dir"], events)
+    engine = ReplayEngine(
+        tmp_path / "s1", ReplayConfig(num_partitions=8, epoch_batch_size=4)
+    )
+    engine.replay(str(events))
+    row = engine.read_state().to_pandas().iloc[0]
+    k = (row["repo"], row["path"])
+
+    emit_forget_epoch(str(events), [k])  # epoch 16
+
+    # epoch 17: re-ingest K (ordinal above the forget's)
+    by_epoch = discover_epoch_files(str(events))
+    max_ord = max(
+        int(r["ordinal"])
+        for f in by_epoch[max(by_epoch)]
+        for r in pq.read_table(f, columns=["ordinal"]).to_pylist()
+    )
+    t = pa.table(
+        {
+            "ordinal": pa.array([max_ord + 1], pa.int64()),
+            "epoch": pa.array([17], pa.int64()),
+            "op": pa.array(["insert"], pa.string()),
+            "repo": pa.array([k[0]], pa.string()),
+            "path": pa.array([k[1]], pa.string()),
+            "commit": pa.array(["reborn"], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array(["resurrected content"], pa.large_string()),
+            "size": pa.array([None], pa.int64()),
+            "event_id": event_ids([k[0]], [k[1]], ["reborn"], ["insert"]),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    atomic_write_table(events / "epoch=000017.parquet", t)
+
+    emit_forget_epoch(str(events), [k])  # epoch 18, distinct event_id
+
+    # from-scratch replay with a batch size that folds 16..18 together
+    fresh = ReplayEngine(
+        tmp_path / "s2", ReplayConfig(num_partitions=8, epoch_batch_size=19)
+    )
+    fresh.replay(str(events))
+    st = fresh.read_state().to_pandas()
+    assert k not in set(zip(st["repo"], st["path"]))
+    # and matches the pure-Python oracle over the whole history
+    exp = live_rows(fold_events(str(events)))
+    assert len(st) == len(exp)
