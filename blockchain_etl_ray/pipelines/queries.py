@@ -5509,6 +5509,160 @@ def watermark_late_events(sf_dir: str):
     return late
 
 
+#: session-window scenario constants (shared verbatim with the oracle SQL):
+#: 2 h arrival polls, ±2 h jitter, 1 h session gap, 1 h allowed lateness
+_SW_POLL_S = 7200
+_SW_JIT_S = 7200
+_SW_GAP_S = 3600
+_SW_LATE_S = 3600
+
+_SW_CTES = f"""
+    sw_ev AS (
+      SELECT event_type AS key, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100
+      FROM events),
+    sw_ev2 AS (
+      SELECT key, ts_us, vx100,
+             (ts_us + (((event_id % {2 * _SW_JIT_S + 1})
+                        * {streamwin.JITTER_MULT % (2 * _SW_JIT_S + 1)})
+                         % {2 * _SW_JIT_S + 1}
+                       - {_SW_JIT_S}) * 1000000)
+               // {_SW_POLL_S * 1_000_000} AS poll
+      FROM sw_ev),
+    sw_pm AS (SELECT poll, MAX(ts_us) AS mx FROM sw_ev2 GROUP BY poll),
+    sw_wm AS (
+      SELECT poll,
+             MAX(mx) OVER (ORDER BY poll ROWS UNBOUNDED PRECEDING)
+               - {_SW_LATE_S * 1_000_000} AS wm_after,
+             COALESCE(MAX(mx) OVER (ORDER BY poll
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - {_SW_LATE_S * 1_000_000},
+                      {streamwin.WM_FLOOR}) AS wm_before
+      FROM sw_pm)
+"""
+
+
+def _session_inputs(sf_dir: str):
+    """Shared distributed half of the session-window queries: the tiny
+    poll-max pass fixes the watermark trajectory, which broadcasts into the
+    fragment / late-count passes."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def pmax(t: pa.Table) -> pa.Table:
+        return streamwin.poll_max_partials(
+            t, poll_width_s=_SW_POLL_S, jitter_half_s=_SW_JIT_S
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(pmax, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    wm = streamwin.wm_trajectory(folded, lateness_s=_SW_LATE_S)
+    wm_before = {p: b for p, (b, _a) in wm.items()}
+    return ds, wm, wm_before
+
+
+@register(
+    "watermark_sessions",
+    f"""
+    WITH {_SW_CTES},
+    sw_kept AS (
+      SELECT e.* FROM sw_ev2 e JOIN sw_wm USING (poll)
+      WHERE e.ts_us + {_SW_GAP_S * 1_000_000} > sw_wm.wm_before),
+    sw_o AS (
+      SELECT *, CASE WHEN LAG(ts_us) OVER (PARTITION BY key ORDER BY ts_us)
+                       IS NULL
+                  OR ts_us - LAG(ts_us) OVER (PARTITION BY key ORDER BY ts_us)
+                       > {_SW_GAP_S * 1_000_000}
+                THEN 1 ELSE 0 END AS ns
+      FROM sw_kept),
+    sw_s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY key ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sw_o),
+    sw_agg AS (
+      SELECT key, sid, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vx100) AS BIGINT) AS sum_x100
+      FROM sw_s GROUP BY key, sid),
+    sw_emit AS (
+      SELECT a.key, a.sid, COALESCE(MIN(w.poll), {streamwin.EMIT_AT_FLUSH}) AS ep
+      FROM sw_agg a
+      LEFT JOIN sw_wm w ON w.wm_after >= a.end_us + {2 * _SW_GAP_S * 1_000_000}
+      GROUP BY a.key, a.sid)
+    SELECT a.key, a.start_us, a.end_us, a.n, a.sum_x100,
+           CAST(e.ep AS BIGINT) AS emit_poll
+    FROM sw_agg a JOIN sw_emit e USING (key, sid)
+    """,
+)
+def watermark_sessions(sf_dir: str):
+    """Watermarked SESSION windows — gap-based MERGING windows, the hard
+    streaming window type (a later fragment can bridge two open sessions).
+    Per-key sessions close only when NO future non-late row can extend them
+    (``watermark >= end + 2*gap`` — the tumbling close rule would diverge
+    from global sessionization); rows too old to touch any open session are
+    late.  Scale shape: a tiny poll-max pass fixes the watermark trajectory;
+    one fragment pass collapses events to per-(poll, key) mergeable session
+    fragments (rows never leave their task); the driver merge is
+    fragment-sized (``stages/streamwin.py::SessionWindower``).  Provably
+    equal to SQL gap-sessionization over the kept rows: two rows are
+    gap-adjacent iff their fragments' intervals gap-overlap."""
+    ds, wm, wm_before = _session_inputs(sf_dir)
+
+    def frags(t: pa.Table) -> pa.Table:
+        return streamwin.session_fragments(
+            t, wm_before, poll_width_s=_SW_POLL_S,
+            jitter_half_s=_SW_JIT_S, gap_s=_SW_GAP_S,
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(frags, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    return streamwin.session_run(folded, wm, gap_s=_SW_GAP_S)
+
+
+@register(
+    "watermark_session_late",
+    f"""
+    WITH {_SW_CTES}
+    SELECT e.poll, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM sw_ev2 e JOIN sw_wm USING (poll)
+    WHERE e.ts_us + {_SW_GAP_S * 1_000_000} <= sw_wm.wm_before
+    GROUP BY e.poll
+    """,
+)
+def watermark_session_late(sf_dir: str):
+    """The late-data journal of :func:`watermark_sessions`: per poll, rows
+    too old to create or extend ANY session that could still be open."""
+    ds, _wm, wm_before = _session_inputs(sf_dir)
+
+    def late(t: pa.Table) -> pa.Table:
+        return streamwin.session_late_counts(
+            t, wm_before, poll_width_s=_SW_POLL_S,
+            jitter_half_s=_SW_JIT_S, gap_s=_SW_GAP_S,
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(late, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by("poll").aggregate([("n_late", "sum")])
+    out = pa.table(
+        {"poll": g.column("poll"), "n_late": g.column("n_late_sum")}
+    )
+    return out.sort_by([("poll", "ascending")])
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -53,15 +53,18 @@ WM_FLOOR = -9223372036854775807
 EMIT_AT_FLUSH = -1
 
 
-def arrival_jitter_us(event_id: np.ndarray) -> np.ndarray:
-    """Deterministic per-row arrival delay in microseconds, ±JITTER_HALF_S.
+def arrival_jitter_us(
+    event_id: np.ndarray, half_s: int = JITTER_HALF_S
+) -> np.ndarray:
+    """Deterministic per-row arrival delay in microseconds, ±``half_s``.
 
     Computed as ``((id % MOD) * (MULT % MOD)) % MOD`` — identical to
     ``(id * MULT) % MOD`` but overflow-free at ANY id (a raw 10^10-scale id
     times the Knuth constant would wrap int64; DuckDB would raise)."""
+    mod = 2 * half_s + 1
     j = (
-        (event_id.astype(np.int64) % JITTER_MOD) * (JITTER_MULT % JITTER_MOD)
-    ) % JITTER_MOD - JITTER_HALF_S
+        (event_id.astype(np.int64) % mod) * (JITTER_MULT % mod)
+    ) % mod - half_s
     return j * 1_000_000
 
 
@@ -318,3 +321,272 @@ def watermark_run(
         else late_schema.empty_table()
     )
     return wt, lt
+
+
+# ---------------------------------------------------------------------------
+# Watermarked SESSION windows (gap-based MERGING windows — the hard window
+# type: a late-but-on-time fragment can bridge two open sessions)
+# ---------------------------------------------------------------------------
+
+
+def poll_max_partials(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    poll_width_s: int = 7200,
+    jitter_half_s: int = JITTER_HALF_S,
+) -> pa.Table:
+    """(poll, max_ts_us) partials over ALL rows (late ones advance the
+    watermark exactly as in the oracle) — the tiny first pass that fixes the
+    watermark trajectory before lateness can be classified."""
+    ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    poll = (ts_us + arrival_jitter_us(ids, jitter_half_s)) // (
+        poll_width_s * 1_000_000
+    )
+    up, inv = np.unique(poll, return_inverse=True)
+    mx = np.full(len(up), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(mx, inv, ts_us)
+    return pa.table(
+        {"poll": pa.array(up, type=pa.int64()), "max_ts_us": pa.array(mx)}
+    )
+
+
+def wm_trajectory(poll_max: pa.Table, lateness_s: int) -> dict[int, tuple[int, int]]:
+    """{poll -> (wm_before, wm_after)} from folded (poll, max_ts_us) rows."""
+    t = poll_max.group_by("poll").aggregate([("max_ts_us", "max")])
+    rows = sorted(
+        zip(t.column("poll").to_pylist(), t.column("max_ts_us_max").to_pylist())
+    )
+    out: dict[int, tuple[int, int]] = {}
+    wm = WM_FLOOR
+    late_us = lateness_s * 1_000_000
+    for poll, mx in rows:
+        before = wm
+        wm = max(wm, mx - late_us)
+        out[int(poll)] = (before, wm)
+    return out
+
+
+def _polls_and_keep(
+    batch: pa.Table,
+    wm_before: dict[int, int],
+    ts_col: str,
+    id_col: str,
+    poll_width_s: int,
+    jitter_half_s: int,
+    gap_s: int,
+):
+    ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    poll = (ts_us + arrival_jitter_us(ids, jitter_half_s)) // (
+        poll_width_s * 1_000_000
+    )
+    up = np.unique(poll)
+    wb = np.array([wm_before.get(int(p), WM_FLOOR) for p in up], dtype=np.int64)
+    row_wb = wb[np.searchsorted(up, poll)]
+    keep = ts_us + gap_s * 1_000_000 > row_wb
+    return ts_us, poll, keep
+
+
+def session_fragments(
+    batch: pa.Table,
+    wm_before: dict[int, int],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    poll_width_s: int = 7200,
+    jitter_half_s: int = 7200,
+    gap_s: int = 3600,
+) -> pa.Table:
+    """Per-batch per-(poll, key) SESSION FRAGMENTS over the kept (non-late)
+    rows: local gap-sessionization via one lexsort + run detection — rows
+    stay in their task, fragments (start, end, n, sum) leave.  Fragments are
+    mergeable: two rows are gap-adjacent iff their fragments' intervals
+    gap-overlap, so the driver's insert-merge realizes exactly the global
+    transitive closure."""
+    from ..functions.parity import scaled_int
+
+    ts_us, poll, keep = _polls_and_keep(
+        batch, wm_before, ts_col, id_col, poll_width_s, jitter_half_s, gap_s
+    )
+    vals = scaled_int(batch.column(val_col)).to_numpy(zero_copy_only=False)
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = keys.dictionary_encode()
+    kcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ts_us, poll, kcode, vals = (
+        ts_us[keep], poll[keep], kcode[keep], vals[keep]
+    )
+    empty = pa.table(
+        {
+            "poll": pa.array([], type=pa.int64()),
+            "key": pa.array([], type=pa.string()),
+            "start_us": pa.array([], type=pa.int64()),
+            "end_us": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "sum_x100": pa.array([], type=pa.int64()),
+        }
+    )
+    if not len(ts_us):
+        return empty
+    order = np.lexsort((ts_us, kcode, poll))
+    p, k, t, v = poll[order], kcode[order], ts_us[order], vals[order]
+    gap_us = gap_s * 1_000_000
+    new = np.empty(len(p), dtype=bool)
+    new[0] = True
+    new[1:] = (
+        (p[1:] != p[:-1]) | (k[1:] != k[:-1]) | (t[1:] - t[:-1] > gap_us)
+    )
+    frag = np.cumsum(new) - 1
+    n_frag = int(frag[-1] + 1)
+    starts = np.nonzero(new)[0]
+    ends = np.concatenate([starts[1:], [len(p)]]) - 1
+    n = np.bincount(frag, minlength=n_frag).astype(np.int64)
+    sums = np.bincount(frag, weights=v, minlength=n_frag).astype(np.int64)
+    kd = enc.dictionary.to_pylist()
+    return pa.table(
+        {
+            "poll": pa.array(p[starts], type=pa.int64()),
+            "key": pa.array([kd[i] for i in k[starts]], type=pa.string()),
+            "start_us": pa.array(t[starts], type=pa.int64()),
+            "end_us": pa.array(t[ends], type=pa.int64()),
+            "n": pa.array(n),
+            "sum_x100": pa.array(sums),
+        }
+    )
+
+
+def session_late_counts(
+    batch: pa.Table,
+    wm_before: dict[int, int],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    poll_width_s: int = 7200,
+    jitter_half_s: int = 7200,
+    gap_s: int = 3600,
+) -> pa.Table:
+    """(poll, n_late) partials: rows too old to create or extend ANY session
+    that could still be open (``ts + gap <= wm_before(poll)``)."""
+    _ts, poll, keep = _polls_and_keep(
+        batch, wm_before, ts_col, id_col, poll_width_s, jitter_half_s, gap_s
+    )
+    late_poll = poll[~keep]
+    up, cnt = np.unique(late_poll, return_counts=True)
+    return pa.table(
+        {
+            "poll": pa.array(up, type=pa.int64()),
+            "n_late": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+class SessionWindower:
+    """Driver state machine for merging session windows.  ``insert`` merges
+    one poll's fragments into the per-key open set (a bridging fragment can
+    swallow several open sessions); ``close(wm_after, poll)`` finalizes every
+    session no future NON-late row can extend — which needs
+    ``wm_after >= end + 2*gap``: a non-late future row has
+    ``ts > wm - gap``, and extension requires ``ts <= end + gap``.  (Closing
+    at ``end + gap``, the tumbling rule, would let a non-late row arrive for
+    an already-emitted session and silently diverge from the oracle's global
+    sessionization.)"""
+
+    def __init__(self, gap_s: int = 3600):
+        self.gap_us = gap_s * 1_000_000
+        self.open: dict[str, list[list[int]]] = {}  # key -> [[s,e,n,sum],...]
+
+    def insert(self, key: str, s: int, e: int, n: int, v: int) -> None:
+        frags = self.open.setdefault(key, [])
+        merged = [s, e, n, v]
+        keepers = []
+        for f in frags:
+            if f[0] - self.gap_us <= merged[1] and merged[0] - self.gap_us <= f[1]:
+                merged = [
+                    min(merged[0], f[0]),
+                    max(merged[1], f[1]),
+                    merged[2] + f[2],
+                    merged[3] + f[3],
+                ]
+            else:
+                keepers.append(f)
+        keepers.append(merged)
+        keepers.sort()
+        self.open[key] = keepers
+
+    def close(self, wm_after: int, poll: int) -> list[dict]:
+        out = []
+        for key in sorted(self.open):
+            still = []
+            for f in self.open[key]:
+                if f[1] + 2 * self.gap_us <= wm_after:
+                    out.append(
+                        {
+                            "key": key,
+                            "start_us": f[0],
+                            "end_us": f[1],
+                            "n": f[2],
+                            "sum_x100": f[3],
+                            "emit_poll": int(poll),
+                        }
+                    )
+                else:
+                    still.append(f)
+            if still:
+                self.open[key] = still
+            else:
+                del self.open[key]
+        return out
+
+    def flush(self) -> list[dict]:
+        out = [
+            {
+                "key": key,
+                "start_us": f[0],
+                "end_us": f[1],
+                "n": f[2],
+                "sum_x100": f[3],
+                "emit_poll": EMIT_AT_FLUSH,
+            }
+            for key in sorted(self.open)
+            for f in self.open[key]
+        ]
+        self.open.clear()
+        return out
+
+
+def session_run(
+    frags: pa.Table, wm: dict[int, tuple[int, int]], gap_s: int = 3600
+) -> pa.Table:
+    """Run the session state machine over folded fragments (any row order)
+    and the watermark trajectory; returns finalized sessions."""
+    sw = SessionWindower(gap_s)
+    by_poll: dict[int, list[tuple]] = {}
+    for r in frags.to_pylist():
+        by_poll.setdefault(int(r["poll"]), []).append(
+            (r["key"], r["start_us"], r["end_us"], r["n"], r["sum_x100"])
+        )
+    emitted: list[dict] = []
+    for poll in sorted(wm):
+        for key, s, e, n, v in sorted(by_poll.get(poll, [])):
+            sw.insert(key, s, e, n, v)
+        emitted.extend(sw.close(wm[poll][1], poll))
+    emitted.extend(sw.flush())
+    schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_x100", pa.int64()),
+            ("emit_poll", pa.int64()),
+        ]
+    )
+    return (
+        pa.Table.from_pylist(emitted, schema=schema)
+        if emitted
+        else schema.empty_table()
+    )

@@ -367,3 +367,79 @@ def test_dsir_partials_split_invariance():
         )
     )
     assert whole == split
+
+
+def test_session_windower_bridging_merge():
+    """A later fragment can BRIDGE two open sessions — the merging-window
+    case tumbling windows never hit."""
+    sw = streamwin.SessionWindower(gap_s=10)
+    G = 10 * US
+    sw.insert("a", 0, 5 * US, 2, 20)        # session A: [0, 5s]
+    sw.insert("a", 30 * US, 35 * US, 3, 30)  # session B: [30s, 35s]
+    assert len(sw.open["a"]) == 2
+    # bridge: [12s, 22s] is within gap of BOTH (5+10 >= 12, 22+10 >= 30)
+    sw.insert("a", 12 * US, 22 * US, 1, 5)
+    assert sw.open["a"] == [[0, 35 * US, 6, 55]]
+    # close rule: wm >= end + 2*gap
+    assert sw.close(35 * US + 2 * G - 1, poll=1) == []
+    out = sw.close(35 * US + 2 * G, poll=2)
+    assert out == [
+        {
+            "key": "a",
+            "start_us": 0,
+            "end_us": 35 * US,
+            "n": 6,
+            "sum_x100": 55,
+            "emit_poll": 2,
+        }
+    ]
+    assert sw.open == {}
+
+
+def test_session_fragments_match_serial_sessionize():
+    """Fragment generation + driver merge == serial gap sessionization of
+    the kept rows, regardless of batch splits."""
+    rng = np.random.default_rng(5)
+    n = 500
+    batch = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 36000, n)) * US, type=pa.timestamp("us")
+            ),
+            "event_type": pa.array(rng.choice(["x", "y"], n)),
+            "value": pa.array(rng.uniform(0, 10, n)),
+        }
+    )
+    pm = streamwin.poll_max_partials(batch, poll_width_s=600, jitter_half_s=300)
+    wm = streamwin.wm_trajectory(pm, lateness_s=120)
+    wb = {p: b for p, (b, _a) in wm.items()}
+    kw = dict(poll_width_s=600, jitter_half_s=300, gap_s=240)
+    frags = pa.concat_tables(
+        [
+            streamwin.session_fragments(batch.slice(0, 170), wb, **kw),
+            streamwin.session_fragments(batch.slice(170, 200), wb, **kw),
+            streamwin.session_fragments(batch.slice(370), wb, **kw),
+        ]
+    )
+    got = streamwin.session_run(frags, wm, gap_s=240).to_pylist()
+
+    # serial oracle over kept rows
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+    poll = (ts + streamwin.arrival_jitter_us(ids, 300)) // (600 * US)
+    keep = ts + 240 * US > np.array([wb[int(p)] for p in poll])
+    keys = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+    sessions = []
+    for k in ("x", "y"):
+        kt = np.sort(ts[keep & (keys == k)])
+        if not len(kt):
+            continue
+        cuts = np.nonzero(np.diff(kt) > 240 * US)[0] + 1
+        for seg in np.split(kt, cuts):
+            sessions.append((k, int(seg[0]), int(seg[-1]), len(seg)))
+    exp = sorted(sessions)
+    gs = sorted((r["key"], r["start_us"], r["end_us"], r["n"]) for r in got)
+    assert gs == exp
+    n_late = int((~keep).sum())
+    assert sum(r["n"] for r in got) + n_late == n
