@@ -5509,6 +5509,74 @@ def watermark_late_events(sf_dir: str):
     return late
 
 
+#: hopping-window scenario: 2 h windows hopping by 1 h (k = 2 windows per
+#: row), same polls/jitter/lateness as the tumbling scenario
+_HOP_WIN_S = 7200
+_HOP_S = 3600
+
+
+@register(
+    "watermark_hopping_counts",
+    f"""
+    WITH {_WM_CTES},
+    hop AS (
+      SELECT e.key, e.ts_us, e.vx100, e.poll,
+             (e.ts_us // {_HOP_S * 1_000_000} - i.i) * {_HOP_S * 1_000_000}
+               AS win_start_us,
+             w.wm_before, w.wm_after
+      FROM (SELECT event_type AS key, ts_us, vx100, poll FROM ev2) e
+      JOIN wm w USING (poll)
+      CROSS JOIN (SELECT unnest(range(0, {_HOP_WIN_S // _HOP_S})) AS i) i),
+    live AS (
+      SELECT * FROM hop
+      WHERE win_start_us + {_HOP_WIN_S * 1_000_000} > wm_before),
+    agg AS (
+      SELECT win_start_us, key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx100) AS BIGINT) AS sum_x100
+      FROM live GROUP BY win_start_us, key),
+    emitp AS (
+      SELECT a.win_start_us, MIN(w.poll) AS ep
+      FROM (SELECT DISTINCT win_start_us FROM agg) a
+      LEFT JOIN wm w ON w.wm_after >= a.win_start_us + {_HOP_WIN_S * 1_000_000}
+      GROUP BY a.win_start_us)
+    SELECT a.win_start_us, a.key, a.n, a.sum_x100,
+           CAST(COALESCE(e.ep, {streamwin.EMIT_AT_FLUSH}) AS BIGINT) AS emit_poll
+    FROM agg a JOIN emitp e USING (win_start_us)
+    """,
+)
+def watermark_hopping_counts(sf_dir: str):
+    """Watermarked HOPPING (sliding) windows — every row lands in
+    window/hop overlapping windows (2 h wide, 1 h hop), completing the
+    window-type triad (tumbling / session / hopping).  Lateness is per
+    (row, window): a straggler can be late for the older of its two windows
+    while still counting in the newer one.  Map-side replication of the
+    hop-sized tumbling cells keeps the distributed pass one ``map_batches``;
+    the SAME watermark state machine finalizes
+    (``stages/streamwin.py::poll_hopping_partials``)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        return streamwin.poll_hopping_partials(
+            t, poll_width_s=_WM_POLL_S,
+            window_width_s=_HOP_WIN_S, hop_s=_HOP_S,
+        )
+
+    folded = streamwin.merge_partials(
+        pa.concat_tables(
+            list(
+                ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+    )
+    wt, _late = streamwin.watermark_run(
+        folded, window_width_s=_HOP_WIN_S, lateness_s=_WM_LATE_S
+    )
+    return wt
+
+
 #: session-window scenario constants (shared verbatim with the oracle SQL):
 #: 2 h arrival polls, ±2 h jitter, 1 h session gap, 1 h allowed lateness
 _SW_POLL_S = 7200

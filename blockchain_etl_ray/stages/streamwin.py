@@ -590,3 +590,40 @@ def session_run(
         if emitted
         else schema.empty_table()
     )
+
+
+def poll_hopping_partials(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    poll_width_s: int = 7200,
+    window_width_s: int = 7200,
+    hop_s: int = 3600,
+) -> pa.Table:
+    """HOPPING-window cells: every row belongs to ``window/hop`` overlapping
+    windows, so the tumbling partials replicate per hop offset (map-side,
+    k small) and the SAME :class:`WatermarkWindower` finalizes them.
+    Lateness is per (row, window): a row can be late for its OLDEST window
+    while on time for the newer ones — the journal counts pairs."""
+    if window_width_s % hop_s:
+        raise ValueError("window_width_s must be a multiple of hop_s")
+    k = window_width_s // hop_s
+    hop_us = hop_s * 1_000_000
+    parts = []
+    base = poll_window_partials(
+        batch, ts_col, id_col, key_col, val_col,
+        poll_width_s=poll_width_s, window_width_s=hop_s,
+    )
+    # base uses hop-sized buckets; shift to each covering window's start
+    for i in range(k):
+        shifted = base.set_column(
+            base.schema.get_field_index("win_start_us"),
+            "win_start_us",
+            pc.subtract(
+                base.column("win_start_us"), pa.scalar(i * hop_us, pa.int64())
+            ),
+        )
+        parts.append(shifted)
+    return merge_partials(pa.concat_tables(parts))

@@ -443,3 +443,52 @@ def test_session_fragments_match_serial_sessionize():
     assert gs == exp
     n_late = int((~keep).sum())
     assert sum(r["n"] for r in got) + n_late == n
+
+
+def test_hopping_partials_replicate_and_late_split():
+    """Every row lands in window/hop windows; a straggler can be late for
+    the OLDER of its windows while counting in the newer one."""
+    batch = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            # jitter(0)=0, so arrival == ts for row 0 etc. (half_s default)
+            "ts": pa.array([100 * US, 150 * US, 210 * US], type=pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array([1.0, 1.0, 1.0]),
+        }
+    )
+    cells = streamwin.poll_hopping_partials(
+        batch, poll_width_s=1_000_000, window_width_s=100, hop_s=50
+    )
+    # window/hop = 2 windows per row
+    assert sum(cells.column("n").to_pylist()) == 2 * batch.num_rows
+    # cells are per (poll, window, key); aggregate across polls per window
+    per_win: dict = {}
+    for w, n in zip(
+        cells.column("win_start_us").to_pylist(), cells.column("n").to_pylist()
+    ):
+        per_win[w] = per_win.get(w, 0) + n
+    # ts=100s -> windows [50,150) and [100,200); ts=150s -> [100,200) and
+    # [150,250); ts=210s -> [150,250) and [200,300)
+    assert sorted(per_win.items()) == [
+        (50 * US, 1),
+        (100 * US, 2),
+        (150 * US, 2),
+        (200 * US, 1),
+    ]
+
+    # late split: watermark already past the older window's end only
+    wm = streamwin.WatermarkWindower(window_width_s=100, lateness_s=0)
+    wm.watermark = 160 * US  # window [50,150) closed; [100,200) still open
+    row = pa.table(
+        {
+            "win_start_us": pa.array([50 * US, 100 * US], type=pa.int64()),
+            "key": pa.array(["a", "a"]),
+            "n": pa.array([1, 1], type=pa.int64()),
+            "sum_x100": pa.array([100, 100], type=pa.int64()),
+            "max_ts_us": pa.array([100 * US, 100 * US], type=pa.int64()),
+        }
+    )
+    ems, n_late = wm.feed(row, poll=5)
+    assert n_late == 1  # the [50,150) copy is late
+    assert (100 * US, "a") in wm.open  # the [100,200) copy counted
