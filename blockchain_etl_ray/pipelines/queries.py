@@ -5509,6 +5509,201 @@ def watermark_late_events(sf_dir: str):
     return late
 
 
+#: streaming interval-join scenario: purchases <- clicks within 2 h, per
+#: user; 2 h polls, ±2 h jitter, 15 min lateness
+_IJ_POLL_S = 7200
+_IJ_JIT_S = 7200
+_IJ_X_S = 7200
+_IJ_LATE_S = 900
+
+_IJ_CTES = f"""
+    ij_ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100,
+             (CAST(epoch_us(ts) AS BIGINT)
+              + (((event_id % {2 * _IJ_JIT_S + 1})
+                  * {streamwin.JITTER_MULT % (2 * _IJ_JIT_S + 1)})
+                   % {2 * _IJ_JIT_S + 1}
+                 - {_IJ_JIT_S}) * 1000000)
+               // {_IJ_POLL_S * 1_000_000} AS poll
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    ij_pm AS (SELECT poll, MAX(ts_us) AS mx FROM ij_ev GROUP BY poll),
+    ij_wm AS (
+      SELECT poll,
+             MAX(mx) OVER (ORDER BY poll ROWS UNBOUNDED PRECEDING)
+               - {_IJ_LATE_S * 1_000_000} AS wm_after,
+             COALESCE(MAX(mx) OVER (ORDER BY poll
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - {_IJ_LATE_S * 1_000_000},
+                      {streamwin.WM_FLOOR}) AS wm_before
+      FROM ij_wm_src)
+"""
+# (ij_wm reads ij_pm; alias kept readable by string substitution below)
+_IJ_CTES = _IJ_CTES.replace("ij_wm_src", "ij_pm")
+
+
+def _ij_inputs(sf_dir: str):
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def pmax(t: pa.Table) -> pa.Table:
+        tv = t.column("event_type")
+        t2 = t.filter(pc.or_(pc.equal(tv, "purchase"), pc.equal(tv, "click")))
+        return streamwin.poll_max_partials(
+            t2, poll_width_s=_IJ_POLL_S, jitter_half_s=_IJ_JIT_S
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(pmax, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    wm = streamwin.wm_trajectory(folded, lateness_s=_IJ_LATE_S)
+    return ds, wm, {p: b for p, (b, _a) in wm.items()}
+
+
+@register(
+    "stream_interval_join",
+    f"""
+    WITH {_IJ_CTES},
+    ij_kept AS (
+      SELECT e.* FROM ij_ev e JOIN ij_wm USING (poll)
+      WHERE e.ts_us + {_IJ_X_S * 1_000_000} > ij_wm.wm_before),
+    ij_join AS (
+      SELECT p.event_id, p.user_id, p.ts_us AS p_ts_us,
+             CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+             CAST(COALESCE(SUM(c.vx100), 0) AS BIGINT) AS sum_click_x100
+      FROM ij_kept p
+      LEFT JOIN ij_kept c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts_us BETWEEN p.ts_us - {_IJ_X_S * 1_000_000} AND p.ts_us
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id, p.ts_us)
+    SELECT j.*,
+           CAST(COALESCE(
+             (SELECT MIN(w.poll) FROM ij_wm w
+              WHERE w.wm_after >= j.p_ts_us + {_IJ_X_S * 1_000_000}),
+             {streamwin.EMIT_AT_FLUSH}) AS BIGINT) AS emit_poll
+    FROM ij_join j
+    """,
+)
+def stream_interval_join(sf_dir: str):
+    """Watermarked INTERVAL JOIN of two streams: every non-late purchase
+    emits — at the first poll whose watermark passes ``purchase.ts + X`` —
+    the count/sum of the same user's non-late clicks within the trailing
+    2 h.  Lateness is symmetric at horizon X for both sides: a purchase that
+    old has already emitted; a click that old cannot join any still-pending
+    purchase (and a future non-late click is provably outside every emitted
+    purchase's range — the emission delay IS the correctness rule).  Fully
+    distributed: the tiny poll-max pass fixes the watermark; classification
+    is map-side; the join itself runs per user-hash partition
+    (``stages/streamwin.py::interval_join_partition`` — right side
+    vectorized slices + prefix sums)."""
+    import numpy as np
+
+    ds, wm, wm_before = _ij_inputs(sf_dir)
+    polls = np.array(sorted(wm), dtype=np.int64)
+    wm_after = np.array([wm[int(p)][1] for p in polls], dtype=np.int64)
+    x_us = _IJ_X_S * 1_000_000
+
+    def rows(t: pa.Table) -> pa.Table:
+        return streamwin.interval_join_rows(
+            t, wm_before, "purchase", "click", x_s=_IJ_X_S,
+            poll_width_s=_IJ_POLL_S, jitter_half_s=_IJ_JIT_S,
+        )
+
+    def upart(t: pa.Table) -> pa.Table:
+        return t.append_column("upart", _mod(t.column("key"), 16))
+
+    out = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .map_batches(upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(
+            lambda g: streamwin.interval_join_partition(
+                g.drop_columns(["upart"]), polls, wm_after, x_us
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _stable(
+        out,
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("p_ts_us", pa.int64()),
+            ("n_clicks", pa.int64()),
+            ("sum_click_x100", pa.int64()),
+            ("emit_poll", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "stream_interval_join_late",
+    f"""
+    WITH {_IJ_CTES}
+    SELECT e.poll, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM ij_ev e JOIN ij_wm USING (poll)
+    WHERE e.ts_us + {_IJ_X_S * 1_000_000} <= ij_wm.wm_before
+    GROUP BY e.poll, e.event_type
+    """,
+)
+def stream_interval_join_late(sf_dir: str):
+    """The per-side late journal of :func:`stream_interval_join`."""
+    ds, _wm, wm_before = _ij_inputs(sf_dir)
+
+    def late(t: pa.Table) -> pa.Table:
+        tv = t.column("event_type")
+        t2 = t.filter(pc.or_(pc.equal(tv, "purchase"), pc.equal(tv, "click")))
+        if t2.num_rows == 0:
+            return pa.table(
+                {
+                    "poll": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "n_late": pa.array([], type=pa.int64()),
+                }
+            )
+        ts_us, poll, keep = streamwin._polls_and_keep(
+            t2, wm_before, "ts", "event_id", _IJ_POLL_S, _IJ_JIT_S, _IJ_X_S
+        )
+        lt = pa.table(
+            {
+                "poll": pa.array(poll, type=pa.int64()),
+                "event_type": t2.column("event_type"),
+            }
+        ).filter(pa.array(~keep))
+        g = lt.group_by(["poll", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "poll": g.column("poll"),
+                "event_type": g.column("event_type"),
+                "n_late": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(late, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["poll", "event_type"]).aggregate([("n_late", "sum")])
+    return pa.table(
+        {
+            "poll": g.column("poll"),
+            "event_type": g.column("event_type"),
+            "n_late": g.column("n_late_sum"),
+        }
+    ).sort_by([("poll", "ascending"), ("event_type", "ascending")])
+
+
 #: hopping-window scenario: 2 h windows hopping by 1 h (k = 2 windows per
 #: row), same polls/jitter/lateness as the tumbling scenario
 _HOP_WIN_S = 7200

@@ -627,3 +627,107 @@ def poll_hopping_partials(
         )
         parts.append(shifted)
     return merge_partials(pa.concat_tables(parts))
+
+
+# ---------------------------------------------------------------------------
+# Watermarked interval join of two streams (purchase <- clicks within X)
+# ---------------------------------------------------------------------------
+
+
+def interval_join_rows(
+    batch: pa.Table,
+    wm_before: dict[int, int],
+    left_type: str,
+    right_type: str,
+    x_s: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    val_col: str = "value",
+    poll_width_s: int = 7200,
+    jitter_half_s: int = 7200,
+) -> pa.Table:
+    """Classify one batch for the streaming interval join: keep the NON-LATE
+    rows of both streams as slim rows (side, key, ts, value, id).  A row is
+    late iff ``ts + X <= wm_before(poll)`` — symmetric for both sides: a
+    left row that old would have already emitted, and a right row that old
+    cannot join any left row still pending (pending lefts emit only when
+    ``wm >= ts + X``)."""
+    from ..functions.parity import scaled_int
+
+    tv = batch.column(type_col)
+    mask = pc.or_(pc.equal(tv, left_type), pc.equal(tv, right_type))
+    t = batch.filter(mask)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "is_left": pa.array([], type=pa.bool_()),
+                "key": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "vx100": pa.array([], type=pa.int64()),
+                "row_id": pa.array([], type=pa.int64()),
+            }
+        )
+    ts_us, poll, keep = _polls_and_keep(
+        t, wm_before, ts_col, id_col, poll_width_s, jitter_half_s, x_s
+    )
+    out = pa.table(
+        {
+            "is_left": pc.equal(t.column(type_col), left_type),
+            "key": pc.cast(t.column(key_col), pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "vx100": scaled_int(t.column(val_col)),
+            "row_id": pc.cast(t.column(id_col), pa.int64()),
+        }
+    )
+    return out.filter(pa.array(keep))
+
+
+def interval_join_partition(
+    group: pa.Table, polls: np.ndarray, wm_after: np.ndarray, x_us: int
+) -> pa.Table:
+    """One key-hash partition of the streaming interval join, closed form:
+    for every kept LEFT row, count/sum the kept RIGHT rows of the same key
+    with ``ts in [left.ts - X, left.ts]``; ``emit_poll`` is the first poll
+    whose watermark passes ``left.ts + X`` (monotone, so one searchsorted),
+    EMIT_AT_FLUSH if the stream ends first.  Right rows are vectorized
+    (per-key slices + prefix sums); the per-left inner bound search is
+    bounded by the partition's left count."""
+    is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+    key = group.column("key").to_numpy(zero_copy_only=False)
+    ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+    vx = group.column("vx100").to_numpy(zero_copy_only=False)
+    rid = group.column("row_id").to_numpy(zero_copy_only=False)
+
+    c_order = np.lexsort((ts[~is_left], key[~is_left]))
+    c_key, c_ts = key[~is_left][c_order], ts[~is_left][c_order]
+    c_cum = np.concatenate([[0], np.cumsum(vx[~is_left][c_order])])
+
+    p_key, p_ts, p_id = key[is_left], ts[is_left], rid[is_left]
+    lo_u = np.searchsorted(c_key, p_key, side="left")
+    hi_u = np.searchsorted(c_key, p_key, side="right")
+    n_clicks = np.zeros(len(p_key), dtype=np.int64)
+    sums = np.zeros(len(p_key), dtype=np.int64)
+    for i in range(len(p_key)):
+        a = lo_u[i] + np.searchsorted(
+            c_ts[lo_u[i] : hi_u[i]], p_ts[i] - x_us, side="left"
+        )
+        b = lo_u[i] + np.searchsorted(
+            c_ts[lo_u[i] : hi_u[i]], p_ts[i], side="right"
+        )
+        n_clicks[i] = b - a
+        sums[i] = c_cum[b] - c_cum[a]
+    idx = np.searchsorted(wm_after, p_ts + x_us, side="left")
+    emit = np.where(idx < len(polls), polls[np.minimum(idx, len(polls) - 1)],
+                    EMIT_AT_FLUSH).astype(np.int64)
+    return pa.table(
+        {
+            "event_id": pa.array(p_id, type=pa.int64()),
+            "user_id": pa.array(p_key, type=pa.int64()),
+            "p_ts_us": pa.array(p_ts, type=pa.int64()),
+            "n_clicks": pa.array(n_clicks),
+            "sum_click_x100": pa.array(sums),
+            "emit_poll": pa.array(emit),
+        }
+    )

@@ -492,3 +492,31 @@ def test_hopping_partials_replicate_and_late_split():
     ems, n_late = wm.feed(row, poll=5)
     assert n_late == 1  # the [50,150) copy is late
     assert (100 * US, "a") in wm.open  # the [100,200) copy counted
+
+
+def test_interval_join_partition_bounds_and_flush():
+    g = pa.table(
+        {
+            "is_left": pa.array([True, True, False, False, False, False]),
+            "key": pa.array([7, 7, 7, 7, 7, 8], type=pa.int64()),
+            "ts_us": pa.array(
+                [100 * US, 500 * US, 40 * US, 100 * US, 101 * US, 100 * US],
+                type=pa.int64(),
+            ),
+            "vx100": pa.array([0, 0, 10, 20, 40, 80], type=pa.int64()),
+            "row_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        }
+    )
+    polls = np.array([0, 1], dtype=np.int64)
+    wm_after = np.array([50 * US, 200 * US], dtype=np.int64)
+    out = streamwin.interval_join_partition(g, polls, wm_after, x_us=60 * US)
+    by = {r["event_id"]: r for r in out.to_pylist()}
+    # purchase@100: clicks in [40, 100] same key -> ts 40 and 100 (BOTH
+    # bounds inclusive), NOT 101, NOT key 8; emits at poll 1 (wm 200 >= 160)
+    assert by[1] == {
+        "event_id": 1, "user_id": 7, "p_ts_us": 100 * US,
+        "n_clicks": 2, "sum_click_x100": 30, "emit_poll": 1,
+    }
+    # purchase@500: no clicks in range; watermark never reaches 560 -> flush
+    assert by[2]["n_clicks"] == 0 and by[2]["sum_click_x100"] == 0
+    assert by[2]["emit_poll"] == streamwin.EMIT_AT_FLUSH
