@@ -5926,6 +5926,125 @@ def watermark_session_late(sf_dir: str):
     return out.sort_by([("poll", "ascending")])
 
 
+@register(
+    "doc_stupid_backoff_scores",
+    f"""
+    WITH sbw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sbt AS (
+      SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+      FROM sbw),
+    sb_pos AS (
+      SELECT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS tg,
+             a.term || ' ' || b.term AS bg12,
+             b.term || ' ' || c.term AS bg23,
+             b.term AS w2, c.term AS w3
+      FROM sbt a
+      JOIN sbt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN sbt c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    sb_u AS (SELECT term, count(*) AS c FROM sbt
+             WHERE doc_id % 10 <> 0 GROUP BY term),
+    sb_n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM sb_u),
+    sb_bi AS (
+      SELECT a.term || ' ' || b.term AS bg, count(*) AS c
+      FROM sbt a JOIN sbt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.doc_id % 10 <> 0 GROUP BY bg),
+    sb_tri AS (SELECT tg, count(*) AS c FROM sb_pos
+               WHERE doc_id % 10 <> 0 GROUP BY tg),
+    sb_lp AS (
+      SELECT p.doc_id,
+             CASE
+               WHEN t3.c IS NOT NULL THEN
+                 CAST(floor(ln(CAST(t3.c AS DOUBLE) / b12.c) * 1000000 + 0.5)
+                      AS BIGINT)
+               WHEN b23.c IS NOT NULL THEN
+                 {text.SB_ALPHA_X1M}
+                 + CAST(floor(ln(CAST(b23.c AS DOUBLE) / u2.c) * 1000000 + 0.5)
+                        AS BIGINT)
+               ELSE
+                 {2 * text.SB_ALPHA_X1M}
+                 + CAST(floor(ln(CAST(COALESCE(u3.c, 1) AS DOUBLE)
+                                 / (SELECT n FROM sb_n)) * 1000000 + 0.5)
+                        AS BIGINT)
+             END AS v
+      FROM sb_pos p
+      LEFT JOIN sb_tri t3 ON t3.tg = p.tg
+      LEFT JOIN sb_bi b12 ON b12.bg = p.bg12
+      LEFT JOIN sb_bi b23 ON b23.bg = p.bg23
+      LEFT JOIN sb_u u2 ON u2.term = p.w2
+      LEFT JOIN sb_u u3 ON u3.term = p.w3),
+    sb_per AS (
+      SELECT doc_id, count(*) AS n_trigrams, SUM(v) AS s
+      FROM sb_lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS sb_logprob_x1m
+    FROM documents d LEFT JOIN sb_per p ON p.doc_id = d.doc_id
+    """,
+)
+def doc_stupid_backoff_scores(sf_dir: str):
+    """Trigram stupid-backoff LM scoring (Brants et al. 2007 — the
+    web-scale n-gram rule KenLM-style quality filters approximate): the
+    model fits on the TRAIN split (doc_id % 10 != 0) and scores EVERY doc,
+    so held-out docs genuinely exercise the backoff chain (trigram →
+    0.4-discounted bigram → double-discounted unigram with a count-1 OOV
+    floor).  One partial pass counts all three n-gram orders
+    (vocabulary-sized rows leave each batch); the fitted int64 tables
+    broadcast once; scoring is map-side integer summation — bit-exact vs
+    the oracle (``stages/text.py::fit_stupid_backoff/StupidBackoffScorer``)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        train = t.filter(pc.not_equal(_mod(t.column("doc_id"), 10), 0))
+        outs = []
+        for k in (1, 2, 3):
+            rows = text.word_ngram_rows(train, k=k)
+            g = rows.group_by("shingle").aggregate([([], "count_all")])
+            outs.append(
+                pa.table(
+                    {
+                        "term": g.column("shingle"),
+                        "k": pa.array([k] * g.num_rows, type=pa.int8()),
+                        "c": pc.cast(g.column("count_all"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    folded = pa.concat_tables(
+        list(
+            docs.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["term", "k"]).aggregate([("c", "sum")])
+    by_k = {}
+    for k in (1, 2, 3):
+        sub = g.filter(pc.equal(g.column("k"), k))
+        by_k[k] = pa.table({"term": sub.column("term"), "c": sub.column("c_sum")})
+    model_ref = ray.put(text.fit_stupid_backoff(by_k[1], by_k[2], by_k[3]))
+    return _stable(
+        docs.map_batches(
+            text.StupidBackoffScorer,
+            fn_constructor_args=(model_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        ),
+        [
+            ("doc_id", pa.int64()),
+            ("n_trigrams", pa.int64()),
+            ("sb_logprob_x1m", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -357,6 +357,116 @@ class DsirScorer:
         )
 
 
+#: stupid-backoff discount ln(0.4)·1e6, half-up — shared with the oracle SQL
+SB_ALPHA_X1M = -916291
+
+
+def fit_stupid_backoff(
+    uni: pa.Table, bi: pa.Table, tri: pa.Table
+) -> tuple[dict[str, int], dict[str, int], dict[str, int], int]:
+    """Trigram stupid-backoff model (Brants et al. 2007 — the web-scale
+    n-gram scoring rule: relative frequencies, no normalization, a fixed
+    0.4 discount per backoff level) from summed per-order (term, c)
+    partials.  Returns ``(lp_tri, lp_bi, lp_uni, oov_floor)``:
+
+    - ``lp_tri[w1 w2 w3] = round(ln(c3/c2(w1 w2))·1e6)``
+    - ``lp_bi[w2 w3]     = round(ln(c2/c1(w2))·1e6)``
+    - ``lp_uni[w]        = round(ln(c1/N)·1e6)``
+    - ``oov_floor        = round(ln(1/N)·1e6)`` (unseen word, count-1 floor)
+
+    Each value is ONE float expression mirrored exactly by the SQL; scoring
+    sums int64, so document scores are order-independent and bit-exact."""
+    c1 = dict(zip(uni.column("term").to_pylist(), uni.column("c").to_pylist()))
+    lp_uni = fit_unigram_logp(uni)
+    n_total = float(sum(c1.values()))
+    oov_floor = int(np.floor(np.log(1.0 / n_total) * 1000000.0 + 0.5))
+
+    bg = bi.column("term").to_pylist()
+    c2v = bi.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    den1 = np.array([c1[b.split(" ", 1)[0]] for b in bg], dtype=np.float64)
+    lp_bi = dict(
+        zip(
+            bg,
+            np.floor(np.log(c2v / den1) * 1000000.0 + 0.5)
+            .astype(np.int64)
+            .tolist(),
+        )
+    )
+    c2 = dict(zip(bg, c2v.astype(np.int64).tolist()))
+
+    tg = tri.column("term").to_pylist()
+    c3v = tri.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    den2 = np.array(
+        [c2[t.rsplit(" ", 1)[0]] for t in tg], dtype=np.float64
+    )
+    lp_tri = dict(
+        zip(
+            tg,
+            np.floor(np.log(c3v / den2) * 1000000.0 + 0.5)
+            .astype(np.int64)
+            .tolist(),
+        )
+    )
+    return lp_tri, lp_bi, lp_uni, oov_floor
+
+
+class StupidBackoffScorer:
+    """Per-doc trigram stupid-backoff log-score (actor-pool stage): each
+    in-order trigram contributes ``ln(c3/c2)`` if seen in TRAINING, else
+    ``ln(0.4) + ln(c2(w2 w3)/c1(w2))``, else ``2·ln(0.4) + unigram(w3)``
+    (count-1 floor for OOV) — the held-out scoring path real LM quality
+    filters run.  The fitted tables broadcast once; per batch only the
+    trigram DICTIONARY walks the python dicts.  Output: (doc_id,
+    n_trigrams, sb_logprob_x1m)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.lp_tri, self.lp_bi, self.lp_uni, self.oov = (
+            ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+        )
+
+    def _lp_of(self, tg: str) -> int:
+        v = self.lp_tri.get(tg)
+        if v is not None:
+            return v
+        bg23 = tg.split(" ", 1)[1]
+        v = self.lp_bi.get(bg23)
+        if v is not None:
+            return SB_ALPHA_X1M + v
+        w3 = tg.rsplit(" ", 1)[1]
+        return 2 * SB_ALPHA_X1M + self.lp_uni.get(w3, self.oov)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = word_ngram_rows(batch, k=3)
+        out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tri = np.zeros(len(out_ids), dtype=np.int64)
+        s = np.zeros(len(out_ids), dtype=np.int64)
+        if rows.num_rows:
+            term = rows.column("shingle")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            enc = term.dictionary_encode()
+            dict_lp = np.fromiter(
+                (self._lp_of(t) for t in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            lp = dict_lp[enc.indices.to_numpy(zero_copy_only=False)]
+            did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(out_ids, kind="stable")
+            dinv = order[np.searchsorted(out_ids[order], did)]
+            np.add.at(n_tri, dinv, 1)
+            np.add.at(s, dinv, lp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_trigrams": pa.array(n_tri),
+                "sb_logprob_x1m": pa.array(s),
+            }
+        )
+
+
 def fit_vocab_ids(counts: pa.Table) -> dict[str, int]:
     """{term → vocab id} with ids assigned by DESCENDING corpus count, ties
     broken by term (ascending) — the frequency-ranked vocabulary of a

@@ -863,6 +863,53 @@ def test_unigram_vocab_encoder_edges():
     assert rows[12] == (4, 2 * logp["a"] + logp["b"] + logp["c"])
 
 
+def test_stupid_backoff_chain():
+    """StupidBackoffScorer walks every backoff level correctly: seen trigram
+    (relative frequency vs its bigram prefix), bigram-only backoff (one
+    alpha discount), unigram backoff (two discounts), and the count-1 OOV
+    floor; <3-token docs score (0, 0)."""
+    import numpy as np
+
+    from blockchain_etl_ray.stages.text import (
+        SB_ALPHA_X1M,
+        StupidBackoffScorer,
+        fit_stupid_backoff,
+    )
+
+    def lp(x):
+        return int(np.floor(np.log(x) * 1_000_000.0 + 0.5))
+
+    # train corpus: "a b c a b d" — N=6
+    uni = pa.table({"term": ["a", "b", "c", "d"], "c": [2, 2, 1, 1]})
+    bi = pa.table({"term": ["a b", "b c", "c a", "b d"], "c": [2, 1, 1, 1]})
+    tri = pa.table(
+        {"term": ["a b c", "b c a", "c a b", "a b d"], "c": [1, 1, 1, 1]}
+    )
+    model = fit_stupid_backoff(uni, bi, tri)
+    lp_tri, lp_bi, lp_uni, oov = model
+    assert lp_tri["a b c"] == lp(1 / 2)
+    assert lp_bi["a b"] == 0  # ln(c2("a b")/c1("a")) = ln(2/2)
+    assert lp_uni["c"] == lp(1 / 6) and oov == lp(1 / 6)
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(["a b c x", "d a b", "x a c", "", "a b"]),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sb_logprob_x1m"])
+        for r in StupidBackoffScorer(model)(docs).to_pylist()
+    }
+    # "a b c" seen; "b c x": bg23 "c x" unseen, w3 x is OOV
+    assert got[1] == (2, lp_tri["a b c"] + 2 * SB_ALPHA_X1M + oov)
+    # "d a b": trigram unseen, bg23 "a b" seen -> one discount
+    assert got[2] == (1, SB_ALPHA_X1M + lp_bi["a b"])
+    # "x a c": trigram+bigram unseen, w3 "c" in vocab -> two discounts
+    assert got[3] == (1, 2 * SB_ALPHA_X1M + lp_uni["c"])
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+
+
 def test_tumbling_pivot_unknown_category_raises():
     """tumbling_pivot: the pivot schema is fixed up front — a category value
     outside the declared set must raise, not silently drop."""
