@@ -6045,6 +6045,71 @@ def doc_stupid_backoff_scores(sf_dir: str):
     )
 
 
+#: sequence length for the concat-and-chunk packing layout (shared with SQL)
+_PACK_SEQ_LEN = 128
+
+
+@register(
+    "doc_concat_pack",
+    f"""
+    WITH cp_t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cp_c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+      FROM cp_t)
+    SELECT doc_id, n_tokens, start_tok,
+           CASE WHEN n_tokens = 0 THEN CAST(-1 AS BIGINT)
+                ELSE start_tok // {_PACK_SEQ_LEN} END AS first_seq,
+           CASE WHEN n_tokens = 0 THEN CAST(-1 AS BIGINT)
+                ELSE (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN}
+           END AS last_seq
+    FROM cp_c
+    """,
+)
+def doc_concat_pack(sf_dir: str):
+    """Concat-and-chunk packing layout (the GPT-style pretraining shard:
+    all documents concatenated in doc_id order, cut into fixed 128-token
+    training sequences): per document, its global token offset and the
+    first/last sequence ids it lands in.  A global prefix sum computed with
+    NO global sort — coarse range-bucket Σ partials give every bucket a
+    broadcast base; only a per-bucket exchange moves rows
+    (``stages/sampling.py::concat_pack_offsets``)."""
+    from ..stages.sampling import concat_pack_offsets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    out = concat_pack_offsets(
+        docs.map_batches(weigh, batch_format="pyarrow"),
+        "doc_id",
+        "n_tokens",
+        seq_len=_PACK_SEQ_LEN,
+    )
+    return _stable(
+        out,
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("first_seq", pa.int64()),
+            ("last_seq", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

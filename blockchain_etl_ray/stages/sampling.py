@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Max, Min
 
 from ..functions.hashing import md5_prefix_u32
 
@@ -447,6 +448,97 @@ def weighted_prefix_take(
         return t.filter(pa.array(below | in_bnd))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def concat_pack_offsets(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    seq_len: int,
+    coarse_bits: int = 8,
+) -> rd.Dataset:
+    """Concat-and-chunk packing offsets (the GPT-style pretraining layout:
+    concatenate every document's tokens in ascending ``key_col`` order into
+    ONE global token stream, cut the stream into fixed ``seq_len`` training
+    sequences): report, per row, its global ``start_tok`` plus the first and
+    last sequence ids it occupies (−1/−1 for zero-weight rows) — exactly
+    SQL's exclusive window ``SUM(w) OVER (ORDER BY key)`` followed by
+    integer division.  Unlike ``pack_sequences`` (greedy FFD bins, order
+    destroyed) this preserves the deterministic document order and lets a
+    doc SPAN sequence boundaries, which is what an actual next-token
+    training shard does.
+
+    Distributed shape — a global prefix sum with NO global sort: the key
+    range is split into 2^``coarse_bits`` coarse buckets.  Pass 1 folds
+    (bucket, Σw) partials map-side — the driver sees 2^bits numbers whose
+    exclusive prefix gives every bucket's global base offset.  Pass 2 groups
+    rows by bucket (the one exchange) and each bucket task sorts ITS rows by
+    key and adds a local exclusive cumsum to its broadcast base.  Driver
+    state is O(2^bits); pick ``coarse_bits`` so rows/2^bits fits one task.
+    ``key_col`` must be integer and unique.
+    """
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            (weight_col, pa.int64()),
+            ("start_tok", pa.int64()),
+            ("first_seq", pa.int64()),
+            ("last_seq", pa.int64()),
+        ]
+    )
+    # slim (key, weight) projection; three jobs (min/max, histogram, pack)
+    ds = ds.materialize()
+    mm = ds.aggregate(Min(key_col), Max(key_col))
+    if not mm or mm.get(f"min({key_col})") is None:
+        return rd.from_arrow(out_schema.empty_table())
+    mn, mx = int(mm[f"min({key_col})"]), int(mm[f"max({key_col})"])
+    n_coarse = 1 << coarse_bits
+    width = max(1, (mx - mn) // n_coarse + 1)
+
+    def _cb(t: pa.Table) -> np.ndarray:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (k - mn) // width
+
+    def part(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(_cb(t), weights=w, minlength=n_coarse).astype(np.int64)
+        nz = np.nonzero(tot)[0]
+        return pa.table({"cb": pa.array(nz), "w": pa.array(tot[nz])})
+
+    totals = np.zeros(n_coarse, dtype=np.int64)
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        totals[r["cb"]] += r["w"]
+    base = np.concatenate(([0], np.cumsum(totals)[:-1]))  # exclusive prefix
+
+    def with_cb(t: pa.Table) -> pa.Table:
+        return t.append_column("cb", pa.array(_cb(t)))
+
+    def pack(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, w = k[order], w[order]
+        start = base[int(g.column("cb")[0].as_py())] + np.concatenate(
+            ([0], np.cumsum(w)[:-1])
+        )
+        nz = w > 0
+        first = np.where(nz, start // seq_len, -1)
+        last = np.where(nz, (start + w - 1) // seq_len, -1)
+        return pa.table(
+            {
+                key_col: pa.array(k),
+                weight_col: pa.array(w),
+                "start_tok": pa.array(start.astype(np.int64)),
+                "first_seq": pa.array(first.astype(np.int64)),
+                "last_seq": pa.array(last.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(with_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(pack, batch_format="pyarrow")
+    )
 
 
 def _md5_u32_of(t: pa.Table, key_col: str) -> np.ndarray:

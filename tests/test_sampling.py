@@ -199,3 +199,57 @@ def test_weighted_prefix_take_matches_bruteforce():
             keep.add(int(t.column("k")[int(i)].as_py()))
     assert set(got.column("k").to_pylist()) == keep
     assert len(keep) > 0 and len(keep) < n
+
+
+def test_concat_pack_offsets_matches_serial_prefix():
+    """concat_pack_offsets == the serial exclusive prefix sum in key order,
+    regardless of block layout: docs span sequence boundaries, zero-weight
+    rows get (-1, -1), sparse/duplicate-free keys split across many coarse
+    buckets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.sampling import concat_pack_offsets
+
+    # sparse, shuffled keys; weights include zeros and seq_len straddlers
+    keys = [(i * 977) % 4999 for i in range(800)]
+    ws = [(0 if i % 97 == 0 else 1 + (i * 13) % 60) for i in range(800)]
+    rows = [{"k": k, "w": w} for k, w in zip(keys, ws)]
+    L = 32
+    out = (
+        concat_pack_offsets(
+            rd.from_items(rows).repartition(7), "k", "w", seq_len=L, coarse_bits=4
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(rows)
+    srt = sorted(rows, key=lambda r: r["k"])
+    start = 0
+    for i, r in enumerate(srt):
+        assert out["k"][i] == r["k"] and out["w"][i] == r["w"]
+        assert out["start_tok"][i] == start
+        if r["w"] == 0:
+            assert out["first_seq"][i] == -1 and out["last_seq"][i] == -1
+        else:
+            assert out["first_seq"][i] == start // L
+            assert out["last_seq"][i] == (start + r["w"] - 1) // L
+        start += r["w"]
+    # at least one doc straddles a sequence boundary
+    spans = out[out["first_seq"] >= 0]
+    assert (spans["last_seq"] > spans["first_seq"]).any()
+
+
+def test_concat_pack_offsets_empty():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.sampling import concat_pack_offsets
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())})
+    )
+    out = concat_pack_offsets(empty, "k", "w", seq_len=8)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "w", "start_tok", "first_seq", "last_seq"}
