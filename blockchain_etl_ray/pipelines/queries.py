@@ -6110,6 +6110,79 @@ def doc_concat_pack(sf_dir: str):
     )
 
 
+#: length-bucketed batching: number of buckets and the composite-key base
+_LENBUCKET_K = 8
+_LENBUCKET_BASE = 1 << 40
+
+
+@register(
+    "doc_length_buckets",
+    f"""
+    WITH lb AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    lr AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rnk
+      FROM lb)
+    SELECT doc_id, n_tokens, CAST(rnk AS BIGINT) AS rank,
+           CAST((rnk * {_LENBUCKET_K}) // (SELECT count(*) FROM lb)
+                AS BIGINT) AS bucket
+    FROM lr
+    """,
+)
+def doc_length_buckets(sf_dir: str):
+    """Length-bucketed batching assignment (the dynamic-batching /
+    curriculum primitive: group docs of similar token length so padded
+    batches waste no compute): every doc's exact global rank in
+    (n_tokens, doc_id) order and its equal-population length bucket
+    ``rank·K // N``.  The composite order packs into one int64 key and the
+    rank is a sort-free global prefix count
+    (``stages/sampling.py::global_rank``)."""
+    from ..stages.sampling import global_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table(
+            {
+                "ckey": pc.add(
+                    pc.multiply(n, pa.scalar(_LENBUCKET_BASE, type=pa.int64())),
+                    did,
+                )
+            }
+        )
+
+    ranked = global_rank(docs.map_batches(keyed, batch_format="pyarrow"), "ckey")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t.column("ckey").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(k % _LENBUCKET_BASE),
+                "n_tokens": pa.array(k // _LENBUCKET_BASE),
+                "rank": pa.array(r),
+                "bucket": pa.array(r * _LENBUCKET_K // n_docs),
+            }
+        )
+
+    return _stable(
+        ranked.map_batches(unpack, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("rank", pa.int64()),
+            ("bucket", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

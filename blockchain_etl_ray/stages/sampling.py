@@ -541,5 +541,38 @@ def concat_pack_offsets(
     )
 
 
+def global_rank(ds: rd.Dataset, key_col: str, coarse_bits: int = 8) -> rd.Dataset:
+    """0-based global rank of every row in ascending ``key_col`` order —
+    SQL ``row_number() OVER (ORDER BY key) - 1`` — WITHOUT a global sort:
+    it is ``concat_pack_offsets`` with unit weights (a row's exclusive
+    prefix COUNT is its rank).  Keys must be integer and unique; composite
+    orders pack into one int64 (``a * 2^k + b`` with ``b < 2^k``).  Output:
+    (``key_col``, ``rank``).  Same scale shape: 2^``coarse_bits`` driver
+    ints + one per-bucket exchange."""
+
+    def unit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: pc.cast(t.column(key_col), pa.int64()),
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = concat_pack_offsets(
+        ds.map_batches(unit, batch_format="pyarrow"),
+        key_col,
+        "_one",
+        seq_len=1,
+        coarse_bits=coarse_bits,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {key_col: t.column(key_col), "rank": t.column("start_tok")}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _md5_u32_of(t: pa.Table, key_col: str) -> np.ndarray:
     return md5_prefix_u32(pc.cast(t.column(key_col), pa.string())).astype(np.uint32)

@@ -253,3 +253,21 @@ def test_concat_pack_offsets_empty():
     out = concat_pack_offsets(empty, "k", "w", seq_len=8)
     assert out.count() == 0
     assert set(out.schema().names) == {"k", "w", "start_tok", "first_seq", "last_seq"}
+
+
+def test_global_rank_matches_argsort():
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.sampling import global_rank
+
+    keys = [(i * 2654435761) % 100003 for i in range(1000)]
+    assert len(set(keys)) == len(keys)
+    out = (
+        global_rank(rd.from_items([{"k": k} for k in keys]).repartition(9), "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = sorted(keys)
+    assert list(out["k"]) == want
+    assert list(out["rank"]) == list(range(len(keys)))
