@@ -6183,6 +6183,48 @@ def doc_length_buckets(sf_dir: str):
     )
 
 
+#: merge budget for the trained-BPE tokenizer query
+_BPE_N_MERGES = 60
+
+
+@register("bpe_train_token_counts", None)
+def bpe_train_token_counts(sf_dir: str):
+    """REAL BPE tokenizer training + encoding (Sennrich et al. 2016; no SQL
+    oracle — the merge loop is iterative, pytest holds the serial-reference
+    parity): a distributed word-count fold (vocabulary-sized rows leave
+    each batch) feeds the driver-side merge loop — bounded by
+    max_vocab/min_count exactly like practical trainers — then the learned
+    merge list broadcasts once and an actor-pool encoder re-tokenizes every
+    document with a per-actor word cache
+    (``stages/text.py::fit_bpe_merges/BpeEncoder``)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    folded = pa.concat_tables(
+        list(
+            docs.map_batches(
+                text.unigram_count_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    g = folded.group_by("term").aggregate([("c", "sum")])
+    counts = pa.table({"term": g.column("term"), "c": g.column("c_sum")})
+    merges_ref = ray.put(text.fit_bpe_merges(counts, n_merges=_BPE_N_MERGES))
+    return _stable(
+        docs.map_batches(
+            text.BpeEncoder,
+            fn_constructor_args=(merges_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        ),
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("n_bpe_tokens", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -777,6 +777,131 @@ def bpe_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.drop_columns([text_col]).append_column("n_bpe_tokens", n)
 
 
+#: end-of-word marker for trained BPE (Sennrich et al. 2016 convention)
+BPE_EOW = "</w>"
+
+
+def fit_bpe_merges(
+    counts: pa.Table,
+    n_merges: int,
+    max_vocab: int = 50_000,
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """TRAIN a byte-pair-encoding merge list (Sennrich et al. 2016 — the
+    real tokenizer-training algorithm, not the regex approximation of
+    ``bpe_token_counts``) from summed (term, c) word-count partials: each
+    word is a symbol sequence (chars + ``</w>``); repeatedly merge the
+    frequency-weighted most-common adjacent symbol pair (ties broken by
+    lexicographically SMALLEST pair, so the merge list is a pure function
+    of the counts — partition- and schedule-independent).
+
+    Scale contract: the corpus-sized work is the distributed word-count
+    fold that produced ``counts``; THIS loop is vocabulary-sized and runs
+    on the driver like every practical BPE trainer.  ``max_vocab`` /
+    ``min_count`` bound the driver work explicitly (top-V words by
+    (c desc, term asc)); cost is O(V·avg_len·n_merges)."""
+    terms = counts.column("term").to_pylist()
+    cs = counts.column("c").to_pylist()
+    ranked = sorted(zip(terms, cs), key=lambda tc: (-tc[1], tc[0]))
+    ranked = [(t, c) for t, c in ranked if c >= min_count][:max_vocab]
+    words = [tuple(t) + (BPE_EOW,) for t, _ in ranked]
+    freqs = [c for _, c in ranked]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, f in zip(words, freqs):
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+        if not pair_counts:
+            break
+        mx = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == mx)
+        merges.append(best)
+        words = [_bpe_merge_once(s, best) for s in words]
+    return merges
+
+
+def _bpe_merge_once(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Replace every non-overlapping left-to-right occurrence of ``pair``."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    joined = pair[0] + pair[1]
+    while i < n:
+        if i < n - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+class BpeEncoder:
+    """Apply a TRAINED merge list to every document (actor-pool stage):
+    standard greedy rank-order BPE encode per distinct word (best-ranked
+    pair merges first), with a per-actor word cache so each distinct word
+    is encoded once per actor lifetime.  Per batch only the word DICTIONARY
+    walks Python; per-doc totals are segmented int64 sums.  Output:
+    (doc_id, n_words, n_bpe_tokens)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = (
+            ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        )
+        self.ranks: dict[tuple[str, str], int] = {
+            p: i for i, p in enumerate(merges)
+        }
+        self.cache: dict[str, int] = {}
+
+    def _n_tokens_of(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is not None:
+            return n
+        syms = tuple(word) + (BPE_EOW,)
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(syms, syms[1:]):
+                r = self.ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, p
+            if best_pair is None:
+                break
+            syms = _bpe_merge_once(syms, best_pair)
+        self.cache[word] = len(syms)
+        return len(syms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = word_ngram_rows(batch, k=1)
+        out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_words = np.zeros(len(out_ids), dtype=np.int64)
+        n_bpe = np.zeros(len(out_ids), dtype=np.int64)
+        if rows.num_rows:
+            term = rows.column("shingle")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            enc = term.dictionary_encode()
+            dict_n = np.fromiter(
+                (self._n_tokens_of(t) for t in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            per_row = dict_n[enc.indices.to_numpy(zero_copy_only=False)]
+            did = rows.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(out_ids, kind="stable")
+            dinv = order[np.searchsorted(out_ids[order], did)]
+            np.add.at(n_words, dinv, 1)
+            np.add.at(n_bpe, dinv, per_row)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )
+
+
 _ROLL_B = np.uint64(131)
 _ROLL_BINV = np.uint64(pow(131, -1, 1 << 64))
 #: winnowing defaults, shared with the oracle SQL builder (_winnow_sql)

@@ -945,3 +945,114 @@ def test_inverted_index_min_df_and_postings_order():
         for r in inverted_index(rd.from_arrow(t), min_df=2).take_all()
     }
     assert out == {"zz": (3, "3,5,9"), "yy": (2, "5,9")}
+
+
+def test_bpe_train_matches_serial_reference():
+    """fit_bpe_merges/BpeEncoder vs an independent serial reference: the
+    merge list must equal a from-scratch recount loop over plain dicts, and
+    the greedy rank-order encoder must equal applying the merges
+    sequentially in training order (the Sennrich-original formulation —
+    equivalent because a merge can never create a lower-ranked pair).
+    Counts fold is partition-invariant, so the merge list is too."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.text import (
+        BPE_EOW,
+        BpeEncoder,
+        fit_bpe_merges,
+        unigram_count_partials,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a rat sat on a mat",
+        "mats and cats and rats",
+        "THE CATTY catt cat",
+        "",
+        "on on on the the the",
+        "zq xv 9q9",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+    # --- independent reference ---------------------------------------
+    words_of = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    wc = Counter(w for s in texts for w in words_of(s))
+    vocab = {tuple(w) + (BPE_EOW,): c for w, c in wc.items()}
+    ref_merges = []
+    for _ in range(40):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == mx)
+        ref_merges.append(best)
+        # independent path: rebuild the whole vocab from scratch by applying
+        # every merge so far in training order (no incremental state shared
+        # with the implementation under test)
+        new_vocab = {}
+        for syms, c in list({tuple(w) + (BPE_EOW,): c for w, c in wc.items()}.items()):
+            cur = syms
+            for m in ref_merges:
+                out, i = [], 0
+                while i < len(cur):
+                    if i + 1 < len(cur) and (cur[i], cur[i + 1]) == m:
+                        out.append(cur[i] + cur[i + 1])
+                        i += 2
+                    else:
+                        out.append(cur[i])
+                        i += 1
+                cur = tuple(out)
+            new_vocab[cur] = new_vocab.get(cur, 0) + c
+        vocab = new_vocab
+
+    # --- distributed fit ----------------------------------------------
+    ds = rd.from_arrow(t).repartition(3)
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(unigram_count_partials, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    g = folded.group_by("term").aggregate([("c", "sum")])
+    counts = pa.table({"term": g.column("term"), "c": g.column("c_sum")})
+    got_merges = fit_bpe_merges(counts, n_merges=40)
+    assert got_merges == ref_merges
+
+    # --- encoder vs sequential-application reference -------------------
+    def ref_encode_count(word):
+        cur = tuple(word) + (BPE_EOW,)
+        for m in ref_merges:
+            out, i = [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and (cur[i], cur[i + 1]) == m:
+                    out.append(cur[i] + cur[i + 1])
+                    i += 2
+                else:
+                    out.append(cur[i])
+                    i += 1
+            cur = tuple(out)
+        return len(cur)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in BpeEncoder(got_merges)(t).to_pylist()
+    }
+    for did, s in enumerate(texts):
+        ws = words_of(s)
+        assert got[did] == (len(ws), sum(ref_encode_count(w) for w in ws))
+    assert got[5] == (0, 0)
+    # trained merges compress: fewer BPE tokens than chars+eow for seen words
+    assert got[0][1] < sum(len(w) + 1 for w in words_of(texts[0]))
