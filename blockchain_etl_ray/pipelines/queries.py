@@ -5403,12 +5403,12 @@ _WM_LATE_S = 900
 #: engines so bucket edges are exact
 _WM_CTES = f"""
     ev AS (
-      SELECT event_id, event_type,
+      SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id,
              CAST(epoch_us(ts) AS BIGINT) AS ts_us,
              CAST(ROUND(value * 100) AS BIGINT) AS vx100
       FROM events),
     ev2 AS (
-      SELECT event_type, ts_us, vx100,
+      SELECT event_type, user_id, ts_us, vx100,
              (ts_us + (((event_id % {streamwin.JITTER_MOD})
                         * {streamwin.JITTER_MULT % streamwin.JITTER_MOD})
                          % {streamwin.JITTER_MOD}
@@ -5507,6 +5507,59 @@ def watermark_late_events(sf_dir: str):
         _watermark_partials(sf_dir), window_width_s=_WM_WIN_S, lateness_s=_WM_LATE_S
     )
     return late
+
+
+@register(
+    "watermark_window_distinct",
+    f"""
+    WITH {_WM_CTES},
+    dlive AS (
+      SELECT e.* FROM ev2 e JOIN wm USING (poll)
+      WHERE e.win_start_us + {_WM_WIN_S * 1_000_000} > wm.wm_before),
+    dagg AS (
+      SELECT win_start_us, event_type AS key,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM dlive GROUP BY win_start_us, event_type),
+    demitp AS (
+      SELECT a.win_start_us, MIN(w.poll) AS ep
+      FROM (SELECT DISTINCT win_start_us FROM dagg) a
+      LEFT JOIN wm w ON w.wm_after >= a.win_start_us + {_WM_WIN_S * 1_000_000}
+      GROUP BY a.win_start_us)
+    SELECT a.win_start_us, a.key, a.n_users,
+           CAST(COALESCE(e.ep, {streamwin.EMIT_AT_FLUSH}) AS BIGINT) AS emit_poll
+    FROM dagg a JOIN demitp e USING (win_start_us)
+    """,
+)
+def watermark_window_distinct(sf_dir: str):
+    """Watermarked tumbling windows with a NON-ADDITIVE aggregate: exact
+    distinct users per (window, key) — same watermark trajectory, emit rule
+    and lateness as :func:`watermark_window_counts`, but the open-window
+    state is a user SET (the same user arriving in several polls counts
+    once), the state shape additive partials cannot express.  Map-side
+    cells are per-(poll, window, key, user) distinct rows, so the fold that
+    reaches the driver is cardinality-sized, never event-sized
+    (``stages/streamwin.py::poll_window_user_partials/
+    watermark_distinct_run``)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "user_id"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        return streamwin.poll_window_user_partials(
+            t, poll_width_s=_WM_POLL_S, window_width_s=_WM_WIN_S
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    wt, _late = streamwin.watermark_distinct_run(
+        streamwin.merge_user_partials(folded),
+        window_width_s=_WM_WIN_S,
+        lateness_s=_WM_LATE_S,
+    )
+    return wt
 
 
 #: streaming interval-join scenario: purchases <- clicks within 2 h, per

@@ -323,6 +323,179 @@ def watermark_run(
     return wt, lt
 
 
+def poll_window_user_partials(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    poll_width_s: int = 7200,
+    window_width_s: int = 3600,
+) -> pa.Table:
+    """Map-side combiner for the DISTINCT-count window family: collapse one
+    event batch to (poll, win_start, key, user) cells — ``n`` row count and
+    ``max_ts_us`` per cell.  Unlike :func:`poll_window_partials` the cell
+    state is NOT additive downstream (distinct users union, they don't sum),
+    but the cells themselves fold associatively (Σn, max ts), and lateness
+    is still a property of (poll, win) alone — every row of a cell shares
+    both, so a cell is entirely late or entirely on time."""
+    ts_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    arr_us = ts_us + arrival_jitter_us(ids)
+    poll = arr_us // (poll_width_s * 1_000_000)
+    win_us = window_width_s * 1_000_000
+    win_start = (ts_us // win_us) * win_us
+    users = (
+        pc.cast(batch.column(user_col), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = keys.dictionary_encode()
+    kcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((users, kcode, win_start, poll))
+    p, w, k, u = poll[order], win_start[order], kcode[order], users[order]
+    new = np.empty(len(p), dtype=bool)
+    if len(p):
+        new[0] = True
+        new[1:] = (
+            (p[1:] != p[:-1])
+            | (w[1:] != w[:-1])
+            | (k[1:] != k[:-1])
+            | (u[1:] != u[:-1])
+        )
+    cell = np.cumsum(new) - 1 if len(p) else new.astype(np.int64)
+    n_cells = int(cell[-1] + 1) if len(p) else 0
+    n = np.bincount(cell, minlength=n_cells).astype(np.int64)
+    mx = np.full(n_cells, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(mx, cell, ts_us[order])
+    starts = np.nonzero(new)[0] if len(p) else np.array([], dtype=np.int64)
+    kd = enc.dictionary.to_pylist()
+    return pa.table(
+        {
+            "poll": pa.array(p[starts], type=pa.int64()),
+            "win_start_us": pa.array(w[starts], type=pa.int64()),
+            "key": pa.array([kd[i] for i in k[starts]], type=pa.string()),
+            "user": pa.array(u[starts], type=pa.int64()),
+            "n": pa.array(n),
+            "max_ts_us": pa.array(mx),
+        }
+    )
+
+
+def merge_user_partials(parts: pa.Table) -> pa.Table:
+    """Associative fold of user cells across batches (same 4-part key)."""
+    g = parts.group_by(["poll", "win_start_us", "key", "user"]).aggregate(
+        [("n", "sum"), ("max_ts_us", "max")]
+    )
+    return pa.table(
+        {
+            "poll": g.column("poll"),
+            "win_start_us": g.column("win_start_us"),
+            "key": g.column("key"),
+            "user": g.column("user"),
+            "n": g.column("n_sum"),
+            "max_ts_us": g.column("max_ts_us_max"),
+        }
+    )
+
+
+def watermark_distinct_run(
+    parts: pa.Table,
+    window_width_s: int = 3600,
+    lateness_s: int = 900,
+    scale: int = 1_000_000,
+) -> tuple[pa.Table, pa.Table]:
+    """DISTINCT-count watermarked tumbling windows over folded user cells:
+    same watermark trajectory and emit rule as :func:`watermark_run`, but
+    each open window holds a SET of users (a non-additive mergeable state —
+    the same user arriving in several polls counts once).  Returns
+    ``(windows, late)``: ``windows`` = (win_start_us, key, n_users,
+    emit_poll); ``late`` = (poll, n_late) counting late ROWS (cells carry
+    their row count, so compaction loses no journal fidelity).
+
+    Scale note: open-state is (open windows × keys × their distinct users)
+    — bounded by the lateness horizon, not the stream; for unbounded
+    cardinalities swap the set for an HLL register bank
+    (``stages/sketch.py``) at the price of exactness."""
+    win_us = window_width_s * scale
+    late_us = lateness_s * scale
+    watermark = WM_FLOOR
+    open_sets: dict[tuple[int, str], set[int]] = {}
+    order = pc.sort_indices(parts, sort_keys=[("poll", "ascending")])
+    parts = parts.take(order)
+    polls = parts.column("poll").to_numpy(zero_copy_only=False)
+    emitted: list[dict] = []
+    late: list[dict] = []
+    bounds = np.concatenate(
+        [[0], np.nonzero(polls[1:] != polls[:-1])[0] + 1, [len(polls)]]
+    )
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if lo == hi:
+            continue
+        poll = int(polls[lo])
+        cells = parts.slice(lo, hi - lo)
+        wins = cells.column("win_start_us").to_numpy(zero_copy_only=False)
+        keys = cells.column("key").to_pylist()
+        us = cells.column("user").to_numpy(zero_copy_only=False)
+        ns = cells.column("n").to_numpy(zero_copy_only=False)
+        mxs = cells.column("max_ts_us").to_numpy(zero_copy_only=False)
+        wm_before = watermark
+        poll_max = WM_FLOOR
+        n_late = 0
+        for w, k, u, n, mx in zip(wins, keys, us, ns, mxs):
+            poll_max = max(poll_max, int(mx))
+            if w + win_us <= wm_before:
+                n_late += int(n)
+                continue
+            open_sets.setdefault((int(w), k), set()).add(int(u))
+        watermark = max(watermark, poll_max - late_us)
+        for (w, k) in sorted(wk for wk in open_sets if wk[0] + win_us <= watermark):
+            emitted.append(
+                {
+                    "win_start_us": w,
+                    "key": k,
+                    "n_users": len(open_sets.pop((w, k))),
+                    "emit_poll": poll,
+                }
+            )
+        if n_late:
+            late.append({"poll": poll, "n_late": n_late})
+    for (w, k) in sorted(open_sets):
+        emitted.append(
+            {
+                "win_start_us": w,
+                "key": k,
+                "n_users": len(open_sets[(w, k)]),
+                "emit_poll": EMIT_AT_FLUSH,
+            }
+        )
+    win_schema = pa.schema(
+        [
+            ("win_start_us", pa.int64()),
+            ("key", pa.string()),
+            ("n_users", pa.int64()),
+            ("emit_poll", pa.int64()),
+        ]
+    )
+    late_schema = pa.schema([("poll", pa.int64()), ("n_late", pa.int64())])
+    wt = (
+        pa.Table.from_pylist(emitted, schema=win_schema)
+        if emitted
+        else win_schema.empty_table()
+    )
+    lt = (
+        pa.Table.from_pylist(late, schema=late_schema)
+        if late
+        else late_schema.empty_table()
+    )
+    return wt, lt
+
+
 # ---------------------------------------------------------------------------
 # Watermarked SESSION windows (gap-based MERGING windows — the hard window
 # type: a late-but-on-time fragment can bridge two open sessions)

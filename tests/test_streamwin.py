@@ -520,3 +520,86 @@ def test_interval_join_partition_bounds_and_flush():
     # purchase@500: no clicks in range; watermark never reaches 560 -> flush
     assert by[2]["n_clicks"] == 0 and by[2]["sum_click_x100"] == 0
     assert by[2]["emit_poll"] == streamwin.EMIT_AT_FLUSH
+
+
+def _ucells(rows):
+    """rows: (poll, win_start_s, key, user, n, max_ts_s)."""
+    return pa.table(
+        {
+            "poll": pa.array([r[0] for r in rows], type=pa.int64()),
+            "win_start_us": pa.array([r[1] * US for r in rows], type=pa.int64()),
+            "key": pa.array([r[2] for r in rows], type=pa.string()),
+            "user": pa.array([r[3] for r in rows], type=pa.int64()),
+            "n": pa.array([r[4] for r in rows], type=pa.int64()),
+            "max_ts_us": pa.array([r[5] * US for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def test_watermark_distinct_run_set_semantics():
+    """Distinct windows: a user appearing in several polls of the same
+    window counts ONCE; a late cell is journaled with its ROW count (not 1);
+    flush emits the still-open windows with emit_poll = -1."""
+    # window width 10 s, lateness 5 s
+    parts = _ucells(
+        [
+            # poll 0: win [0,10): users 1, 2 (user 1 twice in-batch is
+            # already one cell); max ts 8 -> wm 3
+            (0, 0, "a", 1, 2, 8),
+            (0, 0, "a", 2, 1, 7),
+            # poll 1: user 1 AGAIN (new poll, same window) + ts jump to 22
+            # -> wm 17 closes [0,10) at poll 1 with n_users=3 (1,2,5)
+            (1, 0, "a", 1, 1, 9),
+            (1, 0, "a", 5, 1, 9),
+            (1, 20, "a", 9, 3, 22),
+            # poll 2: win [0,10) closed at wm 17 -> 4 LATE ROWS (2 cells)
+            (2, 0, "a", 7, 3, 23),
+            (2, 0, "a", 8, 1, 23),
+        ]
+    )
+    wt, late = streamwin.watermark_distinct_run(
+        parts, window_width_s=10, lateness_s=5
+    )
+    wins = {(r["win_start_us"], r["key"]): r for r in wt.to_pylist()}
+    assert wins[(0, "a")]["n_users"] == 3
+    assert wins[(0, "a")]["emit_poll"] == 1
+    assert wins[(20 * US, "a")]["n_users"] == 1
+    assert wins[(20 * US, "a")]["emit_poll"] == streamwin.EMIT_AT_FLUSH
+    assert late.to_pylist() == [{"poll": 2, "n_late": 4}]
+
+
+def test_user_partials_split_invariance():
+    """poll_window_user_partials folded over any batch split == over the
+    whole table (merge_user_partials is the associative fold)."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 4 * 24 * 3600, n) * US, type=pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                [["click", "view", "purchase"][i % 3] for i in range(n)]
+            ),
+            "user_id": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+        }
+    )
+    whole = streamwin.merge_user_partials(
+        streamwin.poll_window_user_partials(t)
+    )
+    pieces = [
+        streamwin.poll_window_user_partials(t.slice(i, 701))
+        for i in range(0, n, 701)
+    ]
+    split = streamwin.merge_user_partials(pa.concat_tables(pieces))
+
+    def canon(x):
+        return x.sort_by(
+            [(c, "ascending") for c in ["poll", "win_start_us", "key", "user"]]
+        ).to_pylist()
+
+    assert canon(whole) == canon(split)
+    wa, la = streamwin.watermark_distinct_run(whole)
+    wb, lb = streamwin.watermark_distinct_run(split)
+    assert wa.to_pylist() == wb.to_pylist() and la.to_pylist() == lb.to_pylist()
