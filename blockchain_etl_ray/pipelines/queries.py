@@ -6278,6 +6278,92 @@ def bpe_train_token_counts(sf_dir: str):
     )
 
 
+#: funnel scenario: strict-order view→click→purchase, 6 h conversion window
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WIN_US = 6 * 3600 * 1_000_000
+_COHORT_BUCKET_US = 86_400_000_000  # daily cohorts
+
+
+@register(
+    "user_cohort_retention",
+    f"""
+    WITH cr AS (
+      SELECT CAST(user_id AS BIGINT) AS u,
+             CAST(epoch_us(ts) AS BIGINT) // {_COHORT_BUCKET_US} AS d
+      FROM events),
+    cu AS (SELECT DISTINCT u, d FROM cr),
+    cf AS (SELECT u, MIN(d) AS cohort FROM cu GROUP BY u)
+    SELECT f.cohort, u.d - f.cohort AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cu u JOIN cf f USING (u)
+    GROUP BY f.cohort, day_offset
+    """,
+)
+def user_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple at event-log
+    scale): cohort = a user's first active day; count users still active
+    ``day_offset`` days later.  Events collapse map-side to distinct
+    (user, day) cells, ONE user-mod exchange makes each user's min day
+    partition-local, and only (cohort, offset) count partials reach the
+    final fold (``stages/windows.py::cohort_retention``)."""
+    from ..stages.windows import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _stable(
+        cohort_retention(ds, bucket_us=_COHORT_BUCKET_US),
+        [
+            ("cohort", pa.int64()),
+            ("day_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "user_funnel_depths",
+    f"""
+    WITH fe AS (
+      SELECT CAST(user_id AS BIGINT) AS u, event_type AS et,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events
+      WHERE event_type IN ('{_FUNNEL_STEPS[0]}', '{_FUNNEL_STEPS[1]}',
+                           '{_FUNNEL_STEPS[2]}')),
+    f1 AS (SELECT u, MIN(ts_us) AS t1 FROM fe
+           WHERE et = '{_FUNNEL_STEPS[0]}' GROUP BY u),
+    f2 AS (SELECT e.u, MIN(e.ts_us) AS t2 FROM fe e JOIN f1 ON f1.u = e.u
+           WHERE e.et = '{_FUNNEL_STEPS[1]}' AND e.ts_us > f1.t1
+             AND e.ts_us <= f1.t1 + {_FUNNEL_WIN_US} GROUP BY e.u),
+    f3 AS (SELECT e.u, MIN(e.ts_us) AS t3 FROM fe e JOIN f2 ON f2.u = e.u
+           WHERE e.et = '{_FUNNEL_STEPS[2]}' AND e.ts_us > f2.t2
+             AND e.ts_us <= f2.t2 + {_FUNNEL_WIN_US} GROUP BY e.u),
+    du AS (SELECT DISTINCT u FROM fe)
+    SELECT CAST(CASE WHEN f3.u IS NOT NULL THEN 3
+                     WHEN f2.u IS NOT NULL THEN 2
+                     WHEN f1.u IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM du LEFT JOIN f1 USING (u) LEFT JOIN f2 USING (u)
+            LEFT JOIN f3 USING (u)
+    GROUP BY depth
+    """,
+)
+def user_funnel_depths(sf_dir: str):
+    """Strict-order windowed funnel (view → click → purchase, 6 h
+    conversion window): per user the earliest-feasible chain — each step
+    must land strictly after the previous step's time and within the
+    window — then users counted by depth reached.  One user-mod exchange;
+    each step resolves with one masked ``np.minimum.at`` pass per
+    partition, no per-user Python
+    (``stages/windows.py::funnel_depths``)."""
+    from ..stages.windows import funnel_depths
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return _stable(
+        funnel_depths(ds, _FUNNEL_STEPS, window_us=_FUNNEL_WIN_US),
+        [("depth", pa.int64()), ("n_users", pa.int64())],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -272,3 +272,194 @@ def propagate_group_status(
         return group.append_column(out_col, pa.array(out, type=pa.int64()))
 
     return ds.groupby(group_keys).map_groups(propagate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-user product analytics: cohort retention and windowed funnels.  Both
+# are one user-hash exchange + fully vectorized per-partition numpy (no
+# per-user Python, no per-user groupby dispatch); outputs are tiny
+# (cohorts × offsets / funnel depths), so the final fold is a small groupby.
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(
+    ds: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Cohort retention matrix: cohort = a user's FIRST active time bucket;
+    for every (cohort, offset) count the users active ``offset`` buckets
+    after their cohort — SQL: distinct (user, bucket) joined to per-user
+    min bucket, grouped.  Map-side the event volume collapses to distinct
+    (user, bucket) cells per batch; one user-mod exchange co-locates each
+    user's cells so cohort (per-user min) is partition-local; the final
+    (cohort, offset) fold moves at most cells-per-partition rows."""
+    import numpy as np
+
+    def cells(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(zero_copy_only=False)
+        d = (
+            pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+            // bucket_us
+        )
+        order = np.lexsort((d, u))
+        uu, dd = u[order], d[order]
+        new = np.empty(len(uu), dtype=bool)
+        if len(uu):
+            new[0] = True
+            new[1:] = (uu[1:] != uu[:-1]) | (dd[1:] != dd[:-1])
+        return pa.table(
+            {
+                "u": pa.array(uu[new]),
+                "d": pa.array(dd[new]),
+                "gpart": pa.array((uu[new] % num_partitions).astype(np.int32)),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.empty(len(u), dtype=bool)  # cross-batch duplicate cells
+        if len(u):
+            keep[0] = True
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        new_u = np.empty(len(u), dtype=bool)
+        if len(u):
+            new_u[0] = True
+            new_u[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_u) - 1
+        cohort = d[new_u][seg]  # per-cell cohort = its user's min bucket
+        off = d - cohort
+        order2 = np.lexsort((off, cohort))
+        c2, o2 = cohort[order2], off[order2]
+        new2 = np.empty(len(c2), dtype=bool)
+        if len(c2):
+            new2[0] = True
+            new2[1:] = (c2[1:] != c2[:-1]) | (o2[1:] != o2[:-1])
+        cell = np.cumsum(new2) - 1 if len(c2) else new2.astype(np.int64)
+        counts = np.bincount(cell).astype(np.int64) if len(c2) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "cohort": pa.array(c2[new2] if len(c2) else c2),
+                "day_offset": pa.array(o2[new2] if len(c2) else o2),
+                "n": pa.array(counts),
+            }
+        )
+
+    parts = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    agg = parts.groupby(["cohort", "day_offset"]).sum("n")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": pc.cast(t.column("cohort"), pa.int64()),
+                "day_offset": pc.cast(t.column("day_offset"), pa.int64()),
+                "n_users": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def funnel_depths(
+    ds: rd.Dataset,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Strict-order windowed funnel: per user, t1 = earliest ``steps[0]``;
+    t_{i+1} = earliest ``steps[i+1]`` with ``t_i < ts <= t_i + window_us``;
+    depth = number of steps reached; output (depth, n_users) over every
+    user with at least one event of any step type.  The earliest-feasible
+    chain is the deterministic funnel rule (ties at the exact same
+    timestamp do NOT advance — mirrored by the oracle's strict ``>``).
+
+    One user-mod exchange; inside a partition each step resolves with one
+    masked ``np.minimum.at`` pass over that partition's rows — no per-user
+    Python, state is one int64 per (user, step)."""
+    import numpy as np
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    INF = np.iinfo(np.int64).max
+
+    def slim(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(type_col), value_set=pa.array(steps))
+        t = t.filter(mask)
+        u = pc.cast(t.column(user_col), pa.int64()).to_numpy(zero_copy_only=False)
+        si = np.fromiter(
+            (step_idx[s] for s in t.column(type_col).to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "ts_us": pc.cast(t.column(ts_col), pa.int64()),
+                "si": pa.array(si),
+                "gpart": pa.array((u % num_partitions).astype(np.int32)),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        si = g.column("si").to_numpy(zero_copy_only=False)
+        uu = np.unique(u)
+        idx = np.searchsorted(uu, u)
+        t_prev = None
+        depth = np.zeros(len(uu), dtype=np.int64)
+        for i in range(len(steps)):
+            ti = np.full(len(uu), INF, dtype=np.int64)
+            m = si == i
+            if t_prev is not None:
+                pi = t_prev[idx]
+                m = m & (ts > pi) & (pi < INF - window_us) & (ts <= pi + window_us)
+            if m.any():
+                np.minimum.at(ti, idx[m], ts[m])
+            depth += (ti < INF).astype(np.int64)
+            t_prev = ti
+        dd = np.sort(depth)
+        new = np.empty(len(dd), dtype=bool)
+        if len(dd):
+            new[0] = True
+            new[1:] = dd[1:] != dd[:-1]
+        counts = (
+            np.diff(np.concatenate([np.nonzero(new)[0], [len(dd)]]))
+            if len(dd)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "depth": pa.array(dd[new] if len(dd) else dd),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    agg = parts.groupby("depth").sum("n")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "depth": pc.cast(t.column("depth"), pa.int64()),
+                "n_users": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -1056,3 +1056,74 @@ def test_bpe_train_matches_serial_reference():
     assert got[5] == (0, 0)
     # trained merges compress: fewer BPE tokens than chars+eow for seen words
     assert got[0][1] < sum(len(w) + 1 for w in words_of(texts[0]))
+
+
+def test_funnel_depths_strict_order_and_window():
+    """Funnel rule edges: a tie at the exact previous-step timestamp does
+    NOT advance; a next step outside the conversion window does NOT count;
+    the earliest FEASIBLE chain is used (an early click before the first
+    view is ignored); users with no step-0 events land at depth 0."""
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.windows import funnel_depths
+
+    US = 1_000_000
+    rows = [
+        # user 1: view@10, click@10 (tie -> no), click@20 (ok), buy@25 -> 3
+        (1, "view", 10), (1, "click", 10), (1, "click", 20), (1, "purchase", 25),
+        # user 2: click@5 BEFORE first view@10; click@200 outside 60s win -> 1
+        (2, "click", 5), (2, "view", 10), (2, "click", 200),
+        # user 3: view@10, click@30, purchase@30+61 outside window -> 2
+        (3, "view", 10), (3, "click", 30), (3, "purchase", 95),
+        # user 4: only clicks -> depth 0
+        (4, "click", 10), (4, "click", 20),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] * US for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    out = funnel_depths(
+        rd.from_arrow(t).repartition(3),
+        ["view", "click", "purchase"],
+        window_us=60 * US,
+    ).to_pandas()
+    got = dict(zip(out["depth"], out["n_users"]))
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_cohort_retention_matches_bruteforce():
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.windows import cohort_retention
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    users = rng.integers(0, 60, n)
+    days = rng.integers(0, 25, n)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, type=pa.int64()),
+            "ts": pa.array(days * 86_400_000_000 + 5, type=pa.timestamp("us")),
+        }
+    )
+    out = (
+        cohort_retention(rd.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values(["cohort", "day_offset"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    cells = sorted({(int(u), int(d)) for u, d in zip(users, days)})
+    first = {}
+    for u, d in cells:
+        first.setdefault(u, d)
+    from collections import Counter
+
+    want = Counter((first[u], d - first[u]) for u, d in cells)
+    got = {
+        (r.cohort, r.day_offset): r.n_users for r in out.itertuples(index=False)
+    }
+    assert got == dict(want)
