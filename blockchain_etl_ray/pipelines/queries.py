@@ -6364,6 +6364,35 @@ def user_funnel_depths(sf_dir: str):
     )
 
 
+@register("embedding_pq_codes", None)
+def embedding_pq_codes(sf_dir: str):
+    """Product-quantization compression of the embedding table (Jégou 2011;
+    rows-only — k-means training is iterative, pytest holds the
+    reconstruction-quality and determinism oracles): codebooks train
+    driver-side on a bounded deterministic sample, broadcast once, and an
+    actor-pool encoder emits one code byte per subspace plus the exact
+    per-vector squared reconstruction error
+    (``stages/ann.py::pq_fit/PqEncoder``).  8 subspaces × 16 centroids
+    compresses 64 float32 dims to 8 bytes (32×)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books_ref = ray.put(ann.pq_fit(ds, n_sub=8, n_cent=16))
+    return _stable(
+        ds.map_batches(
+            ann.PqEncoder,
+            fn_constructor_args=(books_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        ),
+        [
+            ("vec_id", pa.int64()),
+            ("codes", pa.string()),
+            ("err_x1m", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

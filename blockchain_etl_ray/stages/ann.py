@@ -803,3 +803,108 @@ def dequantized_matrix(long_rows: pa.Table, d: int) -> tuple[np.ndarray, np.ndar
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return uids.astype(np.int64), m / norms
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the embedding-compression path
+# for vector stores too big to hold float32: split each vector into n_sub
+# subspaces, k-means each subspace independently, store one code byte per
+# subspace.  Training is driver-side over a bounded deterministic sample
+# (standard practice: FAISS trains PQ on a sample); encoding is an
+# actor-pool map with the codebook broadcast once.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    vectors: rd.Dataset,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    sample_size: int = 2048,
+    iters: int = 12,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: returns ``(n_sub, n_cent, d_sub)`` float64.
+    Plain L2 geometry (NOT the cosine k-means of the ANN family — PQ
+    reconstructs raw coordinates).  Deterministic: the sample is the first
+    ``sample_size`` dataset rows, init is evenly strided sample rows, and
+    Lloyd iterations break ties toward the lowest centroid index; an empty
+    cell keeps its previous centroid."""
+    import ray
+
+    sample_tbl = pa.concat_tables(
+        [t for t in ray.get(vectors.limit(sample_size).to_arrow_refs()) if t.num_rows]
+    )
+    m = _to_matrix(sample_tbl.column(vec_col))
+    n, d = m.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    d_sub = d // n_sub
+    books = np.empty((n_sub, n_cent, d_sub), dtype=np.float64)
+    for s in range(n_sub):
+        x = m[:, s * d_sub : (s + 1) * d_sub]
+        stride = max(1, n // n_cent)
+        cent = x[: stride * n_cent : stride].copy()
+        if len(cent) < n_cent:  # tiny sample: pad by repeating rows
+            cent = np.resize(cent, (n_cent, d_sub))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin ties -> lowest index
+            for c in range(n_cent):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+class PqEncoder:
+    """Encode vectors against broadcast PQ codebooks (actor-pool stage):
+    per batch ONE distance tensor per subspace (matmul-expanded, no Python
+    per vector); output (vec_id, codes hex string — n_sub bytes, one per
+    subspace — and err_x1m = round(total squared reconstruction error
+    ·1e6))."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = (
+            ray.get(books_ref) if not isinstance(books_ref, np.ndarray) else books_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column("vec_id"), pa.int64())
+        m = _to_matrix(batch.column("embedding"))
+        n_sub, n_cent, d_sub = self.books.shape
+        codes = np.empty((m.shape[0], n_sub), dtype=np.uint8)
+        err = np.zeros(m.shape[0], dtype=np.float64)
+        for s in range(n_sub):
+            x = m[:, s * d_sub : (s + 1) * d_sub]
+            cb = self.books[s]
+            # |x-c|^2 = |x|^2 - 2 x·c + |c|^2 ; argmin unaffected by |x|^2
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+            a = d2.argmin(axis=1)
+            codes[:, s] = a
+            err += d2[np.arange(len(a)), a] + (x * x).sum(axis=1)
+        hexes = [c.tobytes().hex() for c in codes]
+        return pa.table(
+            {
+                "vec_id": ids,
+                "codes": pa.array(hexes, type=pa.string()),
+                "err_x1m": pa.array(
+                    np.floor(err * 1_000_000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+
+def pq_decode(books: np.ndarray, codes_hex: list[str]) -> np.ndarray:
+    """Reconstruct (n, d) vectors from hex code strings — the read side."""
+    n_sub, _, d_sub = books.shape
+    out = np.empty((len(codes_hex), n_sub * d_sub), dtype=np.float64)
+    for i, h in enumerate(codes_hex):
+        cs = bytes.fromhex(h)
+        for s in range(n_sub):
+            out[i, s * d_sub : (s + 1) * d_sub] = books[s][cs[s]]
+    return out

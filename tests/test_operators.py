@@ -1127,3 +1127,45 @@ def test_cohort_retention_matches_bruteforce():
         (r.cohort, r.day_offset): r.n_users for r in out.itertuples(index=False)
     }
     assert got == dict(want)
+
+
+def test_pq_compression_quality_and_determinism():
+    """PQ: (a) reconstruction from codes matches the reported per-vector
+    error exactly; (b) the trained codebooks beat the 1-centroid baseline
+    (subspace means) by a wide margin; (c) encoding is deterministic and
+    partition-invariant."""
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.stages.ann import PqEncoder, pq_decode, pq_fit
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(emb)
+    books = pq_fit(ds, n_sub=8, n_cent=16)
+    assert books.shape == (8, 16, 8)
+
+    out = PqEncoder(books)(emb)
+    m = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    rec = pq_decode(books, out.column("codes").to_pylist())
+    err = ((m - rec) ** 2).sum(axis=1)
+    want = np.floor(err * 1_000_000.0 + 0.5).astype(np.int64)
+    got = out.column("err_x1m").to_numpy(zero_copy_only=False)
+    # identical expression trees up to the matmul expansion: allow 1 ulp of
+    # the x1m grid
+    assert (np.abs(got - want) <= 1).all()
+
+    # baseline: each subspace quantized to its own mean (1 centroid)
+    base_err = 0.0
+    for s in range(8):
+        x = m[:, s * 8 : (s + 1) * 8]
+        base_err += ((x - x.mean(axis=0)) ** 2).sum(axis=1)
+    assert got.mean() / 1e6 < 0.8 * base_err.mean()
+
+    # partition invariance: encode in two different splits -> same codes
+    a = PqEncoder(books)(emb.slice(0, 123))
+    b = PqEncoder(books)(emb.slice(123))
+    joined = pa.concat_tables([a, b])
+    assert joined.column("codes").to_pylist() == out.column("codes").to_pylist()
+
+    # refit is bit-identical (deterministic sample, init, ties)
+    books2 = pq_fit(ds, n_sub=8, n_cent=16)
+    assert np.array_equal(books, books2)
