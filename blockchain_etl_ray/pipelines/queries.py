@@ -93,6 +93,14 @@ def _mod(col, k: int):
     return pc.subtract(c, pc.multiply(pc.divide(c, k), k))
 
 
+def _seg_sum_i64(k: "np.ndarray", v: "np.ndarray", nk: int) -> "np.ndarray":
+    """Exact int64 segmented sum (np.bincount(weights=...) accumulates in
+    float64, which silently rounds past 2^53)."""
+    out = np.zeros(nk, dtype=np.int64)
+    np.add.at(out, k, v.astype(np.int64))
+    return out
+
+
 #: schema-stabilize a shuffle-derived Dataset before it reaches block-level
 #: consumers (the round-1 hash_match failures; see stages/stabilize.py)
 _stable = stabilize
@@ -6389,6 +6397,115 @@ def embedding_pq_codes(sf_dir: str):
             ("vec_id", pa.int64()),
             ("codes", pa.string()),
             ("err_x1m", pa.int64()),
+        ],
+    )
+
+
+#: anomaly rule: |value - mean| > K sigma, evaluated entirely in integers
+_ANOM_K = 3
+
+
+@register(
+    "event_value_anomalies",
+    f"""
+    WITH az AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100
+      FROM events),
+    ag AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(vx100) AS HUGEINT) AS s,
+             CAST(SUM(CAST(vx100 AS HUGEINT) * vx100) AS HUGEINT) AS ssq
+      FROM az GROUP BY event_type)
+    SELECT a.event_id, a.event_type, a.vx100,
+           CAST(g.n * a.vx100 - g.s AS BIGINT) AS dev_xn
+    FROM az a JOIN ag g USING (event_type)
+    WHERE (g.n * a.vx100 - g.s) * (g.n * a.vx100 - g.s)
+          > {_ANOM_K * _ANOM_K} * (g.n * g.ssq - g.s * g.s)
+    """,
+)
+def event_value_anomalies(sf_dir: str):
+    """Per-type z-score outliers with NO float anywhere: flag an event iff
+    ``(n·v − Σv)² > K²·(n·Σv² − (Σv)²)`` — the |v − mean| > K·sigma rule
+    cross-multiplied into integers (``dev_xn`` = deviation scaled by
+    n).  The per-type moments fold map-side (three int64 partials per
+    type); the driver turns each type's 128-bit threshold into an exact
+    ``isqrt`` bound so the per-row test is a single int64 comparison —
+    equivalent to the HUGEINT square test for integers; flagging is then
+    an embarrassingly parallel broadcast filter."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        return pa.table(
+            {
+                "key": enc.dictionary,
+                "n": pa.array(np.bincount(k, minlength=nk).astype(np.int64)),
+                "s": pa.array(_seg_sum_i64(k, v, nk)),
+                "ssq": pa.array(_seg_sum_i64(k, v * v, nk)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by("key").aggregate([("n", "sum"), ("s", "sum"), ("ssq", "sum")])
+    # per-type exact isqrt threshold, python big ints (the 128-bit work is
+    # O(types), never O(rows)); |dev| > isqrt(T2)  <=>  dev^2 > T2
+    thr: dict[str, tuple[int, int]] = {}
+    for r in g.to_pylist():
+        n, s, ssq = int(r["n_sum"]), int(r["s_sum"]), int(r["ssq_sum"])
+        t2 = _ANOM_K * _ANOM_K * (n * ssq - s * s)
+        thr[r["key"]] = (n, s, math.isqrt(t2))
+    thr_ref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref) if not isinstance(thr_ref, dict) else thr_ref
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        kd = enc.dictionary.to_pylist()
+        ns = np.array([th[x][0] for x in kd], dtype=np.int64)
+        ss = np.array([th[x][1] for x in kd], dtype=np.int64)
+        ts = np.array([th[x][2] for x in kd], dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        dev = ns[idx] * v - ss[idx]
+        keep = np.abs(dev) > ts[idx]
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "event_type": keys.filter(pa.array(keep)),
+                "vx100": pa.array(v[keep]),
+                "dev_xn": pa.array(dev[keep]),
+            }
+        )
+
+    return _stable(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("vx100", pa.int64()),
+            ("dev_xn", pa.int64()),
         ],
     )
 

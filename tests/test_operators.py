@@ -1169,3 +1169,20 @@ def test_pq_compression_quality_and_determinism():
     # refit is bit-identical (deterministic sample, init, ties)
     books2 = pq_fit(ds, n_sub=8, n_cent=16)
     assert np.array_equal(books, books2)
+
+
+def test_anomaly_isqrt_bound_matches_bigint_square_test():
+    """The per-row |dev| > isqrt(T2) comparison must agree with the exact
+    128-bit dev^2 > T2 test on every row (including boundary devs), which
+    is what the HUGEINT oracle evaluates."""
+    import math
+
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        v = rng.integers(-10_000, 10_000, size=rng.integers(3, 40)).astype(int)
+        n, s, ssq = len(v), int(v.sum()), int((v.astype(object) ** 2).sum())
+        t2 = 9 * (n * ssq - s * s)
+        t = math.isqrt(t2)
+        for x in v.tolist() + [int(v.mean()), 0, 10_000]:
+            dev = n * x - s
+            assert (abs(dev) > t) == (dev * dev > t2), (n, s, ssq, x)
