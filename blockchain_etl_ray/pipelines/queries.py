@@ -6510,6 +6510,142 @@ def event_value_anomalies(sf_dir: str):
     )
 
 
+@register(
+    "hourly_gapfill_ffill",
+    """
+    WITH gf AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100
+      FROM events),
+    gb AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx100) AS BIGINT) AS s
+      FROM gf GROUP BY event_type, h),
+    grng AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM gf),
+    ghours AS (SELECT unnest(range(mn, mx + 1)) AS h FROM grng),
+    ggrid AS (
+      SELECT t.event_type, hh.h
+      FROM (SELECT DISTINCT event_type FROM gf) t CROSS JOIN ghours hh),
+    gj AS (
+      SELECT g.event_type, g.h, COALESCE(b.n, 0) AS n, b.s
+      FROM ggrid g LEFT JOIN gb b USING (event_type, h))
+    SELECT event_type, h, n,
+           CAST(COALESCE(LAST_VALUE(s IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS sum_x100_ffill
+    FROM gj
+    """,
+)
+def hourly_gapfill_ffill(sf_dir: str):
+    """Time-series gap-fill + forward-fill (the ETL regularization step
+    before any windowed model): per (event_type, hour) totals on a DENSE
+    hourly grid spanning the global range — missing hours appear with
+    n = 0 and carry the last observed hour's sum forward (0 before the
+    first observation).  The event volume collapses map-side to
+    (type, hour) partials; the grid/ffill runs over the folded cells
+    (types × hours — driver-scale like the watermark state machine), fully
+    vectorized via index-of-last-observed ``np.maximum.accumulate``."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        h = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, k))
+        ks, hs, vs = k[order], h[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        cell = np.cumsum(new) - 1 if len(ks) else new.astype(np.int64)
+        nc = int(cell[-1] + 1) if len(ks) else 0
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([kd[i] for i in ks[new]] if len(ks) else []),
+                "h": pa.array(hs[new] if len(ks) else hs),
+                "n": pa.array(np.bincount(cell, minlength=nc).astype(np.int64)),
+                "s": pa.array(_seg_sum_i64(cell, vs, nc)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["key", "h"]).aggregate([("n", "sum"), ("s", "sum")])
+    keys = g.column("key").to_pylist()
+    hs = g.column("h").to_numpy(zero_copy_only=False)
+    ns = g.column("n_sum").to_numpy(zero_copy_only=False)
+    ss = g.column("s_sum").to_numpy(zero_copy_only=False)
+    mn, mx = int(hs.min()), int(hs.max())
+    span = mx - mn + 1
+    out_type, out_h, out_n, out_f = [], [], [], []
+    for et in sorted(set(keys)):
+        m = np.array([k == et for k in keys], dtype=bool)
+        grid_n = np.zeros(span, dtype=np.int64)
+        grid_s = np.zeros(span, dtype=np.int64)
+        obs = np.zeros(span, dtype=bool)
+        pos = hs[m] - mn
+        grid_n[pos] = ns[m]
+        grid_s[pos] = ss[m]
+        obs[pos] = True
+        # index-of-last-observed: maximum.accumulate over own index or -1
+        idx = np.where(obs, np.arange(span), -1)
+        last = np.maximum.accumulate(idx)
+        filled = np.where(last >= 0, grid_s[np.maximum(last, 0)], 0)
+        out_type.extend([et] * span)
+        out_h.append(np.arange(mn, mx + 1, dtype=np.int64))
+        out_n.append(grid_n)
+        out_f.append(filled.astype(np.int64))
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, type=pa.string()),
+            "h": pa.array(np.concatenate(out_h)),
+            "n": pa.array(np.concatenate(out_n)),
+            "sum_x100_ffill": pa.array(np.concatenate(out_f)),
+        }
+    )
+
+
+@register("user_pagerank", None)
+def user_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the purchase flow graph (the same
+    synthetic user→user edges ``track_user_flows`` walks; rows-only — the
+    iterative fold is not SQL-expressible, pytest holds an exact serial
+    dict-reference oracle): no float anywhere, truncating integer division
+    and a fixed iteration count make the ranks a pure function of the edge
+    set — partition- and schedule-independent.  Per iteration the rank
+    table broadcasts once and each edge batch emits per-dst integer
+    partials; the exchange is node-sized
+    (``stages/cc.py::pagerank_ranks``)."""
+    from ..stages.cc import pagerank_ranks
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "src": pc.cast(t.column("user_id"), pa.int64()),
+                "dst": _mod(t.column("event_id"), 150),
+            }
+        )
+
+    return pagerank_ranks(ds.map_batches(prep, batch_format="pyarrow"))
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

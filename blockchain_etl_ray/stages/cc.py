@@ -275,3 +275,110 @@ def neardup_survivors(
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point PageRank — deterministic by construction (no float
+# anywhere, truncating integer division, fixed iteration count), so ranks
+# are a pure function of the edge set: partition- and schedule-independent,
+# which is what makes a serial dict reference an EXACT pytest oracle.
+# ---------------------------------------------------------------------------
+
+#: PageRank fixed-point scale and damping (85/100)
+PR_SCALE = 1_000_000_000_000
+PR_D_NUM, PR_D_DEN = 85, 100
+
+
+def pagerank_ranks(
+    edges: rd.Dataset,
+    n_iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    group_parts: int = 32,
+) -> pa.Table:
+    """PageRank over an edge Dataset with the integer rule
+
+    ``r'[v] = (1-d)·S//(d_den·N) + Σ_{u→v} d_num·(r[u]//outdeg[u])//d_den``
+
+    (S = 1e12 fixed-point scale; dangling mass dropped — the deterministic
+    choice).  Distributed shape: edges keep their blocks; each iteration
+    broadcasts the rank table once (``ray.put``, centroid-style) and every
+    edge batch emits per-dst PARTIAL integer sums, folded by one small
+    groupby — the per-iteration exchange is node-sized, never edge-sized.
+    The rank vector is assumed broadcastable (nodes ≪ edges — the same
+    assumption as k-means centroids); for node sets past worker memory,
+    partition ranks by node hash and swap the broadcast for a bucketed
+    join.  Returns (node, rank) sorted by node, rank in 1e-12 units."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    def deg_parts(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(src_col), pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column(dst_col), pa.int64()).to_numpy(zero_copy_only=False)
+        su, sc = np.unique(s, return_counts=True)
+        du = np.unique(d)  # dst-only nodes must exist in the node set
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([su, du])),
+                "outdeg": pa.array(
+                    np.concatenate([sc.astype(np.int64), np.zeros(len(du), np.int64)])
+                ),
+            }
+        )
+
+    edges = edges.materialize()
+    folded = pa.concat_tables(
+        list(
+            edges.map_batches(deg_parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    dg = folded.group_by("u").aggregate([("outdeg", "sum")])
+    nodes = np.sort(dg.column("u").to_numpy(zero_copy_only=False))
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    pos = np.searchsorted(nodes, dg.column("u").to_numpy(zero_copy_only=False))
+    outdeg[pos] = dg.column("outdeg_sum").to_numpy(zero_copy_only=False)
+    n = len(nodes)
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
+    rank = np.full(n, PR_SCALE // n, dtype=np.int64)
+
+    for _ in range(n_iters):
+        share = np.zeros(n, dtype=np.int64)
+        nz = outdeg > 0
+        share[nz] = rank[nz] // outdeg[nz]
+        ref = ray.put((nodes, share))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, sh = ray.get(ref) if not isinstance(ref, tuple) else ref
+            s = pc.cast(t.column(src_col), pa.int64()).to_numpy(zero_copy_only=False)
+            d = pc.cast(t.column(dst_col), pa.int64()).to_numpy(zero_copy_only=False)
+            c = PR_D_NUM * sh[np.searchsorted(nd, s)] // PR_D_DEN
+            order = np.argsort(d, kind="stable")
+            ds_, cs = d[order], c[order]
+            new = np.empty(len(ds_), dtype=bool)
+            if len(ds_):
+                new[0] = True
+                new[1:] = ds_[1:] != ds_[:-1]
+            cell = np.cumsum(new) - 1 if len(ds_) else new.astype(np.int64)
+            ncell = int(cell[-1] + 1) if len(ds_) else 0
+            out = np.zeros(ncell, dtype=np.int64)
+            np.add.at(out, cell, cs)
+            return pa.table(
+                {"v": pa.array(ds_[new] if len(ds_) else ds_), "c": pa.array(out)}
+            )
+
+        parts = pa.concat_tables(
+            list(
+                edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+        g = parts.group_by("v").aggregate([("c", "sum")])
+        rank = np.full(n, base, dtype=np.int64)
+        vp = np.searchsorted(nodes, g.column("v").to_numpy(zero_copy_only=False))
+        rank[vp] += g.column("c_sum").to_numpy(zero_copy_only=False)
+
+    return pa.table({"node": pa.array(nodes), "rank_x1e12": pa.array(rank)})

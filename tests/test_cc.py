@@ -148,3 +148,52 @@ def test_query_matches_duckdb_oracle_sf0001():
     assert (got["comp"].values == exp["comp"].values).all()
     assert (got["survivor"].values == exp["survivor"].values).all()
     assert int(got["survivor"].sum()) < len(got)  # fixture has real dup clusters
+
+
+def test_pagerank_matches_serial_reference_and_split_invariant():
+    """pagerank_ranks == a serial dict implementation of the identical
+    integer rule (exact, not approximate — the integer rule makes this an
+    equality oracle), and the result is invariant to edge partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.cc import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 40, 600)
+    dst = rng.integers(0, 60, 600)
+    t = pa.table(
+        {"src": pa.array(src, type=pa.int64()), "dst": pa.array(dst, type=pa.int64())}
+    )
+    got = pagerank_ranks(rd.from_arrow(t).repartition(5), n_iters=12)
+    got_map = dict(
+        zip(got.column("node").to_pylist(), got.column("rank_x1e12").to_pylist())
+    )
+
+    # serial reference: plain dicts, same integer rule
+    nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+    outdeg = {}
+    for u in src.tolist():
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(nodes)
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
+    rank = {u: PR_SCALE // n for u in nodes}
+    for _ in range(12):
+        share = {u: rank[u] // outdeg[u] for u in nodes if outdeg.get(u)}
+        nxt = {u: base for u in nodes}
+        for u, v in zip(src.tolist(), dst.tolist()):
+            nxt[v] += PR_D_NUM * share[u] // PR_D_DEN
+        rank = nxt
+    assert got_map == rank
+
+    got2 = pagerank_ranks(rd.from_arrow(t).repartition(11), n_iters=12)
+    assert got2.to_pylist() == got.to_pylist()
+    # sanity: a popular dst outranks an untouched-by-edges... every node has
+    # rank >= base and total mass is bounded by the scale
+    assert min(rank.values()) >= base and sum(rank.values()) <= PR_SCALE
