@@ -6646,6 +6646,178 @@ def user_pagerank(sf_dir: str):
     return pagerank_ranks(ds.map_batches(prep, batch_format="pyarrow"))
 
 
+#: temperature mixture: sampling rate ∝ n^(τ−1) with τ = 0.7 (flattening
+#: exponent −0.3), budget ≈ _TEMP_MIX_B docs
+_TEMP_MIX_B = 250
+
+
+@register(
+    "doc_temperature_mixture",
+    f"""
+    WITH tm_n AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tm_s AS (
+      SELECT lang, n,
+             CAST(floor(pow(CAST(n AS DOUBLE), -0.3) * 1000000000 + 0.5)
+                  AS BIGINT) AS s
+      FROM tm_n),
+    tm_d AS (SELECT CAST(SUM(n * s) AS BIGINT) AS denom FROM tm_s),
+    tm_k AS (
+      SELECT lang,
+             (CAST({_TEMP_MIX_B} AS BIGINT) * 10000 * s)
+               // (SELECT denom FROM tm_d) AS kb
+      FROM tm_s)
+    SELECT d.doc_id, d.lang FROM documents d JOIN tm_k USING (lang)
+    WHERE {{bucket}} < tm_k.kb
+    """.format(bucket=_BUCKET_SQL.format(key="d.doc_id")),
+)
+def doc_temperature_mixture(sf_dir: str):
+    """Temperature-flattened domain mixture (the actual LM data-mixing
+    rule: sample domain i with probability ∝ n_i^τ, τ = 0.7, so
+    low-resource languages are up-weighted relative to their raw share):
+    unlike ``doc_mixture_sample``'s fixed rates, the rates here are
+    COMPUTED from the per-domain counts — a two-pass data-dependent
+    sampler.  Exactness recipe: each domain's ``n^{{-0.3}}`` is ONE float
+    expression rounded to int64 (mirrored by the oracle's identical IEEE
+    tree), the normalizer is a pure-integer Σ n·s, and the keep decision
+    is the md5-bucket integer compare of the split/sample family."""
+    import ray
+
+    from ..stages.sampling import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t.column("lang")}).group_by("lang").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by("lang").aggregate([("n", "sum")])
+    langs = g.column("lang").to_pylist()
+    ns = g.column("n_sum").to_numpy(zero_copy_only=False)
+    s = np.floor(np.power(ns.astype(np.float64), -0.3) * 1e9 + 0.5).astype(np.int64)
+    denom = int((ns.astype(object) * s.astype(object)).sum())
+    kb = {
+        lang: int(_TEMP_MIX_B) * 10_000 * int(si) // denom
+        for lang, si in zip(langs, s)
+    }
+    kb_ref = ray.put(kb)
+
+    def rates(src):
+        m = ray.get(kb_ref) if not isinstance(kb_ref, dict) else kb_ref
+        vals = src.to_pylist() if not isinstance(src, list) else src
+        return np.array([m[x] for x in vals], dtype=np.int64)
+
+    out = mixture_sample(ds, "doc_id", "lang", rates)
+    return _stable(out, [("doc_id", pa.int64()), ("lang", pa.string())])
+
+
+#: AUC composite-key base: key = score_x1m * 2^24 + vec_id (id < 2^24)
+_AUC_BASE = 1 << 24
+
+
+@register(
+    "embedding_label_auc",
+    f"""
+    WITH ea AS (
+      SELECT CAST(vec_id AS BIGINT) AS id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sc,
+             CAST(label = 0 AS BIGINT) AS pos
+      FROM embeddings),
+    er AS (
+      SELECT id, pos, row_number() OVER (ORDER BY sc, id) AS r FROM ea),
+    es AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN pos = 1 THEN r ELSE 0 END)
+                  - SUM(pos) * (SUM(pos) + 1) // 2 AS BIGINT) AS auc_num
+      FROM er)
+    SELECT n_pos, n_neg, auc_num,
+           CAST(CAST(auc_num AS HUGEINT) * 1000000
+                // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_x1m
+    FROM es
+    """,
+)
+def embedding_label_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (the model-eval metric at corpus scale):
+    score = the embedding's first coordinate, positive = label 0, ties
+    broken by (score, vec_id) so the rank order is total and the metric is
+    a pure integer.  The trick: AUC's numerator is "for every positive,
+    the number of negatives scoring below it" — which is exactly a prefix
+    sum of negative-indicator weights in key order, so the whole metric
+    reuses ``concat_pack_offsets`` (coarse-bucket bases, one per-bucket
+    exchange, NO global sort); the oracle's window-rank formulation is
+    provably equal (Σ_pos rank − P(P+1)/2)."""
+    from ..stages.sampling import concat_pack_offsets
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        e0 = pc.cast(pc.list_element(t.column("embedding"), 0), pa.float64())
+        sc = np.floor(
+            e0.to_numpy(zero_copy_only=False) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        neg = (
+            pc.cast(t.column("label"), pa.int64()).to_numpy(zero_copy_only=False)
+            != 0
+        ).astype(np.int64)
+        return pa.table(
+            {"akey": pa.array(sc * _AUC_BASE + ids), "w": pa.array(neg)}
+        )
+
+    ranked = concat_pack_offsets(
+        ds.map_batches(keyed, batch_format="pyarrow"), "akey", "w", seq_len=1
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        st = t.column("start_tok").to_numpy(zero_copy_only=False)
+        pos = w == 0
+        return pa.table(
+            {
+                "n_pos": pa.array([int(pos.sum())], type=pa.int64()),
+                "n_neg": pa.array([int(w.sum())], type=pa.int64()),
+                "auc_num": pa.array([int(st[pos].sum())], type=pa.int64()),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ranked.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    n_pos = int(pc.sum(folded.column("n_pos")).as_py())
+    n_neg = int(pc.sum(folded.column("n_neg")).as_py())
+    auc_num = int(pc.sum(folded.column("auc_num")).as_py())
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], type=pa.int64()),
+            "n_neg": pa.array([n_neg], type=pa.int64()),
+            "auc_num": pa.array([auc_num], type=pa.int64()),
+            "auc_x1m": pa.array(
+                [auc_num * 1_000_000 // (n_pos * n_neg)], type=pa.int64()
+            ),
+        }
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

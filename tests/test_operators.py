@@ -1186,3 +1186,31 @@ def test_anomaly_isqrt_bound_matches_bigint_square_test():
         for x in v.tolist() + [int(v.mean()), 0, 10_000]:
             dev = n * x - s
             assert (abs(dev) > t) == (dev * dev > t2), (n, s, ssq, x)
+
+
+def test_auc_matches_pair_counting_bruteforce():
+    """embedding_label_auc's prefix-sum formulation == the O(P·N) pair
+    count (tie-broken by (score, id)) on a small random set."""
+    import ray.data as rd
+
+    from blockchain_etl_ray.pipelines.queries import _AUC_BASE
+    from blockchain_etl_ray.stages.sampling import concat_pack_offsets
+
+    rng = np.random.default_rng(2)
+    n = 400
+    sc = rng.integers(-50, 50, n)  # heavy ties across rows
+    lab = rng.integers(0, 2, n)
+    key = sc * _AUC_BASE + np.arange(n)
+    t = pa.table({"akey": pa.array(key), "w": pa.array((lab != 0).astype(np.int64))})
+    out = (
+        concat_pack_offsets(rd.from_arrow(t).repartition(6), "akey", "w", seq_len=1)
+        .to_pandas()
+    )
+    got = int(out.loc[out["w"] == 0, "start_tok"].sum())
+    want = sum(
+        1
+        for i in range(n)
+        for j in range(n)
+        if lab[i] == 0 and lab[j] != 0 and key[j] < key[i]
+    )
+    assert got == want

@@ -271,3 +271,24 @@ def test_global_rank_matches_argsort():
     want = sorted(keys)
     assert list(out["k"]) == want
     assert list(out["rank"]) == list(range(len(keys)))
+
+
+def test_temperature_mixture_flattens_toward_low_resource():
+    """τ=0.7 flattening: a low-resource lang's share of the SAMPLE must
+    exceed its share of the corpus, and the high-resource lang's must
+    shrink (the whole point of temperature mixing)."""
+    import duckdb
+
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    sf = "/root/testdata/sf0.01"
+    fn, _ = registry()["doc_temperature_mixture"]
+    out = fn(sf).to_pandas()
+    corpus = duckdb.sql(
+        f"SELECT lang, count(*) n FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"
+    ).fetchdf()
+    tot_c = corpus["n"].sum()
+    share_c = dict(zip(corpus["lang"], corpus["n"] / tot_c))
+    share_s = (out["lang"].value_counts() / len(out)).to_dict()
+    assert share_s["fr"] > share_c["fr"]  # low-resource up-weighted
+    assert share_s["en"] < share_c["en"]  # high-resource down-weighted
