@@ -6818,6 +6818,101 @@ def embedding_label_auc(sf_dir: str):
     )
 
 
+@register(
+    "top_purchases_per_user",
+    """
+    SELECT user_id, event_id, vx100, rn FROM (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(event_id AS BIGINT) AS event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100,
+             CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id)
+               AS BIGINT) AS rn
+      FROM events WHERE event_type = 'purchase')
+    WHERE rn <= 3
+    """,
+)
+def top_purchases_per_user(sf_dir: str):
+    """Exact top-3 purchases per user (ranked selection with the
+    combiner-before-shuffle shape): every batch first reduces to its OWN
+    per-user top-3 — vectorized lexsort + run-position, no per-group
+    dispatch — so the one user-hash exchange moves at most 3 rows per
+    (user, batch), never the fact table
+    (``stages/windows.py::grouped_topk``)."""
+    from ..stages.windows import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "vx100": scaled_int(t.column("value")),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            }
+        )
+
+    out = grouped_topk(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "vx100",
+        "event_id",
+        k=3,
+    )
+    return _stable(
+        out,
+        [
+            ("user_id", pa.int64()),
+            ("vx100", pa.int64()),
+            ("event_id", pa.int64()),
+            ("rn", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH ce AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+      FROM documents),
+    ccnt AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+      FROM ce GROUP BY doc_id, ch),
+    ctot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM ccnt GROUP BY doc_id),
+    cterm AS (
+      SELECT c.doc_id,
+             CAST(floor(ln(CAST(t.n AS DOUBLE) / c.k) * c.k / t.n * 1000000
+                        + 0.5) AS BIGINT) AS term
+      FROM ccnt c JOIN ctot t USING (doc_id)),
+    csum AS (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS s
+             FROM cterm GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_alnum,
+           CAST(COALESCE(s.s, 0) AS BIGINT) AS entropy_x1m
+    FROM documents d LEFT JOIN ctot t USING (doc_id)
+    LEFT JOIN csum s USING (doc_id)
+    """,
+)
+def doc_char_entropy(sf_dir: str):
+    """Character-distribution Shannon entropy per document (the gibberish /
+    compressibility quality gate): each distinct [a-z0-9] character of
+    ``lower(text)`` contributes one rounded float term whose IEEE tree the
+    oracle mirrors exactly, so per-doc int64 sums are bit-exact.  The hot
+    path is pure byte arithmetic on the Arrow utf8 buffers — one lexsort
+    per batch, no per-row Python (``stages/text.py::char_entropy``)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _stable(
+        docs.map_batches(text.char_entropy, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("n_alnum", pa.int64()),
+            ("entropy_x1m", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

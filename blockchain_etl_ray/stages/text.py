@@ -1077,3 +1077,57 @@ class BM25Scorer:
                 ),
             }
         )
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document Shannon entropy of the [a-z0-9] character distribution
+    of ``lower(text)`` — the gibberish/compressibility quality signal
+    (low entropy = repeated-character junk, high = uniform noise).  Each
+    distinct character contributes ONE rounded float term
+    ``floor(ln(n/k)·k/n·1e6 + 0.5)`` whose IEEE expression tree the SQL
+    oracle mirrors exactly; per-doc sums are int64, so the result is
+    order-independent and bit-exact.  Fully vectorized: the lowered utf8
+    BYTES stream (ascii a-z0-9 bytes == the regex's characters; multibyte
+    sequences can't contain them) is masked and counted per (doc, byte)
+    with one lexsort — no per-row Python.  Output: (doc_id, n_alnum,
+    entropy_x1m)."""
+    lowered = pc.utf8_lower(batch.column(text_col))
+    if isinstance(lowered, pa.ChunkedArray):
+        lowered = lowered.combine_chunks()
+    out_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n_rows = len(out_ids)
+    n_alnum = np.zeros(n_rows, dtype=np.int64)
+    ent = np.zeros(n_rows, dtype=np.int64)
+    buf = np.frombuffer(lowered.buffers()[2] or b"", dtype=np.uint8)
+    offs = np.frombuffer(lowered.buffers()[1], dtype=np.int32)[
+        lowered.offset : lowered.offset + n_rows + 1
+    ]
+    if len(buf):
+        data = buf[offs[0] : offs[-1]]
+        lens = np.diff(offs.astype(np.int64))
+        doc_idx = np.repeat(np.arange(n_rows), lens)
+        is_an = ((data >= 0x61) & (data <= 0x7A)) | ((data >= 0x30) & (data <= 0x39))
+        d, b = doc_idx[is_an], data[is_an].astype(np.int64)
+        if len(d):
+            comp = d * 256 + b
+            comp.sort(kind="stable")
+            new = np.empty(len(comp), dtype=bool)
+            new[0] = True
+            new[1:] = comp[1:] != comp[:-1]
+            cell = np.cumsum(new) - 1
+            k = np.bincount(cell).astype(np.int64)
+            cd = (comp[new] // 256).astype(np.int64)
+            np.add.at(n_alnum, cd, k)
+            nd = n_alnum[cd].astype(np.float64)
+            kd = k.astype(np.float64)
+            terms = np.floor(
+                np.log(nd / kd) * kd / nd * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            np.add.at(ent, cd, terms)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "n_alnum": pa.array(n_alnum),
+            "entropy_x1m": pa.array(ent),
+        }
+    )

@@ -463,3 +463,61 @@ def funnel_depths(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact top-k rows per group by (``val_col`` DESC, ``id_col`` ASC) with
+    a 1-based ``rn`` — SQL ``row_number() OVER (PARTITION BY g ORDER BY v
+    DESC, id) <= k``.  The scale shape is combiner-before-shuffle: every
+    batch FIRST reduces to its own per-group top-k (vectorized
+    lexsort + run-position, no Python per group), so the one group-hash
+    exchange moves at most k rows per (group, batch) — never the fact
+    table.  Ties are impossible by construction (``id_col`` is unique)."""
+    import numpy as np
+
+    def _topk_table(t: pa.Table, with_rank: bool) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v, g))
+        gs = g[order]
+        new = np.empty(len(gs), dtype=bool)
+        if len(gs):
+            new[0] = True
+            new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        runpos = np.arange(len(gs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(gs)]]))
+        ) if len(gs) else np.array([], dtype=np.int64)
+        keep = runpos < k
+        cols = {
+            group_col: pa.array(gs[keep]),
+            val_col: pa.array(v[order][keep]),
+            id_col: pa.array(i[order][keep]),
+        }
+        if with_rank:
+            cols["rn"] = pa.array((runpos[keep] + 1).astype(np.int64))
+        return pa.table(cols)
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = _topk_table(t, with_rank=False)
+        g = out.column(group_col).to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "gpart", pa.array((g % num_partitions).astype(np.int32))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        return _topk_table(t.drop_columns(["gpart"]), with_rank=True)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1214,3 +1214,59 @@ def test_auc_matches_pair_counting_bruteforce():
         if lab[i] == 0 and lab[j] != 0 and key[j] < key[i]
     )
     assert got == want
+
+
+def test_grouped_topk_combiner_split_invariance():
+    """grouped_topk == brute force for any block layout (a group's global
+    top-k row is always in its own batch's local top-k, so the combiner
+    never drops a winner)."""
+    from blockchain_etl_ray.stages.windows import grouped_topk
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 70, n), type=pa.int64()),
+            "v": pa.array(rng.integers(-500, 500, n), type=pa.int64()),
+            "i": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    for parts in (1, 4, 13):
+        out = (
+            grouped_topk(rd.from_arrow(t).repartition(parts), "g", "v", "i", k=3)
+            .to_pandas()
+            .sort_values(["g", "rn"])
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["g", "v", "i"], ascending=[True, False, True])
+        want = df.groupby("g").head(3)
+        assert len(out) == len(want)
+        assert out["i"].tolist() == want["i"].tolist()
+        assert (out.groupby("g")["rn"].apply(lambda s: s.tolist() == list(range(1, len(s) + 1)))).all()
+
+
+def test_char_entropy_edges():
+    """char_entropy: empty / no-alnum docs -> (0, 0); uniform chars beat
+    skewed chars; multibyte text contributes no [a-z0-9] bytes."""
+    from blockchain_etl_ray.stages.text import char_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                ["abcdefgh", "aaaaaaab", "", "!!! ???", "中文字符 ab"]
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: (r["n_alnum"], r["entropy_x1m"])
+        for r in char_entropy(t).to_pylist()
+    }
+    assert out[3] == (0, 0) and out[4] == (0, 0)
+    assert out[1][0] == out[2][0] == 8
+    assert out[1][1] > out[2][1]  # uniform > skewed
+    assert out[5][0] == 2  # only the ascii 'a','b' count
+    # exact value for the uniform case: 8 * floor(ln(8)/8*1e6+0.5)
+    import numpy as np
+
+    assert out[1][1] == 8 * int(np.floor(np.log(8.0) / 8 * 1e6 + 0.5))
