@@ -6913,6 +6913,178 @@ def doc_char_entropy(sf_dir: str):
     )
 
 
+#: reciprocal-rank-fusion constant (the standard k=60) and the fixed
+#: integer query-direction weights of the quantized semantic score
+_RRF_K = 60
+_RRF_BASE = 1 << 24
+
+
+def _rrf_weights(d: int = 64) -> np.ndarray:
+    return np.array([((j * 37) % 21) - 10 for j in range(d)], dtype=np.int64)
+
+
+@register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH rr_sem AS (
+      SELECT CAST(vec_id AS BIGINT) AS doc_id,
+             CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                      * (((pos - 1) * 37 % 21) - 10)) AS BIGINT) AS sc_b
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY vec_id),
+    rr_rb AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sc_b DESC, doc_id) AS BIGINT)
+               AS rb
+      FROM rr_sem),
+    rr_lex AS (
+      SELECT doc_id, CAST(SUM(score_x1m) AS BIGINT) AS sc_a
+      FROM ({{bm25}}) bm GROUP BY doc_id HAVING SUM(score_x1m) > 0),
+    rr_ra AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sc_a DESC, doc_id) AS BIGINT)
+               AS ra
+      FROM rr_lex)
+    SELECT b.doc_id,
+           CAST(COALESCE(1000000 // ({_RRF_K} + a.ra), 0)
+                + 1000000 // ({_RRF_K} + b.rb) AS BIGINT) AS rrf_x1m,
+           CAST(COALESCE(a.ra, -1) AS BIGINT) AS rank_lex,
+           b.rb AS rank_sem
+    FROM rr_rb b LEFT JOIN rr_ra a USING (doc_id)
+    """.format(bm25=_bm25_sql()),
+)
+def hybrid_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval reciprocal rank fusion (the RAG-stack merge of a
+    lexical and a semantic ranking, k = 60): ranking A = per-doc BM25 sum
+    against the fixed query terms (docs with zero lexical match are absent
+    — their fused score has no lexical term, rank_lex = −1); ranking B =
+    an integer dot product of the rounded embedding against a fixed query
+    direction.  Every rank is a sort-free global prefix count
+    (``global_rank`` over a (−score, doc_id) composite), the fusion terms
+    are pure integer division ``1e6 // (k + rank)``, and the two rank
+    tables meet in one partitioned left-outer join — bit-exact vs the
+    window-rank oracle."""
+    from ..stages.joins import partitioned_join
+    from ..stages.sampling import global_rank
+
+    # ranking B: quantized semantic score over the embedding table
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    w = _rrf_weights()
+
+    def sem_key(t: pa.Table) -> pa.Table:
+        m = np.floor(
+            ann._to_matrix(t.column("embedding")) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        sc = m @ w
+        ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"rkey": pa.array(-sc * _RRF_BASE + ids)})
+
+    rb = global_rank(emb.map_batches(sem_key, batch_format="pyarrow"), "rkey")
+
+    def rb_unpack(t: pa.Table) -> pa.Table:
+        k = t.column("rkey").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(_floor_mod(k, _RRF_BASE)),
+                "rank_sem": pa.array(r + 1),
+            }
+        )
+
+    sem_ranks = rb.map_batches(rb_unpack, batch_format="pyarrow")
+
+    # ranking A: per-doc BM25 sums from the existing long-row pipeline
+    long_rows = doc_bm25_scores(sf_dir)
+
+    def lex_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("score_x1m").to_numpy(zero_copy_only=False)
+        uu = np.unique(ids)
+        acc = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(acc, np.searchsorted(uu, ids), s)
+        keep = acc > 0
+        return pa.table(
+            {"rkey": pa.array(-acc[keep] * _RRF_BASE + uu[keep])}
+        )
+
+    # per-(doc, term) rows already co-locate a doc's rows in one batch only
+    # if blocks align; summing via global_rank's key would double-count, so
+    # fold per-doc sums FIRST (doc-keyed rows are corpus-small)
+    folded = pa.concat_tables(
+        list(
+            long_rows.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "s": t.column("score_x1m"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    g = folded.group_by("doc_id").aggregate([("s", "sum")])
+    ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = g.column("s_sum").to_numpy(zero_copy_only=False)
+    keep = sc > 0
+    lex_tbl = pa.table({"rkey": pa.array(-sc[keep] * _RRF_BASE + ids[keep])})
+    ra = global_rank(rd.from_arrow(lex_tbl), "rkey")
+
+    def ra_unpack(t: pa.Table) -> pa.Table:
+        k = t.column("rkey").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(_floor_mod(k, _RRF_BASE)),
+                "rank_lex": pa.array(r + 1),
+            }
+        )
+
+    lex_ranks = ra.map_batches(ra_unpack, batch_format="pyarrow")
+
+    joined = partitioned_join(
+        sem_ranks, lex_ranks, on=("doc_id",), join_type="left_outer"
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        rs = t.column("rank_sem").to_numpy(zero_copy_only=False)
+        rl_raw = t.column("rank_lex")
+        valid = pc.is_valid(rl_raw).to_numpy(zero_copy_only=False)
+        rl = rl_raw.to_numpy(zero_copy_only=False)
+        rl_safe = np.where(valid, rl, 1)
+        rrf = np.where(
+            valid, 1_000_000 // (_RRF_K + rl_safe.astype(np.int64)), 0
+        ) + 1_000_000 // (_RRF_K + rs)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "rrf_x1m": pa.array(rrf.astype(np.int64)),
+                "rank_lex": pa.array(
+                    np.where(valid, rl, -1).astype(np.int64)
+                ),
+                "rank_sem": pa.array(rs),
+            }
+        )
+
+    return _stable(
+        joined.map_batches(fuse, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("rrf_x1m", pa.int64()),
+            ("rank_lex", pa.int64()),
+            ("rank_sem", pa.int64()),
+        ],
+    )
+
+
+def _floor_mod(k: np.ndarray, base: int) -> np.ndarray:
+    """Python-semantics (floored) modulo for composite-key unpacking of
+    possibly-negative int64 keys."""
+    return k - (k // base) * base
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"
