@@ -7085,6 +7085,29 @@ def _floor_mod(k: np.ndarray, base: int) -> np.ndarray:
     return k - (k // base) * base
 
 
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH fz AS (SELECT DISTINCT p_name AS nm FROM part)
+    SELECT a.nm AS a, b.nm AS b
+    FROM fz a JOIN fz b ON a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) = 1
+    """,
+)
+def fuzzy_part_name_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over part names (the typo-matching
+    join of every data-cleaning pipeline): deletion-neighborhood blocking
+    — two strings within distance 1 must share a member of each other's
+    {self} ∪ delete-one-char sets — so candidates come from a variant-hash
+    exchange, never an all-pairs cross join; co-bucketed candidates run an
+    exact O(len) radius-1 verify (the blocking is a superset — "ab"/"ba"
+    collide at distance 2).  Oracle: DuckDB ``levenshtein`` over the
+    distinct-name cross join (``stages/ssjoin.py::edit1_pairs``)."""
+    from ..stages.ssjoin import edit1_pairs
+
+    return edit1_pairs(_read(sf_dir, "part", ["p_name"]), "p_name")
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -323,3 +323,123 @@ def token_jaccard_pairs(
 
     out = j2.map_batches(check, batch_format="pyarrow")
     return stabilize(out, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 fuzzy self-join (deletion-neighborhood blocking — the
+# classic data-cleaning join for typo-matching names/identifiers).
+# ---------------------------------------------------------------------------
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Exact d(a, b) <= 1 check in O(len) (no DP table needed at radius 1)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = used = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            if used:
+                return False
+            used = 1
+            j += 1
+    return True
+
+
+def edit1_pairs(
+    names: rd.Dataset,
+    name_col: str,
+    group_parts: int = 64,
+) -> pa.Table:
+    """All UNORDERED pairs of distinct strings at edit distance EXACTLY 1.
+
+    Scale shape — deletion-neighborhood blocking, never all-pairs: two
+    strings within distance 1 MUST share a member of each other's
+    {self} ∪ delete-one-char variant sets, so each distinct string emits
+    len+1 (variant, name) rows, a variant-hash exchange buckets them, and
+    only co-bucketed candidates run the exact O(len) radius-1 check (the
+    blocking is a superset — "ab"/"ba" collide at distance 2 — hence the
+    verify).  Names dedup map-side first; candidate volume is bounded by
+    bucket sizes, not the corpus.  Returns a sorted (a, b) table."""
+    import pyarrow.compute as pc  # noqa: F401 (parity with module style)
+
+    def distinct(t: pa.Table) -> pa.Table:
+        col = t.column(name_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"nm": col.unique()})
+
+    def variants(t: pa.Table) -> pa.Table:
+        vs, ns = [], []
+        for nm in t.column("nm").to_pylist():
+            vs.append(nm)
+            ns.append(nm)
+            for i in range(len(nm)):
+                vs.append(nm[:i] + nm[i + 1 :])
+                ns.append(nm)
+        out = pa.table({"v": pa.array(vs, type=pa.string()), "nm": pa.array(ns)})
+        h = np.frombuffer(
+            np.array(
+                [int.from_bytes(x.encode()[:8].ljust(8, b"\0"), "little") for x in vs],
+                dtype=np.uint64,
+            ).tobytes(),
+            dtype=np.uint64,
+        )
+        mixed = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return out.append_column(
+            "gpart", pa.array((mixed % np.uint64(group_parts)).astype(np.int32))
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        by_v: dict[str, list[str]] = {}
+        for v, nm in zip(g.column("v").to_pylist(), g.column("nm").to_pylist()):
+            by_v.setdefault(v, []).append(nm)
+        pairs = set()
+        for members in by_v.values():
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pairs.add((ms[i], ms[j]))
+        good = [(a, b) for a, b in sorted(pairs) if _within_edit1(a, b)]
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in good], type=pa.string()),
+                "b": pa.array([p[1] for p in good], type=pa.string()),
+            }
+        )
+
+    # map-side distinct, then one distinct fold (names are corpus-small)
+    folded = pa.concat_tables(
+        list(
+            names.map_batches(distinct, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    uniq = pa.table({"nm": folded.column("nm").combine_chunks().unique()})
+    cand = (
+        rd.from_arrow(uniq)
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
+    )
+    import ray
+
+    tabs = [ray.get(r) for r in cand.to_arrow_refs()]
+    empty = pa.table(
+        {"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())}
+    )
+    allp = pa.concat_tables([t for t in tabs if t.num_rows] or [empty])
+    # a pair can surface in several buckets (one per shared variant) — dedup
+    df = allp.to_pandas().drop_duplicates().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

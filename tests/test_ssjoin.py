@@ -95,3 +95,50 @@ def test_short_and_empty_docs_dropped():
     )
     out = token_jaccard_pairs(ds, threshold=Fraction(1, 2)).to_pandas()
     assert len(out) == 0
+
+
+def test_edit1_pairs_blocking_complete():
+    """edit1_pairs finds ALL radius-1 pairs (substitution, insertion,
+    deletion) and none at distance 2 — verified against a brute-force
+    O(n^2) Levenshtein sweep."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.ssjoin import _within_edit1, edit1_pairs
+
+    names = [
+        "widget", "wadget", "widgets", "idget", "gadget",
+        "bolt", "bolts", "colt", "jolt", "boat",
+        "gear", "bear", "gears", "ab", "ba", "abc",
+    ]
+    # duplicate rows to exercise map-side distinct
+    rows = names * 3
+    ds = rd.from_arrow(pa.table({"p_name": pa.array(rows)})).repartition(4)
+    got = set(zip(*[edit1_pairs(ds, "p_name").column(c).to_pylist() for c in ("a", "b")]))
+
+    def lev(a, b):
+        m = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        m[:, 0] = range(len(a) + 1)
+        m[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(
+                    m[i - 1, j] + 1,
+                    m[i, j - 1] + 1,
+                    m[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a), len(b)]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(set(names)))
+        for b in sorted(set(names))[i + 1 :]
+        if lev(a, b) == 1
+    }
+    assert got == want
+    assert ("ab", "ba") not in got  # transposition = distance 2, blocked+rejected
+    # the O(len) verify agrees with DP on every pair
+    for a in names:
+        for b in names:
+            assert _within_edit1(a, b) == (lev(a, b) <= 1), (a, b)
