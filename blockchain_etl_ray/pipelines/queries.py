@@ -7108,6 +7108,217 @@ def fuzzy_part_name_pairs(sf_dir: str):
     return edit1_pairs(_read(sf_dir, "part", ["p_name"]), "p_name")
 
 
+@register(
+    "event_rollup_counts",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           CAST(COALESCE(d, -1) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_x100
+    FROM (SELECT event_type,
+                 CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                 value
+          FROM events)
+    GROUP BY ROLLUP(event_type, d)
+    """,
+)
+def event_rollup_counts(sf_dir: str):
+    """Multi-level ROLLUP aggregate (the warehouse subtotal staple:
+    (type, day) cells, per-type subtotals, grand total): the fact volume
+    collapses map-side to (type, day) int64 partials ONCE; the two coarser
+    rollup levels are derived from the folded base cells — never a second
+    scan — because subtotals of associative aggregates are sums of the
+    finest cells.  NULL group labels mirror the oracle's COALESCE
+    sentinels ('(all)' / −1)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        d = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, k))
+        ks, dy, vs = k[order], d[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (dy[1:] != dy[:-1])
+        cell = np.cumsum(new) - 1 if len(ks) else new.astype(np.int64)
+        nc = int(cell[-1] + 1) if len(ks) else 0
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([kd[i] for i in ks[new]] if len(ks) else []),
+                "d": pa.array(dy[new] if len(ks) else dy),
+                "n": pa.array(np.bincount(cell, minlength=nc).astype(np.int64)),
+                "s": pa.array(_seg_sum_i64(cell, vs, nc)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["key", "d"]).aggregate([("n", "sum"), ("s", "sum")])
+    keys = g.column("key").to_pylist()
+    dv = g.column("d").to_numpy(zero_copy_only=False)
+    nv = g.column("n_sum").to_numpy(zero_copy_only=False)
+    sv = g.column("s_sum").to_numpy(zero_copy_only=False)
+    rows_t, rows_d, rows_n, rows_s = list(keys), list(dv), list(nv), list(sv)
+    per_type: dict[str, tuple[int, int]] = {}
+    for k_, n_, s_ in zip(keys, nv, sv):
+        a, b = per_type.get(k_, (0, 0))
+        per_type[k_] = (a + int(n_), b + int(s_))
+    for k_, (n_, s_) in sorted(per_type.items()):
+        rows_t.append(k_)
+        rows_d.append(-1)
+        rows_n.append(n_)
+        rows_s.append(s_)
+    rows_t.append("(all)")
+    rows_d.append(-1)
+    rows_n.append(sum(n for n, _ in per_type.values()))
+    rows_s.append(sum(s for _, s in per_type.values()))
+    return pa.table(
+        {
+            "event_type": pa.array(rows_t, type=pa.string()),
+            "day": pa.array(np.asarray(rows_d, dtype=np.int64)),
+            "n": pa.array(np.asarray(rows_n, dtype=np.int64)),
+            "sum_x100": pa.array(np.asarray(rows_s, dtype=np.int64)),
+        }
+    )
+
+
+@register(
+    "event_value_mad_outliers",
+    """
+    WITH mz AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events),
+    mm AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+               AS med
+      FROM mz GROUP BY event_type),
+    md AS (
+      SELECT z.event_type,
+             CAST(percentile_disc(0.5)
+                  WITHIN GROUP (ORDER BY abs(z.v - m.med)) AS BIGINT) AS mad
+      FROM mz z JOIN mm m USING (event_type) GROUP BY z.event_type)
+    SELECT z.event_id, z.event_type, z.v AS vx100,
+           CAST(z.v - m.med AS BIGINT) AS dev
+    FROM mz z JOIN mm m USING (event_type) JOIN md d USING (event_type)
+    WHERE abs(z.v - m.med) > 3 * d.mad
+    """,
+)
+def event_value_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier detection — the heavy-tail-safe sibling
+    of ``event_value_anomalies``: flag |v − median| > 3·MAD, where both
+    the median and the MAD are exact DATA values (percentile_disc
+    semantics: sorted[(n−1)//2]), so the whole rule is pure integers.  One
+    (type, value) count-histogram partial pass serves BOTH statistics —
+    the |v − med| histogram is a driver-side refold of the same cells, no
+    second scan — then flagging is a broadcast filter."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        cell = np.cumsum(new) - 1 if len(ks) else new.astype(np.int64)
+        nc = int(cell[-1] + 1) if len(ks) else 0
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([kd[i] for i in ks[new]] if len(ks) else []),
+                "v": pa.array(vs[new] if len(ks) else vs),
+                "c": pa.array(np.bincount(cell, minlength=nc).astype(np.int64)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["key", "v"]).aggregate([("c", "sum")])
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        n = int(cnts.sum())
+        target = (n - 1) // 2  # 0-based rank of percentile_disc(0.5)
+        cum = np.cumsum(cnts)
+        return int(vals[np.searchsorted(cum, target + 1)])
+
+    stats: dict[str, tuple[int, int]] = {}
+    keys = np.array(g.column("key").to_pylist())
+    vv = g.column("v").to_numpy(zero_copy_only=False)
+    cc = g.column("c_sum").to_numpy(zero_copy_only=False)
+    for et in sorted(set(keys.tolist())):
+        m = keys == et
+        med = disc_median(vv[m], cc[m])
+        mad = disc_median(np.abs(vv[m] - med), cc[m])
+        stats[et] = (med, mad)
+    stats_ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys2 = t.column("event_type")
+        if isinstance(keys2, pa.ChunkedArray):
+            keys2 = keys2.combine_chunks()
+        enc = keys2.dictionary_encode()
+        kd = enc.dictionary.to_pylist()
+        med = np.array([st[x][0] for x in kd], dtype=np.int64)
+        mad = np.array([st[x][1] for x in kd], dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        dev = v - med[idx]
+        keep = np.abs(dev) > 3 * mad[idx]
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "event_type": keys2.filter(pa.array(keep)),
+                "vx100": pa.array(v[keep]),
+                "dev": pa.array(dev[keep]),
+            }
+        )
+
+    return _stable(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("vx100", pa.int64()),
+            ("dev", pa.int64()),
+        ],
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"
