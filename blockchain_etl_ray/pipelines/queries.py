@@ -7319,6 +7319,213 @@ def event_value_mad_outliers(sf_dir: str):
     )
 
 
+#: co-occurrence thresholds: a term is frequent at df >= _COOC_DF; a pair
+#: reports at >= _COOC_MIN docs
+_COOC_DF = 50
+_COOC_MIN = 20
+
+
+@register(
+    "term_cooccurrence_pairs",
+    f"""
+    WITH co_t AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    co_f AS (SELECT term FROM co_t GROUP BY term
+             HAVING count(*) >= {_COOC_DF}),
+    co_ft AS (SELECT doc_id, term FROM co_t
+              WHERE term IN (SELECT term FROM co_f))
+    SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS BIGINT) AS n_docs
+    FROM co_ft a JOIN co_ft b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY ta, tb HAVING count(*) >= {_COOC_MIN}
+    """,
+)
+def term_cooccurrence_pairs(sf_dir: str):
+    """Frequent term co-occurrence (the market-basket / A-Priori first
+    level): pairs of FREQUENT terms (df ≥ {_COOC_DF}) appearing together
+    in ≥ {_COOC_MIN} documents.  A-Priori pruning makes it scale: the
+    frequent-term set comes from a df partial pass and broadcasts once, so
+    each batch emits pair partials only over frequent terms (≤ F² cells,
+    vocabulary-bounded) — the corpus-sized token stream never shuffles."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_parts(t: pa.Table) -> pa.Table:
+        rows = text.word_ngram_rows(t, k=1)
+        dd = pa.table(
+            {"doc_id": rows.column("doc_id"), "term": rows.column("shingle")}
+        )
+        g = (
+            dd.group_by(["doc_id", "term"])
+            .aggregate([])
+            .group_by("term")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "df": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            docs.map_batches(df_parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by("term").aggregate([("df", "sum")])
+    freq = sorted(
+        t
+        for t, d in zip(g.column("term").to_pylist(), g.column("df_sum").to_pylist())
+        if d >= _COOC_DF
+    )
+    tid = {t: i for i, t in enumerate(freq)}
+    freq_ref = ray.put(tid)
+
+    def pair_parts(t: pa.Table) -> pa.Table:
+        m = ray.get(freq_ref) if not isinstance(freq_ref, dict) else freq_ref
+        nf = len(m)
+        rows = text.word_ngram_rows(t, k=1)
+        ids = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        terms = rows.column("shingle").to_pylist()
+        code = np.fromiter(
+            (m.get(x, -1) for x in terms), dtype=np.int64, count=len(terms)
+        )
+        keep = code >= 0
+        ids, code = ids[keep], code[keep]
+        comp = ids * nf + code
+        comp = np.unique(comp)  # distinct (doc, term)
+        d, c = comp // nf, comp % nf
+        counts = np.zeros(nf * nf, dtype=np.int64)
+        # per-doc pair generation over ≤ F codes: runs are contiguous in d
+        starts = np.concatenate(
+            [[0], np.nonzero(d[1:] != d[:-1])[0] + 1, [len(d)]]
+        )
+        for i in range(len(starts) - 1):
+            cs = c[starts[i] : starts[i + 1]]
+            if len(cs) > 1:
+                a, b = np.meshgrid(cs, cs, indexing="ij")
+                mask = a < b
+                np.add.at(counts, a[mask] * nf + b[mask], 1)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "p": pa.array(nz),
+                "n": pa.array(counts[nz]),
+            }
+        )
+
+    parts2 = pa.concat_tables(
+        list(
+            docs.map_batches(pair_parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g2 = parts2.group_by("p").aggregate([("n", "sum")])
+    pv = g2.column("p").to_numpy(zero_copy_only=False)
+    nv = g2.column("n_sum").to_numpy(zero_copy_only=False)
+    keep = nv >= _COOC_MIN
+    pv, nv = pv[keep], nv[keep]
+    nf = len(freq)
+    return pa.table(
+        {
+            "ta": pa.array([freq[int(x)] for x in pv // nf], type=pa.string()),
+            "tb": pa.array([freq[int(x)] for x in pv % nf], type=pa.string()),
+            "n_docs": pa.array(nv),
+        }
+    )
+
+
+@register(
+    "part_name_entity_resolution",
+    """
+    WITH RECURSIVE er_n AS (SELECT DISTINCT p_name AS nm FROM part),
+    er_p AS (
+      SELECT a.nm AS na, b.nm AS nb
+      FROM er_n a JOIN er_n b ON a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) = 1),
+    er_e AS (SELECT na AS u, nb AS v FROM er_p
+             UNION SELECT nb, na FROM er_p),
+    er_r(node, r) AS (
+      SELECT u, v FROM er_e
+      UNION
+      SELECT er_r.node, e.v FROM er_r JOIN er_e e ON e.u = er_r.r),
+    er_c AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM er_r GROUP BY node)
+    SELECT n.nm AS name, COALESCE(c.comp, n.nm) AS canonical,
+           CAST(COALESCE(c.comp, n.nm) = n.nm AS INTEGER) AS survivor
+    FROM er_n n LEFT JOIN er_c c ON c.node = n.nm
+    """,
+)
+def part_name_entity_resolution(sf_dir: str):
+    """Entity resolution end-to-end (the data-cleaning composition):
+    edit-distance-1 fuzzy pairs (deletion-neighborhood blocking) →
+    TRANSITIVE clusters via the same pointer-doubled connected components
+    the dedup family uses → one canonical (lexicographically smallest)
+    name per cluster.  Names map to dense ids by sorted order, so the
+    integer cc machinery applies verbatim and min-id == min-name; the
+    oracle computes the identical closure with a recursive CTE over
+    ``levenshtein`` edges."""
+    from ..stages.cc import neardup_survivors
+    from ..stages.ssjoin import edit1_pairs
+
+    names_ds = _read(sf_dir, "part", ["p_name"])
+    pairs = edit1_pairs(names_ds, "p_name")
+    uniq = sorted(
+        set(pairs.column("a").to_pylist())
+        | set(pairs.column("b").to_pylist())
+        | set(
+            pc.unique(
+                _tbl(sf_dir, "part", ["p_name"]).column("p_name")
+            ).to_pylist()
+        )
+    )
+    tid = {nm: i for i, nm in enumerate(uniq)}
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(uniq)), type=pa.int64())})
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(
+                    [tid[x] for x in pairs.column("a").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "id_b": pa.array(
+                    [tid[x] for x in pairs.column("b").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )
+    import ray
+
+    res = pa.concat_tables(
+        [
+            t
+            for t in ray.get(neardup_survivors(ids, edges).to_arrow_refs())
+            if t.num_rows
+        ]
+    )
+    did = res.column("doc_id").to_numpy(zero_copy_only=False)
+    comp = res.column("comp").to_numpy(zero_copy_only=False)
+    surv = res.column("survivor").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "name": pa.array([uniq[int(i)] for i in did], type=pa.string()),
+            "canonical": pa.array(
+                [uniq[int(c)] for c in comp], type=pa.string()
+            ),
+            "survivor": pa.array(surv.astype(np.int32)),
+        }
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"
