@@ -7526,6 +7526,210 @@ def part_name_entity_resolution(sf_dir: str):
     )
 
 
+@register(
+    "hourly_trend_slopes",
+    """
+    WITH tr AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events),
+    tc AS (
+      SELECT event_type, h, CAST(SUM(v) AS BIGINT) AS y
+      FROM tr GROUP BY event_type, h),
+    tx AS (SELECT event_type, h - (SELECT MIN(h) FROM tc) AS x, y FROM tc)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS BIGINT)
+             AS slope_num,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS BIGINT)
+             AS slope_den
+    FROM tx GROUP BY event_type
+    """,
+)
+def hourly_trend_slopes(sf_dir: str):
+    """Per-type OLS trend of the hourly value series with NO rounding
+    anywhere: the slope is returned as the exact integer fraction
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` over x = hour − global min hour
+    (slope is shift-invariant; the shift keeps the cross moments in
+    int64).  The event volume collapses map-side to (type, hour, Σv)
+    cells; the moments are a driver-side fold of those cells with Python
+    big ints — O(types × hours), never O(rows)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        h = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, k))
+        ks, hs, vs = k[order], h[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        cell = np.cumsum(new) - 1 if len(ks) else new.astype(np.int64)
+        nc = int(cell[-1] + 1) if len(ks) else 0
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([kd[i] for i in ks[new]] if len(ks) else []),
+                "h": pa.array(hs[new] if len(ks) else hs),
+                "y": pa.array(_seg_sum_i64(cell, vs, nc)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["key", "h"]).aggregate([("y", "sum")])
+    keys = g.column("key").to_pylist()
+    hs = g.column("h").to_numpy(zero_copy_only=False)
+    ys = g.column("y_sum").to_numpy(zero_copy_only=False)
+    hmin = int(hs.min())
+    out = []
+    for et in sorted(set(keys)):
+        m = np.array([k == et for k in keys], dtype=bool)
+        x = [int(a) - hmin for a in hs[m]]
+        y = [int(b) for b in ys[m]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        out.append((et, n, n * sxy - sx * sy, n * sxx - sx * sx))
+    return pa.table(
+        {
+            "event_type": pa.array([o[0] for o in out], type=pa.string()),
+            "n_hours": pa.array([o[1] for o in out], type=pa.int64()),
+            "slope_num": pa.array([o[2] for o in out], type=pa.int64()),
+            "slope_den": pa.array([o[3] for o in out], type=pa.int64()),
+        }
+    )
+
+
+#: CUSUM drift threshold: alarm when the clamped cumulative excess over
+#: the per-type reference k (= mean hourly sum, floored) exceeds 10·k
+_CUSUM_MULT = 10
+
+
+@register(
+    "hourly_cusum_alarms",
+    f"""
+    WITH RECURSIVE cu_c AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, h),
+    cu_r AS (
+      SELECT event_type, h, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS rn
+      FROM cu_c),
+    cu_k AS (
+      SELECT event_type, CAST(SUM(y) AS BIGINT) // COUNT(*) AS k
+      FROM cu_c GROUP BY event_type),
+    cu_s(event_type, rn, h, s) AS (
+      SELECT c.event_type, c.rn, c.h,
+             GREATEST(CAST(0 AS BIGINT), c.y - k.k)
+      FROM cu_r c JOIN cu_k k USING (event_type) WHERE c.rn = 1
+      UNION ALL
+      SELECT c.event_type, c.rn, c.h,
+             GREATEST(CAST(0 AS BIGINT), cu_s.s + c.y - k.k)
+      FROM cu_s
+      JOIN cu_r c ON c.event_type = cu_s.event_type AND c.rn = cu_s.rn + 1
+      JOIN cu_k k ON k.event_type = c.event_type)
+    SELECT s.event_type, s.h, s.s AS cusum
+    FROM cu_s s JOIN cu_k k USING (event_type)
+    WHERE s.s > {_CUSUM_MULT} * k.k
+    """,
+)
+def hourly_cusum_alarms(sf_dir: str):
+    """CUSUM drift detection over each type's hourly value series (the
+    classic sequential change-point rule): S_t = max(0, S_{{t−1}} + y_t − k)
+    with k = the type's mean hourly sum (floored — all integers), alarming
+    when S_t > 10·k.  The clamped recurrence vectorizes exactly via the
+    reflected-walk identity ``S_t = C_t − min(0, min prefix C)`` (pytest
+    proves it equal to the loop), so the driver fold over the (type, hour)
+    cells is one cumsum — the oracle walks the same recurrence with a
+    recursive CTE."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        h = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        v = scaled_int(t.column("value")).to_numpy(zero_copy_only=False)
+        keys = t.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        k = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, k))
+        ks, hs, vs = k[order], h[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        cell = np.cumsum(new) - 1 if len(ks) else new.astype(np.int64)
+        nc = int(cell[-1] + 1) if len(ks) else 0
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([kd[i] for i in ks[new]] if len(ks) else []),
+                "h": pa.array(hs[new] if len(ks) else hs),
+                "y": pa.array(_seg_sum_i64(cell, vs, nc)),
+            }
+        )
+
+    folded = pa.concat_tables(
+        list(
+            ds.map_batches(parts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    g = folded.group_by(["key", "h"]).aggregate([("y", "sum")])
+    keys = np.array(g.column("key").to_pylist())
+    hs = g.column("h").to_numpy(zero_copy_only=False)
+    ys = g.column("y_sum").to_numpy(zero_copy_only=False)
+    o_t, o_h, o_s = [], [], []
+    for et in sorted(set(keys.tolist())):
+        m = keys == et
+        order = np.argsort(hs[m], kind="stable")
+        hh, yy = hs[m][order], ys[m][order]
+        k_ref = int(yy.sum()) // len(yy)
+        c = np.cumsum(yy - k_ref)
+        s = c - np.minimum(np.minimum.accumulate(c), 0)
+        alarm = s > _CUSUM_MULT * k_ref
+        o_t.extend([et] * int(alarm.sum()))
+        o_h.append(hh[alarm])
+        o_s.append(s[alarm])
+    return pa.table(
+        {
+            "event_type": pa.array(o_t, type=pa.string()),
+            "h": pa.array(
+                np.concatenate(o_h) if o_h else np.array([], dtype=np.int64)
+            ),
+            "cusum": pa.array(
+                np.concatenate(o_s) if o_s else np.array([], dtype=np.int64)
+            ),
+        }
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"

@@ -1270,3 +1270,18 @@ def test_char_entropy_edges():
     import numpy as np
 
     assert out[1][1] == 8 * int(np.floor(np.log(8.0) / 8 * 1e6 + 0.5))
+
+
+def test_cusum_reflected_walk_identity():
+    """The vectorized CUSUM (C_t - min(0, prefix-min C)) equals the clamped
+    loop recurrence S_t = max(0, S_{t-1} + d_t) on random integer series."""
+    rng = np.random.default_rng(12)
+    for _ in range(30):
+        d = rng.integers(-100, 100, size=rng.integers(1, 200))
+        c = np.cumsum(d)
+        got = c - np.minimum(np.minimum.accumulate(c), 0)
+        s, want = 0, []
+        for x in d.tolist():
+            s = max(0, s + x)
+            want.append(s)
+        assert got.tolist() == want
