@@ -7730,6 +7730,96 @@ def hourly_cusum_alarms(sf_dir: str):
     )
 
 
+@register(
+    "user_transition_counts",
+    """
+    WITH mk AS (
+      SELECT CAST(user_id AS BIGINT) AS u, event_type AS et,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(event_id AS BIGINT) AS eid
+      FROM events),
+    ms AS (
+      SELECT u, et,
+             LEAD(et) OVER (PARTITION BY u ORDER BY ts_us, eid) AS nxt
+      FROM mk)
+    SELECT et AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+    FROM ms WHERE nxt IS NOT NULL GROUP BY from_type, to_type
+    """,
+)
+def user_transition_counts(sf_dir: str):
+    """Behavioral Markov transition matrix: for each user's time-ordered
+    event stream (total order: ts then event_id), count every adjacent
+    (from_type → to_type) step — the empirical transition model behind
+    next-action prediction and anomaly scoring.  One user-mod exchange;
+    inside a partition one lexsort orders every user's stream and adjacent
+    pairs fold to (from, to) code counts — types² partials, never the
+    stream."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    n_parts = 32
+
+    def slim(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "eid": pc.cast(t.column("event_id"), pa.int64()),
+                "et": t.column("event_type"),
+                "gpart": pa.array((u % n_parts).astype(np.int32)),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        keys = g.column("et")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], code[order]
+        same = us[1:] == us[:-1]
+        frm, to = cs[:-1][same], cs[1:][same]
+        counts = np.bincount(frm * nk + to, minlength=nk * nk).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        kd = enc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "from_type": pa.array(
+                    [kd[int(i)] for i in nz // nk], type=pa.string()
+                ),
+                "to_type": pa.array(
+                    [kd[int(i)] for i in nz % nk], type=pa.string()
+                ),
+                "n": pa.array(counts[nz]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: fold(g.drop_columns(["gpart"])), batch_format="pyarrow"
+        )
+    )
+    folded = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    g2 = folded.group_by(["from_type", "to_type"]).aggregate([("n", "sum")])
+    return pa.table(
+        {
+            "from_type": g2.column("from_type"),
+            "to_type": g2.column("to_type"),
+            "n": g2.column("n_sum"),
+        }
+    )
+
+
 #: DSIR target class: documents from this source define the target
 #: distribution; everything else is the raw/source pool
 _DSIR_TARGET_SRC = "src0"
