@@ -3935,6 +3935,75 @@ def cdc_neardup_candidates(sf_dir: str):
     )
 
 
+_CDC_SCD2_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    h AS (
+      SELECT repo, path, commit_id, op,
+             ordinal AS valid_from,
+             COALESCE(LEAD(ordinal) OVER (PARTITION BY repo, path
+                                          ORDER BY ordinal), -1) AS valid_to
+      FROM cdc)
+    SELECT repo, path, commit_id, op,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           CAST(CASE WHEN valid_to = -1 AND op <> 'delete' THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM h
+"""
+
+
+@register("cdc_scd2_history", _CDC_SCD2_SQL)
+def cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 history of the CDC change log: the warehouse-standard
+    "keep every version with its validity range" materialization of the SAME
+    log the flagship folds to latest state — per (repo, path) each change row
+    becomes an interval (valid_from = its ordinal, valid_to = the key's next
+    change ordinal, −1 = open; is_current = open ∧ not a tombstone).
+    Reference analog: the blknum-versioned rows the LWW upsert DISCARDS
+    (``blockchainetl/streaming/postgres_utils.py:80-88``) — SCD2 is what a
+    downstream dimension consumer keeps instead.  Shape: one key-hash
+    exchange (the replay store's blake2b partitioner), one multi-key sort +
+    shifted-equality lead pass per partition (``stages/windows.py::
+    scd2_intervals``); output is log-sized, never key-count-bounded."""
+    events_dir, _workdir = _write_cdc_log(sf_dir)
+    log = rd.read_parquet(
+        str(events_dir), columns=["ordinal", "op", "repo", "path", "commit"]
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["commit_id" if c == "commit" else c for c in t.column_names]
+        )
+
+    out = windows.scd2_intervals(
+        log.map_batches(rename, batch_format="pyarrow"),
+        key_cols=["repo", "path"],
+        ord_col="ordinal",
+        carry_cols=["commit_id"],
+    )
+    return _stable(
+        out,
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_id", pa.string()),
+            ("op", pa.string()),
+            ("valid_from", pa.int64()),
+            ("valid_to", pa.int64()),
+            ("is_current", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8241,6 +8310,7 @@ _DRIVER_ORDER = [
     "cdc_repo_touch",
     "cdc_repo_stats",
     "cdc_content_dedup",
+    "cdc_scd2_history",
     "cdc_top_repos_by_bytes",
     "receipts_consistency_fill",
     "trace_export_synthetic",

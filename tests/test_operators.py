@@ -1285,3 +1285,65 @@ def test_cusum_reflected_walk_identity():
             s = max(0, s + x)
             want.append(s)
         assert got.tolist() == want
+
+
+def test_scd2_intervals_matches_bruteforce_and_partition_invariance():
+    """SCD2 history == per-key sorted LEAD brute force; identical at any
+    partition count (the exchange must not change interval boundaries)."""
+    import pandas as pd
+
+    from blockchain_etl_ray.stages.windows import scd2_intervals
+
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = [f"k{int(i)}" for i in rng.integers(0, 23, n)]
+    sub = [f"s{int(i)}" for i in rng.integers(0, 3, n)]
+    ords = rng.permutation(n).astype(np.int64)
+    ops = np.where(ords % 7 == 3, "delete", "upsert")
+    t = pa.table(
+        {
+            "repo": keys,
+            "path": sub,
+            "ordinal": ords,
+            "op": ops,
+            "commit_id": [str(o) for o in ords],
+        }
+    )
+
+    def brute(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["repo", "path", "ordinal"]).reset_index(drop=True)
+        nxt = df.groupby(["repo", "path"])["ordinal"].shift(-1)
+        df["valid_from"] = df["ordinal"]
+        df["valid_to"] = nxt.fillna(-1).astype(np.int64)
+        df["is_current"] = (
+            (df["valid_to"] == -1) & (df["op"] != "delete")
+        ).astype(np.int64)
+        return df[
+            ["repo", "path", "commit_id", "op", "valid_from", "valid_to", "is_current"]
+        ]
+
+    expect = (
+        brute(t.to_pandas())
+        .sort_values(["repo", "path", "valid_from"])
+        .reset_index(drop=True)
+    )
+    outs = []
+    for parts in (1, 5, 32):
+        ds = rd.from_arrow(t).repartition(6)
+        got = (
+            scd2_intervals(
+                ds,
+                key_cols=["repo", "path"],
+                ord_col="ordinal",
+                carry_cols=["commit_id"],
+                num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values(["repo", "path", "valid_from"])
+            .reset_index(drop=True)[expect.columns]
+        )
+        outs.append(got)
+        pd.testing.assert_frame_equal(got, expect)
+    # exactly one current row per live key, zero for tombstoned keys
+    cur = outs[0][outs[0]["is_current"] == 1]
+    assert cur.groupby(["repo", "path"]).size().max() == 1
