@@ -3166,11 +3166,19 @@ def cdc_replay_schema_evolution(sf_dir: str):
 
     from ..pipelines.replay import ReplayConfig, ReplayEngine
 
+    import shutil as _shutil
+
     events_dir, workdir = _write_cdc_log(sf_dir)
-    # rewrite epochs >= 5 into the evolved physical schema
+    # Deliver epochs >= 5 in the evolved physical schema — into THIS query's
+    # own workdir: the memoized log dir is shared fixture state and mutating
+    # it in place made every later raw-parquet consumer of the cache
+    # order-dependent (the round-3 cdc_scd2_history flake).
+    evo_dir = workdir / "events_evolved"
+    evo_dir.mkdir()
     for f in sorted(events_dir.glob("epoch=*.parquet")):
         e = int(f.stem.split("=")[1])
         if e < 5:
+            _shutil.copy(f, evo_dir / f.name)
             continue
         t = _pq.read_table(f)
         size = pc.utf8_length(t.column("content"))
@@ -3178,12 +3186,12 @@ def cdc_replay_schema_evolution(sf_dir: str):
         t = t.rename_columns(
             [("filepath" if c == "path" else c) for c in t.column_names]
         )
-        _pq.write_table(t, f, row_group_size=16384)
+        _pq.write_table(t, evo_dir / f.name, row_group_size=16384)
 
     engine = ReplayEngine(
         workdir / "state_evo", ReplayConfig(num_partitions=8, epoch_batch_size=4)
     )
-    engine.replay(str(events_dir))
+    engine.replay(str(evo_dir))
 
     def proj(tbl: pa.Table) -> pa.Table:
         return pa.table(
@@ -3999,6 +4007,107 @@ def cdc_scd2_history(sf_dir: str):
             ("valid_from", pa.int64()),
             ("valid_to", pa.int64()),
             ("is_current", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
+_CDC_PIT_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    h AS (
+      SELECT repo, path, commit_id, op,
+             ordinal AS valid_from,
+             COALESCE(LEAD(ordinal) OVER (PARTITION BY repo, path
+                                          ORDER BY ordinal), -1) AS valid_to
+      FROM cdc),
+    probes AS (
+      SELECT event_id AS probe_id,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             GREATEST(event_id - 500, 0) AS p
+      FROM events WHERE event_id % 7 = 3)
+    SELECT pr.probe_id, pr.repo, pr.path,
+           CAST(pr.p AS BIGINT) AS probe_ordinal,
+           h.commit_id, h.op,
+           CAST(h.valid_from AS BIGINT) AS valid_from
+    FROM probes pr
+    JOIN h ON h.repo = pr.repo AND h.path = pr.path
+          AND h.valid_from <= pr.p
+          AND (h.valid_to = -1 OR pr.p < h.valid_to)
+    WHERE h.op <> 'delete'
+"""
+
+
+@register("cdc_point_in_time_join", _CDC_PIT_SQL)
+def cdc_point_in_time_join(sf_dir: str):
+    """Point-in-time join of fact probes against the CDC change log: every
+    probe ``(repo, path, t)`` (a deterministic sample of events asking "what
+    version was live 500 ordinals before me") resolves to the change in
+    effect at ``t``, dropped when the key did not exist yet or its effective
+    version is a tombstone — the standard fact-to-SCD2-dimension resolution,
+    WITHOUT materializing the intervals.  Reference analog: the row-by-row
+    old-balance lookups against the versioned holder store
+    (``ethereumetl/streaming/eth_token_holder_adapter.py:201-308``), here as
+    one set-oriented pass.  Shape: one shared key-hash exchange of both
+    sides, per-partition multi-key sort + vectorized last-change forward-fill
+    (``stages/windows.py::point_in_time_join``); no interval table, no
+    per-key dispatch."""
+    events_dir, _workdir = _write_cdc_log(sf_dir)
+    log = rd.read_parquet(
+        str(events_dir), columns=["ordinal", "op", "repo", "path", "commit"]
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["commit_id" if c == "commit" else c for c in t.column_names]
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def make_probes(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_mod(t.column("event_id"), 7), 3)
+        t = t.filter(keep)
+        eid = pc.cast(t.column("event_id"), pa.int64())
+        repo = pc.binary_join_element_wise(
+            pa.array(["user"] * t.num_rows),
+            pc.cast(t.column("user_id"), pa.string()),
+            "",
+        )
+        path = pc.binary_join_element_wise(
+            pc.cast(t.column("event_type"), pa.string()),
+            pa.array([".log"] * t.num_rows),
+            "",
+        )
+        p = pc.max_element_wise(pc.subtract(eid, pa.scalar(500, pa.int64())), 0)
+        return pa.table(
+            {"probe_id": eid, "repo": repo, "path": path, "probe_ordinal": p}
+        )
+
+    out = windows.point_in_time_join(
+        log.map_batches(rename, batch_format="pyarrow"),
+        ev.map_batches(make_probes, batch_format="pyarrow"),
+        key_cols=["repo", "path"],
+        ord_col="ordinal",
+        carry_cols=["commit_id"],
+    )
+    return _stable(
+        out,
+        [
+            ("probe_id", pa.int64()),
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("probe_ordinal", pa.int64()),
+            ("commit_id", pa.string()),
+            ("op", pa.string()),
+            ("valid_from", pa.int64()),
         ],
         num_blocks=8,
     )
@@ -8311,6 +8420,7 @@ _DRIVER_ORDER = [
     "cdc_repo_stats",
     "cdc_content_dedup",
     "cdc_scd2_history",
+    "cdc_point_in_time_join",
     "cdc_top_repos_by_bytes",
     "receipts_consistency_fill",
     "trace_export_synthetic",

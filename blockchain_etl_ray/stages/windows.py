@@ -604,3 +604,138 @@ def scd2_intervals(
         .groupby("gpart")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def point_in_time_join(
+    changes: rd.Dataset,
+    probes: rd.Dataset,
+    key_cols: list[str],
+    ord_col: str = "ordinal",
+    probe_ord_col: str = "probe_ordinal",
+    probe_id_col: str = "probe_id",
+    carry_cols: list[str] | None = None,
+    op_col: str = "op",
+    delete_value: str = "delete",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Point-in-time (temporal) join: each probe row ``(key, t)`` is joined to
+    the change-log version in effect at ``t`` — the change with the largest
+    ordinal ≤ ``t`` for that key — and dropped when no version exists yet or
+    the effective version is a tombstone.  This is the standard warehouse
+    consumption of an SCD2 dimension (:func:`scd2_intervals` materializes the
+    intervals; this resolves facts against them without materializing them).
+    Reference analog: the old-balance point lookups the reference resolves
+    row-by-row against the versioned store (``ethereumetl/streaming/
+    eth_token_holder_adapter.py:201-308`` holder state at a block height),
+    here as ONE set-oriented pass.
+
+    Scale shape: both sides are tagged and exchanged ONCE by the same blake2b
+    key hash as the replay store; inside a partition one multi-key sort
+    ``(key…, t, side)`` (changes sort before probes at equal ``t``, so a
+    version taking effect exactly at the probe time wins) plus a vectorized
+    last-change forward-fill (``np.maximum.accumulate`` over change row
+    indices, reset at key-run starts) resolves every probe — no per-key
+    dispatch, no interval materialization, per-task memory bounded by the
+    partition.
+    """
+    import numpy as np
+
+    from ..functions.hashing import key_hash_u64
+
+    carry_cols = list(carry_cols or [])
+    if len(key_cols) > 2:
+        raise ValueError("point_in_time_join supports 1-2 key columns")
+    _cs = changes.schema()  # ray.data Schema: parallel .names / .types lists
+    carry_types = {
+        n: t for n, t in zip(_cs.names, _cs.types) if n in carry_cols
+    }
+
+    def _gpart(t: pa.Table) -> pa.Array:
+        joined_l = pc.cast(t.column(key_cols[0]), pa.string())
+        joined_r = (
+            pc.cast(t.column(key_cols[1]), pa.string())
+            if len(key_cols) > 1
+            else pa.array([""] * t.num_rows)
+        )
+        kh = key_hash_u64(joined_l, joined_r)
+        return pa.array((kh % num_partitions).astype(np.int32))
+
+    def tag_changes(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in [*key_cols, *carry_cols, op_col]}
+        cols["_t"] = pc.cast(t.column(ord_col), pa.int64())
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols[probe_id_col] = pa.nulls(t.num_rows, pa.int64())
+        cols["gpart"] = _gpart(t)
+        return pa.table(cols)
+
+    def tag_probes(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in key_cols}
+        for c in carry_cols:
+            cols[c] = pa.nulls(t.num_rows, carry_types[c])
+        cols[op_col] = pa.nulls(t.num_rows, pa.string())
+        cols["_t"] = pc.cast(t.column(probe_ord_col), pa.int64())
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols[probe_id_col] = pc.cast(t.column(probe_id_col), pa.int64())
+        cols["gpart"] = _gpart(t)
+        return pa.table(cols)
+
+    out_fields = [
+        (probe_id_col, pa.int64()),
+        *[(c, None) for c in key_cols],
+        ("probe_ordinal", pa.int64()),
+        *[(c, None) for c in carry_cols],
+        (op_col, pa.string()),
+        ("valid_from", pa.int64()),
+    ]
+
+    def resolve(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["gpart"])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    (c, "ascending") for c in [*key_cols, "_t", "_side"]
+                ],
+            )
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    name: pa.array([], type=typ or g.schema.field(name).type)
+                    for name, typ in out_fields
+                }
+            )
+        is_change = pc.equal(g.column("_side"), 0).to_numpy(zero_copy_only=False)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for c in key_cols:
+            neq = pc.not_equal(
+                g.column(c).slice(1), g.column(c).slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            new_key[1:] |= neq
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_key, idx, -1))
+        last_change = np.maximum.accumulate(np.where(is_change, idx, -1))
+        probe_rows = ~is_change
+        matched = probe_rows & (last_change >= run_start)
+        src = last_change[matched]
+        live = pc.not_equal(
+            g.column(op_col).take(pa.array(src)), delete_value
+        ).to_numpy(zero_copy_only=False)
+        dst = idx[matched][live]
+        src = src[live]
+        cols = {probe_id_col: g.column(probe_id_col).take(pa.array(dst))}
+        for c in key_cols:
+            cols[c] = g.column(c).take(pa.array(dst))
+        cols["probe_ordinal"] = g.column("_t").take(pa.array(dst))
+        for c in carry_cols:
+            cols[c] = g.column(c).take(pa.array(src))
+        cols[op_col] = g.column(op_col).take(pa.array(src))
+        cols["valid_from"] = g.column("_t").take(pa.array(src))
+        return pa.table(cols)
+
+    tagged = changes.map_batches(tag_changes, batch_format="pyarrow").union(
+        probes.map_batches(tag_probes, batch_format="pyarrow")
+    )
+    return tagged.groupby("gpart").map_groups(resolve, batch_format="pyarrow")

@@ -1347,3 +1347,82 @@ def test_scd2_intervals_matches_bruteforce_and_partition_invariance():
     # exactly one current row per live key, zero for tombstoned keys
     cur = outs[0][outs[0]["is_current"] == 1]
     assert cur.groupby(["repo", "path"]).size().max() == 1
+
+
+def test_point_in_time_join_matches_bruteforce():
+    """PIT join == per-probe brute-force 'latest change at or before t,
+    dropped if none or tombstone'; invariant across partition counts."""
+    import pandas as pd
+
+    from blockchain_etl_ray.stages.windows import point_in_time_join
+
+    rng = np.random.default_rng(11)
+    n = 300
+    ch = pa.table(
+        {
+            "repo": [f"k{int(i)}" for i in rng.integers(0, 17, n)],
+            "path": [f"s{int(i)}" for i in rng.integers(0, 2, n)],
+            "ordinal": rng.permutation(n).astype(np.int64) * 2,  # even times
+            "op": np.where(rng.integers(0, 4, n) == 0, "delete", "upsert"),
+            "commit_id": [str(i) for i in range(n)],
+        }
+    )
+    m = 120
+    pr = pa.table(
+        {
+            "probe_id": np.arange(m, dtype=np.int64),
+            "repo": [f"k{int(i)}" for i in rng.integers(0, 19, m)],  # some miss
+            "path": [f"s{int(i)}" for i in rng.integers(0, 2, m)],
+            # odd AND even probe times: exercise both strictly-between and
+            # exactly-at-change-ordinal semantics
+            "probe_ordinal": rng.integers(0, 2 * n + 10, m).astype(np.int64),
+        }
+    )
+
+    cdf, pdf = ch.to_pandas(), pr.to_pandas()
+    rows = []
+    for r in pdf.itertuples():
+        sub = cdf[
+            (cdf.repo == r.repo)
+            & (cdf.path == r.path)
+            & (cdf.ordinal <= r.probe_ordinal)
+        ]
+        if len(sub) == 0:
+            continue
+        best = sub.loc[sub.ordinal.idxmax()]
+        if best.op == "delete":
+            continue
+        rows.append(
+            {
+                "probe_id": r.probe_id,
+                "repo": r.repo,
+                "path": r.path,
+                "probe_ordinal": r.probe_ordinal,
+                "commit_id": best.commit_id,
+                "op": best.op,
+                "valid_from": best.ordinal,
+            }
+        )
+    expect = (
+        pd.DataFrame(rows)
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+        .astype({"valid_from": np.int64})
+    )
+
+    for parts in (1, 7, 32):
+        got = (
+            point_in_time_join(
+                rd.from_arrow(ch).repartition(5),
+                rd.from_arrow(pr).repartition(3),
+                key_cols=["repo", "path"],
+                ord_col="ordinal",
+                probe_ord_col="probe_ordinal",
+                carry_cols=["commit_id"],
+                num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values("probe_id")
+            .reset_index(drop=True)[expect.columns]
+        )
+        pd.testing.assert_frame_equal(got, expect)
