@@ -33,7 +33,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.bigint import batch_partial_vsum, merge_partials
 from ..functions.parity import scaled_int
-from ..stages import ann, dedup, streamwin, text, windows
+from ..stages import ann, dedup, streamwin, sweepline, text, windows
 from ..stages.joins import broadcast_enrich, broadcast_semi_join
 from ..stages.stabilize import stabilize
 
@@ -4110,6 +4110,79 @@ def cdc_point_in_time_join(sf_dir: str):
             ("valid_from", pa.int64()),
         ],
         num_blocks=8,
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT)
+               + (event_id % 997 + 1) * 60000000 AS e
+      FROM events),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv),
+    run AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM pts),
+    pk AS (SELECT event_type, MAX(c) AS peak FROM run GROUP BY event_type)
+    SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_t
+    FROM run r JOIN pk p ON r.event_type = p.event_type AND r.c = p.peak
+    GROUP BY r.event_type, p.peak
+"""
+
+
+@register("peak_concurrent_events", _PEAK_CONCURRENCY_SQL)
+def peak_concurrent_events(sf_dir: str):
+    """Exact peak concurrency per event type over half-open activity
+    intervals (start = event ts, duration = a deterministic 1–997 min
+    function of event_id), plus the first instant the peak is reached — the
+    interval sweep line WITHOUT a global sort: boundary points fold locally
+    per (type, day-bucket), then a summary-sized per-type Blelloch scan
+    offsets each bucket's local peak by the prefix sum of earlier nets
+    (``stages/sweepline.py``).  The serial running sum the textbook sweep
+    needs is reduced to O(#buckets) rows per type; the only wide exchange is
+    hash-partitioning 2 boundary rows per interval."""
+    ev = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+
+    def intervals(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("ts"), pa.int64())
+        dur = pc.multiply(
+            pc.add(_mod(t.column("event_id"), 997), pa.scalar(1, pa.int64())),
+            pa.scalar(60_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "s": s,
+                "e": pc.add(s, dur),
+            }
+        )
+
+    out = sweepline.peak_concurrency(
+        ev.map_batches(intervals, batch_format="pyarrow"),
+        group_col="event_type",
+        start_col="s",
+        end_col="e",
+    )
+    return _stable(
+        out,
+        [
+            ("event_type", pa.string()),
+            ("peak", pa.int64()),
+            ("first_peak_t", pa.int64()),
+        ],
+        num_blocks=1,
     )
 
 
@@ -8447,6 +8520,7 @@ _DRIVER_ORDER = [
     "rule_filter_regex_events",
     "rule_filter_udf_docs",
     "purchase_last_click_asof",
+    "peak_concurrent_events",
     "vsum_by_event_type",
     "sessionize_users",
     "users_without_big_purchase",

@@ -1,0 +1,107 @@
+"""Interval sweep-line operators: exact peak concurrency over [start, end)
+intervals without a global sort.
+
+The classic sweep line (sort every boundary, running sum) is a single total
+order — at 100 TB that is one all-to-all sort whose running sum is inherently
+serial.  This implementation splits the time axis into fixed buckets: each
+``(group, bucket)`` folds its own boundary points locally (sort + prefix sum,
+keeping ``net``, ``local_peak`` and the first attainment time), and a second,
+summary-sized pass per group scans buckets in time order, offsetting each
+local peak by the exclusive prefix sum of earlier nets — the textbook
+two-level parallel prefix sum (Blelloch scan), applied to interval counting.
+Exchange cost: one hash exchange of 2 boundary rows per interval; the final
+per-group scan touches only O(#buckets) summary rows.
+
+Reference analog: the reference's "concurrent open positions" style checks
+are row-wise SQL over the server (``blockchainetl/service/..``); there is no
+distributed counterpart — this is a new scale-path operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def peak_concurrency(
+    ds: rd.Dataset,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 86_400_000_000,  # 1 day in microseconds
+) -> rd.Dataset:
+    """Exact maximum number of concurrently-open ``[start, end)`` intervals
+    per ``group_col``, plus the first instant the peak is reached.
+
+    Half-open semantics: an interval ending at ``t`` and another starting at
+    ``t`` never overlap — realized by sorting boundary points ``(t, d)`` with
+    the ``-1`` (end) boundary before the ``+1`` (start) at equal ``t``.
+
+    Returns columns ``(group_col, peak:int64, first_peak_t:int64)``.
+    """
+
+    def to_points(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        s = pc.cast(t.column(start_col), pa.int64())
+        e = pc.cast(t.column(end_col), pa.int64())
+        n = t.num_rows
+        starts = pa.table(
+            {group_col: g, "t": s, "d": pa.array(np.ones(n, dtype=np.int64))}
+        )
+        ends = pa.table(
+            {group_col: g, "t": e, "d": pa.array(-np.ones(n, dtype=np.int64))}
+        )
+        out = pa.concat_tables([starts, ends])
+        bucket = pc.cast(
+            pc.divide(out.column("t"), pa.scalar(bucket_width, pa.int64())),
+            pa.int64(),
+        )
+        return out.append_column("bucket", bucket)
+
+    def fold_bucket(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("t", "ascending"), ("d", "ascending")]
+            )
+        )
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        prefix = np.cumsum(d)
+        peak = int(prefix.max())
+        first_i = int(np.argmax(prefix == peak))
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                "bucket": g.column("bucket").slice(0, 1),
+                "net": pa.array([int(prefix[-1])], pa.int64()),
+                "local_peak": pa.array([peak], pa.int64()),
+                "local_first_t": pa.array([int(t[first_i])], pa.int64()),
+            }
+        )
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("bucket", "ascending")]))
+        net = g.column("net").to_numpy(zero_copy_only=False)
+        local_peak = g.column("local_peak").to_numpy(zero_copy_only=False)
+        first_t = g.column("local_first_t").to_numpy(zero_copy_only=False)
+        offset = np.concatenate([[0], np.cumsum(net)[:-1]])
+        cand = offset + local_peak
+        peak = int(cand.max())
+        i = int(np.argmax(cand == peak))
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                "peak": pa.array([peak], pa.int64()),
+                "first_peak_t": pa.array([int(first_t[i])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(to_points, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(scan_group, batch_format="pyarrow")
+    )

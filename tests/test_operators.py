@@ -1426,3 +1426,49 @@ def test_point_in_time_join_matches_bruteforce():
             .reset_index(drop=True)[expect.columns]
         )
         pd.testing.assert_frame_equal(got, expect)
+
+
+def test_peak_concurrency_matches_bruteforce_any_bucket_width():
+    """Two-level sweep == serial sweep for every bucket width, including
+    widths that split intervals across many buckets and one huge bucket
+    (degenerates to the serial algorithm)."""
+    from blockchain_etl_ray.stages.sweepline import peak_concurrency
+
+    rng = np.random.default_rng(3)
+    n = 500
+    grp = [f"g{int(i)}" for i in rng.integers(0, 4, n)]
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    dur = rng.integers(1, 800, n).astype(np.int64)
+    t = pa.table({"g": grp, "s": s, "e": s + dur})
+
+    # serial oracle: sort (t, d) with ends first, running sum
+    import collections
+    expect = {}
+    byg = collections.defaultdict(list)
+    for gname, ss, ee in zip(grp, s, s + dur):
+        byg[gname].append((ss, 1))
+        byg[gname].append((ee, -1))
+    for gname, pts in byg.items():
+        pts.sort()  # (t, d): d=-1 sorts before d=+1 at equal t
+        c = peak = 0
+        first_t = None
+        for tt, dd in pts:
+            c += dd
+            if c > peak:
+                peak, first_t = c, tt
+        expect[gname] = (peak, first_t)
+
+    for width in (1, 7, 100, 1_000_000_000):
+        out = (
+            peak_concurrency(
+                rd.from_arrow(t).repartition(6),
+                group_col="g",
+                start_col="s",
+                end_col="e",
+                bucket_width=width,
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        got = {k: (int(r["peak"]), int(r["first_peak_t"])) for k, r in out.iterrows()}
+        assert got == expect, f"width={width}"
