@@ -4186,6 +4186,122 @@ def peak_concurrent_events(sf_dir: str):
     )
 
 
+_JOURNEY_SQL = """
+    WITH fe AS (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY event_id) AS journey
+      FROM fe WHERE rn <= 8 GROUP BY user_id)
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey
+    LIMIT 20
+"""
+
+
+@register("user_journey_paths", _JOURNEY_SQL)
+def user_journey_paths(sf_dir: str):
+    """Top user journeys: each user's first 8 event types in event_id order
+    concatenated into a path string (ordered STRING_AGG — the product-
+    analytics "user journey" primitive), then the 20 most common journeys
+    with a deterministic (count desc, journey asc) cut.  Reference analog:
+    the per-address ordered transfer sequences the holder adapter folds
+    (``ethereumetl/streaming/eth_token_holder_adapter.py:201-308``), here as
+    a reusable ordered-concat stage.  Shape: one user-hash exchange + one
+    polars sort/maintain-order group_by per partition (``stages/windows.py::
+    ordered_group_concat``); journey counts are combiner-reduced per batch
+    before the (tiny) journey groupby; the global top-20 is local-top-20 per
+    block then one final merge — no full sort."""
+    import polars as pl
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    journeys = windows.ordered_group_concat(
+        ev,
+        key="user_id",
+        order_col="event_id",
+        val_col="event_type",
+        sep=">",
+        head=8,
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.group_by("journey").agg(
+            pl.len().alias("n_users"), pl.col("user_id").min().alias("min_user")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("journey", pa.string()),
+                    ("n_users", pa.int64()),
+                    ("min_user", pa.int64()),
+                ]
+            )
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import key_hash_u64
+
+        kh = key_hash_u64(
+            t.column("journey"), pa.array([""] * t.num_rows)
+        )
+        return t.append_column(
+            "gpart", pa.array((kh % 32).astype(np.int64))
+        )
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["gpart"]))
+        out = df.group_by("journey").agg(
+            pl.col("n_users").sum(), pl.col("min_user").min()
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("journey", pa.string()),
+                    ("n_users", pa.int64()),
+                    ("min_user", pa.int64()),
+                ]
+            )
+        )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("n_users", "descending"), ("journey", "ascending")],
+        )
+        return t.take(idx.slice(0, 20))
+
+    counts = (
+        journeys.map_batches(partial_counts, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(merge_counts, batch_format="pyarrow")
+    )
+    top = (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_top, batch_format="pyarrow")
+    )
+    return _stable(
+        top,
+        [
+            ("journey", pa.string()),
+            ("n_users", pa.int64()),
+            ("min_user", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8523,6 +8639,7 @@ _DRIVER_ORDER = [
     "peak_concurrent_events",
     "vsum_by_event_type",
     "sessionize_users",
+    "user_journey_paths",
     "users_without_big_purchase",
     "check_duplicate_events",
     "purchase_chain_status",

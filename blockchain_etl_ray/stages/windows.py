@@ -739,3 +739,65 @@ def point_in_time_join(
         probes.map_batches(tag_probes, batch_format="pyarrow")
     )
     return tagged.groupby("gpart").map_groups(resolve, batch_format="pyarrow")
+
+
+def ordered_group_concat(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    val_col: str,
+    sep: str = ">",
+    head: int | None = None,
+    out_col: str = "journey",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Ordered string aggregation per key — SQL ``STRING_AGG(val, sep ORDER
+    BY order_col)`` with an optional per-key ``head`` cap (first N in order).
+    The product-analytics "user journey" primitive.
+
+    Scale shape: one hash exchange of ``(key, order, val)`` rows (multiply-
+    shift on the INT key, same exactness argument as ``stages/hashagg.py``),
+    then ONE polars sort + maintain-order group_by per partition — vectorized
+    concat in Rust, no per-key Python dispatch.  Output is key-count-sized.
+    """
+    import numpy as np
+    import polars as pl
+
+    _MULT = 2654435761
+    width = (1 << 31) // num_partitions + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(key), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return pa.table(
+            {
+                key: t.column(key),
+                order_col: t.column(order_col),
+                val_col: t.column(val_col),
+                "gpart": b,
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["gpart"]))
+        expr = pl.col(val_col)
+        if head is not None:
+            expr = expr.head(head)
+        out = (
+            df.sort([key, order_col])
+            .group_by(key, maintain_order=True)
+            .agg(expr.str.join(sep).alias(out_col))
+        )
+        return out.to_arrow().cast(
+            pa.schema([(key, g.schema.field(key).type), (out_col, pa.string())])
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )

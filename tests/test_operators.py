@@ -1472,3 +1472,43 @@ def test_peak_concurrency_matches_bruteforce_any_bucket_width():
         )
         got = {k: (int(r["peak"]), int(r["first_peak_t"])) for k, r in out.iterrows()}
         assert got == expect, f"width={width}"
+
+
+def test_ordered_group_concat_matches_bruteforce():
+    """Ordered concat == per-key python sort+join at any partition count,
+    with and without the head cap."""
+    import pandas as pd
+
+    from blockchain_etl_ray.stages.windows import ordered_group_concat
+
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table(
+        {
+            "k": rng.integers(0, 31, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": [f"v{int(i)}" for i in rng.integers(0, 6, n)],
+        }
+    )
+    df = t.to_pandas()
+    for head in (None, 3):
+        want = {}
+        for k, sub in df.groupby("k"):
+            vals = sub.sort_values("o")["v"].tolist()
+            want[int(k)] = "|".join(vals if head is None else vals[:head])
+        for parts in (1, 4, 32):
+            got = (
+                ordered_group_concat(
+                    rd.from_arrow(t).repartition(5),
+                    key="k",
+                    order_col="o",
+                    val_col="v",
+                    sep="|",
+                    head=head,
+                    num_partitions=parts,
+                )
+                .to_pandas()
+                .set_index("k")["journey"]
+                .to_dict()
+            )
+            assert got == want, f"head={head} parts={parts}"
