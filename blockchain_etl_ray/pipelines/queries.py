@@ -4302,6 +4302,65 @@ def user_journey_paths(sf_dir: str):
     )
 
 
+_PARETO_SQL = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+      FROM orders)
+    SELECT a.o_orderkey, a.price_x100, a.date_us
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.price_x100 >= a.price_x100 AND b.date_us >= a.date_us
+        AND (b.price_x100 > a.price_x100 OR b.date_us > a.date_us))
+"""
+
+
+@register("pareto_frontier_orders", _PARETO_SQL)
+def pareto_frontier_orders(sf_dir: str):
+    """Pareto frontier of orders maximizing (total price, recency): an order
+    survives iff no other order is ≥ on both axes and strictly greater on
+    one.  The SQL form is the quadratic NOT EXISTS self-join (the oracle);
+    the engine exploits union-stability — ``skyline(S) = skyline(⋃
+    skyline(blockᵢ))`` — so each block reduces locally with a vectorized
+    sort + grouped prefix-max and ONE final task merges the ~O(log n)-sized
+    candidate union (``stages/skyline.py``).  No exchange of non-candidate
+    rows at any scale."""
+    from ..stages.skyline import skyline_2d
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+        num_blocks=_blocks_for(sf_dir, "orders"),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "price_x100": scaled_int(t.column("o_totalprice")),
+                "date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    out = skyline_2d(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        x_col="price_x100",
+        y_col="date_us",
+    )
+    return _stable(
+        out,
+        [
+            ("o_orderkey", pa.int64()),
+            ("price_x100", pa.int64()),
+            ("date_us", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8651,6 +8710,7 @@ _DRIVER_ORDER = [
     "corpus_frequent_terms",
     "corpus_prep_pipeline",
     "doc_weighted_sample",
+    "pareto_frontier_orders",
     "clicks_before_purchase_range",
     "ann_topk_cosine",
     # ---- entries below sit past the driver's 50-query window; all remain

@@ -1,0 +1,76 @@
+"""2-D Pareto frontier (skyline) under maximize-both semantics.
+
+A point dominates another when it is ≥ on both axes and strictly greater on
+at least one; the frontier is every non-dominated point (duplicates of a
+frontier point all survive — nothing dominates them under the one-strict
+rule).
+
+Distributed shape: the frontier is union-stable — ``skyline(S) =
+skyline(⋃ skyline(blockᵢ))`` — so each block reduces locally (a vectorized
+sort + grouped prefix-max, no pairwise loop) and ONE final task resolves the
+tiny candidate union.  For uniformly random 2-D data the expected frontier
+size is O(log n), so the final task sees ~blocks × log(block) rows at any
+scale; no all-to-all exchange at all.
+
+Reference analog: none — the reference's SQL layer would express this as a
+quadratic NOT EXISTS self-join (exactly the DuckDB oracle the catalog pairs
+with); this stage is the scale path for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _local_skyline(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Exact skyline of one table, vectorized.
+
+    Sort by (x desc, y desc); a row survives iff its y is strictly greater
+    than the maximum y among all rows of strictly greater x (rows of equal x
+    with lower y are dominated by the equal-x/max-y row; ties on both axes
+    all survive).
+    """
+    n = t.num_rows
+    if n == 0:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[(x_col, "descending"), (y_col, "descending")]
+    )
+    s = t.take(idx)
+    x = s.column(x_col).to_numpy(zero_copy_only=False)
+    y = s.column(y_col).to_numpy(zero_copy_only=False)
+    new_x = np.empty(n, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = x[1:] != x[:-1]
+    gid = np.cumsum(new_x) - 1  # group index per row, by descending x
+    n_groups = int(gid[-1]) + 1
+    # per-group max y = first row of each group (y descending within group)
+    group_max_y = y[new_x]
+    cummax = np.maximum.accumulate(group_max_y)
+    # max y among STRICTLY greater x = cummax of the previous group
+    best_higher = np.full(n_groups, np.iinfo(np.int64).min, dtype=np.int64)
+    best_higher[1:] = cummax[:-1]
+    survive = y > best_higher[gid]
+    # equal-x rows below the group max are dominated unless they tie the max
+    survive &= y == group_max_y[gid]
+    return s.filter(pa.array(survive))
+
+
+def skyline_2d(ds: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
+    """Pareto frontier maximizing ``(x_col, y_col)`` — both int64-coercible.
+
+    One local reduction per block, one final merge task over the candidate
+    union; output is the exact global frontier.
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        return _local_skyline(t, x_col, y_col)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow")
+    )

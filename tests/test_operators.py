@@ -1512,3 +1512,37 @@ def test_ordered_group_concat_matches_bruteforce():
                 .to_dict()
             )
             assert got == want, f"head={head} parts={parts}"
+
+
+def test_skyline_2d_matches_bruteforce_with_dup_and_tie_cases():
+    """Distributed skyline == O(n^2) dominance brute force; duplicate
+    frontier points all survive; invariant across block splits."""
+    from blockchain_etl_ray.stages.skyline import skyline_2d
+
+    rng = np.random.default_rng(9)
+    n = 300
+    x = rng.integers(0, 40, n).astype(np.int64)
+    y = rng.integers(0, 40, n).astype(np.int64)
+    # plant exact duplicates of an extreme point: both must survive
+    x[0] = x[1] = 1000
+    y[0] = y[1] = 1000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": ids, "x": x, "y": y})
+
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(
+            np.any(
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            )
+        )
+    want = set(ids[~dominated].tolist())
+    assert 0 in want and 1 in want
+
+    for parts in (1, 3, 16):
+        got = set(
+            skyline_2d(rd.from_arrow(t).repartition(parts), "x", "y")
+            .to_pandas()["id"]
+            .tolist()
+        )
+        assert got == want, f"parts={parts}"
