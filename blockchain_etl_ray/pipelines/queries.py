@@ -4361,6 +4361,135 @@ def pareto_frontier_orders(sf_dir: str):
     )
 
 
+_AUDIENCE_OVERLAP_SQL = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+"""
+
+
+@register("event_type_audience_overlap", _AUDIENCE_OVERLAP_SQL)
+def event_type_audience_overlap(sf_dir: str):
+    """Exact audience overlap between every pair of event types: common
+    distinct users per (type_a < type_b) pair plus each side's audience
+    size (the exact-Jaccard inputs for audience similarity).  Shape: batch-
+    local distinct (user, type) → ONE user-hash exchange → per-bucket
+    distinct + bucket-local polars self-join on user (bounded: a user
+    contributes ≤ |types|² pair rows, |types| is small and fixed) → tiny
+    per-pair partial sums merged in one final task.  The distinct-user sets
+    themselves never transit whole; only (pair, count) partials do.
+    Reference analog: token-holder set intersections computed server-side
+    (``ethereumetl/streaming/eth_token_holder_adapter.py``), here
+    set-oriented."""
+    import polars as pl
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()
+        out = df.to_arrow().cast(
+            pa.schema([("user_id", pa.int64()), ("event_type", pa.string())])
+        )
+        k = pc.cast(out.column("user_id"), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return out.append_column("gpart", b)
+
+    def fold_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["gpart"])).unique()
+        pairs = (
+            df.join(df, on="user_id", suffix="_b")
+            .filter(pl.col("event_type") < pl.col("event_type_b"))
+            .group_by(["event_type", "event_type_b"])
+            .agg(pl.len().alias("n"))
+            .rename({"event_type": "type_a", "event_type_b": "type_b"})
+        )
+        sizes = (
+            df.group_by("event_type")
+            .agg(pl.len().alias("n"))
+            .rename({"event_type": "type_a"})
+            .with_columns(pl.lit("").alias("type_b"))
+            .select(["type_a", "type_b", "n"])
+        )
+        out = pl.concat([pairs.select(["type_a", "type_b", "n"]), sizes])
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("type_a", pa.string()),
+                    ("type_b", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by(["type_a", "type_b"])
+            .agg(pl.col("n").sum())
+        )
+        sizes = {
+            r["type_a"]: r["n"]
+            for r in df.filter(pl.col("type_b") == "").to_dicts()
+        }
+        pairs = df.filter(pl.col("type_b") != "").sort(["type_a", "type_b"])
+        return pa.table(
+            {
+                "type_a": pairs.get_column("type_a").to_list(),
+                "type_b": pairs.get_column("type_b").to_list(),
+                "n_common": pa.array(
+                    pairs.get_column("n").to_list(), pa.int64()
+                ),
+                "n_a": pa.array(
+                    [sizes[a] for a in pairs.get_column("type_a")], pa.int64()
+                ),
+                "n_b": pa.array(
+                    [sizes[b] for b in pairs.get_column("type_b")], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ev.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8701,6 +8830,7 @@ _DRIVER_ORDER = [
     "user_journey_paths",
     "users_without_big_purchase",
     "check_duplicate_events",
+    "event_type_audience_overlap",
     "purchase_chain_status",
     "track_user_flows",
     "doc_exact_dedup",
