@@ -4490,6 +4490,52 @@ def event_type_audience_overlap(sf_dir: str):
     )
 
 
+_TRIANGLES_SQL = """
+    WITH e0 AS (
+      SELECT DISTINCT user_id AS a, event_id % 150 AS b
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM e0 WHERE a <> b)
+    SELECT CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+             AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+"""
+
+
+@register("purchase_graph_triangles", _TRIANGLES_SQL)
+def purchase_graph_triangles(sf_dir: str):
+    """Exact triangle count of the purchase-flow graph (the same synthetic
+    user→bucket edges ``user_pagerank`` walks) via degree-ordered
+    orientation (Suri & Vassilvitskii, WWW 2011): orient each edge toward
+    the higher-(degree, id) endpoint, generate out-neighbor pairs (out-
+    degree ≤ √(2m) for ANY degree distribution — a celebrity vertex becomes
+    a sink, never a quadratic wedge source), and semi-join wedges against
+    the edge set (``stages/triangles.py``).  The SQL oracle is the cubic
+    triple self-join on the canonical u<v edge set."""
+    from ..stages.triangles import triangle_count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "a": pc.cast(t.column("user_id"), pa.int64()),
+                "b": _mod(t.column("event_id"), 150),
+            }
+        )
+
+    out = triangle_count(ds.map_batches(prep, batch_format="pyarrow"))
+    return _stable(
+        out,
+        [("n_triangles", pa.int64()), ("n_edges", pa.int64())],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8838,6 +8884,7 @@ _DRIVER_ORDER = [
     "token_jaccard_pairs",
     "neardup_dedup_survivors",
     "corpus_frequent_terms",
+    "purchase_graph_triangles",
     "corpus_prep_pipeline",
     "doc_weighted_sample",
     "pareto_frontier_orders",

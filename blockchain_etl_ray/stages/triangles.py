@@ -1,0 +1,295 @@
+"""Exact distributed triangle counting via degree-ordered orientation.
+
+Orient every undirected edge from its lower-(degree, id) endpoint to the
+higher one; every triangle then has exactly one node with two out-edges, so
+counting (wedge = two out-neighbors of one node) ∩ (edge set) counts each
+triangle exactly once.  The orientation bounds out-degree by O(√m) for ANY
+degree distribution — the classic "curse of the last reducer" fix (Suri &
+Vassilvitskii, WWW 2011): a hot node (celebrity vertex) becomes a sink and
+never generates the quadratic wedge set its raw degree implies.
+
+Pipeline shape (all exchanges are hash-bucket groupbys, each data-sized or
+smaller):
+1. canonicalize + dedup edges (bucket by pair hash),
+2. degrees (explode endpoints, bucket by node),
+3. attach deg to each endpoint (two bucket joins),
+4. wedge generation per oriented source (out-degree ≤ √(2m) ⇒ per-node pair
+   work bounded),
+5. wedge ∩ edge semi-join (bucket by pair hash) → per-bucket counts → sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_bucket(u: np.ndarray, v: np.ndarray, parts: int) -> np.ndarray:
+    h = (u.astype(np.uint64) * _MIX + v.astype(np.uint64)) * _MIX
+    return ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+
+
+def _node_bucket(x: np.ndarray, parts: int) -> np.ndarray:
+    h = x.astype(np.uint64) * _MIX
+    return ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact triangle count of the undirected simple graph spanned by the
+    (possibly duplicated, possibly self-looping) edge list.  Returns a
+    one-row Dataset ``(n_triangles:int64, n_edges:int64)`` where ``n_edges``
+    is the deduplicated simple-edge count.
+    """
+    parts = num_partitions
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "gpart": pa.array(_pair_bucket(u, v, parts)),
+            }
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["u", "v"])).unique()
+        return df.to_arrow().cast(pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+    )
+
+    # degrees: explode endpoints, bucket by node, count
+    def explode(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        return pa.table(
+            {"node": pa.array(node), "gpart": pa.array(_node_bucket(node, parts))}
+        )
+
+    def count_deg(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.select(["node"]))
+            .group_by("node")
+            .agg(pl.len().alias("deg"))
+        )
+        return df.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+        )
+
+    degrees = (
+        simple.map_batches(explode, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(count_deg, batch_format="pyarrow")
+    )
+
+    # attach deg(u) then deg(v): tag edge rows and degree rows into the same
+    # node buckets, join inside each bucket
+    def attach(side: str):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            x = t.column(side).to_numpy(zero_copy_only=False)
+            return t.append_column("gpart", pa.array(_node_bucket(x, parts)))
+
+        return tag_edges
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        x = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column("gpart", pa.array(_node_bucket(x, parts)))
+
+    def join_deg(side: str, out_name: str):
+        def f(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(g.drop_columns(["gpart"]))
+            ed = df.filter(pl.col("node").is_null()).drop(["node", "deg"])
+            dg = df.filter(pl.col("node").is_not_null()).select(["node", "deg"])
+            out = ed.join(dg, left_on=side, right_on="node", how="inner").rename(
+                {"deg": out_name}
+            )
+            return out.to_arrow()
+
+        return f
+
+    def pad_edges(t: pa.Table) -> pa.Table:
+        t = t.append_column("node", pa.nulls(t.num_rows, pa.int64()))
+        return t.append_column("deg", pa.nulls(t.num_rows, pa.int64()))
+
+    def pad_deg_like(cols: list[tuple[str, pa.DataType]]):
+        # emit the SAME column order as the padded edge side:
+        # (*edge cols, gpart, node, deg) — union is order-sensitive
+        def f(t: pa.Table) -> pa.Table:
+            arrs = {}
+            for name, typ in cols:
+                arrs[name] = pa.nulls(t.num_rows, typ)
+            arrs["gpart"] = t.column("gpart")
+            arrs["node"] = t.column("node")
+            arrs["deg"] = t.column("deg")
+            return pa.table(arrs)
+
+        return f
+
+    e1_cols = [("u", pa.int64()), ("v", pa.int64())]
+    e1 = (
+        simple.map_batches(attach("u"), batch_format="pyarrow")
+        .map_batches(pad_edges, batch_format="pyarrow")
+        .union(
+            degrees.map_batches(tag_deg, batch_format="pyarrow").map_batches(
+                pad_deg_like(e1_cols), batch_format="pyarrow"
+            )
+        )
+        .groupby("gpart")
+        .map_groups(join_deg("u", "deg_u"), batch_format="pyarrow")
+    )
+
+    e2_cols = [("u", pa.int64()), ("v", pa.int64()), ("deg_u", pa.int64())]
+    e2 = (
+        e1.map_batches(attach("v"), batch_format="pyarrow")
+        .map_batches(pad_edges, batch_format="pyarrow")
+        .union(
+            degrees.map_batches(tag_deg, batch_format="pyarrow").map_batches(
+                pad_deg_like(e2_cols), batch_format="pyarrow"
+            )
+        )
+        .groupby("gpart")
+        .map_groups(join_deg("v", "deg_v"), batch_format="pyarrow")
+    )
+
+    # orient by (deg, id): src = smaller endpoint under that order
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "gpart": pa.array(_node_bucket(src, parts)),
+            }
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # Vectorized all-pairs per source: sort by (src, dst), find group
+        # runs, then process all groups of EQUAL out-degree k as one
+        # (n_groups, k) matrix indexed by triu_indices(k) — the number of
+        # distinct k values is ≤ √(2m) (the orientation's out-degree bound),
+        # so the Python loop is over sizes, not sources.
+        idx = np.lexsort(
+            (
+                g.column("dst").to_numpy(zero_copy_only=False),
+                g.column("src").to_numpy(zero_copy_only=False),
+            )
+        )
+        src = g.column("src").to_numpy(zero_copy_only=False)[idx]
+        dst = g.column("dst").to_numpy(zero_copy_only=False)[idx]
+        n = len(src)
+        xs, ys = [], []
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = src[1:] != src[:-1]
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, n))
+            for k in np.unique(sizes):
+                if k < 2:
+                    continue
+                f = starts[sizes == k]
+                mat = dst[f[:, None] + np.arange(k)[None, :]]
+                iu, ju = np.triu_indices(int(k), 1)
+                xs.append(mat[:, iu].ravel())
+                ys.append(mat[:, ju].ravel())
+        if not xs:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "gpart": pa.array([], pa.int64()),
+                }
+            )
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        wu = np.minimum(x, y)
+        wv = np.maximum(x, y)
+        return pa.table(
+            {
+                "u": pa.array(wu),
+                "v": pa.array(wv),
+                "kind": pa.array(np.ones(len(wu), dtype=np.int8)),
+                "gpart": pa.array(_pair_bucket(wu, wv, parts)),
+            }
+        )
+
+    def tag_edge_pairs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "v": t.column("v"),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "gpart": pa.array(_pair_bucket(u, v, parts)),
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+    wedge_ds = oriented.groupby("gpart").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+    # NOTE: wedge generation regroups `oriented` by src-bucket; `oriented`
+    # rows already carry the src bucket in gpart.
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["u", "v", "kind"]))
+        ed = df.filter(pl.col("kind") == 0).select(["u", "v"]).unique()
+        wd = df.filter(pl.col("kind") == 1).select(["u", "v"])
+        n = wd.join(ed, on=["u", "v"], how="inner").height
+        ne = ed.height
+        return pa.table(
+            {
+                "n_tri": pa.array([n], pa.int64()),
+                "n_edges": pa.array([ne], pa.int64()),
+            }
+        )
+
+    matched = (
+        simple.map_batches(tag_edge_pairs, batch_format="pyarrow")
+        .union(wedge_ds)
+        .groupby("gpart")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n_triangles": pa.array(
+                    [pc.sum(t.column("n_tri")).as_py() or 0], pa.int64()
+                ),
+                "n_edges": pa.array(
+                    [pc.sum(t.column("n_edges")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    return matched.repartition(1).map_batches(total, batch_format="pyarrow")

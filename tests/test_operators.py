@@ -1546,3 +1546,36 @@ def test_skyline_2d_matches_bruteforce_with_dup_and_tie_cases():
             .tolist()
         )
         assert got == want, f"parts={parts}"
+
+
+def test_triangle_count_matches_bruteforce_with_hot_vertex():
+    """Oriented triangle count == set-intersection brute force; exact at any
+    partition count; a planted celebrity vertex (connected to everyone) must
+    not break exactness (it becomes a sink under the orientation)."""
+    from blockchain_etl_ray.stages.triangles import triangle_count
+
+    rng = np.random.default_rng(13)
+    n_nodes, n_edges = 50, 400
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # celebrity vertex 999 connected to every node, plus duplicate edges
+    a = np.concatenate([a, np.full(n_nodes, 999, dtype=np.int64), a[:50]])
+    b = np.concatenate([b, np.arange(n_nodes, dtype=np.int64), b[:50]])
+    t = pa.table({"a": a, "b": b})
+
+    es = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x != y:
+            es.add((min(x, y), max(x, y)))
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(1 for u, v in es for w in (adj[u] & adj[v]) if w > v)
+
+    for parts in (1, 8, 32):
+        out = triangle_count(
+            rd.from_arrow(t).repartition(4), num_partitions=parts
+        ).to_pandas()
+        assert out["n_triangles"][0] == tri, f"parts={parts}"
+        assert out["n_edges"][0] == len(es)
