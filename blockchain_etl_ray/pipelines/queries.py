@@ -4536,6 +4536,416 @@ def purchase_graph_triangles(sf_dir: str):
     )
 
 
+_MODE_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS favorite_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+"""
+
+
+@register("user_favorite_event_type", _MODE_SQL)
+def user_favorite_event_type(sf_dir: str):
+    """Grouped mode with a deterministic tie-break: each user's most
+    frequent event type (ties broken lexicographically).  Shape: per-batch
+    (user, type) count partials (combiner — the exchange carries at most
+    |users|×|types| rows per batch, not events), ONE user-hash exchange,
+    then a vectorized per-bucket merge + argmax via one polars sort/first.
+    Reference analog: the per-address dominant-token style aggregations
+    (``ethereumetl/streaming/eth_token_holder_adapter.py``)."""
+    import polars as pl
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by(["user_id", "event_type"])
+            .agg(pl.len().alias("n"))
+        )
+        out = df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+        k = pc.cast(out.column("user_id"), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return out.append_column("gpart", b)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.drop_columns(["gpart"]))
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("n").sum())
+            .sort(["user_id", "n", "event_type"], descending=[False, True, False])
+            .group_by("user_id", maintain_order=True)
+            .first()
+            .rename({"event_type": "favorite_type", "n": "n_events"})
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("favorite_type", pa.string()),
+                    ("n_events", pa.int64()),
+                ]
+            )
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("user_id", pa.int64()),
+            ("favorite_type", pa.string()),
+            ("n_events", pa.int64()),
+        ],
+        num_blocks=4,
+    )
+
+
+_CORR_SQL = """
+    WITH h AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+           CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy
+    FROM h
+"""
+
+
+@register("hourly_click_purchase_corr", _CORR_SQL)
+def hourly_click_purchase_corr(sf_dir: str):
+    """Exact Pearson-correlation sufficient statistics between hourly click
+    and purchase volumes: the five integer moments (Σx, Σy, Σx², Σy², Σxy)
+    plus n over the hourly co-occurrence table — bit-exact BIGINTs on both
+    engines (the float r = (nΣxy−ΣxΣy)/√(…) is derivable client-side; the
+    moments cross the parity boundary exactly, the float would not).
+    Shape: per-batch (hour → x,y) count partials via one np.add.at scatter,
+    hour-hash bucket merge, then a one-row moment reduction — events never
+    transit; the exchange is hour-count-sized."""
+    ev = _read(
+        sf_dir,
+        "events",
+        ["ts", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    _HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hours = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // _HOUR_US
+        )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(hours, return_inverse=True)
+        x = np.zeros(len(uh), dtype=np.int64)
+        y = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(x, inv[types == "click"], 1)
+        np.add.at(y, inv[types == "purchase"], 1)
+        g = ((uh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % 16
+        return pa.table(
+            {
+                "hour": pa.array(uh),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "gpart": pa.array(g.astype(np.int64)),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        h = g.column("hour").to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        x = _seg_sum_i64(inv, g.column("x").to_numpy(zero_copy_only=False), len(uh))
+        y = _seg_sum_i64(inv, g.column("y").to_numpy(zero_copy_only=False), len(uh))
+        return pa.table(
+            {
+                "n": pa.array([len(uh)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    def total(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            cols[c] = pa.array(
+                [pc.sum(t.column(c)).as_py() or 0], pa.int64()
+            )
+        return pa.table(cols)
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(total, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("n", pa.int64()),
+            ("sum_x", pa.int64()),
+            ("sum_y", pa.int64()),
+            ("sum_xx", pa.int64()),
+            ("sum_yy", pa.int64()),
+            ("sum_xy", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
+_RI_REPORT_SQL = """
+    SELECT 'lineitem->orders' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+             AS n_orphans,
+           CAST(COUNT(DISTINCT l.l_orderkey)
+                FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphan_keys
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT l.l_partkey)
+                FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o.o_custkey)
+                FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'events->customer(sampled)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT e.user_id)
+                FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("referential_integrity_report", _RI_REPORT_SQL)
+def referential_integrity_report(sf_dir: str):
+    """Multi-edge referential-integrity report: exact orphan row and orphan
+    key counts for four FK edges in one result (three clean TPC-H edges plus
+    events.user_id→customer, which genuinely dangles — users without a
+    customer row — so the checker demonstrably counts real violations, not
+    just zeros).  Each edge is one ``stages/joins.py::fk_orphan_counts``
+    pass: the exchange carries (distinct fact key, row-count) partials and
+    distinct dim keys into shared hash buckets; neither side is broadcast,
+    so dimension size is unbounded.  Reference analog: the block/tx
+    consistency checkers (``blockchainetl/jobs/check_*``) generalized to
+    any FK edge."""
+    from ..stages.joins import fk_orphan_counts
+
+    edges = [
+        (
+            _read(sf_dir, "lineitem", ["l_orderkey"]),
+            "l_orderkey",
+            _read(sf_dir, "orders", ["o_orderkey"]),
+            "o_orderkey",
+            "lineitem->orders",
+        ),
+        (
+            _read(sf_dir, "lineitem", ["l_partkey"]),
+            "l_partkey",
+            _read(sf_dir, "part", ["p_partkey"]),
+            "p_partkey",
+            "lineitem->part",
+        ),
+        (
+            _read(sf_dir, "orders", ["o_custkey"]),
+            "o_custkey",
+            _read(sf_dir, "customer", ["c_custkey"]),
+            "c_custkey",
+            "orders->customer",
+        ),
+        (
+            _read(sf_dir, "events", ["user_id"]),
+            "user_id",
+            _read(sf_dir, "customer", ["c_custkey"]),
+            "c_custkey",
+            "events->customer(sampled)",
+        ),
+    ]
+    out = None
+    for fact, fk, dim, dk, label in edges:
+        r = fk_orphan_counts(fact, fk, dim, dk, edge=label)
+        out = r if out is None else out.union(r)
+    return _stable(
+        out,
+        [
+            ("edge", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_orphans", pa.int64()),
+            ("n_orphan_keys", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
+_WINSOR_SQL = """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events),
+    p AS (
+      SELECT event_type,
+             CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY v) AS BIGINT)
+               AS lo,
+             CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY v) AS BIGINT)
+               AS hi
+      FROM v GROUP BY event_type)
+    SELECT v.event_type, p.lo AS p05_x100, p.hi AS p95_x100,
+           CAST(SUM(LEAST(GREATEST(v.v, p.lo), p.hi)) AS BIGINT)
+             AS winsorized_sum_x100,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v JOIN p USING (event_type)
+    GROUP BY v.event_type, p.lo, p.hi
+"""
+
+
+@register("event_value_winsorized", _WINSOR_SQL)
+def event_value_winsorized(sf_dir: str):
+    """Robust (winsorized) sums per event type: values clamped to the exact
+    [P05, P95] cents (PERCENTILE_DISC semantics — the same count-histogram
+    machinery as ``event_value_percentiles``) before summing, integer-exact
+    on both engines.  Shape: the percentile pass shuffles count histograms
+    only; the tiny (|types|×2) clamp table is broadcast back into one
+    map_batches partial-sum pass + a types-sized final fold — events cross
+    the wire zero times."""
+    from ..stages.hashagg import grouped_percentiles
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["event_type", "value"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "v": scaled_int(t.column("value")),
+            }
+        )
+
+    vals = ev.map_batches(cents, batch_format="pyarrow")
+    pct = grouped_percentiles(
+        vals, group_col="event_type", value_col="v", percentiles=(0.05, 0.95)
+    ).to_pandas()
+    clamp = {
+        r["event_type"]: (int(r["p5"]), int(r["p95"]))
+        for r in pct.to_dict("records")
+    }
+    import ray as _ray
+
+    clamp_ref = _ray.put(clamp)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cl = _ray.get(clamp_ref)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(types, return_inverse=True)
+        lo = np.array([cl[x][0] for x in ut], dtype=np.int64)[inv]
+        hi = np.array([cl[x][1] for x in ut], dtype=np.int64)[inv]
+        w = np.clip(v, lo, hi)
+        s = _seg_sum_i64(inv, w, len(ut))
+        n = np.bincount(inv, minlength=len(ut)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(ut),
+                "winsorized_sum_x100": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cl = _ray.get(clamp_ref)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(types, return_inverse=True)
+        s = _seg_sum_i64(
+            inv,
+            t.column("winsorized_sum_x100").to_numpy(zero_copy_only=False),
+            len(ut),
+        )
+        n = _seg_sum_i64(
+            inv, t.column("n").to_numpy(zero_copy_only=False), len(ut)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(ut),
+                "p05_x100": pa.array(
+                    np.array([cl[x][0] for x in ut], dtype=np.int64)
+                ),
+                "p95_x100": pa.array(
+                    np.array([cl[x][1] for x in ut], dtype=np.int64)
+                ),
+                "winsorized_sum_x100": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    out = (
+        vals.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("event_type", pa.string()),
+            ("p05_x100", pa.int64()),
+            ("p95_x100", pa.int64()),
+            ("winsorized_sum_x100", pa.int64()),
+            ("n", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -8881,6 +9291,10 @@ _DRIVER_ORDER = [
     "track_user_flows",
     "doc_exact_dedup",
     "event_value_percentiles",
+    "event_value_winsorized",
+    "user_favorite_event_type",
+    "hourly_click_purchase_corr",
+    "referential_integrity_report",
     "token_jaccard_pairs",
     "neardup_dedup_survivors",
     "corpus_frequent_terms",

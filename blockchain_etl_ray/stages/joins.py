@@ -437,3 +437,106 @@ def bucketed_join(
         return joined.select([c for c in out_names if c in joined.column_names])
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def fk_orphan_counts(
+    fact: rd.Dataset,
+    fact_key: str,
+    dim: rd.Dataset,
+    dim_key: str,
+    edge: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Referential-integrity check for one FK edge: exact count of fact rows
+    (and distinct fact keys) whose key has no match in the dimension.
+    Returns ONE row ``(edge, n_rows, n_orphans, n_orphan_keys)``.
+
+    Scale shape (J9 at fact×fact size): the exchange carries (distinct fact
+    key, row-count) partials plus distinct dim keys — never fact rows — into
+    the same multiply-shift key buckets; each bucket resolves membership
+    with one polars anti-join.  Neither side is broadcast, so the dimension
+    may be arbitrarily large (unlike :func:`broadcast_semi_join`).
+    Reference analog: the consistency checkers that verify every tx has its
+    block (``blockchainetl/jobs/check_*``), generalized to any FK edge.
+    """
+    import numpy as np
+    import polars as pl
+
+    _MULT = 2654435761
+    width = (1 << 31) // num_partitions + 1
+
+    def _bucket(col: pa.ChunkedArray) -> pa.Array:
+        k = pc.cast(col, pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        return pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([fact_key]))
+            .group_by(fact_key)
+            .agg(pl.len().alias("n"))
+            .rename({fact_key: "k"})
+        )
+        out = df.to_arrow().cast(pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+        out = out.append_column(
+            "side", pa.array(np.zeros(out.num_rows, dtype=np.int8))
+        )
+        return out.append_column("gpart", _bucket(out.column("k")))
+
+    def dim_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([dim_key]))
+            .unique()
+            .rename({dim_key: "k"})
+            .with_columns(pl.lit(0, dtype=pl.Int64).alias("n"))
+        )
+        out = df.to_arrow().cast(pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+        out = out.append_column(
+            "side", pa.array(np.ones(out.num_rows, dtype=np.int8))
+        )
+        return out.append_column("gpart", _bucket(out.column("k")))
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["k", "n", "side"]))
+        facts = (
+            df.filter(pl.col("side") == 0)
+            .group_by("k")
+            .agg(pl.col("n").sum())
+        )
+        dims = df.filter(pl.col("side") == 1).select(["k"]).unique()
+        orphans = facts.join(dims, on="k", how="anti")
+        return pa.table(
+            {
+                "n_rows": pa.array([int(facts.get_column("n").sum() or 0)], pa.int64()),
+                "n_orphans": pa.array(
+                    [int(orphans.get_column("n").sum() or 0)], pa.int64()
+                ),
+                "n_orphan_keys": pa.array([orphans.height], pa.int64()),
+            }
+        )
+
+    def total(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "edge": pa.array([edge], pa.string()),
+                "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py() or 0], pa.int64()),
+                "n_orphans": pa.array(
+                    [pc.sum(t.column("n_orphans")).as_py() or 0], pa.int64()
+                ),
+                "n_orphan_keys": pa.array(
+                    [pc.sum(t.column("n_orphan_keys")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        fact.map_batches(fact_partial, batch_format="pyarrow")
+        .union(dim.map_batches(dim_partial, batch_format="pyarrow"))
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(total, batch_format="pyarrow")
+    )

@@ -1579,3 +1579,30 @@ def test_triangle_count_matches_bruteforce_with_hot_vertex():
         ).to_pandas()
         assert out["n_triangles"][0] == tri, f"parts={parts}"
         assert out["n_edges"][0] == len(es)
+
+
+def test_fk_orphan_counts_with_planted_orphans():
+    """fk_orphan_counts == brute-force left-join orphan accounting, with
+    planted orphan keys and duplicate fact rows."""
+    from blockchain_etl_ray.stages.joins import fk_orphan_counts
+
+    rng = np.random.default_rng(21)
+    dim_keys = np.arange(0, 50, dtype=np.int64)
+    fact = rng.integers(0, 70, 500).astype(np.int64)  # keys 50..69 dangle
+    f = pa.table({"fk": fact})
+    d = pa.table({"pk": dim_keys})
+
+    n_orphans = int((fact >= 50).sum())
+    n_orphan_keys = len(np.unique(fact[fact >= 50]))
+
+    out = fk_orphan_counts(
+        rd.from_arrow(f).repartition(4),
+        "fk",
+        rd.from_arrow(d).repartition(2),
+        "pk",
+        edge="f->d",
+    ).to_pandas()
+    assert out["edge"][0] == "f->d"
+    assert out["n_rows"][0] == 500
+    assert out["n_orphans"][0] == n_orphans
+    assert out["n_orphan_keys"][0] == n_orphan_keys
