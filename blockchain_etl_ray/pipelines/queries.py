@@ -8537,6 +8537,193 @@ def part_name_entity_resolution(sf_dir: str):
     )
 
 
+_GOLDEN_SQL = """
+    WITH RECURSIVE gr_n AS (SELECT DISTINCT p_name AS nm FROM part),
+    gr_p AS (
+      SELECT a.nm AS na, b.nm AS nb
+      FROM gr_n a JOIN gr_n b ON a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) = 1),
+    gr_e AS (SELECT na AS u, nb AS v FROM gr_p
+             UNION SELECT nb, na FROM gr_p),
+    gr_r(node, r) AS (
+      SELECT u, v FROM gr_e
+      UNION
+      SELECT gr_r.node, e.v FROM gr_r JOIN gr_e e ON e.u = gr_r.r),
+    gr_c AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM gr_r GROUP BY node),
+    gr_m AS (
+      SELECT n.nm AS name, COALESCE(c.comp, n.nm) AS canonical
+      FROM gr_n n LEFT JOIN gr_c c ON c.node = n.nm)
+    SELECT m.canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_variants,
+           CAST(MIN(p.p_partkey) AS BIGINT) AS golden_partkey,
+           CAST(MAX(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_price_x100,
+           CAST(SUM(p.p_size) AS BIGINT) AS total_size
+    FROM part p JOIN gr_m m ON m.name = p.p_name
+    GROUP BY m.canonical
+"""
+
+
+@register("part_golden_records", _GOLDEN_SQL)
+def part_golden_records(sf_dir: str):
+    """Golden-record construction (MDM survivorship): after the fuzzy
+    entity-resolution clustering (edit-distance-1 blocking → transitive
+    closure, same machinery as ``part_name_entity_resolution``), every
+    cluster is merged into ONE canonical record under explicit survivorship
+    rules — smallest partkey as the golden id, max retail price in exact
+    cents, variant and row counts, summed sizes.  Shape: the name→canonical
+    map is dimension-sized and broadcast once; part rows fold to per-batch
+    per-canonical partials, then one canonical-hash bucket merge — fact rows
+    cross the wire zero times.  Reference analog: the post-hoc self-join
+    merges (J6, ``ethereumetl/streaming/eth_item_exporter``-family dedup),
+    upgraded to attribute survivorship."""
+    import ray as _ray
+
+    mapping = part_name_entity_resolution(sf_dir)  # name/canonical/survivor
+    name2canon = dict(
+        zip(
+            mapping.column("name").to_pylist(),
+            mapping.column("canonical").to_pylist(),
+        )
+    )
+    map_ref = _ray.put(name2canon)
+
+    parts = _read(
+        sf_dir,
+        "part",
+        ["p_partkey", "p_name", "p_retailprice", "p_size"],
+        num_blocks=_blocks_for(sf_dir, "part"),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        m = _ray.get(map_ref)
+        names = t.column("p_name").to_pylist()
+        canon = [m[x] for x in names]
+        df = pl.DataFrame(
+            {
+                "canonical": canon,
+                "name": names,
+                "pk": t.column("p_partkey").to_numpy(zero_copy_only=False),
+                "price_x100": scaled_int(t.column("p_retailprice")).to_numpy(
+                    zero_copy_only=False
+                ),
+                "size": t.column("p_size")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        # two partial row kinds, disambiguated by `variant` null-ness:
+        # numeric partials (one per canonical per batch, variant = null) and
+        # distinct-variant rows (numerics null) — distinct counts don't merge
+        # additively, so variants travel as rows and re-unique at the fold
+        nums = df.group_by("canonical").agg(
+            pl.len().cast(pl.Int64).alias("n_rows"),
+            pl.col("pk").min().alias("golden_partkey"),
+            pl.col("price_x100").max().alias("max_price_x100"),
+            pl.col("size").sum().alias("total_size"),
+        ).with_columns(pl.lit(None, dtype=pl.String).alias("variant"))
+        vars_ = (
+            df.select(["canonical", "name"])
+            .unique()
+            .rename({"name": "variant"})
+            .with_columns(
+                pl.lit(None, dtype=pl.Int64).alias("n_rows"),
+                pl.lit(None, dtype=pl.Int64).alias("golden_partkey"),
+                pl.lit(None, dtype=pl.Int64).alias("max_price_x100"),
+                pl.lit(None, dtype=pl.Int64).alias("total_size"),
+            )
+        )
+        cols = [
+            "canonical", "n_rows", "variant",
+            "golden_partkey", "max_price_x100", "total_size",
+        ]
+        out = pl.concat([nums.select(cols), vars_.select(cols)])
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("canonical", pa.string()),
+                    ("n_rows", pa.int64()),
+                    ("variant", pa.string()),
+                    ("golden_partkey", pa.int64()),
+                    ("max_price_x100", pa.int64()),
+                    ("total_size", pa.int64()),
+                ]
+            )
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import key_hash_u64
+
+        kh = key_hash_u64(t.column("canonical"), pa.array([""] * t.num_rows))
+        return t.append_column("gpart", pa.array((kh % 32).astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.drop_columns(["gpart"]))
+        out = (
+            df.filter(pl.col("variant").is_null())
+            .group_by("canonical")
+            .agg(
+                pl.col("n_rows").sum(),
+                pl.col("golden_partkey").min(),
+                pl.col("max_price_x100").max(),
+                pl.col("total_size").sum(),
+            )
+        )
+        var = (
+            df.filter(pl.col("variant").is_not_null())
+            .select(["canonical", "variant"])
+            .unique()
+            .group_by("canonical")
+            .agg(pl.len().alias("n_variants"))
+        )
+        out = out.join(var, on="canonical").select(
+            [
+                "canonical",
+                "n_rows",
+                "n_variants",
+                "golden_partkey",
+                "max_price_x100",
+                "total_size",
+            ]
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("canonical", pa.string()),
+                    ("n_rows", pa.int64()),
+                    ("n_variants", pa.int64()),
+                    ("golden_partkey", pa.int64()),
+                    ("max_price_x100", pa.int64()),
+                    ("total_size", pa.int64()),
+                ]
+            )
+        )
+
+    out = (
+        parts.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("canonical", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_variants", pa.int64()),
+            ("golden_partkey", pa.int64()),
+            ("max_price_x100", pa.int64()),
+            ("total_size", pa.int64()),
+        ],
+        num_blocks=4,
+    )
+
+
 @register(
     "hourly_trend_slopes",
     """
@@ -9295,6 +9482,7 @@ _DRIVER_ORDER = [
     "user_favorite_event_type",
     "hourly_click_purchase_corr",
     "referential_integrity_report",
+    "part_golden_records",
     "token_jaccard_pairs",
     "neardup_dedup_survivors",
     "corpus_frequent_terms",
