@@ -4946,6 +4946,388 @@ def event_value_winsorized(sf_dir: str):
     )
 
 
+_HOURLY_SHARE_SQL = """
+    WITH c AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, n,
+           CAST((n * 10000) // SUM(n) OVER (PARTITION BY hour) AS BIGINT)
+             AS share_bp
+    FROM c
+"""
+
+
+@register("event_type_hourly_share", _HOURLY_SHARE_SQL)
+def event_type_hourly_share(sf_dir: str):
+    """Ratio-to-report window: each (hour, type) count and its share of the
+    hour's total in exact basis points (integer floor division — bit-exact
+    on both engines, no float ratio crosses the parity boundary).  Shape:
+    per-batch (hour, type) count partials, one hour-hash exchange, per-
+    bucket merge + within-hour total via one np scatter — the window SUM
+    never sees event rows."""
+    ev = _read(
+        sf_dir,
+        "events",
+        ["ts", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    _HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hours = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // _HOUR_US
+        )
+        df = (
+            pl.DataFrame(
+                {
+                    "hour": hours,
+                    "event_type": t.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .group_by(["hour", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        out = df.to_arrow().cast(
+            pa.schema(
+                [("hour", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())]
+            )
+        )
+        h = out.column("hour").to_numpy(zero_copy_only=False)
+        g = (
+            (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % 16
+        return out.append_column("gpart", pa.array(g.astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(g.drop_columns(["gpart"]))
+            .group_by(["hour", "event_type"])
+            .agg(pl.col("n").sum())
+        )
+        tot = df.group_by("hour").agg(pl.col("n").sum().alias("tot"))
+        out = df.join(tot, on="hour").with_columns(
+            ((pl.col("n") * 10000) // pl.col("tot")).alias("share_bp")
+        ).drop("tot")
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("hour", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("share_bp", pa.int64()),
+                ]
+            )
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("hour", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("share_bp", pa.int64()),
+        ],
+        num_blocks=4,
+    )
+
+
+_NEW_USERS_SQL = """
+    WITH f AS (
+      SELECT user_id,
+             CAST(MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM f GROUP BY first_day)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d
+"""
+
+
+@register("daily_new_users", _NEW_USERS_SQL)
+def daily_new_users(sf_dir: str):
+    """First-touch cohort sizes: per day, the number of users whose FIRST
+    event falls on it, plus the running cumulative user count.  Shape:
+    per-batch (user → min ts) partials, one user-hash exchange to finish the
+    per-user min (first-touch is a non-additive min — the exchange carries
+    one row per distinct user per batch), then day partials and ONE tiny
+    final scan for the cumulative (day count ≪ events; the same summary-
+    sized-prefix-scan argument as the sweep line)."""
+    import polars as pl
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["ts", "user_id"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    _DAY_US = 86_400_000_000
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "us": pc.cast(t.column("ts"), pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("us").min())
+        )
+        out = df.to_arrow().cast(
+            pa.schema([("user_id", pa.int64()), ("us", pa.int64())])
+        )
+        k = pc.cast(out.column("user_id"), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return out.append_column("gpart", b)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.drop_columns(["gpart"]))
+            .group_by("user_id")
+            .agg(pl.col("us").min())
+            .with_columns((pl.col("us") // _DAY_US).alias("day"))
+            .group_by("day")
+            .agg(pl.len().cast(pl.Int64).alias("n_new"))
+        )
+        return df.to_arrow().cast(
+            pa.schema([("day", pa.int64()), ("n_new", pa.int64())])
+        )
+
+    def scan(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .group_by("day")
+            .agg(pl.col("n_new").sum())
+            .sort("day")
+            .with_columns(pl.col("n_new").cum_sum().alias("cum_users"))
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [("day", pa.int64()), ("n_new", pa.int64()), ("cum_users", pa.int64())]
+            )
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(scan, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("day", pa.int64()),
+            ("n_new", pa.int64()),
+            ("cum_users", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
+_GAP_PCTL_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+             event_id
+      FROM events),
+    gp AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS gap_us
+      FROM o)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP
+                (ORDER BY gap_us // 1000000) AS BIGINT) AS p50_gap_s,
+           CAST(PERCENTILE_DISC(0.95) WITHIN GROUP
+                (ORDER BY gap_us // 1000000) AS BIGINT) AS p95_gap_s
+    FROM gp WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("event_interarrival_percentiles", _GAP_PCTL_SQL)
+def event_interarrival_percentiles(sf_dir: str):
+    """Inter-arrival time distribution: exact P50/P95 of the gap (seconds)
+    between consecutive events of the same (user, type) — LAG diffs composed
+    with the count-histogram percentile machinery.  Shape: one user-hash
+    exchange; per partition ONE multi-key sort + shifted diff produces every
+    gap vectorized (no per-user dispatch); gaps then flow through
+    ``grouped_percentiles`` whose exchange carries count histograms, not
+    gap rows."""
+    from ..stages.hashagg import grouped_percentiles
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["ts", "user_id", "event_type", "event_id"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("user_id"), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return pa.table(
+            {
+                "user_id": k,
+                "event_type": t.column("event_type"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "gpart": b,
+            }
+        )
+
+    def diffs(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("us", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "gap_s": pa.array([], pa.int64())}
+            )
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        same = np.ones(n - 1, dtype=bool)
+        same &= (
+            g.column("user_id").slice(1).to_numpy(zero_copy_only=False)
+            == g.column("user_id").slice(0, n - 1).to_numpy(zero_copy_only=False)
+        )
+        same &= pc.equal(
+            g.column("event_type").slice(1),
+            g.column("event_type").slice(0, n - 1),
+        ).to_numpy(zero_copy_only=False)
+        gaps = (us[1:] - us[:-1])[same] // 1_000_000
+        types = g.column("event_type").slice(1).filter(pa.array(same))
+        return pa.table({"event_type": types, "gap_s": pa.array(gaps)})
+
+    gaps = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(diffs, batch_format="pyarrow")
+    )
+    pct = grouped_percentiles(
+        gaps, group_col="event_type", value_col="gap_s", percentiles=(0.5, 0.95)
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t.select(["event_type"]))
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n_gaps"))
+        )
+        return df.to_arrow().cast(
+            pa.schema([("event_type", pa.string()), ("n_gaps", pa.int64())])
+        )
+
+    cnt = gaps.map_batches(counts, batch_format="pyarrow")
+
+    # merge counts + percentiles in one final (types-sized) task
+    def finish(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        c = (
+            df.filter(pl.col("kind") == 0)
+            .group_by("event_type")
+            .agg(pl.col("n_gaps").sum())
+        )
+        p = df.filter(pl.col("kind") == 1).select(
+            ["event_type", "p50_gap_s", "p95_gap_s"]
+        )
+        out = c.join(p, on="event_type").sort("event_type")
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_gaps", pa.int64()),
+                    ("p50_gap_s", pa.int64()),
+                    ("p95_gap_s", pa.int64()),
+                ]
+            )
+        )
+
+    def pad_cnt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_gaps": t.column("n_gaps"),
+                "p50_gap_s": pa.nulls(t.num_rows, pa.int64()),
+                "p95_gap_s": pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def pad_pct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_gaps": pa.nulls(t.num_rows, pa.int64()),
+                "p50_gap_s": pc.cast(t.column("p50"), pa.int64()),
+                "p95_gap_s": pc.cast(t.column("p95"), pa.int64()),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    out = (
+        cnt.map_batches(pad_cnt, batch_format="pyarrow")
+        .union(pct.map_batches(pad_pct, batch_format="pyarrow"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("event_type", pa.string()),
+            ("n_gaps", pa.int64()),
+            ("p50_gap_s", pa.int64()),
+            ("p95_gap_s", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -9468,6 +9850,9 @@ _DRIVER_ORDER = [
     "rule_filter_udf_docs",
     "purchase_last_click_asof",
     "peak_concurrent_events",
+    "event_type_hourly_share",
+    "daily_new_users",
+    "event_interarrival_percentiles",
     "vsum_by_event_type",
     "sessionize_users",
     "user_journey_paths",
