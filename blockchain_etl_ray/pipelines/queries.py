@@ -5328,6 +5328,289 @@ def event_interarrival_percentiles(sf_dir: str):
     )
 
 
+_BASKET_SQL = """
+    WITH ot AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    sz AS (SELECT b, COUNT(*) AS n FROM ot GROUP BY b),
+    p2 AS (
+      SELECT a.b AS brand_a, x.b AS brand_b, COUNT(*) AS n_both
+      FROM ot a JOIN ot x ON a.ok = x.ok AND a.b < x.b
+      GROUP BY 1, 2)
+    SELECT p2.brand_a, p2.brand_b,
+           CAST(p2.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(DISTINCT ok) FROM ot) AS BIGINT) AS n_orders
+    FROM p2
+    JOIN sz sa ON sa.b = p2.brand_a
+    JOIN sz sb ON sb.b = p2.brand_b
+    WHERE p2.n_both >= 5
+"""
+
+
+@register("brand_copurchase_affinity", _BASKET_SQL)
+def brand_copurchase_affinity(sf_dir: str):
+    """Market-basket pair mining at the brand level: for every brand pair
+    co-occurring in ≥5 orders, the exact co-occurrence support plus both
+    marginals and the order universe size — the integer inputs to
+    confidence/lift, which stay client-side derivable (no float crosses the
+    parity boundary).  Shape: the part dimension broadcasts once
+    (brand lookup inside the scan task), batch-local distinct (order,
+    brand), one order-hash exchange, bucket-local polars self-join bounded
+    by per-order distinct brands, then a final merge of (pair, count)
+    partials.  The A-priori candidate explosion is structurally absent:
+    pairs are generated per ORDER, never across the brand vocabulary."""
+    import polars as pl
+    import ray as _ray
+
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand_ref = _ray.put(
+        dict(
+            zip(
+                part.column("p_partkey").to_pylist(),
+                part.column("p_brand").to_pylist(),
+            )
+        )
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey"],
+        num_blocks=_blocks_for(sf_dir, "lineitem"),
+    )
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        m = _ray.get(brand_ref)
+        pk = t.column("l_partkey").to_pylist()
+        out = pa.table(
+            {
+                "ok": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "b": pa.array([m[x] for x in pk], pa.string()),
+            }
+        )
+        df = pl.from_arrow(out).unique()
+        out = df.to_arrow().cast(
+            pa.schema([("ok", pa.int64()), ("b", pa.string())])
+        )
+        k = out.column("ok")
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        g = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return out.append_column("gpart", g)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["ok", "b"])).unique()
+        pairs = (
+            df.join(df, on="ok", suffix="_r")
+            .filter(pl.col("b") < pl.col("b_r"))
+            .group_by(["b", "b_r"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"b": "brand_a", "b_r": "brand_b"})
+        )
+        sizes = (
+            df.group_by("b")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"b": "brand_a"})
+            .with_columns(pl.lit("#size").alias("brand_b"))
+            .select(["brand_a", "brand_b", "n"])
+        )
+        orders = pl.DataFrame(
+            {
+                "brand_a": ["#orders"],
+                "brand_b": ["#orders"],
+                "n": [df.get_column("ok").n_unique()],
+            }
+        ).with_columns(pl.col("n").cast(pl.Int64))
+        out = pl.concat([pairs.select(["brand_a", "brand_b", "n"]), sizes, orders])
+        return out.to_arrow().cast(
+            pa.schema(
+                [("brand_a", pa.string()), ("brand_b", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by(["brand_a", "brand_b"])
+            .agg(pl.col("n").sum())
+        )
+        n_orders = int(
+            df.filter(pl.col("brand_a") == "#orders").get_column("n").sum()
+        )
+        sizes = {
+            r["brand_a"]: r["n"]
+            for r in df.filter(pl.col("brand_b") == "#size").to_dicts()
+        }
+        pairs = df.filter(
+            (pl.col("brand_b") != "#size") & (pl.col("brand_a") != "#orders")
+        ).filter(pl.col("n") >= 5).sort(["brand_a", "brand_b"])
+        return pa.table(
+            {
+                "brand_a": pairs.get_column("brand_a").to_list(),
+                "brand_b": pairs.get_column("brand_b").to_list(),
+                "n_both": pa.array(pairs.get_column("n").to_list(), pa.int64()),
+                "n_a": pa.array(
+                    [sizes[a] for a in pairs.get_column("brand_a")], pa.int64()
+                ),
+                "n_b": pa.array(
+                    [sizes[b] for b in pairs.get_column("brand_b")], pa.int64()
+                ),
+                "n_orders": pa.array(
+                    [n_orders] * pairs.height, pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        li.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("brand_a", pa.string()),
+            ("brand_b", pa.string()),
+            ("n_both", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("n_orders", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
+_AB_LIFT_SQL = """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT a.arm,
+             CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id)
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
+    FROM j GROUP BY arm
+"""
+
+
+@register("ab_conversion_report", _AB_LIFT_SQL)
+def ab_conversion_report(sf_dir: str):
+    """Deterministic experiment analysis: users split into arms by id
+    parity (the hash-assignment pattern of ``doc_split_assign``), exact
+    user and converter counts per arm — the integer inputs to any lift /
+    significance test, computed without a join: per-batch partials carry
+    (user, arm-bit, converted-bit), ONE user-hash exchange ORs the
+    converted bit per user, then a two-row fold.  Reference analog: the
+    cohort conversion checks layered on tracked flows
+    (``blockchainetl/jobs/track``-family)."""
+    import polars as pl
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type"],
+        num_blocks=_blocks_for(sf_dir, "events"),
+    )
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "conv": pc.equal(
+                        t.column("event_type"), "purchase"
+                    ).to_numpy(zero_copy_only=False),
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("conv").any())
+        )
+        out = df.to_arrow().cast(
+            pa.schema([("user_id", pa.int64()), ("conv", pa.bool_())])
+        )
+        k = out.column("user_id")
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        g = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return out.append_column("gpart", g)
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.select(["user_id", "conv"]))
+            .group_by("user_id")
+            .agg(pl.col("conv").any())
+            .with_columns(
+                pl.when(pl.col("user_id") % 2 == 0)
+                .then(pl.lit("A"))
+                .otherwise(pl.lit("B"))
+                .alias("arm")
+            )
+            .group_by("arm")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_users"),
+                pl.col("conv").sum().cast(pl.Int64).alias("n_converted"),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("arm", pa.string()),
+                    ("n_users", pa.int64()),
+                    ("n_converted", pa.int64()),
+                ]
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by("arm")
+            .agg(pl.col("n_users").sum(), pl.col("n_converted").sum())
+            .sort("arm")
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("arm", pa.string()),
+                    ("n_users", pa.int64()),
+                    ("n_converted", pa.int64()),
+                ]
+            )
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("arm", pa.string()),
+            ("n_users", pa.int64()),
+            ("n_converted", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================
@@ -9868,6 +10151,8 @@ _DRIVER_ORDER = [
     "hourly_click_purchase_corr",
     "referential_integrity_report",
     "part_golden_records",
+    "brand_copurchase_affinity",
+    "ab_conversion_report",
     "token_jaccard_pairs",
     "neardup_dedup_survivors",
     "corpus_frequent_terms",
