@@ -4097,6 +4097,7 @@ def cdc_point_in_time_join(sf_dir: str):
         key_cols=["repo", "path"],
         ord_col="ordinal",
         carry_cols=["commit_id"],
+        carry_types={"commit_id": pa.string()},
     )
     return _stable(
         out,

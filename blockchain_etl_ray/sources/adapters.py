@@ -534,3 +534,236 @@ class FeedReplica:
         if not include_deleted and "deleted" in t.column_names:
             t = t.filter(pc.invert(pc.cast(t.column("deleted"), pa.bool_())))
         return t
+
+
+class Scd2Adapter(_DirHead, TailAdapter):
+    """Incrementally-maintained SCD Type-2 dimension history (the CDC-native
+    sibling of ``stages/windows.py::scd2_intervals``): as epochs arrive, each
+    key-hash partition of the interval table is updated for the AFFECTED
+    KEYS only — open intervals close, a late out-of-order change splices
+    into the middle of its key's history (predecessor re-closed at the new
+    ordinal, the new interval closed at its successor) — and the result
+    converges to the batch SCD2 over the full log regardless of delivery
+    order or poll boundaries.
+
+    Exactly-once: a cursor file records the epoch watermark; a crash between
+    partition writes and the cursor advance re-processes the window
+    idempotently because (a) interval rows ARE their change rows
+    (``valid_from`` = ordinal, op, commit carried), so re-merging redelivered
+    changes dedups on (key, ordinal) with the engine's max-``event_id``
+    tie-break, and (b) partition rewrites are deterministic sorted bytes.
+    Reference analog: the versioned-row history the reference's LWW upsert
+    DISCARDS (``blockchainetl/streaming/postgres_utils.py:80-88``) — this
+    keeps it, incrementally, the way a warehouse dimension consumer needs it.
+    """
+
+    #: evolved-schema rename map applied on read (the normalize reconciler's
+    #: rule for the synthetic corpus, ``stages/normalize.py``)
+    _RENAMES = {"filepath": "path"}
+
+    def __init__(self, events_dir: str, state_dir: str, num_partitions: int = 8):
+        super().__init__(events_dir)
+        from pathlib import Path
+
+        self.state_dir = Path(state_dir)
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+        self.num_partitions = num_partitions
+        self.cursor_path = self.state_dir / "_cursor"
+
+    # -- state access ------------------------------------------------------
+    def _cursor(self) -> int:
+        if not self.cursor_path.exists():
+            return -1
+        return int(self.cursor_path.read_text().strip() or -1)
+
+    def intervals(self) -> "pa.Table":
+        """The full current history (all partitions, canonical order)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = sorted(self.state_dir.glob("part=*.parquet"))
+        if not parts:
+            return self._empty()
+        t = pa.concat_tables([pq.read_table(f) for f in parts])
+        return t.sort_by(
+            [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
+        )
+
+    @staticmethod
+    def _empty() -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "commit": pa.array([], pa.string()),
+                "op": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.int64()),
+                "valid_to": pa.array([], pa.int64()),
+                "is_current": pa.array([], pa.int64()),
+            }
+        )
+
+    # -- tail protocol -------------------------------------------------------
+    def poll(self, target: int) -> dict:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..functions.hashing import key_hash_u64
+        from ..state.manifest import atomic_write_bytes
+
+        cur = self._cursor()
+        by_epoch = discover_epoch_files(self.events_dir)
+        new = sorted(e for e in by_epoch if cur < e <= target)
+        if not new:
+            return {"steps_applied": [], "cursor": cur}
+
+        cols = ["ordinal", "op", "repo", "path", "commit", "event_id"]
+        tables = []
+        for e in new:
+            for f in by_epoch[e]:
+                t = pq.read_table(f)
+                t = t.rename_columns(
+                    [self._RENAMES.get(c, c) for c in t.column_names]
+                )
+                tables.append(t.select(cols))
+        changes = pa.concat_tables(tables)
+        kh = key_hash_u64(changes.column("repo"), changes.column("path"))
+        gpart = (kh % self.num_partitions).astype(np.int64)
+
+        rows_in = changes.num_rows
+        # one independent task per touched partition (the same
+        # embarrassingly-parallel per-partition shape as the engine's
+        # compaction/resolve); the partition file is the exchange
+        upd = ray.remote(_scd2_update_partition)
+        refs = [
+            upd.remote(str(self.state_dir), int(k), changes.filter(pa.array(gpart == k)))
+            for k in np.unique(gpart)
+        ]
+        ray.get(refs)
+        atomic_write_bytes(self.cursor_path, str(max(new)).encode())
+        return {
+            "steps_applied": new,
+            "rows": rows_in,
+            "cursor": max(new),
+        }
+
+
+def _scd2_update_partition(state_dir: str, k: int, new_changes: "pa.Table") -> None:
+    """Merge ``new_changes`` into SCD2 partition ``k`` (one Ray task per
+    touched partition): recompute intervals for AFFECTED keys only, keep
+    untouched keys' rows verbatim, rewrite the partition file atomically
+    (deterministic sorted bytes — the idempotence the crash-replay relies
+    on)."""
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import atomic_write_table
+
+    fpath = Path(state_dir) / f"part={k:04d}.parquet"
+    existing = pq.read_table(fpath) if fpath.exists() else Scd2Adapter._empty()
+
+    # affected keys = keys present in the new changes
+    new_keys = pc.binary_join_element_wise(
+        new_changes.column("repo"), new_changes.column("path"), "\x00"
+    )
+    ex_keys = pc.binary_join_element_wise(
+        existing.column("repo"), existing.column("path"), "\x00"
+    )
+    affected = pc.is_in(ex_keys, value_set=pc.unique(new_keys))
+    untouched = existing.filter(pc.invert(affected))
+    touched = existing.filter(affected)
+
+    # interval rows ARE change rows: reconstruct and merge
+    back = pa.table(
+        {
+            "ordinal": touched.column("valid_from"),
+            "op": touched.column("op"),
+            "repo": touched.column("repo"),
+            "path": touched.column("path"),
+            "commit": touched.column("commit"),
+            "event_id": touched.column("event_id"),
+        }
+    )
+    merged = pa.concat_tables([back, new_changes.select(back.column_names)])
+    # dedup (key, ordinal): engine conflict order keeps max event_id
+    merged = merged.take(
+        pc.sort_indices(
+            merged,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("ordinal", "ascending"),
+                ("event_id", "descending"),
+            ],
+        )
+    )
+    n = merged.num_rows
+    if n:
+        keep = np.ones(n, dtype=bool)
+        same = np.ones(n - 1, dtype=bool)
+        for c in ("repo", "path"):
+            same &= pc.equal(
+                merged.column(c).slice(1), merged.column(c).slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        same &= (
+            merged.column("ordinal").slice(1).to_numpy(zero_copy_only=False)
+            == merged.column("ordinal").slice(0, n - 1).to_numpy(zero_copy_only=False)
+        )
+        keep[1:] = ~same
+        merged = merged.filter(pa.array(keep))
+
+    recomputed = _scd2_fold_intervals(merged)
+    out = pa.concat_tables([untouched, recomputed]).sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("valid_from", "ascending")]
+    )
+    atomic_write_table(fpath, out)
+
+
+def _scd2_fold_intervals(changes: "pa.Table") -> "pa.Table":
+    """Sorted change rows (repo, path, ordinal asc) → interval rows — the
+    same shifted-equality lead pass as the batch operator
+    (``stages/windows.py::scd2_intervals``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    g = changes
+    n = g.num_rows
+    if n == 0:
+        return Scd2Adapter._empty()
+    ords = g.column("ordinal").to_numpy(zero_copy_only=False).astype(np.int64)
+    same_next = np.ones(n, dtype=bool)
+    same_next[-1] = False
+    for c in ("repo", "path"):
+        eq = pc.equal(
+            g.column(c).slice(0, n - 1), g.column(c).slice(1)
+        ).to_numpy(zero_copy_only=False)
+        same_next[: n - 1] &= eq
+    valid_to = np.full(n, -1, dtype=np.int64)
+    if n > 1:
+        valid_to[:-1] = np.where(same_next[:-1], ords[1:], -1)
+    not_delete = pc.not_equal(g.column("op"), "delete").to_numpy(
+        zero_copy_only=False
+    )
+    is_current = ((~same_next) & not_delete).astype(np.int64)
+    return pa.table(
+        {
+            "repo": g.column("repo"),
+            "path": g.column("path"),
+            "commit": g.column("commit"),
+            "op": g.column("op"),
+            "event_id": g.column("event_id"),
+            "valid_from": pa.array(ords),
+            "valid_to": pa.array(valid_to),
+            "is_current": pa.array(is_current),
+        }
+    )

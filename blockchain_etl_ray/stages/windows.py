@@ -617,6 +617,7 @@ def point_in_time_join(
     op_col: str = "op",
     delete_value: str = "delete",
     num_partitions: int = 32,
+    carry_types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """Point-in-time (temporal) join: each probe row ``(key, t)`` is joined to
     the change-log version in effect at ``t`` — the change with the largest
@@ -645,10 +646,14 @@ def point_in_time_join(
     carry_cols = list(carry_cols or [])
     if len(key_cols) > 2:
         raise ValueError("point_in_time_join supports 1-2 key columns")
-    _cs = changes.schema()  # ray.data Schema: parallel .names / .types lists
-    carry_types = {
-        n: t for n, t in zip(_cs.names, _cs.types) if n in carry_cols
-    }
+    if carry_types is None:
+        # NOTE: Dataset.schema() executes a block of `changes`; callers on a
+        # hot path should pass carry_types explicitly to keep the pipeline
+        # single-execution
+        _cs = changes.schema()  # ray.data Schema: parallel .names/.types
+        carry_types = {
+            n: t for n, t in zip(_cs.names, _cs.types) if n in carry_cols
+        }
 
     def _gpart(t: pa.Table) -> pa.Array:
         joined_l = pc.cast(t.column(key_cols[0]), pa.string())
