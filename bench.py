@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "simhash_md5_neardup_pairs",
     "doc_substring_dup_stats",
     "cdc_snapshot_diff",
+    "cdc_scd2_history",
+    "cdc_point_in_time_join",
+    "peak_concurrent_events",
+    "user_journey_paths",
+    "purchase_graph_triangles",
 ]
 
 

@@ -10123,7 +10123,9 @@ _DRIVER_ORDER = [
     "doc_token_stats",
     "doc_stopword_profile",
     "event_type_sliding_hourly",
-    # --- one representative per remaining operator family ---
+    # --- one representative per remaining operator family (the window is
+    # --- 50 entries: CDC core 0-20, repaired aggregates 21-28, then exactly
+    # --- one ambassador per family so no family loses driver evidence) ---
     "enrich_orders_customer",
     "missing_user_ids",
     "rank_orders_within_customer",
@@ -10131,22 +10133,30 @@ _DRIVER_ORDER = [
     "latest_event_per_user",
     "rule_filter_events",
     "rule_filter_regex_events",
-    "rule_filter_udf_docs",
+    "ann_topk_cosine",
     "purchase_last_click_asof",
+    "vsum_by_event_type",
+    "sessionize_users",
+    "users_without_big_purchase",
+    "doc_weighted_sample",
+    "purchase_chain_status",
+    "track_user_flows",
+    "doc_exact_dedup",
+    "token_jaccard_pairs",
+    "neardup_dedup_survivors",
+    "corpus_frequent_terms",
+    "corpus_prep_pipeline",
+    "event_value_percentiles",
+    # ---- entries below sit past the driver's 50-query window; all remain
+    # ---- verified by tools/oracle_sweep.py (SQL-paired) and pytest.
+    "rule_filter_udf_docs",
     "peak_concurrent_events",
     "event_type_hourly_share",
     "daily_new_users",
     "event_interarrival_percentiles",
-    "vsum_by_event_type",
-    "sessionize_users",
     "user_journey_paths",
-    "users_without_big_purchase",
     "check_duplicate_events",
     "event_type_audience_overlap",
-    "purchase_chain_status",
-    "track_user_flows",
-    "doc_exact_dedup",
-    "event_value_percentiles",
     "event_value_winsorized",
     "user_favorite_event_type",
     "hourly_click_purchase_corr",
@@ -10154,17 +10164,9 @@ _DRIVER_ORDER = [
     "part_golden_records",
     "brand_copurchase_affinity",
     "ab_conversion_report",
-    "token_jaccard_pairs",
-    "neardup_dedup_survivors",
-    "corpus_frequent_terms",
     "purchase_graph_triangles",
-    "corpus_prep_pipeline",
-    "doc_weighted_sample",
     "pareto_frontier_orders",
     "clicks_before_purchase_range",
-    "ann_topk_cosine",
-    # ---- entries below sit past the driver's 50-query window; all remain
-    # ---- verified by tools/oracle_sweep.py (SQL-paired) and pytest.
     "union_value_extremes",
     "first_last_order_per_customer",
     "dedup_first_event_per_user_type",
