@@ -576,6 +576,36 @@ class Scd2Adapter(_DirHead, TailAdapter):
             return -1
         return int(self.cursor_path.read_text().strip() or -1)
 
+    def vacuum(self, before_ordinal: int) -> dict:
+        """History retention GC: drop CLOSED intervals whose validity ended
+        at or before ``before_ordinal`` (the dimension consumer's agreed
+        retention horizon).  Open intervals and tombstone heads always
+        survive, so latest-state reads and every PIT probe at
+        ``t > before_ordinal`` are unaffected — the same watermark contract
+        as the engine's tombstone vacuum (``ReplayEngine.vacuum``).
+
+        NOTE the splice interaction: a change arriving LATER with ordinal ≤
+        the horizon can no longer splice against vacuumed history (its
+        predecessors are gone).  ``before_ordinal`` must therefore trail the
+        delivery watermark, exactly like the engine's rule."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..state.manifest import atomic_write_table
+
+        dropped = 0
+        for f in sorted(self.state_dir.glob("part=*.parquet")):
+            t = pq.read_table(f)
+            keep = pc.or_(
+                pc.equal(t.column("valid_to"), -1),
+                pc.greater(t.column("valid_to"), before_ordinal),
+            )
+            n_drop = t.num_rows - pc.sum(pc.cast(keep, "int64")).as_py()
+            if n_drop:
+                atomic_write_table(f, t.filter(keep))
+                dropped += n_drop
+        return {"dropped": int(dropped), "before_ordinal": before_ordinal}
+
     def intervals(self) -> "pa.Table":
         """The full current history (all partitions, canonical order)."""
         import pyarrow as pa

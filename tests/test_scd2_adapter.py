@@ -104,3 +104,29 @@ def test_scd2_adapter_under_chain_tail(tmp_path):
     ad = Scd2Adapter(str(events), str(tmp_path / "scd2"), num_partitions=4)
     ChainTail(adapter=ad, lag=0).run()
     pd.testing.assert_frame_equal(_got(ad), _batch_scd2(str(events)))
+
+
+def test_scd2_adapter_vacuum_preserves_current_and_recent(tmp_path):
+    events = tmp_path / "events"
+    write_corpus(str(events), n_events=3000, seed=3, n_epochs=6)
+    ad = Scd2Adapter(str(events), str(tmp_path / "scd2"), num_partitions=4)
+    ChainTail(adapter=ad, lag=0).run()
+    before = _got(ad)
+    horizon = int(before["valid_from"].quantile(0.5))
+    res = ad.vacuum(horizon)
+    after = _got(ad)
+    assert res["dropped"] > 0
+    # every open interval (and thus latest state) survives verbatim
+    pd.testing.assert_frame_equal(
+        before.query("valid_to == -1").reset_index(drop=True),
+        after.query("valid_to == -1").reset_index(drop=True),
+    )
+    # no surviving closed interval ended at or before the horizon
+    closed = after.query("valid_to != -1")
+    assert (closed["valid_to"] > horizon).all()
+    # PIT semantics above the horizon unchanged: intervals covering any
+    # t > horizon are exactly the pre-vacuum ones
+    cover_b = before[(before["valid_to"] == -1) | (before["valid_to"] > horizon)]
+    pd.testing.assert_frame_equal(
+        cover_b.reset_index(drop=True), after.reset_index(drop=True)
+    )
