@@ -38,16 +38,62 @@ def _node_bucket(x: np.ndarray, parts: int) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
 
 
+def _local_triangles(u: np.ndarray, v: np.ndarray) -> int:
+    """Single-task oriented triangle count over deduped canonical edges —
+    the same orientation + wedge∩edge algorithm, all numpy (pack (src,dst)
+    pairs into one int64 key for the membership test)."""
+    deg = np.zeros(int(max(u.max(), v.max())) + 1, dtype=np.int64)
+    np.add.at(deg, u, 1)
+    np.add.at(deg, v, 1)
+    u_first = (deg[u] < deg[v]) | ((deg[u] == deg[v]) & (u < v))
+    src = np.where(u_first, u, v)
+    dst = np.where(u_first, v, u)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n = len(src)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    edge_keys = (np.minimum(u, v).astype(np.int64) << 32) | np.maximum(
+        u, v
+    ).astype(np.int64)
+    total = 0
+    for k in np.unique(sizes):
+        if k < 2:
+            continue
+        f = starts[sizes == k]
+        mat = dst[f[:, None] + np.arange(k)[None, :]]
+        iu, ju = np.triu_indices(int(k), 1)
+        x = mat[:, iu].ravel()
+        y = mat[:, ju].ravel()
+        wk = (np.minimum(x, y).astype(np.int64) << 32) | np.maximum(
+            x, y
+        ).astype(np.int64)
+        total += int(np.isin(wk, edge_keys).sum())
+    return total
+
+
 def triangle_count(
     edges: rd.Dataset,
     a_col: str = "a",
     b_col: str = "b",
     num_partitions: int = 32,
+    small_graph_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """Exact triangle count of the undirected simple graph spanned by the
     (possibly duplicated, possibly self-looping) edge list.  Returns a
     one-row Dataset ``(n_triangles:int64, n_edges:int64)`` where ``n_edges``
     is the deduplicated simple-edge count.
+
+    Small-graph fast path (the same policy as ``stages/cc.py``): once the
+    dedup pass has materialized, a graph under ``small_graph_edges`` simple
+    edges is counted in ONE vectorized task — five chained 32-way exchanges
+    cost ~20 s of pure fixed overhead on a 19 k-edge graph (measured at
+    sf0.1) that the local kernel does in well under a second.  The
+    distributed path only pays off when wedge volume, not scheduling,
+    dominates.
     """
     parts = num_partitions
 
@@ -70,11 +116,38 @@ def triangle_count(
         df = pl.from_arrow(g.select(["u", "v"])).unique()
         return df.to_arrow().cast(pa.schema([("u", pa.int64()), ("v", pa.int64())]))
 
+    # `simple` feeds three consumers (degrees, the degree-join edge side, and
+    # the final wedge∩edge union) and `degrees` feeds two; materialize both
+    # once or Ray's lazy execution re-runs the dedup/count per consumer
+    # (measured 3× upstream re-execution at sf0.1)
     simple = (
         edges.map_batches(canon, batch_format="pyarrow")
         .groupby("gpart")
         .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()
     )
+
+    n_simple = simple.count()
+    if n_simple <= small_graph_edges:
+        import ray as _ray
+
+        if n_simple == 0:
+            tri = 0
+        else:
+            full = pa.concat_tables(
+                [t for t in _ray.get(simple.to_arrow_refs()) if t.num_rows]
+            )
+            u = full.column("u").to_numpy(zero_copy_only=False)
+            v = full.column("v").to_numpy(zero_copy_only=False)
+            tri = _local_triangles(u, v)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_triangles": pa.array([tri], pa.int64()),
+                    "n_edges": pa.array([int(n_simple)], pa.int64()),
+                }
+            )
+        )
 
     # degrees: explode endpoints, bucket by node, count
     def explode(t: pa.Table) -> pa.Table:
@@ -99,6 +172,7 @@ def triangle_count(
         simple.map_batches(explode, batch_format="pyarrow")
         .groupby("gpart")
         .map_groups(count_deg, batch_format="pyarrow")
+        .materialize()
     )
 
     # attach deg(u) then deg(v): tag edge rows and degree rows into the same

@@ -1573,11 +1573,15 @@ def test_triangle_count_matches_bruteforce_with_hot_vertex():
         adj.setdefault(v, set()).add(u)
     tri = sum(1 for u, v in es for w in (adj[u] & adj[v]) if w > v)
 
-    for parts in (1, 8, 32):
+    # small_graph_edges=0 forces the DISTRIBUTED path; the default exercises
+    # the single-task fast path — both must agree with brute force
+    for parts, small in ((1, 0), (8, 0), (32, 0), (8, 10_000_000)):
         out = triangle_count(
-            rd.from_arrow(t).repartition(4), num_partitions=parts
+            rd.from_arrow(t).repartition(4),
+            num_partitions=parts,
+            small_graph_edges=small,
         ).to_pandas()
-        assert out["n_triangles"][0] == tri, f"parts={parts}"
+        assert out["n_triangles"][0] == tri, f"parts={parts} small={small}"
         assert out["n_edges"][0] == len(es)
 
 
