@@ -5612,6 +5612,37 @@ def ab_conversion_report(sf_dir: str):
     )
 
 
+@register("purchase_graph_coreness", None)
+def purchase_graph_coreness(sf_dir: str):
+    """K-core decomposition of the purchase-flow graph (same edges as
+    ``user_pagerank`` / ``purchase_graph_triangles``): per-node coreness via
+    the distributed h-index fixed point (Montresor et al., TPDS 2013) —
+    estimates start at degree and contract monotonically to the true
+    coreness, a pure function of the edge set (partition/schedule
+    independent), so the serial min-degree-peeling reference is an EXACT
+    pytest equality oracle (rows-only here: the iterative fixed point is
+    not SQL-expressible).  Each round is one edge-sized node-bucket
+    exchange + a vectorized grouped h-index; small graphs run the same
+    operator in one task (``stages/kcore.py``)."""
+    from ..stages.kcore import coreness
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "a": pc.cast(t.column("user_id"), pa.int64()),
+                "b": _mod(t.column("event_id"), 150),
+            }
+        )
+
+    out = coreness(ds.map_batches(prep, batch_format="pyarrow"))
+    return _stable(
+        out, [("node", pa.int64()), ("coreness", pa.int64())], num_blocks=1
+    )
+
+
 # ===========================================================================
 # Source-job analogs (S3/S5/S6/S7) and bespoke decode / reward calc (M4/A9)
 # ===========================================================================

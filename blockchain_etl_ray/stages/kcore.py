@@ -1,0 +1,217 @@
+"""Distributed k-core decomposition (coreness per node).
+
+Algorithm: the iterative h-index operator (Montresor, De Pellegrini &
+Miorandi, "Distributed k-core decomposition", IEEE TPDS 2013; Lü et al.
+2016): initialize every node's estimate to its degree, then repeatedly set
+
+    c(v) ← H({ c(u) : u ∈ N(v) })
+
+where H is the h-index (the largest h such that ≥ h neighbors have estimate
+≥ h).  Estimates are non-increasing, lower-bounded by the true coreness, and
+converge to it in finitely many rounds — a pure function of the edge set, so
+partition- and schedule-independent (the same determinism argument as the
+repo's fixed-point CC and integer PageRank).
+
+Scale shape: each round is ONE node-bucket hash exchange of (dst, c(src))
+pairs plus a vectorized per-bucket h-index fold; the exchange is edge-sized,
+rounds are O(graph diameter)-ish in practice.  Below a size threshold the
+materialized edge set runs the same operator locally in one task (the
+``stages/cc.py`` small-graph policy — per-round Ray barriers dominate tiny
+graphs).
+
+Reference analog: none in the reference (its graph analytics live in SQL
+over the server); this is a new scale-path operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _h_index_grouped(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-key h-index: for each key, H of its value multiset.
+
+    keys must be sortable; returns (unique_keys, h) with one h per key.
+    Implementation: sort (key, -val); within each key run, h = max over
+    positions i (1-based) of min(i, val_i) — the classic h-index scan,
+    computed for ALL keys at once with a segmented cummax-free trick:
+    h_i = min(rank_within_key_i, val_i) and take the per-key max.
+    """
+    order = np.lexsort((-vals, keys))
+    k = keys[order]
+    v = vals[order]
+    n = len(k)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = k[1:] != k[:-1]
+    # rank within key, 1-based
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, -1))
+    rank = idx - run_start + 1
+    cand = np.minimum(rank, v)
+    # per-key max of cand
+    uk, inv = np.unique(k, return_inverse=True)
+    h = np.zeros(len(uk), dtype=np.int64)
+    np.maximum.at(h, inv, cand)
+    return uk, h
+
+
+def coreness_local(u: np.ndarray, v: np.ndarray, max_rounds: int = 10_000) -> dict[int, int]:
+    """Single-task h-index iteration over deduped undirected edges."""
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    nodes, dinv = np.unique(src, return_inverse=True)
+    deg = np.bincount(dinv, minlength=len(nodes)).astype(np.int64)
+    est = dict(zip(nodes.tolist(), deg.tolist()))
+    for _ in range(max_rounds):
+        cvals = np.array([est[int(x)] for x in dst.tolist()], dtype=np.int64)
+        uk, h = _h_index_grouped(src, cvals)
+        changed = False
+        for node, hh in zip(uk.tolist(), h.tolist()):
+            hh = min(hh, est[node])
+            if hh < est[node]:
+                est[node] = hh
+                changed = True
+        if not changed:
+            return est
+    raise RuntimeError("k-core h-index iteration did not converge")
+
+
+def coreness(
+    edges: rd.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 32,
+    small_graph_edges: int = 2_000_000,
+    max_rounds: int = 200,
+) -> rd.Dataset:
+    """Coreness of every node of the undirected simple graph spanned by the
+    (possibly duplicated / self-looping) edge list.  Returns a Dataset of
+    ``(node:int64, coreness:int64)``.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    parts = num_partitions
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        h = (u.astype(np.uint64) * _MIX + v.astype(np.uint64)) * _MIX
+        g = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return pa.table({"u": pa.array(u), "v": pa.array(v), "gpart": pa.array(g)})
+
+    def dedup(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["u", "v"])).unique()
+        return df.to_arrow().cast(pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(dedup, batch_format="pyarrow")
+        .materialize()
+    )
+    n_simple = simple.count()
+    import ray as _ray
+
+    if n_simple == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "coreness": pa.array([], pa.int64())})
+        )
+    if n_simple <= small_graph_edges:
+        full = pa.concat_tables(
+            [t for t in _ray.get(simple.to_arrow_refs()) if t.num_rows]
+        )
+        est = coreness_local(
+            full.column("u").to_numpy(zero_copy_only=False),
+            full.column("v").to_numpy(zero_copy_only=False),
+        )
+        nodes = sorted(est)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "coreness": pa.array([est[x] for x in nodes], pa.int64()),
+                }
+            )
+        )
+
+    # distributed h-index iteration: per round, ship (dst-bucketed) neighbor
+    # estimates, fold per bucket, broadcast the (node-sized) estimate table
+    full_edges = simple  # materialized; reused every round
+    est_tbl = None  # node -> est, as a broadcast pa.Table
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        g = ((src.astype(np.uint64) * _MIX) >> np.uint64(33)) % np.uint64(parts)
+        return pa.table(
+            {
+                "node": pa.array(src),
+                "nbr": pa.array(dst),
+                "gpart": pa.array(g.astype(np.int64)),
+            }
+        )
+
+    directed = full_edges.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # round 0: degrees
+    def deg_fold(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(node, return_inverse=True)
+        d = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"node": pa.array(uk), "est": pa.array(d)})
+
+    est_ds = directed.groupby("gpart").map_groups(deg_fold, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        est_tbl = pa.concat_tables(
+            [t for t in _ray.get(est_ds.to_arrow_refs()) if t.num_rows]
+        )
+        ref = _ray.put(est_tbl)
+
+        def round_fold(g: pa.Table, _ref=ref) -> pa.Table:
+            e = _ray.get(_ref)
+            en = e.column("node").to_numpy(zero_copy_only=False)
+            ev = e.column("est").to_numpy(zero_copy_only=False)
+            order = np.argsort(en)
+            en, ev = en[order], ev[order]
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            nbr = g.column("nbr").to_numpy(zero_copy_only=False)
+            cv = ev[np.searchsorted(en, nbr)]
+            uk, h = _h_index_grouped(node, cv)
+            own = ev[np.searchsorted(en, uk)]
+            return pa.table(
+                {
+                    "node": pa.array(uk),
+                    "est": pa.array(np.minimum(h, own)),
+                }
+            )
+
+        new_ds = (
+            directed.groupby("gpart")
+            .map_groups(round_fold, batch_format="pyarrow")
+            .materialize()
+        )
+        new_tbl = pa.concat_tables(
+            [t for t in _ray.get(new_ds.to_arrow_refs()) if t.num_rows]
+        )
+        a = est_tbl.sort_by([("node", "ascending")])
+        b = new_tbl.sort_by([("node", "ascending")])
+        if pc.all(
+            pc.equal(a.column("est"), b.column("est"))
+        ).as_py():
+            return rd.from_arrow(
+                b.rename_columns(["node", "coreness"])
+            )
+        est_ds = new_ds
+    raise RuntimeError("k-core h-index iteration did not converge")

@@ -1610,3 +1610,53 @@ def test_fk_orphan_counts_with_planted_orphans():
     assert out["n_rows"][0] == 500
     assert out["n_orphans"][0] == n_orphans
     assert out["n_orphan_keys"][0] == n_orphan_keys
+
+
+def test_coreness_matches_peeling_both_paths():
+    """h-index iteration == serial min-degree peeling (running-max form),
+    on a graph with a planted clique (coreness 5) plus random sparse edges;
+    identical via the local fast path and the forced distributed path."""
+    from blockchain_etl_ray.stages.kcore import coreness, coreness_local
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 60, 250).astype(np.int64)
+    b = rng.integers(0, 60, 250).astype(np.int64)
+    # planted 6-clique on nodes 100..105 -> their coreness is exactly 5
+    cl = np.array([(x, y) for x in range(100, 106) for y in range(100, 106) if x < y])
+    a = np.concatenate([a, cl[:, 0]])
+    b = np.concatenate([b, cl[:, 1]])
+
+    # serial peeling with the standard running-max rule
+    import collections
+
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist()) if x != y}
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    alive = set(adj)
+    want = {}
+    kmax = 0
+    while alive:
+        n = min(alive, key=lambda x: (deg[x], x))
+        kmax = max(kmax, deg[n])
+        want[n] = kmax
+        for m in adj[n]:
+            if m in alive:
+                adj[m].discard(n)
+                deg[m] -= 1
+        alive.discard(n)
+    for x in range(100, 106):
+        assert want[x] == 5
+
+    t = pa.table({"a": a, "b": b})
+    for small in (10_000_000, 0):  # fast path, then forced distributed path
+        got = (
+            coreness(rd.from_arrow(t).repartition(4), small_graph_edges=small,
+                     num_partitions=8)
+            .to_pandas()
+            .set_index("node")["coreness"]
+            .to_dict()
+        )
+        assert got == want, f"small={small}"
