@@ -5612,6 +5612,257 @@ def ab_conversion_report(sf_dir: str):
     )
 
 
+_TFIDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                    x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT)
+               * CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df)
+                            * 1000000) AS BIGINT) AS score_x1m
+      FROM tf JOIN df USING (term)),
+    r AS (
+      SELECT doc_id, term, score_x1m,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_x1m DESC, term) AS rn
+      FROM sc)
+    SELECT doc_id, term, CAST(score_x1m AS BIGINT) AS score_x1m,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3
+"""
+
+
+@register("doc_tfidf_topk_terms", _TFIDF_SQL)
+def doc_tfidf_topk_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (the keyword-extraction staple):
+    idf scaled to exact int64 micro-units via ONE float expression with an
+    identical IEEE tree on both engines (`floor(ln(N/df)·1e6)` — the
+    ``doc_unigram_logprob`` parity recipe), scores = tf × idf_x1m pure
+    integers, rank ties broken lexicographically.  Shape: a document's text
+    lives in one row, so tf AND the per-doc top-3 are batch-local — the
+    ONLY exchange is the vocabulary-sized df pass (per-batch distinct-term
+    partials, term-hash merge; a sentinel row carries the doc count in the
+    same exchange), whose result broadcasts once."""
+    import polars as pl
+    import ray as _ray
+
+    from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
+
+    docs = _read(
+        sf_dir,
+        "documents",
+        ["doc_id", "text"],
+        num_blocks=_blocks_for(sf_dir, "documents"),
+    )
+
+    def doc_terms(t: pa.Table) -> "pl.DataFrame":
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), pattern=TOKEN_SPLIT_PATTERN
+        )
+        df = pl.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+                "term": pl.Series(toks.to_pylist()),
+            }
+        ).explode("term")
+        return df.filter(pl.col("term") != "")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        d = (
+            doc_terms(t)
+            .unique(["doc_id", "term"])
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("df"))
+        )
+        out = d.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("df", pa.int64())])
+        )
+        sentinel = pa.table(
+            {
+                "term": pa.array([""], pa.string()),
+                "df": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+        out = pa.concat_tables([out, sentinel])
+        from ..functions.hashing import key_hash_u64
+
+        kh = key_hash_u64(out.column("term"), pa.array([""] * out.num_rows))
+        return out.append_column(
+            "gpart", pa.array((kh % 32).astype(np.int64))
+        )
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(g.select(["term", "df"]))
+            .group_by("term")
+            .agg(pl.col("df").sum())
+        )
+        return d.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("df", pa.int64())])
+        )
+
+    df_ds = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(df_fold, batch_format="pyarrow")
+    )
+    df_tbl = pa.concat_tables(
+        [t for t in _ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+    )
+    terms = df_tbl.column("term").to_pylist()
+    dfs = df_tbl.column("df").to_numpy(zero_copy_only=False)
+    n_docs = int(dfs[terms.index("")])
+    idf = {
+        t: int(np.floor(np.log(np.float64(n_docs) / d) * 1_000_000))
+        for t, d in zip(terms, dfs.tolist())
+        if t != ""
+    }
+    idf_ref = _ray.put(idf)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        m = _ray.get(idf_ref)
+        tf = (
+            doc_terms(t)
+            .group_by(["doc_id", "term"])
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+        )
+        terms_l = tf.get_column("term").to_list()
+        iv = np.array([m[x] for x in terms_l], dtype=np.int64)
+        tf = tf.with_columns(
+            (pl.Series(iv) * pl.col("tf")).alias("score_x1m")
+        )
+        out = (
+            tf.sort(
+                ["doc_id", "score_x1m", "term"],
+                descending=[False, True, False],
+            )
+            .group_by("doc_id", maintain_order=True)
+            .head(3)
+            .with_columns(
+                pl.col("score_x1m").cum_count().over("doc_id").alias("rank")
+            )
+            .select(["doc_id", "term", "score_x1m", "rank"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("term", pa.string()),
+                    ("score_x1m", pa.int64()),
+                    ("rank", pa.int64()),
+                ]
+            )
+        )
+
+    out = docs.map_batches(score_topk, batch_format="pyarrow")
+    return _stable(
+        out,
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("score_x1m", pa.int64()),
+            ("rank", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
+_RUNNING_SPEND_SQL = """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_spend_x100
+    FROM orders
+"""
+
+
+@register("customer_running_spend", _RUNNING_SPEND_SQL)
+def customer_running_spend(sf_dir: str):
+    """Per-customer running spend (the per-key cumulative window, A6's
+    SQL-facing face): exact cents, ordered by (orderdate, orderkey).  One
+    customer-hash exchange; inside a partition ONE multi-key sort + a
+    segmented cumsum (global cumsum minus each key run's preceding total —
+    no per-key dispatch)."""
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"],
+        num_blocks=_blocks_for(sf_dir, "orders"),
+    )
+    _MULT = 2654435761
+    width = (1 << 31) // 32 + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("o_custkey"), pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        b = pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": k,
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "price_x100": scaled_int(t.column("o_totalprice")),
+                "gpart": b,
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("o_custkey", "ascending"),
+                    ("date_us", "ascending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        k = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        v = g.column("price_x100").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(v)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, -1))
+        base = np.where(run_start > 0, cum[np.maximum(run_start - 1, 0)], 0)
+        running = cum - base
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "o_orderkey": g.column("o_orderkey"),
+                "running_spend_x100": pa.array(running.astype(np.int64)),
+            }
+        )
+
+    out = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("running_spend_x100", pa.int64()),
+        ],
+        num_blocks=8,
+    )
+
+
 @register("purchase_graph_coreness", None)
 def purchase_graph_coreness(sf_dir: str):
     """K-core decomposition of the purchase-flow graph (same edges as
@@ -10198,6 +10449,8 @@ _DRIVER_ORDER = [
     "purchase_graph_triangles",
     "pareto_frontier_orders",
     "clicks_before_purchase_range",
+    "doc_tfidf_topk_terms",
+    "customer_running_spend",
     "union_value_extremes",
     "first_last_order_per_customer",
     "dedup_first_event_per_user_type",
