@@ -5773,6 +5773,73 @@ def doc_tfidf_topk_terms(sf_dir: str):
     )
 
 
+_UNPIVOT_SQL = (
+    """
+    WITH wide AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+    """
+    + ",\n".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{c}') AS BIGINT) AS n_{c}"
+        for c in ("click", "error", "purchase", "signup", "view")
+    )
+    + """
+      FROM events GROUP BY 1)
+    UNPIVOT wide ON """
+    + ", ".join(f"n_{c}" for c in ("click", "error", "purchase", "signup", "view"))
+    + """
+    INTO NAME metric VALUE n
+"""
+)
+
+
+@register("hourly_type_unpivot", _UNPIVOT_SQL)
+def hourly_type_unpivot(sf_dir: str):
+    """Wide→long UNPIVOT (the inverse M9 converter): the hourly per-type
+    pivot melted back to (bucket, metric, n) rows — DuckDB's UNPIVOT drops
+    nothing here because the pivot emits every category column per bucket.
+    Shape: reuses the pivot's combiner partials (bucket-sized exchange),
+    then one vectorized melt per batch — each wide row becomes |types| long
+    rows via column concatenation, no per-row Python."""
+    from ..stages.windows import tumbling_pivot
+
+    types = ("click", "error", "purchase", "signup", "view")
+    wide = tumbling_pivot(
+        _read(
+            sf_dir,
+            "events",
+            ["ts", "event_type"],
+            num_blocks=_blocks_for(sf_dir, "events"),
+        ),
+        ts_col="ts",
+        width_seconds=3600,
+        cat_col="event_type",
+        categories=types,
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        buckets = t.column("bucket")
+        parts = []
+        for c in types:
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": buckets,
+                        "metric": pa.array([f"n_{c}"] * n, pa.string()),
+                        "n": pc.cast(t.column(f"n_{c}"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = wide.map_batches(melt, batch_format="pyarrow")
+    return _stable(
+        out,
+        [("bucket", pa.int64()), ("metric", pa.string()), ("n", pa.int64())],
+        num_blocks=4,
+    )
+
+
 _RUNNING_SPEND_SQL = """
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -10451,6 +10518,7 @@ _DRIVER_ORDER = [
     "clicks_before_purchase_range",
     "doc_tfidf_topk_terms",
     "customer_running_spend",
+    "hourly_type_unpivot",
     "union_value_extremes",
     "first_last_order_per_customer",
     "dedup_first_event_per_user_type",
