@@ -3847,6 +3847,104 @@ def cdc_repo_stats(sf_dir: str):
     )
 
 
+_CDC_JOIN_VIEW_SQL = """
+    WITH cdc AS (
+      SELECT event_id AS ordinal,
+             'user' || CAST(user_id AS VARCHAR) AS repo,
+             event_type || '.log' AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS lang,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE props END AS content,
+             CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                  WHEN event_id % 10 <= 8 THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events),
+    heads AS (
+      SELECT repo, path AS head_path, commit_id AS head_commit,
+             lang AS head_lang
+      FROM cdc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY repo ORDER BY ordinal DESC) = 1),
+    touch AS (
+      SELECT repo,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deletes,
+             CAST(SUM(COALESCE(length(content), 0)) AS BIGINT) AS sum_bytes,
+             MIN(ordinal) AS first_ordinal,
+             arg_min(path, ordinal) AS first_path,
+             MAX(ordinal) AS last_ordinal,
+             arg_max(path, ordinal) AS last_path
+      FROM cdc GROUP BY repo)
+    SELECT h.repo, h.head_path, h.head_commit, h.head_lang,
+           t.n_events, t.n_deletes, t.sum_bytes,
+           t.first_ordinal, t.first_path, t.last_ordinal, t.last_path
+    FROM heads h JOIN touch t USING (repo)
+"""
+
+
+@register("cdc_join_view", _CDC_JOIN_VIEW_SQL)
+def cdc_join_view(sf_dir: str):
+    """Incrementally-maintained JOIN VIEW over two co-partitioned entity
+    tables (the denormalized view a CDC warehouse keeps next to its base
+    tables; the reference materializes these as post-hoc SQL joins over its
+    landed per-entity tables, J6/J7, ``postgres_hooks.py:43-150``): one
+    replay maintains ``repo_heads`` (LWW) AND ``repo_touch`` (additive
+    per-column policies), then ``ReplayEngine.read_join_view`` joins them
+    per PARTITION with zero shuffle — both tables hash-place rows by the
+    same key, so the exchange already lives in the storage layout; the view
+    is transactionally consistent (both sides read the same committed
+    snapshot) and time-travelable.  Oracle: the LWW window fold joined to
+    the GROUP BY fold."""
+    from ..pipelines.replay import ReplayConfig, ReplayEngine
+
+    events_dir, workdir = _write_cdc_log(sf_dir)
+    engine = ReplayEngine(
+        workdir / "state",
+        ReplayConfig(
+            num_partitions=8, epoch_batch_size=4,
+            entities=("repo_heads", "repo_touch"),
+        ),
+    )
+    engine.replay(str(events_dir))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "head_path": t.column("path"),
+                "head_commit": t.column("commit"),
+                "head_lang": t.column("lang"),
+                "n_events": t.column("n_events"),
+                "n_deletes": t.column("n_deletes"),
+                "sum_bytes": t.column("sum_bytes"),
+                "first_ordinal": t.column("first_ordinal"),
+                "first_path": t.column("first_path"),
+                "last_ordinal": t.column("last_ordinal"),
+                "last_path": t.column("last_path"),
+            }
+        )
+
+    return _stable(
+        engine.read_join_view("repo_heads", "repo_touch").map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        [
+            ("repo", pa.string()),
+            ("head_path", pa.string()),
+            ("head_commit", pa.string()),
+            ("head_lang", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("sum_bytes", pa.int64()),
+            ("first_ordinal", pa.int64()),
+            ("first_path", pa.string()),
+            ("last_ordinal", pa.int64()),
+            ("last_path", pa.string()),
+        ],
+        num_blocks=8,
+    )
+
+
 _CDC_CONTENT_DEDUP_SQL = """
     WITH cdc AS (
       SELECT event_id AS ordinal,
@@ -10456,6 +10554,7 @@ _DRIVER_ORDER = [
     "cdc_content_dedup",
     "cdc_scd2_history",
     "cdc_point_in_time_join",
+    "cdc_join_view",
     "cdc_top_repos_by_bytes",
     "receipts_consistency_fill",
     "trace_export_synthetic",
@@ -10478,7 +10577,6 @@ _DRIVER_ORDER = [
     "enrich_orders_customer",
     "missing_user_ids",
     "rank_orders_within_customer",
-    "nation_region_counts",
     "latest_event_per_user",
     "rule_filter_events",
     "rule_filter_regex_events",
@@ -10498,6 +10596,7 @@ _DRIVER_ORDER = [
     "event_value_percentiles",
     # ---- entries below sit past the driver's 50-query window; all remain
     # ---- verified by tools/oracle_sweep.py (SQL-paired) and pytest.
+    "nation_region_counts",
     "rule_filter_udf_docs",
     "peak_concurrent_events",
     "event_type_hourly_share",

@@ -898,6 +898,129 @@ class ReplayEngine:
             err=f"snapshot at apply version {upto}",
         )
 
+    def read_join_view(
+        self,
+        left: str,
+        right: str,
+        upto: int | None = None,
+        how: str = "inner",
+        rsuffix: str = "_r",
+    ) -> rd.Dataset:
+        """Incrementally-maintained JOIN VIEW over two entity tables that
+        share the same key columns — the denormalized view a streaming CDC
+        engine keeps next to its base tables (the reference joins its landed
+        per-entity tables post-hoc in SQL, J6/J7,
+        ``ethereumetl/streaming/postgres_hooks.py:43-150``; here the view is
+        a first-class, time-travelable read of the engine's own layout).
+
+        Scale shape — ZERO all-to-all: both entity tables hash-place rows
+        with the same ``entities.partition_ids_for`` over the same key
+        columns, so partition i of the left holds exactly the keys that
+        partition i of the right can match.  The view is one task per
+        partition: each resolves both sides' read plans (base + committed
+        fragment row groups) and joins them in-memory.  At 100 TB the join
+        never moves a row across the wire because the hash exchange already
+        lives in the storage layout; refreshing after an apply step costs
+        O(touched partitions) (the marker's row-group index says which), not
+        O(table).  Both sides read the SAME committed snapshot, so the view
+        is transactionally consistent; ``upto=K`` time-travels it.
+
+        ``how``: "inner" or "left".  Right value columns whose name collides
+        with a left output column get ``rsuffix``.  Output schema: left key
+        columns, left value fields, right value fields — bookkeeping extras
+        (ordinal/src_epoch/deleted) are dropped from both sides.
+        """
+        from ..entities import REGISTRY
+
+        lspec, rspec = REGISTRY[left], REGISTRY[right]
+        if lspec.key_cols != rspec.key_cols:
+            raise ValueError(
+                f"read_join_view requires identical key columns (co-partitioned "
+                f"layout): {left} has {lspec.key_cols}, {right} has "
+                f"{rspec.key_cols}"
+            )
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        import json as _json
+
+        markers = self.store.read_markers(upto)
+        P = self.config.num_partitions
+        plans_l = self.store.partition_plans(P, upto=upto, markers=markers, table=left)
+        plans_r = self.store.partition_plans(P, upto=upto, markers=markers, table=right)
+        err = f"join view {left}⋈{right} at apply version {upto}"
+        self._require_plans_readable(plans_l.values(), err)
+        self._require_plans_readable(plans_r.values(), err)
+
+        keys = list(lspec.key_cols)
+        lvals = [c for c, _ in lspec.fields if c not in keys]
+        taken = set(keys) | set(lvals)
+        rename_r = {}
+        for c, _ in rspec.fields:
+            if c in rspec.key_cols:
+                continue
+            rename_r[c] = c + rsuffix if c in taken else c
+            taken.add(rename_r[c])
+        out_fields = (
+            [(k, dict(lspec.fields)[k]) for k in keys]
+            + [(c, dict(lspec.fields)[c]) for c in lvals]
+            + [(rename_r[c], t) for c, t in rspec.fields if c in rename_r]
+        )
+        out_schema = pa.schema(out_fields)
+
+        def _has_rows(plan: dict) -> bool:
+            return bool(plan["pieces"] or plan["base"])
+
+        items = []
+        for p in range(P):
+            pl, pr = plans_l[p], plans_r[p]
+            if not _has_rows(pl):
+                continue  # no left rows → no output for inner OR left
+            if how == "inner" and not _has_rows(pr):
+                continue
+            items.append({"plan_l": _json.dumps(pl), "plan_r": _json.dumps(pr)})
+        if not items:
+            return rd.from_arrow(out_schema.empty_table())
+
+        salt_max = self.config.resolve_salt_max_pieces
+
+        def join_partition(batch: pa.Table):
+            import json as _json
+
+            import polars as pl
+
+            from ..entities import REGISTRY as _REG
+
+            ls, rs = _REG[left], _REG[right]
+            for row in range(batch.num_rows):
+                lt = resolve_plan(
+                    _json.loads(batch.column("plan_l")[row].as_py()),
+                    ls,
+                    salt_max_pieces=salt_max,
+                )
+                rt = resolve_plan(
+                    _json.loads(batch.column("plan_r")[row].as_py()),
+                    rs,
+                    salt_max_pieces=salt_max,
+                )
+                lt = lt.filter(pa.compute.invert(lt.column("deleted")))
+                rt = rt.filter(pa.compute.invert(rt.column("deleted")))
+                ldf = pl.from_arrow(lt.select(keys + lvals))
+                rdf = pl.from_arrow(
+                    rt.select(keys + list(rename_r))
+                ).rename(rename_r)
+                joined = ldf.join(rdf, on=keys, how=how)
+                out = joined.to_arrow().select([f.name for f in out_schema])
+                out = out.cast(out_schema)
+                if out.num_rows:
+                    yield out
+
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            join_partition, batch_size=1, batch_format="pyarrow"
+        )
+
     def _require_plans_readable(self, plans, err: str) -> None:
         """Compaction-retention guard shared by every plan-based reader
         (snapshot, change feed, snapshot diff): a plan referencing a file
