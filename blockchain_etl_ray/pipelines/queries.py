@@ -10530,6 +10530,73 @@ def doc_token_budget_mixture(sf_dir: str):
     )
 
 
+_ZORDER_SQL = """
+    WITH d AS (
+      SELECT user_id % 65536 AS x0,
+             (epoch_us(ts) // 60000000) % 65536 AS y0
+      FROM events),
+    s1 AS (SELECT x0, y0,
+                  (x0 | (x0 << 8)) & 16711935 AS xs,
+                  (y0 | (y0 << 8)) & 16711935 AS ys FROM d),
+    s2 AS (SELECT x0, y0,
+                  (xs | (xs << 4)) & 252645135 AS xs,
+                  (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+    s3 AS (SELECT x0, y0,
+                  (xs | (xs << 2)) & 858993459 AS xs,
+                  (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+    s4 AS (SELECT x0, y0,
+                  (xs | (xs << 1)) & 1431655765 AS xs,
+                  (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+    z AS (SELECT x0, y0, (xs | (ys << 1)) >> 22 AS zbucket FROM s4)
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x0) AS min_x, MAX(x0) AS max_x,
+           MIN(y0) AS min_y, MAX(y0) AS max_y
+    FROM z GROUP BY zbucket
+"""
+
+
+@register("events_zorder_zonemap", _ZORDER_SQL)
+def events_zorder_zonemap(sf_dir: str):
+    """Z-order (Morton) multi-dimensional clustering zone map: interleave the
+    bits of two bounded dimension keys — user bucket and event minute — and
+    report each Z-bucket's exact row count and per-dimension min/max.  The
+    reference clusters every landed table by one physical key only (block
+    ranges, ``blockchainetl/jobs/exporters/file_item_exporter.py``); Z-order
+    is the lakehouse layout that makes range predicates on EITHER dimension
+    prune storage, because contiguous key ranges are small axis-aligned
+    rectangles (the zone map shows it: each bucket spans a narrow x AND y
+    window).  Key computation is two numpy shift-mask passes per batch (zero
+    exchange); only KiB-sized zone-map partials reach the fold.  Oracle: the
+    same magic-number interleave written as stepwise SQL shift/mask CTEs."""
+    from ..stages.zorder import zonemap
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        minute = pc.divide(us, pa.scalar(60_000_000, pa.int64()))
+        return pa.table(
+            {
+                "x0": pc.bit_wise_and(t.column("user_id"), pa.scalar(65535, pa.int64())),
+                "y0": pc.bit_wise_and(minute, pa.scalar(65535, pa.int64())),
+            }
+        )
+
+    zm = zonemap(ev.map_batches(dims, batch_format="pyarrow"), "x0", "y0", 22)
+    return _stable(
+        zm,
+        [
+            ("zbucket", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("min_x", pa.int64()),
+            ("max_x", pa.int64()),
+            ("min_y", pa.int64()),
+            ("max_y", pa.int64()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in

@@ -1,0 +1,123 @@
+"""Z-order (Morton) space-filling-curve layout: multi-dimensional clustering
+so range predicates on EITHER dimension prune storage.
+
+The reference clusters each landed table by exactly one physical key (blknum
+ranges — every exporter partitions output by block range,
+``blockchainetl/jobs/exporters/file_item_exporter.py``), which makes
+block-range scans cheap and address-range scans full-table.  A 100 TB lake
+wants both: interleaving the bits of two (or three) bounded dimension keys
+gives one linear sort order whose contiguous runs are small axis-aligned
+rectangles, so a zone map (per-bucket min/max of each dimension) prunes
+row groups for predicates on ANY interleaved dimension — the OPTIMIZE
+ZORDER of the lakehouse engines, built from two numpy shift-mask passes.
+
+Everything here is exact integer arithmetic on bounded (16-bit) dimension
+buckets, so the key — and any aggregate over it — is reproducible in ANSI
+SQL with shift/mask expressions (see the ``events_zorder_zonemap`` oracle).
+
+Scale shape: the Morton key is a pure per-row vectorized computation
+(map_batches, zero exchange); the LAYOUT step is one range sort on the key
+— the same single all-to-all any re-clustering job pays, amortized over
+every later pruned read.  The zone map itself is a per-batch partial
+min/max/count folded per bucket (KiB-sized partials, never row data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_M16 = np.uint64(0xFFFF)
+
+
+def part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i
+    (binary magic numbers; public-domain bit-twiddling identity)."""
+    x = x.astype(np.uint64) & _M16
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit dimension buckets into one 32-bit Z-order key
+    (x in even bits, y in odd bits).  int64-safe output."""
+    return (part1by1(x) | (part1by1(y) << np.uint64(1))).astype(np.int64)
+
+
+def morton_key(tbl: pa.Table, x_col: str, y_col: str) -> pa.Array:
+    """Vectorized Z-order key for two int64 columns already reduced to
+    16-bit dimension buckets (caller applies its own bucketing — modulo,
+    range-scaling — so the SQL oracle can mirror it exactly)."""
+    x = tbl.column(x_col).to_numpy(zero_copy_only=False)
+    y = tbl.column(y_col).to_numpy(zero_copy_only=False)
+    return pa.array(morton2(x, y), pa.int64())
+
+
+def zorder_sort(ds, x_col: str, y_col: str, key_name: str = "zkey"):
+    """The layout operator: append the Morton key and range-sort by it.
+    One all-to-all (the sort) — the price any re-clustering job pays once;
+    afterwards contiguous blocks cover small (x, y) rectangles, so zone maps
+    prune reads filtered on either dimension."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(key_name, morton_key(t, x_col, y_col))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(key_name)
+
+
+def zonemap(
+    ds,
+    x_col: str,
+    y_col: str,
+    bucket_shift: int = 22,
+) -> "ray.data.Dataset":  # noqa: F821
+    """Per-Z-bucket zone map: ``zbucket = morton2(x, y) >> bucket_shift``
+    with exact n_rows / min / max of both dimensions per bucket.
+
+    Because Z-order buckets are axis-aligned rectangles, each bucket's
+    (min, max) spans are narrow in BOTH dimensions — the property that lets
+    a reader skip buckets for a predicate on either column.  Partials fold
+    per batch (count-sum, min-of-min, max-of-max), so only KiB-sized
+    summaries reach the exchange.
+    """
+    import polars as pl
+
+    from .hashagg import bucketed_group_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        zb = morton2(
+            t.column(x_col).to_numpy(zero_copy_only=False),
+            t.column(y_col).to_numpy(zero_copy_only=False),
+        ) >> np.uint64(bucket_shift)
+        df = pl.from_arrow(t.select([x_col, y_col])).with_columns(
+            pl.Series("zbucket", zb.astype(np.int64))
+        )
+        out = df.group_by("zbucket").agg(
+            pl.len().cast(pl.Int64).alias("n_rows"),
+            pl.col(x_col).min().alias("min_x"),
+            pl.col(x_col).max().alias("max_x"),
+            pl.col(y_col).min().alias("min_y"),
+            pl.col(y_col).max().alias("max_y"),
+        )
+        return out.to_arrow()
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("zbucket")
+            .agg(
+                pl.col("n_rows").sum(),
+                pl.col("min_x").min(),
+                pl.col("max_x").max(),
+                pl.col("min_y").min(),
+                pl.col("max_y").max(),
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), "zbucket", fold
+    )

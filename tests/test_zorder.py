@@ -1,0 +1,82 @@
+"""Z-order layout stage: Morton key correctness and the axis-aligned
+rectangle property that makes zone-map pruning work on either dimension."""
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from blockchain_etl_ray.stages.zorder import morton2, part1by1, zonemap, zorder_sort
+
+
+def _collect(ds) -> pa.Table:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    return pa.concat_tables([t for t in tables if t.num_rows])
+
+
+def test_part1by1_spreads_bits():
+    x = np.array([0, 1, 2, 3, 0xFFFF], dtype=np.int64)
+    got = part1by1(x)
+    # bit i of x lands at position 2i
+    exp = []
+    for v in x:
+        s = 0
+        for i in range(16):
+            s |= ((int(v) >> i) & 1) << (2 * i)
+        exp.append(s)
+    assert got.tolist() == exp
+
+
+def test_morton2_interleaves():
+    x = np.array([0, 1, 0, 1, 7], dtype=np.int64)
+    y = np.array([0, 0, 1, 1, 5], dtype=np.int64)
+    got = morton2(x, y).tolist()
+    # (x=1,y=0)->1, (x=0,y=1)->2, (x=1,y=1)->3; interleave(7, 5) = 0b110111
+    assert got[:4] == [0, 1, 2, 3]
+    assert got[4] == 0b110111
+
+
+def test_zonemap_buckets_are_bounded_rectangles(ray_session):
+    # full 128x128 grid; shift 6 → each z-bucket covers exactly 2^6 = 64
+    # cells arranged as an 8x8 rectangle (axis-aligned — the pruning property)
+    n = 128
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    tbl = pa.table(
+        {"x0": xs.ravel().astype("int64"), "y0": ys.ravel().astype("int64")}
+    )
+    zm = pl.from_arrow(_collect(zonemap(rd.from_arrow(tbl), "x0", "y0", 6)))
+    assert int(zm["n_rows"].sum()) == n * n
+    assert (zm["n_rows"] == 64).all()
+    assert ((zm["max_x"] - zm["min_x"]) == 7).all()
+    assert ((zm["max_y"] - zm["min_y"]) == 7).all()
+    assert zm.height == n * n // 64
+
+
+def test_zorder_sort_clusters_both_dims(ray_session):
+    rng = np.random.default_rng(7)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "x0": rng.integers(0, 1 << 12, n).astype("int64"),
+            "y0": rng.integers(0, 1 << 12, n).astype("int64"),
+        }
+    )
+    out = _collect(zorder_sort(rd.from_arrow(tbl), "x0", "y0"))
+    keys = np.array(out.column("zkey").to_pylist())
+    assert out.num_rows == n
+    assert (np.diff(keys) >= 0).all()
+    # contiguous 1/64 slices of the sorted layout span narrow rectangles:
+    # each covers ~1/8 of the x range AND ~1/8 of the y range, so a point
+    # predicate on either dimension prunes most slices — impossible for a
+    # single-key sort, which leaves the other dimension full-range
+    x = np.array(out.column("x0").to_pylist())
+    y = np.array(out.column("y0").to_pylist())
+    spans = []
+    for i in range(0, n, n // 64):
+        sl = slice(i, i + n // 64)
+        spans.append(
+            (x[sl].max() - x[sl].min()) * (y[sl].max() - y[sl].min())
+        )
+    full_area = float((1 << 12) ** 2)
+    assert np.median(spans) < full_area / 16
