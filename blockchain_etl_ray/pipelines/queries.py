@@ -10530,6 +10530,231 @@ def doc_token_budget_mixture(sf_dir: str):
     )
 
 
+_SPEARMAN_SQL = """
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100,
+             epoch_us(ts) AS tus
+      FROM events),
+    r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY vx100, event_id) - 1 AS rx,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY tus, event_id) - 1 AS ry
+      FROM base)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rx * ry) AS BIGINT) AS sum_rxry,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+    FROM r GROUP BY event_type
+"""
+
+
+@register("event_type_spearman", _SPEARMAN_SQL)
+def event_type_spearman(sf_dir: str):
+    """Spearman rank-correlation moments per event type (is value DRIFTING
+    over time? — the rank-based, outlier-robust counterpart of the Pearson
+    moments in ``hourly_click_purchase_corr``): per type, every row's exact
+    0-based rank of ``value`` and of ``ts`` (ties broken by event_id, the
+    deterministic SQL ROW_NUMBER total order), reduced to integer moments
+    (n, Σ rx·ry, Σ (rx−ry)²) from which ρ = 1 − 6Σd²/(n(n²−1)).
+
+    Scale shape — NO global sort and NO per-type group materialization:
+    (1) both rank passes are ``stages/sampling.py::global_rank`` (a coarse
+    histogram prefix sum + one per-bucket exchange) over (type, key,
+    event_id) packed order-preservingly into one int64 — within-type rank =
+    global rank − the type's base offset (a 5-entry broadcast); the packing
+    bound (ntypes·vspan·idspan ≤ 2^63) is checked loudly; (2) the two rank
+    columns meet in ONE bucketed hash join on event_id; (3) per-type moments
+    fold from KiB map-side partials.  Integer-exact end to end, so the
+    driver's value hash is stable.  Reference analog: the token-flow drift
+    checks are plain Pearson (``blockchainetl/jobs/check_*``); rank moments
+    are what you want when value is heavy-tailed."""
+    import polars as pl
+
+    from ..functions.parity import scaled_int
+    from ..stages.joins import bucketed_join
+    from ..stages.sampling import global_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "vx100": scaled_int(t.column("value")),
+                "tus": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(norm, batch_format="pyarrow").materialize()
+
+    # tiny driver lookup: per-type counts + domain extents (5-row partials)
+    def _part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("cnt"),
+                pl.col("vx100").min().alias("vmin"),
+                pl.col("vx100").max().alias("vmax"),
+                pl.col("tus").min().alias("tmin"),
+                pl.col("tus").max().alias("tmax"),
+                pl.col("event_id").min().alias("imin"),
+                pl.col("event_id").max().alias("imax"),
+            )
+            .to_arrow()
+        )
+
+    stats = pl.from_arrow(
+        pa.Table.from_pylist(
+            ev.map_batches(_part, batch_format="pyarrow").take_all()
+        )
+    )
+    stats = (
+        stats.group_by("event_type")
+        .agg(
+            pl.col("cnt").sum(),
+            pl.col("vmin").min(), pl.col("vmax").max(),
+            pl.col("tmin").min(), pl.col("tmax").max(),
+            pl.col("imin").min(), pl.col("imax").max(),
+        )
+        .sort("event_type")
+    )
+    types = stats["event_type"].to_list()
+    type_idx = {t: i for i, t in enumerate(types)}
+    counts = stats["cnt"].to_list()
+    base = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    vmin, vmax = int(stats["vmin"].min()), int(stats["vmax"].max())
+    tmin, tmax = int(stats["tmin"].min()), int(stats["tmax"].max())
+    imin, imax = int(stats["imin"].min()), int(stats["imax"].max())
+    ispan = imax - imin + 1
+    vspan, tspan = vmax - vmin + 1, tmax - tmin + 1
+    for span in (vspan, tspan):
+        if len(types) * span * ispan >= (1 << 63):
+            raise ValueError(
+                "event_type_spearman packed-key domain exceeds int64: "
+                f"{len(types)} types × span {span} × ids {ispan}; use the "
+                "two-level histogram variant for unbounded domains"
+            )
+
+    types_arr = pa.array(types, pa.string())
+
+    def keyed(col: str, lo: int, span: int):
+        def f(t: pa.Table) -> pa.Table:
+            ti = (
+                pc.index_in(t.column("event_type"), value_set=types_arr)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            v = t.column(col).to_numpy(zero_copy_only=False) - lo
+            i = t.column("event_id").to_numpy(zero_copy_only=False) - imin
+            return pa.table({"k": pa.array((ti * span + v) * ispan + i)})
+
+        return f
+
+    def unpack(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            ti = k // ispan  # still scaled by span; only need base via rank
+            return pa.table(
+                {
+                    "event_id": pa.array((k % ispan) + imin),
+                    "tix": pa.array(ti),
+                    name: pa.array(r),
+                }
+            )
+
+        return f
+
+    rx = global_rank(
+        ev.map_batches(keyed("vx100", vmin, vspan), batch_format="pyarrow"), "k"
+    ).map_batches(unpack("gx"), batch_format="pyarrow")
+    ry = global_rank(
+        ev.map_batches(keyed("tus", tmin, tspan), batch_format="pyarrow"), "k"
+    ).map_batches(unpack("gy"), batch_format="pyarrow")
+
+    vspan_b, tspan_b, base_b = vspan, tspan, base
+
+    def fix_x(t: pa.Table) -> pa.Table:
+        ti = t.column("tix").to_numpy(zero_copy_only=False) // vspan_b
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "tix": pa.array(ti),
+                "rx": pa.array(
+                    t.column("gx").to_numpy(zero_copy_only=False) - base_b[ti]
+                ),
+            }
+        )
+
+    def fix_y(t: pa.Table) -> pa.Table:
+        ti = t.column("tix").to_numpy(zero_copy_only=False) // tspan_b
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ry": pa.array(
+                    t.column("gy").to_numpy(zero_copy_only=False) - base_b[ti]
+                ),
+            }
+        )
+
+    joined = bucketed_join(
+        rx.map_batches(fix_x, batch_format="pyarrow"),
+        ry.map_batches(fix_y, batch_format="pyarrow"),
+        on="event_id",
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["tix", "rx", "ry"]))
+        return (
+            df.with_columns(
+                (pl.col("rx") * pl.col("ry")).alias("rxry"),
+                ((pl.col("rx") - pl.col("ry")) ** 2).alias("d2"),
+            )
+            .group_by("tix")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("rxry").sum().alias("sum_rxry"),
+                pl.col("d2").sum().alias("sum_d2"),
+            )
+            .to_arrow()
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.group_by("tix")
+            .agg(
+                pl.col("n").sum(),
+                pl.col("sum_rxry").sum(),
+                pl.col("sum_d2").sum(),
+            )
+        )
+        tix = out["tix"].to_list()
+        return out.with_columns(
+            pl.Series("event_type", [types[i] for i in tix])
+        ).drop("tix").to_arrow()
+
+    out = (
+        joined.map_batches(moments, batch_format="pyarrow")
+        .groupby("tix")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sum_rxry", pa.int64()),
+            ("sum_d2", pa.int64()),
+        ],
+    )
+
+
 _ZORDER_SQL = """
     WITH d AS (
       SELECT user_id % 65536 AS x0,
