@@ -898,6 +898,30 @@ class ReplayEngine:
             err=f"snapshot at apply version {upto}",
         )
 
+    def touched_partitions(
+        self,
+        since_version: int,
+        upto: int | None = None,
+        tables: tuple[str | None, ...] = (None,),
+    ) -> set[int]:
+        """Partition ids whose state changed in apply window ``(since, upto]``
+        for ANY of ``tables`` (``None`` = the primary table) — straight from
+        the commit markers' fragment row-group index, no data read.  This is
+        what makes incremental downstream maintenance O(changed partitions):
+        a consumer (join-view refresh, index rebuild, export) re-processes
+        only these ids and keeps its cached output for the rest."""
+        if upto is None:
+            versions = self.store.committed_versions()
+            upto = versions[-1] if versions else -1
+        touched: set[int] = set()
+        for v, m in self.store.read_markers(upto).items():
+            if v <= since_version:
+                continue
+            for table in tables:
+                for frag in self.store._marker_fragments(m, table):
+                    touched.update(int(p) for p in frag["parts"])
+        return touched
+
     def read_join_view(
         self,
         left: str,
@@ -905,6 +929,7 @@ class ReplayEngine:
         upto: int | None = None,
         how: str = "inner",
         rsuffix: str = "_r",
+        changed_since: int | None = None,
     ) -> rd.Dataset:
         """Incrementally-maintained JOIN VIEW over two entity tables that
         share the same key columns — the denormalized view a streaming CDC
@@ -929,6 +954,13 @@ class ReplayEngine:
         with a left output column get ``rsuffix``.  Output schema: left key
         columns, left value fields, right value fields — bookkeeping extras
         (ordinal/src_epoch/deleted) are dropped from both sides.
+
+        ``changed_since=K`` is the INCREMENTAL refresh path: only partitions
+        whose left OR right side changed in apply window ``(K, upto]`` (per
+        :meth:`touched_partitions`) are re-joined; a materializing consumer
+        keeps its cached rows for every other partition — the refreshed
+        partitions replace the cache wholesale (each task re-emits its
+        partition's complete joined rows, so no per-row diffing is needed).
         """
         from ..entities import REGISTRY
 
@@ -973,8 +1005,16 @@ class ReplayEngine:
         def _has_rows(plan: dict) -> bool:
             return bool(plan["pieces"] or plan["base"])
 
+        refresh: set[int] | None = None
+        if changed_since is not None:
+            refresh = self.touched_partitions(
+                changed_since, upto=upto, tables=(left, right)
+            )
+
         items = []
         for p in range(P):
+            if refresh is not None and p not in refresh:
+                continue
             pl, pr = plans_l[p], plans_r[p]
             if not _has_rows(pl):
                 continue  # no left rows → no output for inner OR left

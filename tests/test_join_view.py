@@ -88,6 +88,70 @@ def test_self_join_suffixes_colliding_value_columns(jv_engine):
     assert view.column("n_events").equals(view.column("n_events_r"))
 
 
+def test_incremental_refresh_composes_to_full_view(tmp_path):
+    """A tail apply step touching ONE repo must refresh only that repo's
+    partition; untouched cached partitions + the refreshed ones compose to
+    exactly the full view at the frontier."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.entities import partition_ids_for
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+
+    events = tmp_path / "events"
+    write_corpus(events, n_events=2_000, seed=11, n_epochs=4, n_repos=60)
+    eng = ReplayEngine(
+        tmp_path / "state",
+        ReplayConfig(num_partitions=8, epoch_batch_size=2, entities=ENTITIES),
+    )
+    eng.replay(str(events))
+    v0 = eng.store.committed_versions()[-1]
+    cached = _collect(eng.read_join_view("repo_heads", "repo_touch", upto=v0))
+
+    # one more epoch touching exactly one repo
+    pq.write_table(
+        pa.table(
+            {
+                "ordinal": pa.array([10_000_000], pa.int64()),
+                "epoch": pa.array([4], pa.int64()),
+                "op": ["update"],
+                "repo": ["org0/repo0"],
+                "path": ["src/x.rs"],
+                "commit": ["deadbeef"],
+                "lang": ["rust"],
+                "content": pa.array(["tail"], pa.large_string()),
+                "event_id": ["tail-0"],
+            }
+        ),
+        events / "epoch=4.parquet",
+    )
+    eng.replay(str(events))
+
+    touched = eng.touched_partitions(v0, tables=("repo_heads", "repo_touch"))
+    assert len(touched) < 8  # the tail step is genuinely partial
+    refreshed = _collect(
+        eng.read_join_view("repo_heads", "repo_touch", changed_since=v0)
+    )
+    ref_parts = partition_ids_for([refreshed.column("repo")], 8).to_numpy(
+        zero_copy_only=False
+    )
+    assert set(np.unique(ref_parts)) <= touched
+    assert "org0/repo0" in set(refreshed.column("repo").to_pylist())
+
+    cache_parts = partition_ids_for([cached.column("repo")], 8).to_numpy(
+        zero_copy_only=False
+    )
+    keep = cached.filter(pa.array([p not in touched for p in cache_parts]))
+    assert keep.num_rows > 0  # the cached side genuinely contributes
+    combined = pl.from_arrow(
+        pa.concat_tables([keep, refreshed], promote_options="default")
+    ).sort("repo")
+    full = pl.from_arrow(
+        _collect(eng.read_join_view("repo_heads", "repo_touch"))
+    ).sort("repo")
+    assert combined.equals(full)
+
+
 def test_key_mismatch_raises(jv_engine):
     with pytest.raises(ValueError, match="identical key columns"):
         jv_engine.read_join_view("repo_heads", "path_heads")
