@@ -10530,6 +10530,195 @@ def doc_token_budget_mixture(sf_dir: str):
     )
 
 
+_CUBE_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             (CAST(dayofweek(ts) AS BIGINT)) AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) AS vx100
+      FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type_g,
+           COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow_g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vx100) AS BIGINT) AS sum_vx100
+    FROM base GROUP BY CUBE (event_type, dow)
+"""
+
+
+@register("events_cube_counts", _CUBE_SQL)
+def events_cube_counts(sf_dir: str):
+    """GROUP BY CUBE from ONE fact scan: the full contingency table over
+    (event_type, day-of-week) — every grouping set (both keys, each key
+    alone, grand total) — materialized from a single pass.  Scale shape:
+    the fact table is aggregated map-side to the FINEST grain only (≤ 5×7
+    partial rows per batch); the cube expansion runs on the folded finest
+    table, which is grouping-key-sized, not fact-sized — the classic
+    subtotal-from-finest rollup (extends ``event_rollup_counts``'s ROLLUP
+    to the full lattice).  Oracle: DuckDB GROUP BY CUBE with COALESCE
+    markers."""
+    import polars as pl
+
+    from ..functions.parity import scaled_int
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday; Arrow day_of_week: 0=Monday
+        dow = pc.add(
+            pc.day_of_week(t.column("ts")), pa.scalar(1, pa.int64())
+        )
+        dow = pc.cast(
+            pc.if_else(pc.equal(dow, 7), pa.scalar(0, pa.int64()), dow),
+            pa.int64(),
+        )
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "dow": dow,
+                    "vx100": scaled_int(t.column("value")),
+                }
+            )
+        )
+        return (
+            df.group_by(["event_type", "dow"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("vx100").sum().alias("sum_vx100"),
+            )
+            .to_arrow()
+        )
+
+    def cube(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        finest = df.group_by(["event_type", "dow"]).agg(
+            pl.col("n").sum(), pl.col("sum_vx100").sum()
+        )
+        finest = finest.with_columns(
+            pl.col("event_type").alias("event_type_g"),
+            pl.col("dow").cast(pl.String).alias("dow_g"),
+        ).select(["event_type_g", "dow_g", "n", "sum_vx100"])
+        by_type = (
+            df.group_by("event_type")
+            .agg(pl.col("n").sum(), pl.col("sum_vx100").sum())
+            .with_columns(
+                pl.col("event_type").alias("event_type_g"),
+                pl.lit("ALL").alias("dow_g"),
+            )
+            .select(["event_type_g", "dow_g", "n", "sum_vx100"])
+        )
+        by_dow = (
+            df.group_by("dow")
+            .agg(pl.col("n").sum(), pl.col("sum_vx100").sum())
+            .with_columns(
+                pl.lit("ALL").alias("event_type_g"),
+                pl.col("dow").cast(pl.String).alias("dow_g"),
+            )
+            .select(["event_type_g", "dow_g", "n", "sum_vx100"])
+        )
+        total = df.select(
+            pl.lit("ALL").alias("event_type_g"),
+            pl.lit("ALL").alias("dow_g"),
+            pl.col("n").sum(),
+            pl.col("sum_vx100").sum(),
+        )
+        return pl.concat([finest, by_type, by_dow, total]).to_arrow()
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(cube, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("event_type_g", pa.string()),
+            ("dow_g", pa.string()),
+            ("n", pa.int64()),
+            ("sum_vx100", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
+_KANON_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             (CAST(dayofweek(ts) AS BIGINT)) AS dow,
+             CAST(ROUND(value * 100) AS BIGINT) // 1000 AS vbucket
+      FROM events)
+    SELECT event_type, dow, vbucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY event_type, dow, vbucket
+    HAVING COUNT(*) < 5
+"""
+
+
+@register("events_k_anonymity", _KANON_SQL)
+def events_k_anonymity(sf_dir: str):
+    """k-anonymity audit over a quasi-identifier tuple (event_type,
+    day-of-week, coarse value bucket): report every QI combination observed
+    in FEWER than k=5 rows — the re-identification hot spots a
+    privacy-aware training-data release must suppress or generalize before
+    publishing (complements ``doc_pii_scan``/``doc_pii_redact``: those find
+    direct identifiers, this finds sparse attribute combinations).  Scale
+    shape: QI cardinality is bounded, so counts fold from map-side partials
+    and only the small QI table reaches the HAVING filter — the fact table
+    is never exchanged."""
+    import polars as pl
+
+    from ..functions.parity import scaled_int
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t.column("ts")), pa.scalar(1, pa.int64()))
+        dow = pc.cast(
+            pc.if_else(pc.equal(dow, 7), pa.scalar(0, pa.int64()), dow),
+            pa.int64(),
+        )
+        vx = scaled_int(t.column("value"))
+        # DuckDB // floors; Arrow divide truncates — floor-divide explicitly
+        vb = pc.floor(pc.divide(pc.cast(vx, pa.float64()), 1000.0))
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "dow": dow,
+                    "vbucket": pc.cast(vb, pa.int64()),
+                }
+            )
+        )
+        return (
+            df.group_by(["event_type", "dow", "vbucket"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by(["event_type", "dow", "vbucket"])
+            .agg(pl.col("n").sum())
+            .filter(pl.col("n") < 5)
+            .to_arrow()
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+    return _stable(
+        out,
+        [
+            ("event_type", pa.string()),
+            ("dow", pa.int64()),
+            ("vbucket", pa.int64()),
+            ("n", pa.int64()),
+        ],
+        num_blocks=1,
+    )
+
+
 _SPEARMAN_SQL = """
     WITH base AS (
       SELECT event_type, event_id,
