@@ -10530,6 +10530,52 @@ def doc_token_budget_mixture(sf_dir: str):
     )
 
 
+@register("corpus_cms_term_counts", None)
+def corpus_cms_term_counts(sf_dir: str):
+    """Count-Min sketch point-frequency estimates next to exact truth: build
+    one CMS over every corpus token (d×w int partials are the only exchange
+    — O(d·w) driver state at ANY corpus size), then probe it with the exact
+    ≥1% frequent terms and report (term, n_exact, n_cms).  Deterministic
+    (md5 base hash + fixed multipliers), and the one-sided CMS guarantee is
+    visible in the rows: n_cms ≥ n_exact always, within ε·N above it.
+    Rows-only by design (a sketch estimate has no SQL equality); the error
+    bound and merge invariance are pytest-proven (tests/test_cms.py)."""
+    from ..stages.sketch import cms_sketch, frequent_terms
+    from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
+
+    docs = _read(sf_dir, "documents", ["text"], num_blocks=16)
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(t.column("text")), pattern=TOKEN_SPLIT_PATTERN
+            )
+        )
+        return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
+
+    import ray
+
+    sk = cms_sketch(
+        docs.map_batches(toks, batch_format="pyarrow"), "term",
+        depth=4, width=8192,
+    )
+    exact = pa.concat_tables(
+        [t for t in
+         (ray.get(r) for r in frequent_terms(docs, percent=1).to_arrow_refs())
+         if t.num_rows]
+    )
+    terms = exact.column("term").combine_chunks()
+    est = sk.estimate(terms)
+    out = pa.table(
+        {
+            "term": terms,
+            "n_exact": exact.column("n_term"),
+            "n_cms": pa.array(est, pa.int64()),
+        }
+    ).sort_by("term")
+    return rd.from_arrow(out)
+
+
 _CUBE_SQL = """
     WITH base AS (
       SELECT event_type,

@@ -544,3 +544,121 @@ def grouped_tdigest_quantiles(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimation with one-sided error — estimate ≥ true, and estimate ≤ true +
+# ε·N with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.  Where
+# Misra-Gries (``frequent_terms``) answers "which keys are frequent", CMS
+# answers point frequency queries for ANY key after one pass, in O(d·w)
+# memory regardless of vocabulary size.  Reference analog: the reference has
+# no sketches at all — it counts in postgres; this is the sketch family's
+# point-query member next to HLL (distinct) and t-digest (quantiles).
+# ---------------------------------------------------------------------------
+
+#: fixed odd multipliers deriving d row-hashes from ONE md5 base hash —
+#: version-stable because the base is md5 and the derivation is pure
+#: integer arithmetic (same contract as the sampling parity operators)
+_CMS_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+
+
+class CountMinSketch:
+    """d×w int64 counter matrix; ``add`` is vectorized, ``merge`` is
+    elementwise sum (the mergeability that makes it a map-side partial)."""
+
+    def __init__(self, depth: int = 4, width: int = 2048):
+        if depth > len(_CMS_MULTS):
+            raise ValueError(f"depth ≤ {len(_CMS_MULTS)} supported")
+        self.depth, self.width = depth, width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+
+    def _rows(self, keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """(d, n) column indices from one md5 base hash per key."""
+        from ..functions.hashing import md5_prefix_u32
+
+        base = md5_prefix_u32(keys).astype(np.uint64)
+        mixed = (_CMS_MULTS[: self.depth, None] * base[None, :]) >> np.uint64(33)
+        return (mixed % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, keys: pa.Array | pa.ChunkedArray, counts: np.ndarray | None = None):
+        if len(keys) == 0:
+            return self
+        idx = self._rows(keys)
+        w = (
+            np.ones(idx.shape[1], dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], w)
+        self.total += int(w.sum())
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def estimate(self, keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Point estimates (min over rows) — always ≥ the true count."""
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = self._rows(keys)
+        return np.min(
+            np.stack([self.table[d][idx[d]] for d in range(self.depth)]),
+            axis=0,
+        )
+
+    def to_table(self) -> pa.Table:
+        """Serialized partial for a Dataset exchange: one row per sketch."""
+        return pa.table(
+            {
+                "depth": pa.array([self.depth], pa.int64()),
+                "width": pa.array([self.width], pa.int64()),
+                "total": pa.array([self.total], pa.int64()),
+                "counters": pa.array([self.table.ravel()], pa.list_(pa.int64())),
+            }
+        )
+
+    @classmethod
+    def from_table(cls, t: pa.Table) -> "CountMinSketch":
+        out = None
+        for i in range(t.num_rows):
+            s = cls(int(t.column("depth")[i].as_py()), int(t.column("width")[i].as_py()))
+            s.table = np.array(
+                t.column("counters")[i].as_py(), dtype=np.int64
+            ).reshape(s.depth, s.width)
+            s.total = int(t.column("total")[i].as_py())
+            out = s if out is None else out.merge(s)
+        return out
+
+
+def cms_sketch(
+    ds,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> CountMinSketch:
+    """One-pass distributed CMS over a string column: each batch folds into
+    a local sketch partial (d·w ints — the ONLY thing that crosses the
+    wire), partials sum on the driver.  O(d·w) driver state at any corpus
+    size."""
+
+    def partial(t: pa.Table):
+        s = CountMinSketch(depth, width)
+        s.add(t.column(col).combine_chunks())
+        yield s.to_table()
+
+    merged = CountMinSketch(depth, width)
+    for batch in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        merged.merge(CountMinSketch.from_table(batch))
+    return merged
