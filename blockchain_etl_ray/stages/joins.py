@@ -540,3 +540,116 @@ def fk_orphan_counts(
         .repartition(1)
         .map_batches(total, batch_format="pyarrow")
     )
+
+
+def fk_orphan_counts_multi(
+    edges: list[tuple[rd.Dataset, str, rd.Dataset, str, str]],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Every FK edge of a referential-integrity report in ONE exchange.
+
+    Same per-edge semantics as :func:`fk_orphan_counts` (exact orphan rows +
+    orphan keys), but all edges' (distinct fact key, count) partials and
+    distinct dim keys share a single groupby whose key packs (edge, bucket)
+    — one shuffle and one barrier instead of one per edge, which matters
+    because at small-to-mid scale each groupby's fixed cost (~seconds)
+    dominates the report (measured 11.6 s → one-exchange rewrite at sf0.01).
+    ``edges``: (fact_ds, fact_key, dim_ds, dim_key, label) tuples.
+    """
+    import numpy as np
+    import polars as pl
+
+    _MULT = 2654435761
+    width = (1 << 31) // num_partitions + 1
+    labels = [e[4] for e in edges]
+
+    def _bucket(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        k = pc.cast(col, pa.int64())
+        h = pc.bit_wise_and(
+            pc.multiply(k, pa.scalar(_MULT, pa.int64())),
+            pa.scalar((1 << 31) - 1, pa.int64()),
+        )
+        return pc.cast(pc.divide(h, pa.scalar(width, pa.int64())), pa.int64())
+
+    def _tagged(key: str, eidx: int, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select([key])).rename({key: "k"})
+            if side == 0:
+                df = df.group_by("k").agg(pl.len().cast(pl.Int64).alias("n"))
+            else:
+                df = df.unique().with_columns(
+                    pl.lit(0, dtype=pl.Int64).alias("n")
+                )
+            out = df.to_arrow().cast(
+                pa.schema([("k", pa.int64()), ("n", pa.int64())])
+            )
+            out = out.append_column(
+                "side", pa.array(np.full(out.num_rows, side, dtype=np.int8))
+            )
+            out = out.append_column(
+                "edge_idx",
+                pa.array(np.full(out.num_rows, eidx, dtype=np.int64)),
+            )
+            b = _bucket(out.column("k"))
+            gpart = pc.add(
+                pc.multiply(
+                    out.column("edge_idx"),
+                    pa.scalar(num_partitions, pa.int64()),
+                ),
+                b,
+            )
+            return out.append_column("gpart", gpart)
+
+        return f
+
+    ds = None
+    for eidx, (fact, fk, dim, dk, _label) in enumerate(edges):
+        part = fact.map_batches(_tagged(fk, eidx, 0), batch_format="pyarrow").union(
+            dim.map_batches(_tagged(dk, eidx, 1), batch_format="pyarrow")
+        )
+        ds = part if ds is None else ds.union(part)
+
+    def fold(g: pa.Table) -> pa.Table:
+        eidx = int(g.column("edge_idx")[0].as_py())
+        df = pl.from_arrow(g.select(["k", "n", "side"]))
+        facts = (
+            df.filter(pl.col("side") == 0).group_by("k").agg(pl.col("n").sum())
+        )
+        dims = df.filter(pl.col("side") == 1).select(["k"]).unique()
+        orphans = facts.join(dims, on="k", how="anti")
+        return pa.table(
+            {
+                "edge_idx": pa.array([eidx], pa.int64()),
+                "n_rows": pa.array(
+                    [int(facts.get_column("n").sum() or 0)], pa.int64()
+                ),
+                "n_orphans": pa.array(
+                    [int(orphans.get_column("n").sum() or 0)], pa.int64()
+                ),
+                "n_orphan_keys": pa.array([orphans.height], pa.int64()),
+            }
+        )
+
+    def total(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by("edge_idx")
+            .agg(
+                pl.col("n_rows").sum(),
+                pl.col("n_orphans").sum(),
+                pl.col("n_orphan_keys").sum(),
+            )
+            .sort("edge_idx")
+        )
+        return df.with_columns(
+            pl.Series("edge", [labels[i] for i in df["edge_idx"].to_list()])
+        ).drop("edge_idx").select(
+            ["edge", "n_rows", "n_orphans", "n_orphan_keys"]
+        ).to_arrow()
+
+    return (
+        ds.groupby("gpart")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(total, batch_format="pyarrow")
+    )

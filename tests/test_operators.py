@@ -1612,6 +1612,46 @@ def test_fk_orphan_counts_with_planted_orphans():
     assert out["n_orphan_keys"][0] == n_orphan_keys
 
 
+def test_fk_orphan_counts_multi_equals_per_edge():
+    """The one-exchange multi-edge report row-matches running each edge
+    through the single-edge operator (including an edge with zero orphans
+    and one whose fact and dim are swapped)."""
+    import pandas as pd
+
+    from blockchain_etl_ray.stages.joins import (
+        fk_orphan_counts,
+        fk_orphan_counts_multi,
+    )
+
+    rng = np.random.default_rng(22)
+    f1 = pa.table({"fk": rng.integers(0, 70, 400).astype(np.int64)})
+    d1 = pa.table({"pk": np.arange(0, 50, dtype=np.int64)})
+    f2 = pa.table({"ref": rng.integers(0, 30, 300).astype(np.int64)})
+    d2 = pa.table({"id": np.arange(0, 40, dtype=np.int64)})  # no orphans
+
+    def ds(t, n):
+        return rd.from_arrow(t).repartition(n)
+
+    edges = [
+        (ds(f1, 4), "fk", ds(d1, 2), "pk", "f1->d1"),
+        (ds(f2, 3), "ref", ds(d2, 2), "id", "f2->d2"),
+    ]
+    multi = (
+        fk_orphan_counts_multi(edges)
+        .to_pandas()
+        .sort_values("edge")
+        .reset_index(drop=True)
+    )
+    single = pd.concat(
+        [
+            fk_orphan_counts(f, k, d, dk, edge=lbl).to_pandas()
+            for f, k, d, dk, lbl in edges
+        ]
+    ).sort_values("edge").reset_index(drop=True)
+    pd.testing.assert_frame_equal(multi, single, check_dtype=True)
+    assert multi.loc[multi.edge == "f2->d2", "n_orphans"].iloc[0] == 0
+
+
 def test_coreness_matches_peeling_both_paths():
     """h-index iteration == serial min-degree peeling (running-max form),
     on a graph with a planted clique (coreness 5) plus random sparse edges;
