@@ -11056,6 +11056,173 @@ def events_zorder_zonemap(sf_dir: str):
     )
 
 
+@register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings)
+    SELECT label, pos,
+           CAST(SUM(v) AS BIGINT) AS sum_x1m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(sf_dir: str):
+    """Exact per-label embedding centroid component sums (long form): the
+    class-prototype computation behind nearest-centroid classification,
+    embedding drift monitoring, and k-means seeding over a labeled corpus.
+    Floats are fixed-pointed to int64 micros (floor(v*1e6+0.5), same half-up
+    recipe as ``embedding_quantize_int8``) BEFORE summation, so the sum is
+    order-independent — exact under any batch split, unlike float
+    accumulation.  Per-batch combiner: one ``np.add.at`` segmented sum over
+    the zero-copy matrix view emits at most ``labels x d`` partial rows, so
+    the groupby exchange carries KiB-sized partials regardless of corpus
+    size (the vsum pattern of ``functions/bigint.py``; reference analog:
+    token-balance additive folds, ``ethereumetl/jobs/...balance`` exporters).
+    Callers derive the centroid as sum_x1m / n on read."""
+    from ..stages.ann import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "sum_x1m": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        m = _to_matrix(t.column("embedding"))
+        if m.size == 0:
+            return empty
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), m.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "sum_x1m": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(Sum("sum_x1m", alias_name="sum_x1m"), Sum("n", alias_name="n"))
+    )
+    return _stable(
+        agg,
+        [
+            ("label", pa.int64()),
+            ("pos", pa.int64()),
+            ("sum_x1m", pa.int64()),
+            ("n", pa.int64()),
+        ],
+    )
+
+
+@register(
+    "doc_rag_chunks",
+    """
+    WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             CAST(gs.i AS BIGINT) AS chunk_idx,
+             CAST(gs.i * 150 AS BIGINT) AS chunk_start
+      FROM d, LATERAL (SELECT unnest(generate_series(0, GREATEST(0, (n - 51) // 150)))
+                       AS i) gs)
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(LENGTH(substr(text, chunk_start + 1, 200)) AS BIGINT) AS chunk_len,
+           md5(substr(text, chunk_start + 1, 200)) AS chunk_md5
+    FROM g
+    """,
+)
+def doc_rag_chunks(sf_dir: str):
+    """RAG chunking with overlap: split every document into 200-char windows
+    at stride 150 (50-char overlap so no sentence is cut without context on
+    either side) — the corpus → retrieval-index explode every RAG pipeline
+    runs before embedding.  Chunk-count rule (shared with the SQL oracle):
+    1 + max(0, floor((n-51)/150)) windows, i.e. a new window only while the
+    previous one did not already reach the end of the document.  Per batch:
+    one vectorized ``utf8_slice_codeunits`` pass per chunk ordinal (the loop
+    is over the ≤ max-chunks-per-doc ordinal, not over rows), md5 content
+    addresses for downstream exact-dedup of chunks.  Embarrassingly parallel
+    — zero exchange; output is ~(n/150)x the input row count but each row is
+    a fixed-size digest + offsets, so object-store flow stays bounded.
+    Character (codepoint) semantics match DuckDB LENGTH/substr exactly.
+    Reference analog: block-range → fixed-batch explode in
+    ``blockchainetl/jobs/exporters`` + the ETL's item-id content addressing
+    (M8)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    size, stride = 200, 150
+
+    def chunks(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_start": pa.array([], pa.int64()),
+                "chunk_len": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t.column("text")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = np.maximum(0, (n - (size - stride + 1)) // stride) + 1
+        out_ids, out_idx, out_start, out_len, out_md5 = [], [], [], [], []
+        for k in range(int(nch.max())):
+            sel = np.nonzero(nch > k)[0]
+            if not len(sel):
+                break
+            sliced = pc.utf8_slice_codeunits(
+                texts.take(pa.array(sel)), start=k * stride, stop=k * stride + size
+            )
+            pieces = sliced.to_pylist()
+            out_ids.append(ids[sel])
+            out_idx.append(np.full(len(sel), k, dtype=np.int64))
+            out_start.append(np.full(len(sel), k * stride, dtype=np.int64))
+            out_len.append(np.fromiter((len(s) for s in pieces), np.int64, len(pieces)))
+            out_md5.extend(hashlib.md5(s.encode("utf-8")).hexdigest() for s in pieces)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "chunk_start": pa.array(np.concatenate(out_start)),
+                "chunk_len": pa.array(np.concatenate(out_len)),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return _stable(
+        ds.map_batches(chunks, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("chunk_start", pa.int64()),
+            ("chunk_len", pa.int64()),
+            ("chunk_md5", pa.string()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in
@@ -11170,6 +11337,8 @@ _DRIVER_ORDER = [
     "doc_bm25_scores",
     "doc_mixture_sample",
     "corpus_release_v2",
+    "embedding_label_centroids",
+    "doc_rag_chunks",
 ]
 
 
