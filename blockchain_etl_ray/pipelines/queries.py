@@ -11134,6 +11134,52 @@ def embedding_label_centroids(sf_dir: str):
     )
 
 
+def _rag_chunk_rows(t: pa.Table, size: int = 200, stride: int = 150) -> pa.Table:
+    """Per-batch RAG chunk explode: ``(doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_md5)``; see ``doc_rag_chunks`` for the semantics
+    contract shared with the SQL oracle."""
+    import hashlib
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_start": pa.array([], pa.int64()),
+            "chunk_len": pa.array([], pa.int64()),
+            "chunk_md5": pa.array([], pa.string()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    texts = t.column("text")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = np.maximum(0, (n - (size - stride + 1)) // stride) + 1
+    out_ids, out_idx, out_start, out_len, out_md5 = [], [], [], [], []
+    for k in range(int(nch.max())):
+        sel = np.nonzero(nch > k)[0]
+        if not len(sel):
+            break
+        sliced = pc.utf8_slice_codeunits(
+            texts.take(pa.array(sel)), start=k * stride, stop=k * stride + size
+        )
+        pieces = sliced.to_pylist()
+        out_ids.append(ids[sel])
+        out_idx.append(np.full(len(sel), k, dtype=np.int64))
+        out_start.append(np.full(len(sel), k * stride, dtype=np.int64))
+        out_len.append(np.fromiter((len(s) for s in pieces), np.int64, len(pieces)))
+        out_md5.extend(hashlib.md5(s.encode("utf-8")).hexdigest() for s in pieces)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "chunk_idx": pa.array(np.concatenate(out_idx)),
+            "chunk_start": pa.array(np.concatenate(out_start)),
+            "chunk_len": pa.array(np.concatenate(out_len)),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        }
+    )
+
+
 @register(
     "doc_rag_chunks",
     """
@@ -11166,59 +11212,102 @@ def doc_rag_chunks(sf_dir: str):
     Reference analog: block-range → fixed-batch explode in
     ``blockchainetl/jobs/exporters`` + the ETL's item-id content addressing
     (M8)."""
-    import hashlib
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    size, stride = 200, 150
-
-    def chunks(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "chunk_start": pa.array([], pa.int64()),
-                "chunk_len": pa.array([], pa.int64()),
-                "chunk_md5": pa.array([], pa.string()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        texts = t.column("text")
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = np.maximum(0, (n - (size - stride + 1)) // stride) + 1
-        out_ids, out_idx, out_start, out_len, out_md5 = [], [], [], [], []
-        for k in range(int(nch.max())):
-            sel = np.nonzero(nch > k)[0]
-            if not len(sel):
-                break
-            sliced = pc.utf8_slice_codeunits(
-                texts.take(pa.array(sel)), start=k * stride, stop=k * stride + size
-            )
-            pieces = sliced.to_pylist()
-            out_ids.append(ids[sel])
-            out_idx.append(np.full(len(sel), k, dtype=np.int64))
-            out_start.append(np.full(len(sel), k * stride, dtype=np.int64))
-            out_len.append(np.fromiter((len(s) for s in pieces), np.int64, len(pieces)))
-            out_md5.extend(hashlib.md5(s.encode("utf-8")).hexdigest() for s in pieces)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(out_ids)),
-                "chunk_idx": pa.array(np.concatenate(out_idx)),
-                "chunk_start": pa.array(np.concatenate(out_start)),
-                "chunk_len": pa.array(np.concatenate(out_len)),
-                "chunk_md5": pa.array(out_md5, pa.string()),
-            }
-        )
-
     return _stable(
-        ds.map_batches(chunks, batch_format="pyarrow"),
+        ds.map_batches(_rag_chunk_rows, batch_format="pyarrow"),
         [
             ("doc_id", pa.int64()),
             ("chunk_idx", pa.int64()),
             ("chunk_start", pa.int64()),
             ("chunk_len", pa.int64()),
             ("chunk_md5", pa.string()),
+        ],
+    )
+
+
+@register(
+    "rag_chunk_dedup",
+    """
+    WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    g AS (
+      SELECT doc_id, CAST(gs.i AS BIGINT) AS chunk_idx,
+             md5(substr(text, CAST(gs.i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+      FROM d, LATERAL (SELECT unnest(generate_series(0, GREATEST(0, (n - 51) // 150)))
+                       AS i) gs)
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id * 1048576 + chunk_idx) // 1048576 AS BIGINT)
+               AS keep_doc_id,
+           CAST(MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS BIGINT)
+               AS keep_chunk_idx
+    FROM g GROUP BY chunk_md5
+    """,
+)
+def rag_chunk_dedup(sf_dir: str):
+    """Chunk-level exact-dedup index over the RAG explode: overlapping-window
+    chunking multiplies boilerplate (licenses, headers, navigation) into MANY
+    identical index entries, so a retrieval index dedups at the CHUNK grain,
+    not the document grain.  Per chunk digest: copy count and the canonical
+    keeper — the lexicographic-min (doc_id, chunk_idx), arg-min'd as ONE
+    packed int64 (doc_id·2^20 + chunk_idx, bound checked loudly) so MIN
+    composes map-side.  Per-batch combiner collapses each batch to its
+    distinct digests before the md5-keyed exchange, so shuffle flow is
+    distinct-chunk-sized, never corpus-sized.  Reference analog: the U8
+    duplicate-cleanup family at the derived-item grain."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pack_base = 1 << 20
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = _rag_chunk_rows(t)
+        if c.num_rows == 0:
+            return pa.table(
+                {
+                    "chunk_md5": pa.array([], pa.string()),
+                    "pack": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                }
+            )
+        ids = c.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = c.column("chunk_idx").to_numpy(zero_copy_only=False)
+        assert idx.max() < pack_base, "chunk_idx overflows the arg-min packing"
+        return (
+            pa.table(
+                {
+                    "chunk_md5": c.column("chunk_md5"),
+                    "pack": pa.array(ids * pack_base + idx),
+                    "one": pa.array(np.ones(c.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("chunk_md5")
+            .aggregate([("pack", "min"), ("one", "sum")])
+            .rename_columns(["chunk_md5", "pack", "n_copies"])
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("chunk_md5")
+        .aggregate(Min("pack", alias_name="pack"), Sum("n_copies", alias_name="n_copies"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pack = pc.cast(t.column("pack"), pa.int64())
+        keep_doc = pc.divide(pack, pack_base)
+        return pa.table(
+            {
+                "chunk_md5": t.column("chunk_md5"),
+                "n_copies": t.column("n_copies"),
+                "keep_doc_id": keep_doc,
+                "keep_chunk_idx": pc.subtract(pack, pc.multiply(keep_doc, pack_base)),
+            }
+        )
+
+    return _stable(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        [
+            ("chunk_md5", pa.string()),
+            ("n_copies", pa.int64()),
+            ("keep_doc_id", pa.int64()),
+            ("keep_chunk_idx", pa.int64()),
         ],
     )
 
@@ -11339,6 +11428,7 @@ _DRIVER_ORDER = [
     "corpus_release_v2",
     "embedding_label_centroids",
     "doc_rag_chunks",
+    "rag_chunk_dedup",
 ]
 
 
