@@ -11149,6 +11149,10 @@ def _rag_chunk_rows(t: pa.Table, size: int = 200, stride: int = 150) -> pa.Table
             "chunk_md5": pa.array([], pa.string()),
         }
     )
+    # Null text rows emit no chunks — matching the oracle, where
+    # LENGTH(NULL) is NULL so generate_series produces no rows; without the
+    # filter, utf8_length's null turns into NaN and md5(None) crashes.
+    t = t.filter(pc.is_valid(t.column("text")))
     if t.num_rows == 0:
         return empty
     texts = t.column("text")
@@ -11269,7 +11273,19 @@ def rag_chunk_dedup(sf_dir: str):
             )
         ids = c.column("doc_id").to_numpy(zero_copy_only=False)
         idx = c.column("chunk_idx").to_numpy(zero_copy_only=False)
-        assert idx.max() < pack_base, "chunk_idx overflows the arg-min packing"
+        # Loud bound checks on BOTH packed halves (ValueError, not assert:
+        # asserts are stripped under -O, and doc_id*2^20 wraps silently in
+        # int64 for doc_id >= 2^43, picking a wrong keeper).
+        if idx.max() >= pack_base:
+            raise ValueError(
+                f"chunk_idx {idx.max()} overflows the arg-min packing "
+                f"(pack_base={pack_base})"
+            )
+        if ids.max() > ((1 << 63) - 1) // pack_base:
+            raise ValueError(
+                f"doc_id {ids.max()} overflows int64 under the arg-min "
+                f"packing (max {((1 << 63) - 1) // pack_base})"
+            )
         return (
             pa.table(
                 {

@@ -590,7 +590,12 @@ def fk_orphan_counts_multi(
                 "edge_idx",
                 pa.array(np.full(out.num_rows, eidx, dtype=np.int64)),
             )
-            b = _bucket(out.column("k"))
+            # A null FK key hashes to a null bucket; left unfilled, the
+            # gpart arithmetic yields null for EVERY edge's null-key rows,
+            # collapsing them into one cross-edge group that fold would
+            # attribute to a single edge.  Pin nulls to bucket 0 so null
+            # keys stay edge-local (like the single-edge variant).
+            b = pc.coalesce(_bucket(out.column("k")), pa.scalar(0, pa.int64()))
             gpart = pc.add(
                 pc.multiply(
                     out.column("edge_idx"),

@@ -628,8 +628,14 @@ class CountMinSketch:
         )
 
     @classmethod
-    def from_table(cls, t: pa.Table) -> "CountMinSketch":
+    def from_table(
+        cls, t: pa.Table, depth: int = 4, width: int = 2048
+    ) -> "CountMinSketch":
+        # An empty partial batch folds to an identity sketch (all-zero
+        # counters) rather than None, so merge chains never AttributeError.
         out = None
+        if t.num_rows == 0:
+            return cls(depth, width)
         for i in range(t.num_rows):
             s = cls(int(t.column("depth")[i].as_py()), int(t.column("width")[i].as_py()))
             s.table = np.array(
@@ -660,5 +666,5 @@ def cms_sketch(
     for batch in ds.map_batches(
         partial, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
-        merged.merge(CountMinSketch.from_table(batch))
+        merged.merge(CountMinSketch.from_table(batch, depth, width))
     return merged

@@ -88,10 +88,12 @@ def zonemap(
     from .hashagg import bucketed_group_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
+        # morton2 returns int64; shift by an int64 scalar — int64 >> uint64
+        # promotes to float64 under NumPy >= 2 (NEP 50) and raises.
         zb = morton2(
             t.column(x_col).to_numpy(zero_copy_only=False),
             t.column(y_col).to_numpy(zero_copy_only=False),
-        ) >> np.uint64(bucket_shift)
+        ) >> np.int64(bucket_shift)
         df = pl.from_arrow(t.select([x_col, y_col])).with_columns(
             pl.Series("zbucket", zb.astype(np.int64))
         )

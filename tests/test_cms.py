@@ -63,3 +63,15 @@ def test_dataset_path_equals_serial(ray_session):
     serial = CountMinSketch(depth=4, width=512).add(keys)
     assert (dist.table == serial.table).all()
     assert dist.total == serial.total
+
+
+def test_from_table_empty_is_identity():
+    """An empty partial batch folds to an identity (all-zero) sketch, so a
+    merge chain over batches that include an empty one never crashes."""
+    s = CountMinSketch(depth=3, width=64)
+    empty = CountMinSketch.from_table(s.to_table().slice(0, 0), depth=3, width=64)
+    assert empty.total == 0 and (empty.table == 0).all()
+    full = CountMinSketch(depth=3, width=64).add(pa.array(["a", "a", "b"]))
+    merged = full.merge(empty)
+    est = merged.estimate(pa.array(["a"]))
+    assert est[0] >= 2

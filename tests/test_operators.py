@@ -1652,6 +1652,67 @@ def test_fk_orphan_counts_multi_equals_per_edge():
     assert multi.loc[multi.edge == "f2->d2", "n_orphans"].iloc[0] == 0
 
 
+def test_fk_orphan_counts_multi_null_keys_stay_edge_local():
+    """Null FK keys hash to a null bucket; the multi-edge report must keep
+    each edge's null-key rows attributed to THAT edge (regression: a null
+    gpart once collapsed every edge's null rows into one group credited to
+    whichever edge sorted first)."""
+    import pandas as pd
+
+    from blockchain_etl_ray.stages.joins import (
+        fk_orphan_counts,
+        fk_orphan_counts_multi,
+    )
+
+    f1 = pa.table({"fk": pa.array([1, 2, None, None, 60], pa.int64())})
+    d1 = pa.table({"pk": pa.array([1, 2, 3], pa.int64())})
+    f2 = pa.table({"ref": pa.array([None, 5, 5, None, None], pa.int64())})
+    d2 = pa.table({"id": pa.array([5], pa.int64())})
+
+    def ds(t, n):
+        return rd.from_arrow(t).repartition(n)
+
+    edges = [
+        (ds(f1, 2), "fk", ds(d1, 1), "pk", "f1->d1"),
+        (ds(f2, 2), "ref", ds(d2, 1), "id", "f2->d2"),
+    ]
+    multi = (
+        fk_orphan_counts_multi(edges)
+        .to_pandas()
+        .sort_values("edge")
+        .reset_index(drop=True)
+    )
+    single = pd.concat(
+        [
+            fk_orphan_counts(f, k, d, dk, edge=lbl).to_pandas()
+            for f, k, d, dk, lbl in edges
+        ]
+    ).sort_values("edge").reset_index(drop=True)
+    pd.testing.assert_frame_equal(multi, single, check_dtype=True)
+    # every fact row is counted, on its own edge
+    assert multi.loc[multi.edge == "f1->d1", "n_rows"].iloc[0] == 5
+    assert multi.loc[multi.edge == "f2->d2", "n_rows"].iloc[0] == 5
+
+
+def test_rag_chunk_rows_null_text_emits_no_chunks():
+    """Null text rows emit zero chunks (matching LENGTH(NULL) semantics in
+    the SQL oracle) instead of crashing in md5/len on None pieces."""
+    from blockchain_etl_ray.pipelines.queries import _rag_chunk_rows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x" * 300, None, "y" * 10], pa.string()),
+        }
+    )
+    out = _rag_chunk_rows(t)
+    assert set(out.column("doc_id").to_pylist()) == {1, 3}
+    all_null = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": pa.array([None], pa.string())}
+    )
+    assert _rag_chunk_rows(all_null).num_rows == 0
+
+
 def test_coreness_matches_peeling_both_paths():
     """h-index iteration == serial min-degree peeling (running-max form),
     on a graph with a planted clique (coreness 5) plus random sparse edges;
