@@ -636,8 +636,11 @@ def _derive_band_index(nt: pa.Table) -> pa.Table:
     per-epoch lookup against bucket counts instead of an all-pairs LSH rerun
     over the corpus (the incremental form of ``stages/dedup.py``'s batch
     MinHash+LSH).  One row per (event, band); deletes and null content
-    contribute nothing.  Signature work is per-row Python (same cost profile
-    as the batch ``MinHasher`` stage it reuses)."""
+    contribute nothing.  Signature work rides the batch-vectorized
+    ``MinHasher.signatures`` / ``band_buckets`` path (one shared shingle
+    explode, blake2b once per DISTINCT shingle, ``np.minimum.reduceat``
+    folds) — value-identical to the per-row ``signature()`` recipe, so the
+    maintained state is unchanged."""
     global _BAND_HASHER
     if _BAND_HASHER is None:
         from .stages.dedup import MinHasher
@@ -650,17 +653,10 @@ def _derive_band_index(nt: pa.Table) -> pa.Table:
     )
     t = nt.filter(keep)
     n = t.num_rows
-    buckets = np.empty((n, h.bands), dtype=np.int64)
-    for r, text in enumerate(pc.cast(t.column("content"), pa.string()).to_pylist()):
-        sig = h.signature(text)
-        for b in range(h.bands):
-            chunk = sig[b * h.rows : (b + 1) * h.rows]
-            buckets[r, b] = (
-                int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                )
-                >> 1
-            )
+    texts = pc.cast(t.column("content"), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buckets = h.band_buckets(h.signatures(texts))
     rep_idx = pa.array(np.repeat(np.arange(n), h.bands))
 
     def rep(col):

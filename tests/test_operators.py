@@ -1694,6 +1694,44 @@ def test_fk_orphan_counts_multi_null_keys_stay_edge_local():
     assert multi.loc[multi.edge == "f2->d2", "n_rows"].iloc[0] == 5
 
 
+def test_minhasher_batch_signatures_match_per_row():
+    """The vectorized batch signature/bucket path is value-identical to the
+    per-row recipe (the maintained band_index state must not shift), across
+    empty strings, <k-word docs, repeated shingles and long docs."""
+    import hashlib
+
+    from blockchain_etl_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_perm=16, bands=4)
+    texts = [
+        "hello world this is a longer test document with many words in it",
+        "short",
+        "",
+        "a b c d e f g h i j",
+        "x " * 200,
+        "dup dup dup dup dup dup dup dup",
+    ]
+    sigs = h.signatures(pa.array(texts, pa.string()))
+    buckets = h.band_buckets(sigs)
+    for i, t in enumerate(texts):
+        ref = h.signature(t)
+        assert (sigs[i] == ref).all()
+        for b in range(h.bands):
+            chunk = ref[b * h.rows : (b + 1) * h.rows]
+            exp = (
+                int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                )
+                >> 1
+            )
+            assert buckets[i, b] == exp
+    # the exploded __call__ table matches too
+    out = h(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())}))
+    assert out.num_rows == len(texts) * h.bands
+    assert out.column("band_hash").to_numpy().tolist() == buckets.reshape(-1).tolist()
+
+
 def test_rag_chunk_rows_null_text_emits_no_chunks():
     """Null text rows emit zero chunks (matching LENGTH(NULL) semantics in
     the SQL oracle) instead of crashing in md5/len on None pieces."""
