@@ -10281,12 +10281,14 @@ def doc_line_dedup(sf_dir: str):
     sub-document sibling of whole-doc exact dedup).  Scale shape: the exact
     line document-frequency uses the value-keyed bucket exchange of
     ``grouped_distinct_count`` (distinct pairs move, documents never do);
-    only the qualifying boilerplate set returns to the driver and broadcasts
-    once; the rewrite pass is map-side (``stages/dedup.py::LineDeduper``)."""
+    membership returns to the driver as SORTED 8-byte digests (8 B per
+    boilerplate line, ``duplicate_line_digests`` — never the strings, which
+    at RefinedWeb scale run to billions) and broadcasts once; the rewrite
+    pass is map-side (``stages/dedup.py::LineDeduper`` digest mode)."""
     import ray
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    bad = dedup.duplicate_lines(docs, min_df=2)
+    bad = dedup.duplicate_line_digests(docs, min_df=2)
     bad_ref = ray.put(bad)
     out = docs.map_batches(
         dedup.LineDeduper,
@@ -10448,7 +10450,7 @@ def corpus_release_v4(sf_dir: str):
     ).materialize()
 
     raw = _read(sf_dir, "documents", ["doc_id", "text"])
-    bad_ref = ray.put(dedup.duplicate_lines(raw, min_df=2))
+    bad_ref = ray.put(dedup.duplicate_line_digests(raw, min_df=2))
 
     def line_keep(t: pa.Table) -> pa.Table:
         keep = pc.less_equal(

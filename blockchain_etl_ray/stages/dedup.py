@@ -1376,13 +1376,67 @@ def doc_line_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _line_digests(lines: pa.Array) -> np.ndarray:
+    """Vectorized 8-byte md5-prefix digests (little-endian, viewed int64) of
+    a string array: dictionary-encode (lines repeat heavily — that's the
+    premise of line dedup), md5 once per DISTINCT value via one C-level
+    digest join, gather per occurrence."""
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if len(lines) == 0:
+        return np.empty(0, dtype=np.int64)
+    enc = lines.dictionary_encode()
+    md5 = hashlib.md5
+    buf = b"".join(md5(x.encode()).digest() for x in enc.dictionary.to_pylist())
+    dict_h = np.frombuffer(buf, dtype="<u8")[::2].copy().view(np.int64)
+    return dict_h[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def duplicate_line_digests(docs: rd.Dataset, min_df: int = 2) -> np.ndarray:
+    """SORTED int64 digests of the lines appearing in >= ``min_df`` DISTINCT
+    documents — the bounded-broadcast membership for :class:`LineDeduper`.
+
+    The exact document-frequency count is fully distributed (same
+    ``grouped_distinct_count`` value-keyed exchange as
+    :func:`duplicate_lines`); what returns to the driver is 8 BYTES per
+    qualifying line instead of its text, an order of magnitude less for web
+    boilerplate (RefinedWeb-scale ≥2-doc line sets run to billions of lines,
+    where the string broadcast was the one unbounded driver-collect left in
+    the LLM family).  Membership lookups are a binary search on the sorted
+    array.  Exactness bound: a non-boilerplate line is falsely dropped only
+    on a 64-bit md5-prefix collision with a qualifying digest
+    (P ≈ n_bad·n_lines/2^64 — negligible below ~10^8 distinct lines, and a
+    RefinedWeb-style cleanup tolerates it above); the string-set variant
+    below stays available for dimension-scale exactness."""
+    from .hashagg import grouped_distinct_count
+
+    pairs = docs.map_batches(doc_line_rows, batch_format="pyarrow")
+    counts = grouped_distinct_count(pairs, key_col="line", val_col="doc_id")
+
+    def bad_digests(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.greater_equal(t.column("n"), min_df)).column("line")
+        return pa.table({"d": pa.array(_line_digests(bad), pa.int64())})
+
+    parts = list(
+        counts.map_batches(bad_digests, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    out = pa.concat_tables(parts).column("d").to_numpy(zero_copy_only=False)
+    return np.unique(out)
+
+
 def duplicate_lines(docs: rd.Dataset, min_df: int = 2) -> pa.Array:
-    """The EXACT set of lines appearing in >= ``min_df`` DISTINCT documents.
-    Scale shape: per-batch (line, doc) dedup map-side, one value-keyed bucket
-    exchange for the exact distinct count (``hashagg.grouped_distinct_count``
-    — pairs, not documents, move), distributed ``df >= min_df`` filter, and
-    only the qualifying lines (the boilerplate set — tiny by construction at
-    any threshold worth running) reach the driver for broadcast."""
+    """The EXACT set of lines appearing in >= ``min_df`` DISTINCT documents,
+    as strings.  Scale shape: per-batch (line, doc) dedup map-side, one
+    value-keyed bucket exchange for the exact distinct count
+    (``hashagg.grouped_distinct_count`` — pairs, not documents, move),
+    distributed ``df >= min_df`` filter, and the qualifying lines reach the
+    driver for broadcast.  The STRING collection bounds this to
+    dimension-scale corpora; at web scale use
+    :func:`duplicate_line_digests` (8 bytes per qualifying line)."""
     from .hashagg import grouped_distinct_count
 
     pairs = docs.map_batches(doc_line_rows, batch_format="pyarrow")
@@ -1405,12 +1459,30 @@ def duplicate_lines(docs: rd.Dataset, min_df: int = 2) -> pa.Array:
 class LineDeduper:
     """Map-side line filter (actor-pool stage): drop every line in the
     broadcast duplicate set, reassemble the survivors in document order.
-    Membership is one vectorized ``pc.is_in`` against the set; reassembly
+    Membership is either the EXACT string set (``pa.Array`` — one vectorized
+    ``pc.is_in``, dimension-scale) or a SORTED int64 digest array
+    (``np.ndarray`` from :func:`duplicate_line_digests` — per-batch digests
+    + one ``np.searchsorted``, the bounded web-scale path); reassembly
     slices the flat line array by per-doc run bounds (the VocabEncoder
     pattern).  Output: (doc_id, n_lines, n_dropped, kept_text)."""
 
     def __init__(self, bad_ref):
-        self.bad = ray.get(bad_ref) if not isinstance(bad_ref, pa.Array) else bad_ref
+        self.bad = (
+            ray.get(bad_ref)
+            if not isinstance(bad_ref, (pa.Array, np.ndarray))
+            else bad_ref
+        )
+        self.digest_mode = isinstance(self.bad, np.ndarray)
+
+    def _drop_mask(self, flat: pa.Array) -> np.ndarray:
+        if len(self.bad) == 0:
+            return np.zeros(len(flat), dtype=bool)
+        if self.digest_mode:
+            d = _line_digests(flat)
+            idx = np.searchsorted(self.bad, d)
+            idx = np.minimum(idx, len(self.bad) - 1)
+            return self.bad[idx] == d
+        return pc.is_in(flat, value_set=self.bad).to_numpy(zero_copy_only=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         code = pc.replace_substring(batch.column("text"), LINE_MARKER, "\n")
@@ -1419,11 +1491,7 @@ class LineDeduper:
             lines = lines.combine_chunks()
         flat = lines.flatten()
         parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
-        drop = (
-            pc.is_in(flat, value_set=self.bad).to_numpy(zero_copy_only=False)
-            if len(self.bad)
-            else np.zeros(len(flat), dtype=bool)
-        )
+        drop = self._drop_mask(flat)
         n_docs = batch.num_rows
         n_lines = np.bincount(parent, minlength=n_docs).astype(np.int64)
         n_dropped = np.bincount(

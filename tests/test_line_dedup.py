@@ -57,3 +57,49 @@ def test_line_deduper_empty_set_is_identity_rewrite():
     out = dedup.LineDeduper(pa.array([], type=pa.string()))(_docs()).to_pylist()
     assert all(r["n_dropped"] == 0 for r in out)
     assert out[0]["kept_text"] == "shared header\nbody zero"
+
+
+def test_digest_membership_matches_string_membership():
+    """Digest-mode LineDeduper (the bounded web-scale path) rewrites every
+    document identically to the exact string-set path."""
+    import numpy as np
+
+    docs = _docs()
+    ds = rd.from_arrow(docs)
+    bad_str = dedup.duplicate_lines(ds, min_df=2)
+    bad_dig = dedup.duplicate_line_digests(ds, min_df=2)
+    assert isinstance(bad_dig, np.ndarray) and bad_dig.dtype == np.int64
+    assert len(bad_dig) == len(bad_str) == 1
+    a = dedup.LineDeduper(bad_str)(docs).to_pylist()
+    b = dedup.LineDeduper(bad_dig)(docs).to_pylist()
+    assert a == b
+
+
+def test_digest_membership_bounded_when_every_line_duplicated():
+    """Degenerate corpus — EVERY line appears in >= 2 docs — the membership
+    object is 8 bytes per DISTINCT line (not the strings), and the rewrite
+    drops everything."""
+    import numpy as np
+
+    lines = [f"boilerplate row {i} " + "x" * 100 for i in range(500)]
+    text = dedup.LINE_MARKER.join(lines)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array([text, text]),
+        }
+    )
+    bad = dedup.duplicate_line_digests(rd.from_arrow(docs), min_df=2)
+    assert isinstance(bad, np.ndarray)
+    assert bad.nbytes == 500 * 8  # digests, never the ~120-byte strings
+    assert np.all(np.diff(bad) > 0)  # sorted, unique
+    out = dedup.LineDeduper(bad)(docs).to_pylist()
+    assert all(r["n_dropped"] == r["n_lines"] == 500 for r in out)
+    assert all(r["kept_text"] == "" for r in out)
+
+
+def test_digest_empty_set_is_identity_rewrite():
+    import numpy as np
+
+    out = dedup.LineDeduper(np.empty(0, dtype=np.int64))(_docs()).to_pylist()
+    assert all(r["n_dropped"] == 0 for r in out)
