@@ -1,0 +1,90 @@
+"""Two-node cluster evidence (north-rule `ray job submit` multi-node claim,
+exercised as a same-box two-raylet cluster via the public
+``ray.cluster_utils.Cluster`` testing API): replay fragments/manifests must
+work when resolve tasks land on a raylet that didn't write them, with
+objects crossing between the two object stores.
+
+Runs in a subprocess so the cluster's lifecycle never touches the pytest
+session's own Ray (``ray stop`` would kill it; ``Cluster.shutdown()`` is
+scoped to its nodes)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_DRIVER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ.pop("RAY_ADDRESS", None)
+    import ray
+    from ray.cluster_utils import Cluster
+
+    repo = sys.argv[2]
+    cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+    cluster.add_node(num_cpus=2)
+    ray.init(address=cluster.address, logging_level="ERROR",
+             runtime_env={"env_vars": {"PYTHONPATH": repo}})
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa, pandas as pd
+    from blockchain_etl_ray.fixtures.synth import write_corpus
+    from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+    nodes = [n for n in ray.nodes() if n["Alive"]]
+    assert len(nodes) == 2, nodes
+    scratch = sys.argv[1]
+    events = os.path.join(scratch, "events")
+    write_corpus(events, n_events=8000, seed=11, n_epochs=8)
+    eng = ReplayEngine(os.path.join(scratch, "state"),
+                       ReplayConfig(num_partitions=8, epoch_batch_size=4))
+    eng.replay(events)
+
+    # placement evidence: resolve tasks (fragment readers) on BOTH raylets
+    def tag(t):
+        return pa.table({
+            "node": pa.array([ray.get_runtime_context().get_node_id()]),
+            "n": pa.array([t.num_rows]),
+        })
+    df = eng.read_state().map_batches(tag, batch_format="pyarrow").to_pandas()
+    per_node = df.groupby("node")["n"].sum()
+    assert len(per_node) == 2, f"resolve tasks on {len(per_node)} node(s)"
+
+    # correctness across the two-object-store boundary
+    state = (eng.read_state().to_pandas()
+             .sort_values(["repo", "path"]).reset_index(drop=True))
+    oracle = (pd.DataFrame(live_rows(fold_events(events)))
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(state) == len(oracle)
+    assert state["content_sha256"].tolist() == oracle["content_sha256"].tolist()
+    assert eng.gaps(events) == []
+
+    # resume from checkpoint ON the cluster: fresh engine sees converged
+    # state and applies nothing
+    eng2 = ReplayEngine(os.path.join(scratch, "state"),
+                        ReplayConfig(num_partitions=8, epoch_batch_size=4))
+    assert eng2.replay(events)["events_applied"] == 0
+    print("TWO_NODE_OK", len(state), sorted(per_node.tolist()))
+    ray.shutdown()
+    cluster.shutdown()
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_node_cluster_replay_end_to_end(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _DRIVER, str(tmp_path), repo],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "TWO_NODE_OK" in out.stdout
