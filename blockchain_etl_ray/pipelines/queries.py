@@ -9597,8 +9597,15 @@ def part_name_entity_resolution(sf_dir: str):
     from ..stages.cc import neardup_survivors
     from ..stages.ssjoin import edit1_pairs
 
+    import ray
+
     names_ds = _read(sf_dir, "part", ["p_name"])
-    pairs = edit1_pairs(names_ds, "p_name")
+    # collect the deduped pair EDGES (dimension-sized) to build the dense-id
+    # mapping the integer cc machinery needs; the pair generation and dedup
+    # upstream stay distributed
+    pairs = pa.concat_tables(
+        [t for t in ray.get(edit1_pairs(names_ds, "p_name").to_arrow_refs())]
+    )
     uniq = sorted(
         set(pairs.column("a").to_pylist())
         | set(pairs.column("b").to_pylist())
@@ -9626,8 +9633,6 @@ def part_name_entity_resolution(sf_dir: str):
             }
         )
     )
-    import ray
-
     res = pa.concat_tables(
         [
             t

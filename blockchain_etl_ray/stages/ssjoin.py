@@ -353,11 +353,52 @@ def _within_edit1(a: str, b: str) -> bool:
     return True
 
 
+def _dedup_string_pairs(cand: rd.Dataset, group_parts: int = 64) -> rd.Dataset:
+    """Unique string (a, b) pairs, distributed — the string-keyed twin of
+    ``stages/dedup.py::_dedup_pairs``: a pair-value hash buckets the
+    exchange (duplicates co-locate because the bucket is a pure function of
+    the pair), each bucket sort-uniques vectorized.  Replaces a driver-side
+    ``ray.get``-all + pandas ``drop_duplicates`` tail, so pair volume never
+    concentrates on one process."""
+    import polars as pl
+
+    from .stabilize import stabilize
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = (
+            pl.from_arrow(t.select(["a", "b"]))
+            .select(pl.concat_str([pl.col("a"), pl.col("b")], separator="\x00").hash(seed=0))
+            .to_series()
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        return t.append_column(
+            "gpart",
+            pa.array(((h >> np.uint64(33)) % np.uint64(group_parts)).astype(np.int32)),
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(g.select(["a", "b"]))
+            .unique()
+            .sort(["a", "b"])
+            .to_arrow()
+            .cast(pa.schema([("a", pa.string()), ("b", pa.string())]))
+        )
+
+    out = (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+    return stabilize(out, [("a", pa.string()), ("b", pa.string())])
+
+
 def edit1_pairs(
     names: rd.Dataset,
     name_col: str,
     group_parts: int = 64,
-) -> pa.Table:
+) -> rd.Dataset:
     """All UNORDERED pairs of distinct strings at edit distance EXACTLY 1.
 
     Scale shape — deletion-neighborhood blocking, never all-pairs: two
@@ -367,7 +408,10 @@ def edit1_pairs(
     only co-bucketed candidates run the exact O(len) radius-1 check (the
     blocking is a superset — "ab"/"ba" collide at distance 2 — hence the
     verify).  Names dedup map-side first; candidate volume is bounded by
-    bucket sizes, not the corpus.  Returns a sorted (a, b) table."""
+    bucket sizes, not the corpus.  A pair can surface in several buckets
+    (one per shared variant); the cross-bucket dedup is a second
+    pair-hash-bucketed exchange (``_dedup_string_pairs``), never a driver
+    collect.  Returns a Dataset of unique (a, b) rows."""
     import pyarrow.compute as pc  # noqa: F401 (parity with module style)
 
     def distinct(t: pa.Table) -> pa.Table:
@@ -433,13 +477,4 @@ def edit1_pairs(
             batch_format="pyarrow",
         )
     )
-    import ray
-
-    tabs = [ray.get(r) for r in cand.to_arrow_refs()]
-    empty = pa.table(
-        {"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())}
-    )
-    allp = pa.concat_tables([t for t in tabs if t.num_rows] or [empty])
-    # a pair can surface in several buckets (one per shared variant) — dedup
-    df = allp.to_pandas().drop_duplicates().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return _dedup_string_pairs(cand, group_parts=group_parts)

@@ -115,7 +115,9 @@ def test_edit1_pairs_blocking_complete():
     # duplicate rows to exercise map-side distinct
     rows = names * 3
     ds = rd.from_arrow(pa.table({"p_name": pa.array(rows)})).repartition(4)
-    got = set(zip(*[edit1_pairs(ds, "p_name").column(c).to_pylist() for c in ("a", "b")]))
+    out = edit1_pairs(ds, "p_name").to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert len(got) == len(out)  # the distributed dedup removed every repeat
 
     def lev(a, b):
         m = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
