@@ -76,11 +76,77 @@ class MemoryReceiver(Receiver):
         self.alerts.extend((rule_name, r) for r in rows)
 
 
+@register_receiver("webhook")
+class WebhookReceiver(Receiver):
+    """Generic HTTP-POST receiver — the transport shape of the reference's
+    SaaS receivers (``blockchainetl/alert/receivers/slack_receiver.py``,
+    ``pagerduty_receiver.py``: build a JSON payload, POST it, retry on
+    transient failure) without naming a vendor.  One POST per
+    (rule, row-batch); payload ``{"rule": ..., "alerts": [...]}``.
+
+    Delivery uses stdlib ``urllib`` (no extra deps) and the engine's
+    adaptive retry policy (``functions/retry.py::execute_with_retries`` —
+    linear backoff over transient URLError/timeout only, the
+    ``execute_with_retries`` analog of the reference's batch executor).
+    Tested against an in-process HTTP server; point ``url`` at any SaaS
+    webhook (Slack/PagerDuty both accept this exact shape) in a networked
+    deployment."""
+
+    def __init__(
+        self,
+        url: str,
+        headers: dict | None = None,
+        timeout_seconds: float = 10.0,
+        max_attempts: int = 5,
+        backoff_seconds: float = 0.2,
+    ):
+        self.url = url
+        self.headers = {"Content-Type": "application/json", **(headers or {})}
+        self.timeout = timeout_seconds
+        from ..functions.retry import RetryPolicy
+
+        self.policy = RetryPolicy(
+            max_attempts=max_attempts,
+            backoff_seconds=backoff_seconds,
+            retriable=("URLError", "TimeoutError", "ConnectionError", "OSError"),
+        )
+        self.delivered = 0  # POSTs acknowledged 2xx (metrics surface)
+
+    def _post(self, payload: bytes) -> None:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=payload, headers=self.headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                if not (200 <= resp.status < 300):  # pragma: no cover
+                    raise OSError(f"webhook returned {resp.status}")
+        except urllib.error.HTTPError as e:
+            # 5xx is transient (retry as OSError); 4xx is a deterministic
+            # config/payload bug — HTTPError is NOT in the retriable list,
+            # so it surfaces on the first attempt
+            if e.code >= 500:
+                raise OSError(f"webhook 5xx: {e.code}") from e
+            raise
+
+    def receive(self, rule_name, rows):
+        from ..functions.retry import execute_with_retries
+
+        payload = json.dumps(
+            {"rule": rule_name, "alerts": rows}, default=str
+        ).encode("utf-8")
+        execute_with_retries(lambda: self._post(payload), self.policy)
+        self.delivered += 1
+
+
 @register_receiver("slack")
 class SlackReceiver(Receiver):
     def __init__(self, *a, **kw):
         raise NotImplementedError(
-            "slack receiver needs network access, unavailable in this sandbox"
+            "slack receiver needs network access, unavailable in this sandbox; "
+            "use the generic 'webhook' receiver pointed at the Slack webhook URL"
         )
 
 

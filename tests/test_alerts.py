@@ -82,3 +82,112 @@ def test_chain_tail_streams_alerts_exactly_once(tmp_path):
     mem = aset.receiver("memory")
     # exactly-once at the row level too (no epoch re-delivered to receivers)
     assert len(mem.alerts) == expected
+
+
+class _WebhookServer:
+    """In-process HTTP fixture: records JSON POSTs; optionally fails the
+    first ``fail_first`` requests with a 503 to exercise the retry path."""
+
+    def __init__(self, fail_first: int = 0):
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        self.posts: list[dict] = []
+        self.failures_left = fail_first
+        srv = self
+
+        class H(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                if srv.failures_left > 0:
+                    srv.failures_left -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                srv.posts.append(_json.loads(body))
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):  # silence
+                pass
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}/hook"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def test_webhook_receiver_delivers_and_retries(tmp_path):
+    """A YAML rule set naming the webhook receiver delivers matched rows as
+    JSON POSTs to a local HTTP server, retrying through a transient 503."""
+    srv = _WebhookServer(fail_first=2)
+    try:
+        conf = tmp_path / "rules.yaml"
+        conf.write_text(
+            f"""
+receivers:
+  hook: {{receiver: webhook, init_args: {{url: "{srv.url}", backoff_seconds: 0.01}}}}
+rules:
+  - name: errors
+    rule: "event_type == 'error'"
+    receivers: [hook]
+"""
+        )
+        aset = AlertSet.from_yaml(str(conf))
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        counts = aset.run(ds)
+        assert counts["errors"] > 0
+        got = sum(len(p["alerts"]) for p in srv.posts)
+        assert got == counts["errors"]
+        assert all(p["rule"] == "errors" for p in srv.posts)
+        assert aset.receiver("hook").delivered == len(srv.posts)
+    finally:
+        srv.close()
+
+
+def test_webhook_receiver_4xx_is_not_retried():
+    """A 4xx (deterministic payload/config bug) surfaces immediately."""
+    import urllib.error
+
+    class _Bad(_WebhookServer):
+        def __init__(self):
+            super().__init__()
+            # rebind handler to always 404
+            import threading
+            from http.server import BaseHTTPRequestHandler, HTTPServer
+
+            self.httpd.shutdown()
+            self.n = 0
+            srv = self
+
+            class H404(BaseHTTPRequestHandler):
+                def do_POST(self):
+                    srv.n += 1
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                    self.send_response(404)
+                    self.end_headers()
+
+                def log_message(self, *a):
+                    pass
+
+            self.httpd = HTTPServer(("127.0.0.1", 0), H404)
+            self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}/hook"
+            self.thread = threading.Thread(
+                target=self.httpd.serve_forever, daemon=True
+            )
+            self.thread.start()
+
+    srv = _Bad()
+    try:
+        from blockchain_etl_ray.pipelines.alerts import WebhookReceiver
+
+        r = WebhookReceiver(srv.url, backoff_seconds=0.01)
+        with pytest.raises(urllib.error.HTTPError):
+            r.receive("x", [{"a": 1}])
+        assert srv.n == 1  # exactly one attempt, no retries on 4xx
+    finally:
+        srv.close()
