@@ -11335,6 +11335,117 @@ def rag_chunk_dedup(sf_dir: str):
     )
 
 
+def _blobstore_for(sf_dir: str) -> str:
+    """Build (once, idempotently) a local content-addressed blob store from
+    the corpus' document texts — the fixture standing in for the IPFS
+    gateway / CDN the reference fetches from.  Writes are distributed,
+    atomic, and content-addressed (retries/concurrent builders converge);
+    the marker only skips redundant rebuilds."""
+    import os
+
+    from ..sources.blobstore import populate_blobstore
+
+    root = os.path.join(
+        "/tmp", f"graft_blobstore_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        docs = _read(sf_dir, "documents", ["text"])
+        populate_blobstore(docs, root, "text", algo="md5").count()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+@register(
+    "blob_fetch_join",
+    """
+    SELECT doc_id, 'present' AS kind, TRUE AS found,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_len
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 'absent' AS kind, FALSE AS found,
+           CAST(NULL AS BIGINT) AS blob_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def blob_fetch_join(sf_dir: str):
+    """Content-addressed blob fetch/join — the IPFS/Origin export analog
+    (``ethereumetl/jobs/export_origin_job.py:36-139``,
+    ``ethereumetl/ipfs/client.py``): the stream carries content ADDRESSES;
+    an actor-pool stage with the store client + LRU cache built once per
+    actor (ST1) resolves each batch's DISTINCT addresses and joins the blob
+    bytes back onto the rows, recording misses instead of failing (the
+    export job's skip-and-log contract; ``strict=True`` gives the client's
+    raise-on-exhaustion contract).  Per document the query derives one
+    genuine address (md5 of the text — verified by fetching its bytes back)
+    and one planted-absent address, so the miss path is oracle-pinned:
+    (doc_id, kind, found, blob_len) with blob_len the fetched BYTE length,
+    null on miss."""
+    import hashlib
+
+    from ..sources.blobstore import BlobFetcher
+
+    root = _blobstore_for(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def addresses(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        n = t.num_rows
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        md5 = hashlib.md5
+        present, absent = [], []
+        for s in texts.to_pylist():
+            b = s.encode("utf-8")
+            present.append(md5(b).hexdigest())
+            absent.append(md5(b + b"\x01").hexdigest())  # never stored
+        ids = t.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [ids.combine_chunks(), ids.combine_chunks()]
+                    if isinstance(ids, pa.ChunkedArray)
+                    else [ids, ids]
+                ),
+                "kind": pa.array(["present"] * n + ["absent"] * n, pa.string()),
+                "address": pa.array(present + absent, pa.string()),
+            }
+        )
+
+    fetched = ds.map_batches(addresses, batch_format="pyarrow").map_batches(
+        BlobFetcher,
+        fn_constructor_kwargs=dict(
+            root=root, address_col="address", out_col="blob", algo="md5"
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "kind": t.column("kind"),
+                "found": t.column("blob_found"),
+                "blob_len": pc.cast(
+                    pc.binary_length(t.column("blob")), pa.int64()
+                ),
+            }
+        )
+
+    return _stable(
+        fetched.map_batches(finish, batch_format="pyarrow"),
+        [
+            ("doc_id", pa.int64()),
+            ("kind", pa.string()),
+            ("found", pa.bool_()),
+            ("blob_len", pa.int64()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in

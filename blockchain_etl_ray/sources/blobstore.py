@@ -1,0 +1,159 @@
+"""Content-addressed blob store + actor-pool fetch/join stage.
+
+Reference analog: the IPFS/Origin export shape
+(``ethereumetl/ipfs/client.py`` — gateway client, bounded attempts, raise on
+exhaustion; ``ethereumetl/jobs/export_origin_job.py:36-139`` — extract
+content addresses from the event stream, fetch blob content, join it back
+onto the exported rows).  The sandbox has no network, so the store is a
+local sharded content-addressed directory (``ab/cd/<hex>``), which is also
+exactly what a 100 TB deployment looks like when the "gateway" is an object
+store / CDN mount: the part that matters — the actor-pool stage with the
+client + cache built once per actor (ST1), per-batch DISTINCT-address
+fan-out, and explicit fetch-miss semantics — is identical.
+
+Scale shape: addresses repeat heavily across a change stream (the same
+content referenced by many events), so ``BlobFetcher`` dictionary-encodes
+the address column and fetches each distinct address once per batch, then
+consults a per-actor LRU so repeats across batches don't re-read storage.
+Blob bytes enter the batch as an Arrow ``large_binary`` column — zero-copy
+onward.  Writes are atomic (temp file + ``os.replace``) and idempotent by
+construction (the address IS the content hash), so parallel populate tasks
+and task retries are safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import OrderedDict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BlobNotFound(Exception):
+    """Raised by strict-mode fetches after exhausting attempts — the
+    ``IpfsClient._get`` exhaustion contract (``ipfs/client.py:29``)."""
+
+
+class BlobStore:
+    """Local content-addressed store: ``root/<h[:2]>/<h[2:4]>/<h>``."""
+
+    def __init__(self, root: str, algo: str = "sha256"):
+        self.root = root
+        self.algo = algo
+        os.makedirs(root, exist_ok=True)
+
+    def address_of(self, content: bytes) -> str:
+        return hashlib.new(self.algo, content).hexdigest()
+
+    def _path(self, address: str) -> str:
+        return os.path.join(self.root, address[:2], address[2:4], address)
+
+    def put(self, content: bytes) -> str:
+        """Idempotent atomic write; returns the content address."""
+        addr = self.address_of(content)
+        path = self._path(addr)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(content)
+            os.replace(tmp, path)  # atomic: concurrent putters converge
+        return addr
+
+    def get(self, address: str) -> bytes | None:
+        try:
+            with open(self._path(address), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+
+def populate_blobstore(ds, root: str, content_col: str, algo: str = "sha256"):
+    """Distributed populate: every batch writes its contents' blobs (atomic,
+    idempotent — content-addressed writes converge under retries and
+    concurrency).  Returns a Dataset of per-batch (n_written,) partials;
+    consume it to run the writes."""
+
+    def write(t: pa.Table) -> pa.Table:
+        store = BlobStore(root, algo=algo)
+        col = t.column(content_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # distinct within the batch: repeated content hashes/writes once
+        for s in col.unique().to_pylist():
+            if s is not None:
+                store.put(s.encode("utf-8") if isinstance(s, str) else s)
+        return pa.table({"n_written": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write, batch_format="pyarrow")
+
+
+class BlobFetcher:
+    """Actor-pool ``map_batches`` stage: resolve a column of content
+    addresses to blob payloads.
+
+    Store handle + LRU cache are built ONCE per actor (``__init__``);
+    ``__call__`` fetches each DISTINCT address in the batch at most once
+    (dictionary-level fan-out), appending ``<out_col>`` (large_binary, null
+    on miss) and ``<out_col>_found`` (bool).  ``strict=True`` raises
+    :class:`BlobNotFound` after ``attempts`` tries per address — the
+    reference client's exhaustion contract; the default records the miss
+    and lets downstream decide (the export job's skip-and-log shape)."""
+
+    def __init__(
+        self,
+        root: str,
+        address_col: str = "address",
+        out_col: str = "blob",
+        algo: str = "sha256",
+        cache_items: int = 4096,
+        strict: bool = False,
+        attempts: int = 3,
+    ):
+        self.store = BlobStore(root, algo=algo)
+        self.address_col = address_col
+        self.out_col = out_col
+        self.strict = strict
+        self.attempts = attempts
+        self.cache: OrderedDict[str, bytes | None] = OrderedDict()
+        self.cache_items = cache_items
+        self.stats = {"fetches": 0, "cache_hits": 0, "misses": 0}
+
+    def _fetch(self, address: str) -> bytes | None:
+        if address in self.cache:
+            self.cache.move_to_end(address)
+            self.stats["cache_hits"] += 1
+            return self.cache[address]
+        blob = None
+        for _ in range(self.attempts):
+            blob = self.store.get(address)
+            if blob is not None:
+                break
+        self.stats["fetches"] += 1
+        if blob is None:
+            self.stats["misses"] += 1
+            if self.strict:
+                raise BlobNotFound(address)
+        self.cache[address] = blob
+        if len(self.cache) > self.cache_items:
+            self.cache.popitem(last=False)
+        return blob
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        addrs = batch.column(self.address_col)
+        if isinstance(addrs, pa.ChunkedArray):
+            addrs = addrs.combine_chunks()
+        enc = addrs.dictionary_encode()
+        dict_blobs = [
+            self._fetch(a) if a is not None else None
+            for a in enc.dictionary.to_pylist()
+        ]
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        blobs = pa.array(
+            [dict_blobs[i] if i >= 0 else None for i in idx], pa.large_binary()
+        )
+        found = pc.is_valid(blobs)
+        out = batch.append_column(self.out_col, blobs)
+        return out.append_column(f"{self.out_col}_found", found)

@@ -1,0 +1,78 @@
+"""Content-addressed blob store + fetch/join stage (the IPFS/Origin analog,
+``ethereumetl/ipfs/client.py`` / ``export_origin_job.py:36-139``)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from blockchain_etl_ray.sources.blobstore import (
+    BlobFetcher,
+    BlobNotFound,
+    BlobStore,
+    populate_blobstore,
+)
+
+
+def test_store_roundtrip_and_idempotent_put(tmp_path):
+    s = BlobStore(str(tmp_path), algo="md5")
+    a1 = s.put(b"hello world")
+    a2 = s.put(b"hello world")  # idempotent: same address, no error
+    assert a1 == a2 == s.address_of(b"hello world")
+    assert s.get(a1) == b"hello world"
+    assert s.get("0" * 32) is None
+
+
+def test_distributed_populate_then_fetch_join(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "alpha"]),  # repeated content
+        }
+    )
+    root = str(tmp_path / "store")
+    populate_blobstore(
+        rd.from_arrow(docs).repartition(3), root, "text", algo="md5"
+    ).count()
+
+    s = BlobStore(root, algo="md5")
+    addr = {t: s.address_of(t.encode()) for t in ["alpha", "beta"]}
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "address": pa.array(
+                [addr["alpha"], addr["beta"], addr["alpha"], "f" * 32]
+            ),
+        }
+    )
+    f = BlobFetcher(root, algo="md5")
+    out = f(batch)
+    assert out.column("blob").to_pylist() == [b"alpha", b"beta", b"alpha", None]
+    assert out.column("blob_found").to_pylist() == [True, True, True, False]
+    # distinct-address fan-out: 3 distinct addresses -> 3 store fetches,
+    # the repeated alpha row rides the dictionary, not a second read
+    assert f.stats["fetches"] == 3 and f.stats["misses"] == 1
+
+    # cross-batch LRU: same batch again is served from the actor cache
+    f(batch)
+    assert f.stats["fetches"] == 3 and f.stats["cache_hits"] == 3
+
+
+def test_strict_mode_raises_after_attempts(tmp_path):
+    f = BlobFetcher(str(tmp_path), algo="md5", strict=True, attempts=2)
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "address": pa.array(["a" * 32])}
+    )
+    with pytest.raises(BlobNotFound):
+        f(batch)
+
+
+def test_null_address_rows_pass_through_as_misses(tmp_path):
+    f = BlobFetcher(str(tmp_path), algo="md5")
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "address": pa.array([None, "b" * 32], pa.string()),
+        }
+    )
+    out = f(batch)
+    assert out.column("blob_found").to_pylist() == [False, False]
