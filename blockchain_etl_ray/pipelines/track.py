@@ -12,9 +12,10 @@ broadcast — a semi-join on the source column — emitting the distinct new
 destinations; the driver only ever holds the tracked-node set (the same
 size the reference keeps in its track store).  The hop loop is bounded by
 ``max_hops``, so the whole expansion is ``max_hops`` streamed passes, no
-all-to-all.  When a frontier outgrows broadcast budget at extreme scale,
-swap the semi-join for the same pass with a ``groupby(dst)`` distinct —
-shape documented here, not needed at sandbox scale.
+all-to-all.  A frontier that outgrows the broadcast budget
+(``broadcast_limit``) automatically switches that hop's probe to a
+hash-partitioned semi-join — the frontier becomes a partitioned Dataset
+instead of a per-task replica (see ``track_flows``).
 """
 
 from __future__ import annotations
@@ -34,10 +35,24 @@ def track_flows(
     src_col: str,
     dst_col: str,
     max_hops: int = 3,
+    broadcast_limit: int = 200_000,
 ) -> pa.Table:
     """BFS taint expansion: (node, hop) for every node reachable from the
     seeds in ≤ max_hops edge traversals; hop is the MINIMUM distance (BFS
-    order guarantees it).  Seeds are hop 0."""
+    order guarantees it).  Seeds are hop 0.
+
+    Driver bound: the TRACKED set (node → hop) lives on the driver — the
+    same store the reference keeps (``track_set.py``'s track store) — so
+    driver memory is O(reachable nodes), documented and inherent to the
+    operator's output.  The per-hop PROBE is what's hardened: a frontier up
+    to ``broadcast_limit`` nodes ships as a broadcast value-set into one
+    vectorized ``is_in`` pass; a high-fanout frontier beyond it switches to
+    a hash-partitioned semi-join (the frontier becomes a DATASET —
+    partitioned across the cluster, never replicated per task), with
+    per-batch distinct folds so only distinct new destinations (which must
+    enter the tracked store anyway) return to the driver."""
+    from ..stages.joins import partitioned_join
+
     tracked: dict = {s: 0 for s in seeds}
     frontier = list(seeds)
     for hop in range(1, max_hops + 1):
@@ -45,15 +60,27 @@ def track_flows(
             break
         frontier_arr = pa.array(frontier)
 
-        def hits(batch: pa.Table, fr=frontier_arr) -> pa.Table:
-            m = pc.is_in(batch.column(src_col), value_set=fr)
-            sel = batch.filter(m)
-            return pa.table({"dst": pc.unique(sel.column(dst_col))})
+        def dst_unique(batch: pa.Table) -> pa.Table:
+            return pa.table({"dst": pc.unique(batch.column(dst_col))})
+
+        if len(frontier) <= broadcast_limit:
+
+            def hits(batch: pa.Table, fr=frontier_arr) -> pa.Table:
+                m = pc.is_in(batch.column(src_col), value_set=fr)
+                return dst_unique(batch.filter(m))
+
+            probe = edges.map_batches(hits, batch_format="pyarrow")
+        else:
+            fr_ds = rd.from_arrow(pa.table({"__frontier_src": frontier_arr}))
+            probe = partitioned_join(
+                edges,
+                fr_ds,
+                on=(src_col,),
+                right_on=("__frontier_src",),
+            ).map_batches(dst_unique, batch_format="pyarrow")
 
         new: set = set()
-        for b in edges.map_batches(hits, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
+        for b in probe.iter_batches(batch_format="pyarrow"):
             new.update(b.column("dst").to_pylist())
         frontier = [d for d in sorted(new) if d not in tracked]
         for d in frontier:

@@ -231,3 +231,36 @@ def test_check_conf_validates_lookups_offline(tmp_path):
     )
     rep2 = check_conf(str(tmp_path / "rules_bad.yaml"), sample)
     assert not rep2["ok"] and not rep2["lookups"]["label_of"]["ok"]
+
+
+def test_track_flows_spill_path_equals_broadcast_path():
+    """A high-fanout frontier (forced past broadcast_limit) must expand
+    through the partitioned semi-join probe to EXACTLY the same (node, hop)
+    table the broadcast probe produces."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.pipelines.track import track_flows
+
+    rng = np.random.default_rng(5)
+    # seed 0 fans out to 300 dsts at hop 1; each of those to ~3 more
+    hub_dst = np.arange(1000, 1300, dtype=np.int64)
+    src2 = rng.choice(hub_dst, 900)
+    dst2 = rng.integers(5000, 6000, 900).astype(np.int64)
+    edges = pa.table(
+        {
+            "src": pa.array(
+                np.concatenate([np.zeros(len(hub_dst), dtype=np.int64), src2])
+            ),
+            "dst": pa.array(np.concatenate([hub_dst, dst2])),
+        }
+    )
+    ds = rd.from_arrow(edges).repartition(6)
+    wide = track_flows(ds, [0], "src", "dst", max_hops=2)
+    narrow = track_flows(ds, [0], "src", "dst", max_hops=2, broadcast_limit=8)
+    assert wide.equals(narrow)
+    hops = dict(zip(wide.column("node").to_pylist(), wide.column("hop").to_pylist()))
+    assert hops[0] == 0
+    assert all(hops[int(d)] == 1 for d in hub_dst)
+    assert wide.num_rows == 1 + len(hub_dst) + len(set(dst2.tolist()) - set(hub_dst.tolist()))
