@@ -11446,6 +11446,109 @@ def blob_fetch_join(sf_dir: str):
     )
 
 
+@register(
+    "approx_distinct_tolerance",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_tolerance(sf_dir: str):
+    """SQL-paired accuracy pin for the HyperLogLog sketch: per event_type,
+    the exact COUNT(DISTINCT) (distributed ``grouped_distinct_count``) next
+    to a BOOLEAN asserting the deterministic HLL estimate (p=12, fixed md5
+    base hash → the same value on every run) lands within 5 % of it — ~3σ
+    for 4096 registers, so the driver's hash compare fails if the sketch
+    ever drifts.  Upgrades ``approx_distinct_users_by_type`` (kept rows-only
+    for the raw estimates) to a driver-checkable contract."""
+    from ..stages.hashagg import grouped_distinct_count
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    exact = grouped_distinct_count(ds, "event_type", "user_id").to_pandas()
+    est = approx_distinct(ds, "event_type", "user_id", p=12).to_pandas()
+    m = exact.merge(est, on="event_type")  # per-type summary rows — tiny
+    within = (m["approx_distinct"] - m["n"]).abs() <= 0.05 * m["n"]
+    out = pa.table(
+        {
+            "event_type": pa.array(m["event_type"], pa.string()),
+            "n_exact": pa.array(m["n"].astype("int64")),
+            "hll_within_5pct": pa.array(within.to_numpy(), pa.bool_()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+@register(
+    "cms_term_bounds",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS cms_within_bound
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING count(*) * 100 >= tot.n
+    """,
+)
+def cms_term_bounds(sf_dir: str):
+    """SQL-paired accuracy pin for the Count-Min sketch: for every exact
+    ≥1 % frequent term, a BOOLEAN asserting the deterministic CMS point
+    estimate obeys BOTH halves of its contract — ``n_exact ≤ n_cms`` (the
+    one-sided guarantee, a theorem) and ``n_cms ≤ n_exact + ⌈2N/width⌉``
+    (the ε·N over-count bound, deterministic here because data and hashes
+    are fixed).  Upgrades ``corpus_cms_term_counts`` (kept rows-only for
+    the raw estimates) to a driver-checkable contract."""
+    import ray
+
+    from ..stages.sketch import cms_sketch, frequent_terms
+    from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
+
+    docs = _read(sf_dir, "documents", ["text"], num_blocks=16)
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(t.column("text")), pattern=TOKEN_SPLIT_PATTERN
+            )
+        )
+        return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
+
+    width = 8192
+    sk = cms_sketch(
+        docs.map_batches(toks, batch_format="pyarrow"), "term",
+        depth=4, width=width,
+    )
+    exact = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r) for r in frequent_terms(docs, percent=1).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    terms = exact.column("term").combine_chunks()
+    n_exact = exact.column("n_term").to_numpy(zero_copy_only=False)
+    est = sk.estimate(terms)
+    bound = n_exact + int(np.ceil(2.0 * sk.total / width))
+    ok = (est >= n_exact) & (est <= bound)
+    out = pa.table(
+        {
+            "term": terms,
+            "n_exact": pa.array(n_exact, pa.int64()),
+            "cms_within_bound": pa.array(ok, pa.bool_()),
+        }
+    ).sort_by("term")
+    return rd.from_arrow(out)
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in
