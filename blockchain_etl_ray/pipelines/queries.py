@@ -11549,6 +11549,114 @@ def cms_term_bounds(sf_dir: str):
     return rd.from_arrow(out)
 
 
+@register(
+    "media_frame_roundtrip",
+    """
+    WITH v AS (SELECT doc_id,
+                      16 + (doc_id % 5) * 8 AS w,
+                      16 + (doc_id % 3) * 8 AS h,
+                      4 + (doc_id % 3) AS nf
+               FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id AS media_id,
+           CAST(gs.i AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           TRUE AS pixels_exact
+    FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) gs
+    """,
+)
+def media_frame_roundtrip(sf_dir: str):
+    """Driver-checkable pixel roundtrip for the video frame sampler: every
+    sampled frame's payload must be BYTE-IDENTICAL to the independently
+    re-synthesized frame (``synth_image(seed:i)``), so the sampler's offset
+    arithmetic (per-frame header walk, stride sampling) is pinned through
+    the hash compare, not just pytest.  SQL side mirrors the planted header
+    formulas + the stride (``generate_series(0, nf-1, 2)``) and asserts
+    TRUE per frame; a wrong slice on the Ray side flips ``pixels_exact``
+    and fails the driver.  Upgrades the decode family beyond
+    ``media_frame_inventory``'s header-only parity."""
+    from ..stages import multimodal as mm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class SampleAndVerify:
+        """Actor stage: build each batch's video payloads, run the REAL
+        FrameSampler on them, byte-compare every emitted frame against the
+        reference synthesis (batch-local — no join, no broadcast)."""
+
+        def __init__(self):
+            self.sampler = mm.FrameSampler(every=2)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vid = t.filter(
+                pc.equal(_mod(t.column("doc_id"), 10), pa.scalar(0, pa.int64()))
+            )
+            ids = vid.column("doc_id").to_pylist()
+            seeds = {}
+            rows = []
+            for did, text in zip(ids, vid.column("text").to_pylist()):
+                w, h = 16 + (did % 5) * 8, 16 + (did % 3) * 8
+                seeds[did] = (text[:64], w, h)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": mm.synth_video(text[:64], 4 + did % 3, w, h),
+                    }
+                )
+            if not rows:
+                return pa.table(
+                    {
+                        "media_id": pa.array([], pa.int64()),
+                        "frame_idx": pa.array([], pa.int64()),
+                        "width": pa.array([], pa.int64()),
+                        "height": pa.array([], pa.int64()),
+                        "pixels_exact": pa.array([], pa.bool_()),
+                    }
+                )
+            frames = self.sampler(
+                pa.table(
+                    {
+                        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+                        "payload": pa.array(
+                            [r["payload"] for r in rows], pa.large_binary()
+                        ),
+                    }
+                )
+            )
+            ok, ws, hs = [], [], []
+            for mid, idx, payload in zip(
+                frames.column("media_id").to_pylist(),
+                frames.column("frame_idx").to_pylist(),
+                frames.column("payload").to_pylist(),
+            ):
+                seed, w, h = seeds[mid]
+                ws.append(w)
+                hs.append(h)
+                ok.append(payload == mm.synth_image(f"{seed}:{idx}", w, h))
+            return pa.table(
+                {
+                    "media_id": frames.column("media_id"),
+                    "frame_idx": pc.cast(frames.column("frame_idx"), pa.int64()),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "pixels_exact": pa.array(ok, pa.bool_()),
+                }
+            )
+
+    return _stable(
+        ds.map_batches(
+            SampleAndVerify, batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 2),
+        ),
+        [
+            ("media_id", pa.int64()),
+            ("frame_idx", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("pixels_exact", pa.bool_()),
+        ],
+    )
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in
