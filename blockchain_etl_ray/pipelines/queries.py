@@ -35,7 +35,7 @@ from ..functions.bigint import batch_partial_vsum, merge_partials
 from ..functions.parity import scaled_int
 from ..stages import ann, dedup, streamwin, sweepline, text, windows
 from ..stages.joins import broadcast_enrich, broadcast_semi_join
-from ..stages.stabilize import stabilize
+from ..stages.stabilize import pool_bounds, stabilize
 
 QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {}
 
@@ -1478,7 +1478,7 @@ def doc_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
         ds.map_batches(
-            text.LangId, batch_format="pyarrow", concurrency=(1, 2)
+            text.LangId, batch_format="pyarrow", concurrency=pool_bounds()
         ).select_columns(["doc_id", "lang_pred"]),
         [("doc_id", pa.int64()), ("lang_pred", pa.string())],
     )
@@ -2233,7 +2233,7 @@ def simhash_signatures(sf_dir: str):
     """64-bit SimHash signatures + band keys (near-dup bucketing building
     block) — deterministic, rows-only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(dedup.SimHasher, batch_format="pyarrow", concurrency=pool_bounds())
 
 
 @register(
@@ -2267,7 +2267,7 @@ def simhash_md5_signatures(sf_dir: str):
     per actor (Zipfian vocabulary → high hit rate)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
-        ds.map_batches(dedup.SimHasherMd5, batch_format="pyarrow", concurrency=(1, 2)),
+        ds.map_batches(dedup.SimHasherMd5, batch_format="pyarrow", concurrency=pool_bounds()),
         [("doc_id", pa.int64()), ("simhash_hex", pa.string())],
     )
 
@@ -2312,7 +2312,7 @@ def minhash_md5_signatures(sf_dir: str):
     fold semantics (``stages/dedup.py``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _stable(
-        ds.map_batches(dedup.MinHasherMd5, batch_format="pyarrow", concurrency=(1, 2)),
+        ds.map_batches(dedup.MinHasherMd5, batch_format="pyarrow", concurrency=pool_bounds()),
         [("doc_id", pa.int64()), ("perm_id", pa.int64()), ("minhash_hex", pa.string())],
     )
 
@@ -2526,16 +2526,16 @@ def media_decode_stats(sf_dir: str):
         batch_format="pyarrow",
     )
     decoded = images.map_batches(
-        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool_bounds()
     )
     videos = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
         batch_format="pyarrow",
     )
     frames = videos.map_batches(
-        mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+        mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=pool_bounds()
     ).map_batches(
-        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2)
+        mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool_bounds()
     )
 
     def tag(name):
@@ -2591,14 +2591,14 @@ def media_frame_inventory(sf_dir: str):
     images = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("media_type"), "image")),
         batch_format="pyarrow",
-    ).map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2))
+    ).map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool_bounds())
     frames = (
         ds.map_batches(
             lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
             batch_format="pyarrow",
         )
-        .map_batches(mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
-        .map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 2))
+        .map_batches(mm.FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=pool_bounds())
+        .map_batches(mm.ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool_bounds())
     )
 
     def tag(kind: str):
@@ -6606,7 +6606,7 @@ def doc_decontaminate(sf_dir: str):
         text.Decontaminator,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     return _stable(
         scored,
@@ -6808,7 +6808,7 @@ def doc_unigram_logprob(sf_dir: str):
             text.UnigramScorer,
             fn_constructor_args=(logp_ref,),
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [
             ("doc_id", pa.int64()),
@@ -6868,7 +6868,7 @@ def doc_token_ids(sf_dir: str):
             text.VocabEncoder,
             fn_constructor_args=(vocab_ref,),
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [("doc_id", pa.int64()), ("token_ids", pa.string())],
     )
@@ -6903,7 +6903,7 @@ def doc_bm25_scores(sf_dir: str):
         text.BM25Scorer,
         fn_constructor_args=(n_docs, sum_dl, dfs),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     return _stable(
         scored,
@@ -7342,7 +7342,7 @@ def corpus_release_v2(sf_dir: str):
         _ReleaseV2Gate,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     uniq = exact_dedup(gated, fingerprint_col="fingerprint", order_col="doc_id")
     out = assign_split(
@@ -7430,7 +7430,7 @@ def _release_v3_gated(sf_dir: str):
         _ReleaseV2Gate,
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
 
     # corpus-prior gates over the RAW text (doc-keyed id sets)
@@ -7458,7 +7458,7 @@ def _release_v3_gated(sf_dir: str):
         text.UnigramScorer,
         fn_constructor_args=(logp_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     ).map_batches(ulp_keep, batch_format="pyarrow")
 
     def sd_keep(t: pa.Table) -> pa.Table:
@@ -8219,7 +8219,7 @@ def doc_stupid_backoff_scores(sf_dir: str):
             text.StupidBackoffScorer,
             fn_constructor_args=(model_ref,),
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [
             ("doc_id", pa.int64()),
@@ -8399,7 +8399,7 @@ def bpe_train_token_counts(sf_dir: str):
             text.BpeEncoder,
             fn_constructor_args=(merges_ref,),
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [
             ("doc_id", pa.int64()),
@@ -8514,7 +8514,7 @@ def embedding_pq_codes(sf_dir: str):
             ann.PqEncoder,
             fn_constructor_args=(books_ref,),
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [
             ("vec_id", pa.int64()),
@@ -10192,7 +10192,7 @@ def _dsir_weights_ds(sf_dir: str):
         text.DsirScorer,
         fn_constructor_args=(lr_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
 
 
@@ -10299,7 +10299,7 @@ def doc_line_dedup(sf_dir: str):
         dedup.LineDeduper,
         fn_constructor_args=(bad_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     return _stable(
         out,
@@ -10468,7 +10468,7 @@ def corpus_release_v4(sf_dir: str):
         dedup.LineDeduper,
         fn_constructor_args=(bad_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     ).map_batches(line_keep, batch_format="pyarrow").materialize()
 
     gated4 = partitioned_join(
@@ -11420,7 +11420,7 @@ def blob_fetch_join(sf_dir: str):
             root=root, address_col="address", out_col="blob", algo="md5"
         ),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -11645,7 +11645,7 @@ def media_frame_roundtrip(sf_dir: str):
     return _stable(
         ds.map_batches(
             SampleAndVerify, batch_format="pyarrow", batch_size=256,
-            concurrency=(1, 2),
+            concurrency=pool_bounds(),
         ),
         [
             ("media_id", pa.int64()),

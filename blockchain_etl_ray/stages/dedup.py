@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .stabilize import pool_bounds
+
 # deterministic 64-bit universal-hash parameters for minhash permutations
 _MERSENNE = (1 << 61) - 1
 
@@ -467,7 +469,7 @@ def minhash_near_dups(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     cand = _dedup_pairs(lsh_candidate_pairs(buckets, max_bucket))
     return verify_pairs_jaccard(cand, docs, threshold, shingle_k)
@@ -830,7 +832,7 @@ def minhash_md5_neardup_pairs(
         MinHashBandsMd5,
         fn_constructor_kwargs=dict(shingle_k=shingle_k, rows_per_band=rows_per_band),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     cand = bands.groupby(["band_id", "gpart"]).map_groups(
         lambda g: _run_pairs_table(g, "band_key", "doc_id", max_bucket),
@@ -942,7 +944,7 @@ def simhash_md5_near_dups(
         SimHashBandsMd5,
         fn_constructor_kwargs=dict(bands=bands),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
     return _simhash_pairs_from_band_rows(rows, max_hamming, max_bucket)
 
@@ -1322,7 +1324,7 @@ def shared_chunk_pairs(
         ChunkFingerprinter,
         fn_constructor_kwargs=dict(min_len=min_len, mask=mask, max_len=max_len),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=pool_bounds(),
     )
 
     cand = _with_gpart(chunks, "chunk_hash", 64).groupby("gpart").map_groups(

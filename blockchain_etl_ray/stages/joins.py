@@ -26,6 +26,8 @@ import ray.data as rd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .stabilize import pool_bounds
+
 
 class EnrichMismatch(ValueError):
     """Left row count not preserved by an enrich join (J2 diagnostics)."""
@@ -187,7 +189,23 @@ def asof_join(
             )
             return out
 
-    return left.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 2))
+    return left.map_batches(AsOf, batch_format="pyarrow", concurrency=pool_bounds())
+
+
+def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize and rebuild the block list without zero-row blocks (the
+    ``stabilize`` pattern, schema-agnostic).  If every block is empty the
+    dataset is returned as-is so its schema (if any) survives."""
+    mat = ds.materialize()
+    pairs = [
+        (ref, meta)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+    live = [ref for ref, meta in pairs if meta.num_rows]
+    if not live or len(live) == len(pairs):
+        return mat
+    return rd.from_arrow_refs(live)
 
 
 def partitioned_join(
@@ -204,7 +222,36 @@ def partitioned_join(
     ``num_partitions`` defaults to half the cluster CPUs: Ray's hash-shuffle
     join schedules one aggregator actor per partition, and asking for more
     actors than free CPUs deadlocks the pipeline (measured: 16 partitions on
-    a 4-CPU local cluster never completes)."""
+    a 4-CPU local cluster never completes).
+
+    Both sides are scrubbed of empty blocks first: the hash-shuffle
+    aggregator concatenates raw blocks per partition, and a SCHEMALESS
+    empty block (from a ``map_batches`` that emitted nothing for some
+    input block) poisons the Acero join with "No match or multiple matches
+    for key field" — a latent failure that only appears at scales whose
+    block layout happens to produce one (seen at sf0.1, absent at sf0.01).
+    The join is an all-to-all barrier anyway, so the materialize adds no
+    extra exchange."""
+    left = _drop_empty_blocks(left)
+    right = _drop_empty_blocks(right)
+    # An ALL-EMPTY side crashes Ray's hash-shuffle aggregator outright (the
+    # per-partition concat of zero received blocks is schemaless, so Acero
+    # reports "No match ... for key field" — observed when a gate chain
+    # legitimately filters every row at sf0.1).  An empty inner join is a
+    # well-defined result: short-circuit to an empty dataset carrying the
+    # joined schema (left fields + non-key right fields).
+    if join_type == "inner" and (left.count() == 0 or right.count() == 0):
+
+        def _arrow_schema(d: rd.Dataset) -> pa.Schema:
+            for bundle in d.iter_internal_ref_bundles():
+                for ref, _meta in bundle.blocks:
+                    return ray.get(ref).schema
+            return pa.schema([])
+
+        ls, rs = _arrow_schema(left), _arrow_schema(right)
+        rkeys = set(right_on or on)
+        extra = [f for f in rs if f.name not in rkeys and f.name not in ls.names]
+        return rd.from_arrow(pa.schema(list(ls) + extra).empty_table())
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)

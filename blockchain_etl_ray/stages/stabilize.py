@@ -24,6 +24,23 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def pool_bounds(divisor: int = 4, cap: int = 8) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for stateful ``map_batches`` stages:
+    min 1 (a pool must never PIN actors — the session-5 starvation was four
+    min-1 pools holding all 4 CPUs of the test fixture against the read
+    tasks), max a quarter of the cluster's CPUs bounded by ``cap`` — so the
+    cap rises with the cluster instead of hard-coding 2 (which left a
+    32-CPU box running doc-scoring pools on 2 actors).  On the 4-CPU test
+    fixture this is exactly the old (1, 2)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover - resource query races
+        cpus = 8
+    return (1, max(2, min(cap, cpus // divisor)))
+
+
 def stabilize(
     ds: rd.Dataset,
     fields: list[tuple[str, pa.DataType]] | pa.Schema,

@@ -1799,3 +1799,26 @@ def test_coreness_matches_peeling_both_paths():
             .to_dict()
         )
         assert got == want, f"small={small}"
+
+
+def test_partitioned_join_empty_side_returns_empty_with_schema():
+    """An all-empty side must short-circuit to an empty joined-schema
+    result, not crash Ray's hash-shuffle aggregator (regression: a gate
+    chain that filters every row crashed the downstream join with
+    ArrowInvalid at sf0.1)."""
+    from blockchain_etl_ray.stages.joins import partitioned_join
+
+    left = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "fingerprint": pa.array([], pa.string())})
+    )
+    right = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                    "extra": pa.array(["a", "b"])}))
+    out = partitioned_join(left, right, on=("doc_id",), num_partitions=2)
+    t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")] or
+                         [out.schema().base_schema.empty_table()])
+    assert t.num_rows == 0
+    assert set(t.schema.names) == {"doc_id", "fingerprint", "extra"}
+    # and the mirror case: empty right
+    out2 = partitioned_join(right, left, on=("doc_id",), num_partitions=2)
+    assert out2.count() == 0
