@@ -11657,6 +11657,66 @@ def media_frame_roundtrip(sf_dir: str):
     )
 
 
+@register(
+    "quantile_sketch_tolerance",
+    """
+    SELECT event_type,
+           PERCENTILE_DISC(0.48) WITHIN GROUP (ORDER BY value) AS p50_lo,
+           PERCENTILE_DISC(0.52) WITHIN GROUP (ORDER BY value) AS p50_hi,
+           PERCENTILE_DISC(0.93) WITHIN GROUP (ORDER BY value) AS p95_lo,
+           PERCENTILE_DISC(0.97) WITHIN GROUP (ORDER BY value) AS p95_hi,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM events GROUP BY event_type
+    """,
+)
+def quantile_sketch_tolerance(sf_dir: str):
+    """SQL-paired accuracy pin for the t-digest sketch (the third sketch
+    tolerance contract, after HLL and CMS): per event_type, the exact
+    PERCENTILE_DISC values at q±2 % rank windows plus BOOLEANS asserting the
+    deterministic t-digest p50/p95 estimates land INSIDE their windows —
+    the Dunning rank-error guarantee made driver-checkable (sketch drift
+    flips a boolean and fails the hash compare).  The exact-bounds side is
+    the verification harness (per-group sort — fine for a test probe;
+    production reads the sketch, whose partials are O(centroids) per
+    batch)."""
+    from ..stages.sketch import grouped_tdigest_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    est = grouped_tdigest_quantiles(
+        ds, "event_type", "value", quantiles=(0.5, 0.95)
+    ).to_pandas()
+    e50 = est[est["q"] == 0.5].set_index("event_type")["value"]
+    e95 = est[est["q"] == 0.95].set_index("event_type")["value"]
+
+    def bounds(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+
+        def disc(q: float) -> float:
+            # PERCENTILE_DISC: smallest value with cumulative share >= q
+            return float(v[max(0, int(np.ceil(q * len(v))) - 1)])
+
+        key = g.column("event_type")[0]
+        return pa.table(
+            {
+                "event_type": pa.array([key.as_py()], type=key.type),
+                "p50_lo": pa.array([disc(0.48)], pa.float64()),
+                "p50_hi": pa.array([disc(0.52)], pa.float64()),
+                "p95_lo": pa.array([disc(0.93)], pa.float64()),
+                "p95_hi": pa.array([disc(0.97)], pa.float64()),
+            }
+        )
+
+    b = (
+        ds.groupby("event_type")
+        .map_groups(bounds, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("event_type")
+    )
+    b["p50_within"] = (e50 >= b["p50_lo"]) & (e50 <= b["p50_hi"])
+    b["p95_within"] = (e95 >= b["p95_lo"]) & (e95 <= b["p95_hi"])
+    return rd.from_arrow(pa.Table.from_pandas(b.reset_index(), preserve_index=False))
+
+
 #: Explicit driver-facing ordering.  The correctness driver checks the FIRST
 #: 50 registry entries against their oracle SQL; round 2 wasted 10 of those
 #: slots on rows-only entries while the CDC flagship family sat untested in
