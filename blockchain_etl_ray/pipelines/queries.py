@@ -4881,32 +4881,40 @@ def referential_integrity_report(sf_dir: str):
     checkers (``blockchainetl/jobs/check_*``) generalized to any FK edge."""
     from ..stages.joins import fk_orphan_counts_multi
 
+    # size-targeted blocks on all 8 reads: the auto heuristic shredded each
+    # tiny table into ~2×CPU slivers, and 8 unioned branches of slivers
+    # turned the one groupby into a scheduling storm (measured at sf0.01:
+    # 15.6 s auto vs 0.8 s size-targeted — the _blocks_for rationale,
+    # compounded by the union fan-in)
+    def rd_(table, cols):
+        return _read(sf_dir, table, cols, num_blocks=_blocks_for(sf_dir, table))
+
     edges = [
         (
-            _read(sf_dir, "lineitem", ["l_orderkey"]),
+            rd_("lineitem", ["l_orderkey"]),
             "l_orderkey",
-            _read(sf_dir, "orders", ["o_orderkey"]),
+            rd_("orders", ["o_orderkey"]),
             "o_orderkey",
             "lineitem->orders",
         ),
         (
-            _read(sf_dir, "lineitem", ["l_partkey"]),
+            rd_("lineitem", ["l_partkey"]),
             "l_partkey",
-            _read(sf_dir, "part", ["p_partkey"]),
+            rd_("part", ["p_partkey"]),
             "p_partkey",
             "lineitem->part",
         ),
         (
-            _read(sf_dir, "orders", ["o_custkey"]),
+            rd_("orders", ["o_custkey"]),
             "o_custkey",
-            _read(sf_dir, "customer", ["c_custkey"]),
+            rd_("customer", ["c_custkey"]),
             "c_custkey",
             "orders->customer",
         ),
         (
-            _read(sf_dir, "events", ["user_id"]),
+            rd_("events", ["user_id"]),
             "user_id",
-            _read(sf_dir, "customer", ["c_custkey"]),
+            rd_("customer", ["c_custkey"]),
             "c_custkey",
             "events->customer(sampled)",
         ),
