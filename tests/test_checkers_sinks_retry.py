@@ -217,3 +217,37 @@ def test_schema_drift_checker(tmp_path):
     row = rep.to_pylist()[0]
     assert row["unknown_cols"] == ["surprise"]
     assert row["missing_cols"] == ["commit"]
+
+
+def test_csv_datasink_roundtrip(tmp_path, ray_session):
+    """CsvDatasink writes ^-delimited parts (the reference file-exporter
+    format) that ray.data.read_csv reads back value-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    from blockchain_etl_ray.sinks import CsvDatasink
+
+    t = pa.table(
+        {
+            "blknum": pa.array([1, 2, 3, 4], pa.int64()),
+            "addr": pa.array(["a", "b", "c,d", "e"]),  # comma survives ^ delim
+            "val": pa.array([1.5, 2.0, -3.25, 0.0], pa.float64()),
+        }
+    )
+    out = tmp_path / "csv"
+    rd.from_arrow(t).repartition(2).write_datasink(CsvDatasink(str(out)))
+    files = sorted(out.glob("part-*.csv"))
+    assert len(files) >= 1
+    back = (
+        rd.read_csv(
+            [str(f) for f in files],
+            parse_options=pacsv.ParseOptions(delimiter="^"),
+        )
+        .to_pandas()
+        .sort_values("blknum")
+        .reset_index(drop=True)
+    )
+    assert back["blknum"].tolist() == [1, 2, 3, 4]
+    assert back["addr"].tolist() == ["a", "b", "c,d", "e"]
+    assert back["val"].tolist() == [1.5, 2.0, -3.25, 0.0]
