@@ -2796,6 +2796,30 @@ def ann_ivf_topk(sf_dir: str):
     return _stable(out.select_columns(["query_id", "neighbor_id", "cos_x1m", "rank"]), _ANN_FIELDS)
 
 
+@register("ann_ivfpq_topk", None)
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ approximate top-k (coarse lists + residual product
+    quantization + ADC scan + exact-shortlist refine — the memory-scale
+    ANN path; rows-only: approximate by design, recall vs brute force
+    asserted in pytest)."""
+    queries = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.ivfpq_topk(ds, queries, k=10, n_lists=16, n_probe=8)
+    return _stable(
+        out.select_columns(["query_id", "neighbor_id", "ip_x1m_adc", "rank"]),
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("ip_x1m_adc", pa.int64()),
+            ("rank", pa.int64()),
+        ],
+    )
+
+
 @register("ann_ivf_disk_topk", None)
 def ann_ivf_disk_topk(sf_dir: str):
     """IVF with the ON-DISK cluster-partitioned layout (the true ANN scale

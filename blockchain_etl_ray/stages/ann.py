@@ -235,6 +235,144 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
 
 
+def ivfpq_topk(
+    vectors: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """IVF-PQ approximate top-k (Jégou, Douze & Schmid, TPAMI 2011 — the
+    FAISS IVFADC shape): coarse quantizer routes each vector to one of
+    ``n_lists`` inverted lists; within a list the RESIDUAL (vector − list
+    centroid) is product-quantized to ``n_sub`` bytes; a query scores
+    candidates by Asymmetric Distance Computation — one
+    ``(n_sub × n_cent)`` inner-product lookup table per (query, probed
+    list), scored over candidate CODES with pure gathers — then REFINES
+    the ADC shortlist (4k candidates) with exact inner products, the
+    FAISS IVFPQR recipe: codes do the scan, floats are touched only for
+    the shortlist.
+
+    This is the memory-scale path past plain IVF: each stored vector costs
+    ``n_sub`` bytes + 1 list id (32× smaller than float32 d=256), so a
+    worker scans codes resident in cache.  Scale shape unchanged from
+    :func:`ivf_topk` — (centroids, codebooks, queries) broadcast once,
+    per-batch encode is one matmul per subspace, per-query local top-k
+    partials fold through the same grouped global top-k; scores are
+    deterministic ints (``ip_x1m_adc`` — exact ip for the refined
+    survivors), recall vs brute force pytest-asserted."""
+    sample = _to_matrix(queries.column(vec_col))
+    extra = vectors.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")
+    train = np.vstack([sample, _to_matrix(extra.column(vec_col))])
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    cent = kmeans_centroids(train, n_lists)
+
+    # PQ codebooks on COARSE RESIDUALS of the training sample (the IVFADC
+    # recipe: residuals are near-zero-mean, so a small codebook covers them)
+    t_assign = (train @ cent.T).argmax(axis=1)
+    resid = train - cent[t_assign]
+    n, d = resid.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    d_sub = d // n_sub
+    books = np.empty((n_sub, n_cent, d_sub), dtype=np.float64)
+    for s in range(n_sub):
+        x = resid[:, s * d_sub : (s + 1) * d_sub]
+        stride = max(1, n // n_cent)
+        cb = x[: stride * n_cent : stride].copy()
+        if len(cb) < n_cent:
+            cb = np.resize(cb, (n_cent, d_sub))
+        for _ in range(12):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(n_cent):
+                m_ = a == c
+                if m_.any():
+                    cb[c] = x[m_].mean(axis=0)
+        books[s] = cb
+
+    qids = queries.column(id_col).to_pylist()
+    qm = _to_matrix(queries.column(vec_col))
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qm, cent, books, q_probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, books_, q_probes_ = ray.get(ref)
+        n_sub_, n_cent_, d_sub_ = books_.shape
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = (m @ cent_.T).argmax(axis=1)
+        resid_ = m - cent_[assign]
+        # encode: one argmin per subspace, vectorized over the batch
+        codes = np.empty((m.shape[0], n_sub_), dtype=np.int64)
+        for s in range(n_sub_):
+            x = resid_[:, s * d_sub_ : (s + 1) * d_sub_]
+            cb = books_[s]
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+            codes[:, s] = d2.argmin(axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids_):
+            probe_set = q_probes_[qi]
+            mask = np.isin(assign, probe_set)
+            if exclude_self:
+                mask &= ids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # ADC: ip(q, x) ≈ ip(q, centroid[list]) + Σ_s LUT[s][code_s]
+            lut = np.empty((n_sub_, n_cent_), dtype=np.float64)
+            q = qm_[qi]
+            for s in range(n_sub_):
+                lut[s] = books_[s] @ q[s * d_sub_ : (s + 1) * d_sub_]
+            base = cent_[assign[idx]] @ q
+            approx = base + lut[np.arange(n_sub_)[None, :], codes[idx]].sum(axis=1)
+            # refine (the FAISS IVFPQR shape): the CODES do the scan, the
+            # floats are touched only for the ADC shortlist (4k per batch)
+            short = np.lexsort((ids[idx], -approx))[: 4 * k]
+            sel_s = idx[short]
+            exact_ip = m[sel_s] @ q
+            order = np.lexsort((ids[sel_s], -exact_ip))[:k]
+            sel = sel_s[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(ids[sel].tolist())
+            out_c.extend(
+                np.floor(exact_ip[order] * 1_000_000.0 + 0.5)
+                .astype(np.int64)
+                .tolist()
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "ip_x1m_adc": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = vectors.map_batches(partial, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ip_x1m_adc", "descending"), ("neighbor_id", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+
+
 def build_ivf_index(
     vectors: rd.Dataset,
     index_dir: str,

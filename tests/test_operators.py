@@ -1822,3 +1822,40 @@ def test_partitioned_join_empty_side_returns_empty_with_schema():
     # and the mirror case: empty right
     out2 = partitioned_join(right, left, on=("doc_id",), num_partitions=2)
     assert out2.count() == 0
+
+
+def test_ivfpq_recall_vs_bruteforce():
+    """IVF-PQ (coarse lists + residual product quantization + ADC scoring)
+    must recover most of the exact top-10 with generous probes, and be
+    deterministic run to run."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    queries = emb.filter(pc.less(pc.field("vec_id"), 5))
+    exact = (
+        ann.brute_force_topk(rd.from_arrow(emb), queries, k=10)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    kw = dict(k=10, n_lists=16, n_probe=8, n_sub=8, n_cent=16)
+    approx = (
+        ann.ivfpq_topk(rd.from_arrow(emb), queries, **kw)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact.index]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    a = (
+        ann.ivfpq_topk(rd.from_arrow(emb), queries, **kw)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann.ivfpq_topk(rd.from_arrow(emb), queries, **kw)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
