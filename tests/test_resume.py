@@ -112,3 +112,58 @@ def test_schema_evolution(evo_corpus, tmp_path):
     # size equality incl. nulls for pre-boundary rows
     assert got["size"].fillna(-1).astype("int64").tolist() == exp["size"].fillna(-1).astype("int64").tolist()
     assert got["size"].isna().any() and got["size"].notna().any()
+
+
+def test_schema_evolution_type_widening(tmp_path):
+    """An upstream that starts delivering a NARROWER integer type (int32
+    size, int32 ordinal — common when a producer switches serializers) must
+    widen to the canonical int64 in the reconciler, fold correctly across
+    the boundary, and keep the final state identical to an all-int64
+    delivery."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+
+    def corpus(d, narrow: bool):
+        d.mkdir()
+        it = pa.int32() if narrow else pa.int64()
+        for e in range(2):
+            rows = [
+                dict(ordinal=e * 10 + i, epoch=e, op="insert",
+                     repo=f"r{i%3}", path=f"f{i}.py", commit=f"c{e}{i}",
+                     lang="py", content=f"body-{e}-{i}", size=100 + i,
+                     event_id=f"ev{e}{i}")
+                for i in range(6)
+            ]
+            t = pa.Table.from_pylist(rows)
+            if narrow and e == 1:  # the widening boundary: epoch 1 narrows
+                for col in ("ordinal", "size"):
+                    idx = t.schema.get_field_index(col)
+                    t = t.set_column(idx, col, t.column(col).cast(it))
+            pq.write_table(t, d / f"epoch={e:06d}.parquet")
+
+    wide_d, narrow_d = tmp_path / "wide", tmp_path / "narrow"
+    corpus(wide_d, narrow=False)
+    corpus(narrow_d, narrow=True)
+
+    outs = {}
+    for name, d in (("wide", wide_d), ("narrow", narrow_d)):
+        eng = ReplayEngine(
+            tmp_path / f"state_{name}",
+            ReplayConfig(num_partitions=2, epoch_batch_size=1),
+        )
+        eng.replay(str(d))
+        outs[name] = (
+            eng.read_state()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs["wide"], outs["narrow"])
+    # 6 keys upserted twice -> 6 live rows, sorted (repo, path):
+    # r0/f0, r0/f3, r1/f1, r1/f4, r2/f2, r2/f5
+    assert outs["narrow"]["size"].tolist() == [100, 103, 101, 104, 102, 105]
+    assert str(outs["narrow"]["size"].dtype) == "int64"
