@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "peak_concurrent_events",
     "user_journey_paths",
     "purchase_graph_triangles",
+    # round-4 additions (self-contained; no persistent fixtures)
+    "media_frame_roundtrip",
+    "quantile_sketch_tolerance",
+    "ann_ivfpq_topk",
 ]
 
 
