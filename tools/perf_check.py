@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Compare a fresh oracle_sweep timing JSON against the recorded per-query
+baseline (tools/perf_baseline.json) and flag regressions.
+
+Usage:
+    python tools/oracle_sweep.py > /tmp/sweep.json
+    python tools/perf_check.py /tmp/sweep.json [threshold]
+
+A query is flagged when it is BOTH ``threshold``× slower than baseline
+(default 2.5×) AND above 1.0 s absolute — the double gate keeps cold-start
+jitter on sub-second queries out of the report.  Exit 0 with no flags;
+exit 1 listing offenders otherwise.  Box-load caveat: the baseline was
+recorded idle; rerun flagged queries warm before believing a regression.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = json.load(open(os.path.join(here, "perf_baseline.json")))["times"]
+    cur = json.load(open(sys.argv[1]))["times"]
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 2.5
+    flags = {
+        k: (base[k], cur[k])
+        for k in cur
+        if k in base and cur[k] > base[k] * threshold and cur[k] > 1.0
+    }
+    print(
+        json.dumps(
+            {
+                "n_compared": len(set(cur) & set(base)),
+                "n_new": len(set(cur) - set(base)),
+                "threshold": threshold,
+                "flagged": {k: {"baseline_s": a, "now_s": b} for k, (a, b) in sorted(flags.items())},
+            }
+        )
+    )
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
