@@ -212,7 +212,78 @@ def run_child(ncpu: int, extra_env: dict | None = None) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+_NODES_CHILD = r'''
+import json, os, shutil, sys, time, uuid
+os.environ.pop("RAY_ADDRESS", None)
+import ray
+from ray.cluster_utils import Cluster
+n_nodes, cpn = int(sys.argv[1]), int(sys.argv[2])
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": cpn})
+for _ in range(n_nodes - 1):
+    cluster.add_node(num_cpus=cpn)
+ray.init(address=cluster.address, logging_level="ERROR",
+         runtime_env={"env_vars": {"PYTHONPATH": sys.argv[4]}})
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from blockchain_etl_ray.fixtures.synth import cached_corpus
+from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+corpus = cached_corpus(sys.argv[3], n_events=int(sys.argv[5]), seed=42,
+                       n_epochs=32, parallel=True)
+for f in sorted(os.listdir(corpus)):
+    if f.endswith(".parquet"):
+        with open(os.path.join(corpus, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+os.sync()
+import ray.data as rd
+def _warm(b):
+    import blockchain_etl_ray.stages.merge  # noqa: F401
+    return b
+rd.range(10_000, override_num_blocks=4 * n_nodes * cpn).map_batches(
+    _warm, batch_format="pyarrow").count()
+root = f"/tmp/nodes_bench_{uuid.uuid4().hex[:8]}"
+eng = ReplayEngine(root, ReplayConfig(num_partitions=32, epoch_batch_size=8))
+t0 = time.perf_counter()
+s = eng.replay(corpus)
+wall = time.perf_counter() - t0
+shutil.rmtree(root, ignore_errors=True)
+print(json.dumps({"wall": round(wall, 3), "events": s["events_applied"]}))
+ray.shutdown(); cluster.shutdown()
+'''
+
+
+def run_nodes_child(n_nodes: int, cpus_per_node: int, n_events: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, PYTHONPATH=repo)
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _NODES_CHILD,
+         str(n_nodes), str(cpus_per_node), CACHE, repo, str(n_events)],
+        env=env, capture_output=True, text=True, check=True, cwd=repo,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def main() -> None:
+    if "--scaling-nodes" in sys.argv:
+        # TRUE N-node vs 4N-node comparison: ray.cluster_utils builds real
+        # multi-raylet clusters (one object store PER NODE, objects crossing
+        # between them) in a fresh subprocess per shape.  4 CPUs/node keeps
+        # the 4x comparison inside this box's honest scaling regime (its
+        # 8->32 pure-CPU ceiling is ~0.70; see BASELINE.md).
+        cpn = int(os.environ.get("GRAFT_NODES_CPUS", "4"))
+        lo_n, hi_n = 1, 4
+        n_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "8000000"))
+        r_hi = run_nodes_child(hi_n, cpn, n_events)
+        r_lo = run_nodes_child(lo_n, cpn, n_events)
+        eff = (r_lo["wall"] / r_hi["wall"]) / (hi_n / lo_n)
+        print(json.dumps({
+            "metric": "node_scaling_efficiency", "value": round(eff, 3),
+            "unit": "ratio", "nodes_lo": lo_n, "nodes_hi": hi_n,
+            "cpus_per_node": cpn, "sec_lo": r_lo["wall"],
+            "sec_hi": r_hi["wall"], "events": r_lo["events"],
+        }))
+        return
     if "--scaling" in sys.argv:
         # A compute-bound job is required to evidence scaling: the default
         # sf0.1 corpus finishes in ~10 s at 32 CPUs, where per-step fixed
