@@ -142,3 +142,50 @@ def test_fold_order_invariance(stream, seed):
     perm = np.random.default_rng(seed).permutation(t.num_rows)
     shuffled = t.take(pa.array(perm, pa.int64()))
     assert _resolve([t]) == _resolve([shuffled])
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_line_dedup_digest_equals_string_membership(data):
+    """Property: digest-mode LineDeduper rewrites EVERY document identically
+    to the exact string-set path, over random corpora with overlapping line
+    pools (within-doc repeats, cross-doc boilerplate, empty lines)."""
+    import pyarrow as pa
+
+    from blockchain_etl_ray.stages import dedup
+
+    pool = data.draw(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="\n", min_codepoint=32
+                ),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    docs = []
+    n_docs = data.draw(st.integers(min_value=1, max_value=6))
+    for _ in range(n_docs):
+        lines = data.draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=8)
+        )
+        docs.append(dedup.LINE_MARKER.join(lines))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(t)
+    bad_str = dedup.duplicate_lines(ds, min_df=2)
+    bad_dig = dedup.duplicate_line_digests(ds, min_df=2)
+    assert len(bad_str) == len(bad_dig)
+    a = dedup.LineDeduper(bad_str)(t).to_pylist()
+    b = dedup.LineDeduper(bad_dig)(t).to_pylist()
+    assert a == b
