@@ -189,3 +189,45 @@ def test_line_dedup_digest_equals_string_membership(data):
     a = dedup.LineDeduper(bad_str)(t).to_pylist()
     b = dedup.LineDeduper(bad_dig)(t).to_pylist()
     assert a == b
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_dedup_string_pairs_equals_set_semantics(data):
+    """Property: the distributed pair dedup returns exactly the distinct
+    (a, b) set, regardless of how duplicates spread across blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.ssjoin import _dedup_string_pairs
+
+    names = data.draw(
+        st.lists(
+            st.text(
+                alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=2,
+            max_size=8,
+            unique=True,
+        )
+    )
+    pairs = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(names), st.sampled_from(names)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    t = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs]),
+            "b": pa.array([p[1] for p in pairs]),
+        }
+    )
+    n_blocks = data.draw(st.integers(min_value=1, max_value=4))
+    out = _dedup_string_pairs(rd.from_arrow(t).repartition(n_blocks)).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == set(pairs)
+    assert len(out) == len(got)  # no residual duplicates
