@@ -4914,40 +4914,35 @@ def referential_integrity_report(sf_dir: str):
     checkers (``blockchainetl/jobs/check_*``) generalized to any FK edge."""
     from ..stages.joins import fk_orphan_counts_multi
 
-    # size-targeted blocks on all 8 reads: the auto heuristic shredded each
-    # tiny table into ~2×CPU slivers, and 8 unioned branches of slivers
-    # turned the one groupby into a scheduling storm (measured at sf0.01:
-    # 15.6 s auto vs 0.8 s size-targeted — the _blocks_for rationale,
-    # compounded by the union fan-in)
-    def rd_(table, cols):
-        return _read(sf_dir, table, cols, num_blocks=_blocks_for(sf_dir, table))
-
+    # all 8 reads ride _read's size-targeted default (the auto heuristic's
+    # ~2×CPU slivers × 8 unioned branches turned the one groupby into a
+    # scheduling storm: 15.6 s auto vs 0.8 s size-targeted at sf0.01)
     edges = [
         (
-            rd_("lineitem", ["l_orderkey"]),
+            _read(sf_dir, "lineitem", ["l_orderkey"]),
             "l_orderkey",
-            rd_("orders", ["o_orderkey"]),
+            _read(sf_dir, "orders", ["o_orderkey"]),
             "o_orderkey",
             "lineitem->orders",
         ),
         (
-            rd_("lineitem", ["l_partkey"]),
+            _read(sf_dir, "lineitem", ["l_partkey"]),
             "l_partkey",
-            rd_("part", ["p_partkey"]),
+            _read(sf_dir, "part", ["p_partkey"]),
             "p_partkey",
             "lineitem->part",
         ),
         (
-            rd_("orders", ["o_custkey"]),
+            _read(sf_dir, "orders", ["o_custkey"]),
             "o_custkey",
-            rd_("customer", ["c_custkey"]),
+            _read(sf_dir, "customer", ["c_custkey"]),
             "c_custkey",
             "orders->customer",
         ),
         (
-            rd_("events", ["user_id"]),
+            _read(sf_dir, "events", ["user_id"]),
             "user_id",
-            rd_("customer", ["c_custkey"]),
+            _read(sf_dir, "customer", ["c_custkey"]),
             "c_custkey",
             "events->customer(sampled)",
         ),
@@ -10577,16 +10572,14 @@ def doc_token_budget_mixture(sf_dir: str):
     )
 
 
-@register("corpus_cms_term_counts", None)
-def corpus_cms_term_counts(sf_dir: str):
-    """Count-Min sketch point-frequency estimates next to exact truth: build
-    one CMS over every corpus token (d×w int partials are the only exchange
-    — O(d·w) driver state at ANY corpus size), then probe it with the exact
-    ≥1% frequent terms and report (term, n_exact, n_cms).  Deterministic
-    (md5 base hash + fixed multipliers), and the one-sided CMS guarantee is
-    visible in the rows: n_cms ≥ n_exact always, within ε·N above it.
-    Rows-only by design (a sketch estimate has no SQL equality); the error
-    bound and merge invariance are pytest-proven (tests/test_cms.py)."""
+def _cms_with_frequent_terms(sf_dir: str, depth: int = 4, width: int = 8192):
+    """Shared assembly for the CMS probe queries (`corpus_cms_term_counts`,
+    `cms_term_bounds`): one Count-Min sketch over every corpus token plus
+    the EXACT ≥1 % frequent-term table.  The exact table may be EMPTY — a
+    flat term distribution yields no qualifying term, and the SQL oracles
+    return an empty result there, so the empty case must not crash."""
+    import ray
+
     from ..stages.sketch import cms_sketch, frequent_terms
     from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
 
@@ -10600,17 +10593,38 @@ def corpus_cms_term_counts(sf_dir: str):
         )
         return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
 
-    import ray
-
     sk = cms_sketch(
         docs.map_batches(toks, batch_format="pyarrow"), "term",
-        depth=4, width=8192,
+        depth=depth, width=width,
     )
-    exact = pa.concat_tables(
-        [t for t in
-         (ray.get(r) for r in frequent_terms(docs, percent=1).to_arrow_refs())
-         if t.num_rows]
+    parts = [
+        t
+        for t in (
+            ray.get(r) for r in frequent_terms(docs, percent=1).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    exact = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"term": pa.array([], pa.string()), "n_term": pa.array([], pa.int64())}
+        )
     )
+    return sk, exact
+
+
+@register("corpus_cms_term_counts", None)
+def corpus_cms_term_counts(sf_dir: str):
+    """Count-Min sketch point-frequency estimates next to exact truth: build
+    one CMS over every corpus token (d×w int partials are the only exchange
+    — O(d·w) driver state at ANY corpus size), then probe it with the exact
+    ≥1% frequent terms and report (term, n_exact, n_cms).  Deterministic
+    (md5 base hash + fixed multipliers), and the one-sided CMS guarantee is
+    visible in the rows: n_cms ≥ n_exact always, within ε·N above it.
+    Rows-only by design (a sketch estimate has no SQL equality); the error
+    bound and merge invariance are pytest-proven (tests/test_cms.py)."""
+    sk, exact = _cms_with_frequent_terms(sf_dir)
     terms = exact.column("term").combine_chunks()
     est = sk.estimate(terms)
     out = pa.table(
@@ -11381,13 +11395,23 @@ def _blobstore_for(sf_dir: str) -> str:
     the corpus' document texts — the fixture standing in for the IPFS
     gateway / CDN the reference fetches from.  Writes are distributed,
     atomic, and content-addressed (retries/concurrent builders converge);
-    the marker only skips redundant rebuilds."""
+    the marker only skips redundant rebuilds.  The store directory is keyed
+    on the SOURCE FILE's identity (size + mtime), not just the sf_dir
+    basename, so a regenerated corpus gets a fresh store instead of
+    silently reading stale blobs."""
+    import hashlib as _hl
     import os
 
     from ..sources.blobstore import populate_blobstore
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = _hl.md5(
+        f"{os.path.normpath(sf_dir)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(
-        "/tmp", f"graft_blobstore_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp",
+        f"graft_blobstore_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
     )
     marker = os.path.join(root, "_COMPLETE")
     if not os.path.exists(marker):
@@ -11546,35 +11570,8 @@ def cms_term_bounds(sf_dir: str):
     (the ε·N over-count bound, deterministic here because data and hashes
     are fixed).  Upgrades ``corpus_cms_term_counts`` (kept rows-only for
     the raw estimates) to a driver-checkable contract."""
-    import ray
-
-    from ..stages.sketch import cms_sketch, frequent_terms
-    from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
-
-    docs = _read(sf_dir, "documents", ["text"], num_blocks=16)
-
-    def toks(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pc.split_pattern_regex(
-                pc.utf8_lower(t.column("text")), pattern=TOKEN_SPLIT_PATTERN
-            )
-        )
-        return pa.table({"term": pc.filter(flat, pc.not_equal(flat, ""))})
-
     width = 8192
-    sk = cms_sketch(
-        docs.map_batches(toks, batch_format="pyarrow"), "term",
-        depth=4, width=width,
-    )
-    exact = pa.concat_tables(
-        [
-            t
-            for t in (
-                ray.get(r) for r in frequent_terms(docs, percent=1).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-    )
+    sk, exact = _cms_with_frequent_terms(sf_dir, width=width)
     terms = exact.column("term").combine_chunks()
     n_exact = exact.column("n_term").to_numpy(zero_copy_only=False)
     est = sk.estimate(terms)
@@ -11597,7 +11594,7 @@ def cms_term_bounds(sf_dir: str):
                       16 + (doc_id % 5) * 8 AS w,
                       16 + (doc_id % 3) * 8 AS h,
                       4 + (doc_id % 3) AS nf
-               FROM documents WHERE doc_id % 10 = 0)
+               FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)
     SELECT doc_id AS media_id,
            CAST(gs.i AS BIGINT) AS frame_idx,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -11628,8 +11625,13 @@ def media_frame_roundtrip(sf_dir: str):
             self.sampler = mm.FrameSampler(every=2)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            # null text emits no frames (text[:64] on None crashes; the
+            # oracle filters `text IS NOT NULL` to match)
             vid = t.filter(
-                pc.equal(_mod(t.column("doc_id"), 10), pa.scalar(0, pa.int64()))
+                pc.and_(
+                    pc.equal(_mod(t.column("doc_id"), 10), pa.scalar(0, pa.int64())),
+                    pc.is_valid(t.column("text")),
+                )
             )
             ids = vid.column("doc_id").to_pylist()
             seeds = {}

@@ -59,22 +59,11 @@ _MSG_SCHEMA = pa.schema([("key", pa.int64()), ("v", pa.int64()), ("w", pa.int64(
 
 
 def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
-    """Rebuild a MATERIALIZED dataset without its 0-row blocks.
+    """Shared empty-block scrub (stages/stabilize.py::drop_empty_blocks)
+    with this module's message schema as the all-empty fallback."""
+    from .stabilize import drop_empty_blocks
 
-    Ray 2.49 shuffle/map stages emit schemaless empty blocks that bypass
-    every downstream UDF and trip "new schema: ." warnings (or strict
-    consumers) in every later round; the filter is by block METADATA only —
-    an object-ref list rebuild, no block data moves (same trick as
-    stages/stabilize.py, minus the re-map the loop doesn't need)."""
-    refs = [
-        ref
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, meta in bundle.blocks
-        if meta.num_rows
-    ]
-    if not refs:
-        return rd.from_arrow(_MSG_SCHEMA.empty_table())
-    return rd.from_arrow_refs(refs)
+    return drop_empty_blocks(mat, empty_schema=_MSG_SCHEMA)
 
 
 def _numpy_cc(eu: np.ndarray, ev: np.ndarray) -> pa.Table:

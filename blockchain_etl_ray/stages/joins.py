@@ -26,6 +26,7 @@ import ray.data as rd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .stabilize import drop_empty_blocks as _drop_empty_blocks
 from .stabilize import pool_bounds
 
 
@@ -192,22 +193,6 @@ def asof_join(
     return left.map_batches(AsOf, batch_format="pyarrow", concurrency=pool_bounds())
 
 
-def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
-    """Materialize and rebuild the block list without zero-row blocks (the
-    ``stabilize`` pattern, schema-agnostic).  If every block is empty the
-    dataset is returned as-is so its schema (if any) survives."""
-    mat = ds.materialize()
-    pairs = [
-        (ref, meta)
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, meta in bundle.blocks
-    ]
-    live = [ref for ref, meta in pairs if meta.num_rows]
-    if not live or len(live) == len(pairs):
-        return mat
-    return rd.from_arrow_refs(live)
-
-
 def partitioned_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -237,10 +222,13 @@ def partitioned_join(
     # An ALL-EMPTY side crashes Ray's hash-shuffle aggregator outright (the
     # per-partition concat of zero received blocks is schemaless, so Acero
     # reports "No match ... for key field" — observed when a gate chain
-    # legitimately filters every row at sf0.1).  An empty inner join is a
-    # well-defined result: short-circuit to an empty dataset carrying the
-    # joined schema (left fields + non-key right fields).
-    if join_type == "inner" and (left.count() == 0 or right.count() == 0):
+    # legitimately filters every row at sf0.1).  Empty joins have
+    # well-defined results for the two join types used in this repo:
+    # inner (or any empty LEFT) → empty with the joined schema; left_outer
+    # with an empty RIGHT → every left row survives with null right columns.
+    if join_type in ("inner", "left_outer") and (
+        left.count() == 0 or right.count() == 0
+    ):
 
         def _arrow_schema(d: rd.Dataset) -> pa.Schema:
             for bundle in d.iter_internal_ref_bundles():
@@ -251,6 +239,14 @@ def partitioned_join(
         ls, rs = _arrow_schema(left), _arrow_schema(right)
         rkeys = set(right_on or on)
         extra = [f for f in rs if f.name not in rkeys and f.name not in ls.names]
+        if join_type == "left_outer" and left.count() > 0:
+            # empty right: left rows pass through with null right columns
+            def addnull(t: pa.Table) -> pa.Table:
+                for f in extra:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+                return t
+
+            return left.map_batches(addnull, batch_format="pyarrow")
         return rd.from_arrow(pa.schema(list(ls) + extra).empty_table())
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))

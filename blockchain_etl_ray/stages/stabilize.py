@@ -41,6 +41,32 @@ def pool_bounds(divisor: int = 4, cap: int = 8) -> tuple[int, int]:
     return (1, max(2, min(cap, cpus // divisor)))
 
 
+def drop_empty_blocks(
+    ds: rd.Dataset, empty_schema: pa.Schema | None = None
+) -> rd.Dataset:
+    """Materialize and rebuild the block list without 0-row blocks — a
+    metadata-only object-ref rebuild, no block data moves.  Ray 2.49
+    shuffle/map stages emit SCHEMALESS empty blocks that trip strict
+    consumers (Acero joins crash outright on them).  If every block is
+    empty: return one empty block of ``empty_schema`` when given, else the
+    materialized dataset unchanged (schema'd empties survive).  Shared by
+    ``stages/joins.py::partitioned_join`` and ``stages/cc.py``."""
+    mat = ds.materialize()
+    pairs = [
+        (ref, meta)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+    live = [ref for ref, meta in pairs if meta.num_rows]
+    if not live:
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        return mat
+    if len(live) == len(pairs):
+        return mat
+    return rd.from_arrow_refs(live)
+
+
 def stabilize(
     ds: rd.Dataset,
     fields: list[tuple[str, pa.DataType]] | pa.Schema,

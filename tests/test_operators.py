@@ -1859,3 +1859,51 @@ def test_ivfpq_recall_vs_bruteforce():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_partitioned_join_left_outer_empty_right_keeps_left():
+    """left_outer with an all-empty right side must pass every left row
+    through with null right columns (regression: substring_dup_stats on a
+    corpus with no duplicated windows crashed the hash-shuffle join)."""
+    from blockchain_etl_ray.stages.joins import partitioned_join
+
+    left = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                                   "n_windows": pa.array([5, 6, 7], pa.int64())}))
+    right = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "n_dup_windows": pa.array([], pa.int64())})
+    )
+    out = partitioned_join(left, right, on=("doc_id",),
+                           join_type="left_outer", num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    assert out["n_dup_windows"].isna().all()
+    # and an empty LEFT under left_outer yields an empty joined-schema result
+    out2 = partitioned_join(right.map_batches(
+        lambda t: t.rename_columns(["doc_id", "x"]), batch_format="pyarrow"),
+        left, on=("doc_id",), join_type="left_outer", num_partitions=2)
+    assert out2.count() == 0
+
+
+def test_cms_queries_survive_flat_term_distribution(tmp_path):
+    """A corpus where no term reaches the 1% threshold must yield EMPTY
+    results (matching the SQL oracle), not an ArrowInvalid from
+    concat_tables([]) (regression)."""
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    # 300 docs, every token unique -> max term share ~1/300 << 1%
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array([f"tok{i}a tok{i}b tok{i}c" for i in range(300)]),
+        }
+    )
+    sf = tmp_path / "flat"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    reg = registry()
+    for name in ["corpus_cms_term_counts", "cms_term_bounds"]:
+        fn, _ = reg[name]
+        out = fn(str(sf)).to_pandas()
+        assert len(out) == 0, (name, out)
