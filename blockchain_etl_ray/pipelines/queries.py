@@ -8778,14 +8778,49 @@ def hourly_gapfill_ffill(sf_dir: str):
     )
 
 
-@register("user_pagerank", None)
+def _pagerank_sql(n_iters: int = 20) -> str:
+    """The 20-iteration integer PageRank UNROLLED as chained CTEs — the
+    iterative fold becomes SQL-expressible because the engine's update rule
+    is pure BIGINT arithmetic (truncating division, fixed iterations), so
+    each rk CTE reproduces one engine iteration exactly.  Built
+    programmatically so the Ray rule and the SQL rule cannot drift."""
+    parts = [
+        """WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS src, CAST(event_id % 150 AS BIGINT) AS dst
+  FROM events WHERE event_type = 'purchase'),
+nodes AS (SELECT DISTINCT u FROM (SELECT src AS u FROM e UNION SELECT dst AS u FROM e)),
+par AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT nodes.u, COALESCE(d.cnt, 0) AS outdeg
+        FROM nodes LEFT JOIN (SELECT src AS u, COUNT(*) AS cnt FROM e GROUP BY src) d
+        ON d.u = nodes.u),
+r0 AS (SELECT u, (SELECT 1000000000000 // n FROM par) AS r FROM nodes)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT nodes.u,
+         (SELECT 15 * 1000000000000 // (100 * n) FROM par) + COALESCE(s.acc, 0) AS r
+  FROM nodes
+  LEFT JOIN (SELECT e.dst AS u, SUM(85 * (rp.r // dg.outdeg) // 100) AS acc
+             FROM e JOIN r{k-1} rp ON rp.u = e.src
+                    JOIN deg dg ON dg.u = e.src
+             GROUP BY e.dst) s ON s.u = nodes.u)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT u AS node, CAST(r AS BIGINT) AS rank_x1e12 FROM r{n_iters}"
+    )
+
+
+@register("user_pagerank", _pagerank_sql())
 def user_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the purchase flow graph (the same
-    synthetic user→user edges ``track_user_flows`` walks; rows-only — the
-    iterative fold is not SQL-expressible, pytest holds an exact serial
-    dict-reference oracle): no float anywhere, truncating integer division
-    and a fixed iteration count make the ranks a pure function of the edge
-    set — partition- and schedule-independent.  Per iteration the rank
+    synthetic user→user edges ``track_user_flows`` walks): no float
+    anywhere, truncating integer division and a fixed iteration count make
+    the ranks a pure function of the edge set — partition- and
+    schedule-independent, and therefore SQL-PAIRABLE despite being
+    iterative: the oracle unrolls the 20 iterations as chained CTEs
+    (``_pagerank_sql``) and matches BIT-EXACT.  Per iteration the rank
     table broadcasts once and each edge batch emits per-dst integer
     partials; the exchange is node-sized
     (``stages/cc.py::pagerank_ranks``)."""
