@@ -6063,18 +6063,55 @@ def customer_running_spend(sf_dir: str):
     )
 
 
-@register("purchase_graph_coreness", None)
+def _coreness_sql(n_iters: int = 48) -> str:
+    """The h-index coreness fixpoint UNROLLED as chained MATERIALIZED CTEs
+    (the ``_pagerank_sql`` trick for a MONOTONE fixpoint: estimates only
+    ever decrease and extra rounds are idempotent at the fixpoint, so any
+    unroll depth ≥ the convergence round count reproduces the fixpoint
+    exactly; 48 is far above the observed ≤15 on these graphs).  Per round:
+    each node's h-index over its neighbors' estimates via ROW_NUMBER DESC,
+    then LEAST with the previous estimate.  MATERIALIZED stops DuckDB from
+    inlining the chain exponentially."""
+    parts = [
+        """WITH raw AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS a, CAST(event_id % 150 AS BIGINT) AS b
+  FROM events WHERE event_type = 'purchase'),
+ded AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                     FROM raw WHERE a <> b),
+sym AS MATERIALIZED (SELECT u, v FROM ded UNION ALL SELECT v AS u, u AS v FROM ded),
+est0 AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS r FROM sym GROUP BY u)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""h{k} AS (
+  SELECT t.u, COALESCE(MAX(CASE WHEN t.rn <= t.nv THEN t.rn END), 0) AS h
+  FROM (SELECT sym.u, e.r AS nv,
+               ROW_NUMBER() OVER (PARTITION BY sym.u ORDER BY e.r DESC) AS rn
+        FROM sym JOIN est{k-1} e ON e.u = sym.v) t
+  GROUP BY t.u),
+est{k} AS MATERIALIZED (
+  SELECT e.u, LEAST(e.r, h.h) AS r FROM est{k-1} e JOIN h{k} h ON h.u = e.u)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT u AS node, CAST(r AS BIGINT) AS coreness FROM est{n_iters}"
+    )
+
+
+@register("purchase_graph_coreness", _coreness_sql())
 def purchase_graph_coreness(sf_dir: str):
     """K-core decomposition of the purchase-flow graph (same edges as
     ``user_pagerank`` / ``purchase_graph_triangles``): per-node coreness via
     the distributed h-index fixed point (Montresor et al., TPDS 2013) —
     estimates start at degree and contract monotonically to the true
     coreness, a pure function of the edge set (partition/schedule
-    independent), so the serial min-degree-peeling reference is an EXACT
-    pytest equality oracle (rows-only here: the iterative fixed point is
-    not SQL-expressible).  Each round is one edge-sized node-bucket
-    exchange + a vectorized grouped h-index; small graphs run the same
-    operator in one task (``stages/kcore.py``)."""
+    independent).  SQL-paired by UNROLLING the fixpoint
+    (``_coreness_sql`` — monotone + idempotent-at-fixpoint makes a fixed
+    over-deep unroll exact) and matches BIT-EXACT; the serial
+    min-degree-peeling pytest oracle stays as the independent second
+    check.  Each round is one edge-sized node-bucket exchange + a
+    vectorized grouped h-index; small graphs run the same operator in one
+    task (``stages/kcore.py``)."""
     from ..stages.kcore import coreness
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
