@@ -58,6 +58,20 @@ _EXPORTS = {
     "BM25Scorer": "stages.text",
     "quantize_int8_rows": "stages.ann",
     "dequantized_matrix": "stages.ann",
+    # round-4 components
+    "BlobStore": "sources.blobstore",
+    "BlobFetcher": "sources.blobstore",
+    "populate_blobstore": "sources.blobstore",
+    "WebhookReceiver": "pipelines.alerts",
+    "CsvDatasink": "sinks",
+    "JsonlDatasink": "sinks",
+    "ivfpq_topk": "stages.ann",
+    "ivf_topk": "stages.ann",
+    "brute_force_topk": "stages.ann",
+    "duplicate_line_digests": "stages.dedup",
+    "LineDeduper": "stages.dedup",
+    "pagerank_ranks": "stages.cc",
+    "coreness": "stages.kcore",
 }
 
 
