@@ -6063,7 +6063,13 @@ def customer_running_spend(sf_dir: str):
     )
 
 
-def _coreness_sql(n_iters: int = 48) -> str:
+#: one constant ties the SQL unroll depth to the engine's round cap: the
+#: engine raises on non-convergence within this many rounds (stages/kcore),
+#: so the unrolled oracle can never silently diverge from a slower graph.
+_CORENESS_UNROLL = 48
+
+
+def _coreness_sql(n_iters: int = _CORENESS_UNROLL) -> str:
     """The h-index coreness fixpoint UNROLLED as chained MATERIALIZED CTEs
     (the ``_pagerank_sql`` trick for a MONOTONE fixpoint: estimates only
     ever decrease and extra rounds are idempotent at the fixpoint, so any
@@ -6109,9 +6115,11 @@ def purchase_graph_coreness(sf_dir: str):
     (``_coreness_sql`` — monotone + idempotent-at-fixpoint makes a fixed
     over-deep unroll exact) and matches BIT-EXACT; the serial
     min-degree-peeling pytest oracle stays as the independent second
-    check.  Each round is one edge-sized node-bucket exchange + a
-    vectorized grouped h-index; small graphs run the same operator in one
-    task (``stages/kcore.py``)."""
+    check.  The engine cap and the unroll depth share ``_CORENESS_UNROLL``
+    — a graph needing more rounds raises instead of silently diverging
+    from the oracle.  Each round is one edge-sized node-bucket exchange +
+    a vectorized grouped h-index; small graphs run the same operator in
+    one task (``stages/kcore.py``)."""
     from ..stages.kcore import coreness
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
@@ -6125,7 +6133,10 @@ def purchase_graph_coreness(sf_dir: str):
             }
         )
 
-    out = coreness(ds.map_batches(prep, batch_format="pyarrow"))
+    out = coreness(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        max_rounds=_CORENESS_UNROLL,
+    )
     return _stable(
         out, [("node", pa.int64()), ("coreness", pa.int64())], num_blocks=1
     )

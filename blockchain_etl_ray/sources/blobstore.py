@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 from collections import OrderedDict
 
 import pyarrow as pa
@@ -111,13 +112,15 @@ class BlobFetcher:
         cache_items: int = 4096,
         strict: bool = False,
         attempts: int = 3,
+        retry_backoff_s: float = 0.05,
     ):
         self.store = BlobStore(root, algo=algo)
         self.address_col = address_col
         self.out_col = out_col
         self.strict = strict
         self.attempts = attempts
-        self.cache: OrderedDict[str, bytes | None] = OrderedDict()
+        self.retry_backoff_s = retry_backoff_s
+        self.cache: OrderedDict[str, bytes] = OrderedDict()
         self.cache_items = cache_items
         self.stats = {"fetches": 0, "cache_hits": 0, "misses": 0}
 
@@ -127,15 +130,24 @@ class BlobFetcher:
             self.stats["cache_hits"] += 1
             return self.cache[address]
         blob = None
-        for _ in range(self.attempts):
+        for i in range(self.attempts):
             blob = self.store.get(address)
             if blob is not None:
                 break
+            # Exponential backoff between probes makes the retry contract
+            # meaningful against a remote/racy store (without it the
+            # re-reads are back-to-back dead code); no sleep after the
+            # final attempt.
+            if i + 1 < self.attempts and self.retry_backoff_s > 0:
+                time.sleep(self.retry_backoff_s * (2**i))
         self.stats["fetches"] += 1
         if blob is None:
             self.stats["misses"] += 1
             if self.strict:
                 raise BlobNotFound(address)
+            # Do NOT cache the miss: a blob populated after this probe must
+            # be visible to later batches of this (long-lived) actor.
+            return None
         self.cache[address] = blob
         if len(self.cache) > self.cache_items:
             self.cache.popitem(last=False)

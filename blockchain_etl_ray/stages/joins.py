@@ -200,9 +200,16 @@ def partitioned_join(
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
     num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Large×large hash join: both sides shuffled on the key (use only when
     neither side fits a broadcast — every block moves).
+
+    ``left_schema``/``right_schema`` let a caller pin the expected Arrow
+    schema of a side for the EMPTY-side fallback below; without them the
+    fallback resolves the schema via ``Dataset.schema()`` (which unifies
+    across blocks) and then a block scan that skips schemaless empties.
 
     ``num_partitions`` defaults to half the cluster CPUs: Ray's hash-shuffle
     join schedules one aggregator actor per partition, and asking for more
@@ -230,14 +237,50 @@ def partitioned_join(
         left.count() == 0 or right.count() == 0
     ):
 
-        def _arrow_schema(d: rd.Dataset) -> pa.Schema:
+        def _arrow_schema(d: rd.Dataset, override: pa.Schema | None) -> pa.Schema:
+            if override is not None:
+                return override
+            # Dataset.schema() unifies across blocks when Ray can resolve it
+            # (it returns None for a fully-shuffled empty dataset in 2.49).
+            try:
+                s = d.schema(fetch_if_missing=True)
+            except Exception:
+                s = None
+            if s is not None:
+                base = getattr(s, "base_schema", None)
+                if isinstance(base, pa.Schema) and len(base) > 0:
+                    return base
+                if s.names:
+                    return pa.schema(
+                        [pa.field(n, t) for n, t in zip(s.names, s.types)]
+                    )
+            # Fall back to block scan, SKIPPING schemaless empties — a
+            # shuffle stage's empty blocks carry pa.schema([]) in Ray 2.49
+            # and taking the first raw block would adopt that.
             for bundle in d.iter_internal_ref_bundles():
                 for ref, _meta in bundle.blocks:
-                    return ray.get(ref).schema
+                    sch = ray.get(ref).schema
+                    if sch.names:
+                        return sch
             return pa.schema([])
 
-        ls, rs = _arrow_schema(left), _arrow_schema(right)
+        ls = _arrow_schema(left, left_schema)
+        rs = _arrow_schema(right, right_schema)
         rkeys = set(right_on or on)
+        colliding = [
+            f.name for f in rs if f.name not in rkeys and f.name in ls.names
+        ]
+        if colliding:
+            # Mirror Ray's join, which CRASHES on name-colliding non-key
+            # right columns when no suffixes are given (KeyError "Field ...
+            # exists 2 times in schema" from the hash-shuffle aggregator) —
+            # silently omitting them here would make the empty-side path
+            # diverge from the non-empty one.
+            raise ValueError(
+                "partitioned_join: non-key column(s) "
+                f"{colliding} exist on both sides; rename them before the "
+                "join (Ray's hash join also fails on this layout)"
+            )
         extra = [f for f in rs if f.name not in rkeys and f.name not in ls.names]
         if join_type == "left_outer" and left.count() > 0:
             # empty right: left rows pass through with null right columns

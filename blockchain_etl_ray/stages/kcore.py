@@ -90,6 +90,12 @@ def coreness(
     """Coreness of every node of the undirected simple graph spanned by the
     (possibly duplicated / self-looping) edge list.  Returns a Dataset of
     ``(node:int64, coreness:int64)``.
+
+    ``max_rounds`` caps BOTH the local and the distributed fixpoint and
+    raises loudly on non-convergence — a caller whose SQL oracle unrolls
+    the fixpoint to a fixed depth (``queries._coreness_sql``) passes that
+    same depth here, so a graph that needs more rounds FAILS instead of
+    silently diverging from the oracle.
     """
     import polars as pl
     import pyarrow.compute as pc
@@ -132,6 +138,7 @@ def coreness(
         est = coreness_local(
             full.column("u").to_numpy(zero_copy_only=False),
             full.column("v").to_numpy(zero_copy_only=False),
+            max_rounds=max_rounds,
         )
         nodes = sorted(est)
         return rd.from_arrow(

@@ -601,7 +601,14 @@ class CountMinSketch:
         return self
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        assert (self.depth, self.width) == (other.depth, other.width)
+        # ValueError, not assert: equal-size/different-config partials would
+        # merge silently under ``python -O`` (numpy only catches unequal
+        # widths), and a CMS merged across configs is garbage.
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError(
+                "CountMinSketch.merge: dimension mismatch "
+                f"{(self.depth, self.width)} vs {(other.depth, other.width)}"
+            )
         self.table += other.table
         self.total += other.total
         return self
@@ -628,11 +635,12 @@ class CountMinSketch:
         )
 
     @classmethod
-    def from_table(
-        cls, t: pa.Table, depth: int = 4, width: int = 2048
-    ) -> "CountMinSketch":
-        # An empty partial batch folds to an identity sketch (all-zero
-        # counters) rather than None, so merge chains never AttributeError.
+    def from_table(cls, t: pa.Table, depth: int, width: int) -> "CountMinSketch":
+        """Rehydrate + fold serialized partials.  ``depth``/``width`` are
+        REQUIRED (the caller's expected dims): an empty partial batch folds
+        to an identity sketch of exactly those dims (so merge chains never
+        AttributeError), and a non-empty batch whose rows carry different
+        dims raises instead of merging a mismatched sketch downstream."""
         out = None
         if t.num_rows == 0:
             return cls(depth, width)
@@ -643,6 +651,11 @@ class CountMinSketch:
             ).reshape(s.depth, s.width)
             s.total = int(t.column("total")[i].as_py())
             out = s if out is None else out.merge(s)
+        if (out.depth, out.width) != (depth, width):
+            raise ValueError(
+                "CountMinSketch.from_table: serialized dims "
+                f"{(out.depth, out.width)} != expected {(depth, width)}"
+            )
         return out
 
 

@@ -52,9 +52,28 @@ def test_distributed_populate_then_fetch_join(tmp_path):
     # the repeated alpha row rides the dictionary, not a second read
     assert f.stats["fetches"] == 3 and f.stats["misses"] == 1
 
-    # cross-batch LRU: same batch again is served from the actor cache
+    # cross-batch LRU: hits are served from the actor cache; the MISS is
+    # deliberately NOT cached (a blob populated later must become visible),
+    # so the unknown address is re-probed once per batch
     f(batch)
-    assert f.stats["fetches"] == 3 and f.stats["cache_hits"] == 3
+    assert f.stats["fetches"] == 4 and f.stats["cache_hits"] == 2
+
+
+def test_miss_is_not_negatively_cached(tmp_path):
+    """A blob populated AFTER a first failed probe is visible to the same
+    actor on the next batch (non-strict mode never caches misses)."""
+    root = str(tmp_path)
+    store = BlobStore(root, algo="md5")
+    import hashlib
+
+    addr = hashlib.md5(b"late").hexdigest()
+    f = BlobFetcher(root, algo="md5", attempts=1)
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "address": pa.array([addr])}
+    )
+    assert f(batch).column("blob_found").to_pylist() == [False]
+    store.put(b"late")
+    assert f(batch).column("blob").to_pylist() == [b"late"]
 
 
 def test_strict_mode_raises_after_attempts(tmp_path):

@@ -52,8 +52,21 @@ def test_weighted_add():
 
 def test_serialization_roundtrip():
     s = CountMinSketch(depth=3, width=64).add(_zipf_keys(n=500))
-    r = CountMinSketch.from_table(s.to_table())
+    r = CountMinSketch.from_table(s.to_table(), depth=3, width=64)
     assert (r.table == s.table).all() and r.total == s.total
+
+
+def test_merge_and_from_table_dim_mismatch_raise():
+    """Different-config partials must fail loudly (ValueError, not a
+    strippable assert) — a CMS merged across configs is garbage."""
+    import pytest as _pytest
+
+    a = CountMinSketch(depth=3, width=64)
+    b = CountMinSketch(depth=4, width=64)
+    with _pytest.raises(ValueError):
+        a.merge(b)
+    with _pytest.raises(ValueError):
+        CountMinSketch.from_table(b.to_table(), depth=3, width=64)
 
 
 def test_dataset_path_equals_serial(ray_session):

@@ -1884,6 +1884,44 @@ def test_partitioned_join_left_outer_empty_right_keeps_left():
     assert out2.count() == 0
 
 
+def test_partitioned_join_empty_schemaless_side_uses_explicit_schema():
+    """The empty-side fallback with a SCHEMALESS empty right (the Ray 2.49
+    shuffle-stage case: every block is pa.schema([])) must honor an
+    explicit ``right_schema`` so left_outer still appends the null right
+    columns instead of silently passing the left through unchanged."""
+    from blockchain_etl_ray.stages.joins import partitioned_join
+
+    left = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                   "v": pa.array([10, 20], pa.int64())}))
+    schemaless_empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64())})
+    ).map_batches(lambda t: pa.table({}), batch_format="pyarrow")
+    rs = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    out = partitioned_join(
+        left, schemaless_empty, on=("doc_id",), join_type="left_outer",
+        num_partitions=2, right_schema=rs,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+    assert "score" in out.columns and out["score"].isna().all()
+
+
+def test_partitioned_join_empty_side_collision_raises():
+    """Name-colliding non-key columns crash Ray's hash join when no
+    suffixes are given; the empty-side fallback must mirror that (raise),
+    not silently drop the right column."""
+    from blockchain_etl_ray.stages.joins import partitioned_join
+
+    left = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                   "v": pa.array([1], pa.int64())}))
+    empty_right = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        partitioned_join(left, empty_right, on=("doc_id",),
+                         join_type="left_outer", num_partitions=2)
+
+
 def test_cms_queries_survive_flat_term_distribution(tmp_path):
     """A corpus where no term reaches the 1% threshold must yield EMPTY
     results (matching the SQL oracle), not an ArrowInvalid from
