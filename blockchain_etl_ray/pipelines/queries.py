@@ -60,7 +60,13 @@ def _read(
     ``referential_integrity_report`` 15.6 s → 0.8 s,
     ``event_type_spearman`` 5.0 s → 1.1 s at sf0.01 from this default
     alone), while at 100 TB the same rule tracks the DATA, not the
-    driver's CPU count.  Callers pass ``num_blocks`` to override."""
+    driver's CPU count.  Callers pass ``num_blocks`` to override.
+
+    The LSH/jaccard/embedding family used to pin ``num_blocks=16`` here; a
+    round-5 A/B at sf0.1 (32 CPUs, idle box) measured the three headline
+    pairs queries at 8/16/32-way reads → 11.8 s / 13.7 s / 15.3 s total,
+    i.e. the size-targeted default (→ 8 at sf0.1) is ALSO the small-scale
+    optimum, so the whole catalog now rides this one rule."""
     if num_blocks is None:
         num_blocks = _blocks_for(sf_dir, table)
     return rd.read_parquet(
@@ -77,7 +83,7 @@ def _blocks_for(
     table: str,
     target_bytes: int = 4 << 20,
     lo: int = 8,
-    hi: int = 4096,
+    hi: int = 65536,
 ) -> int:
     """Block count targeting ~``target_bytes`` of COMPRESSED parquet per
     block.  Ray's default parallelism heuristic (≈2×CPUs) shreds a small
@@ -85,7 +91,10 @@ def _blocks_for(
     shuffle consuming them (measured on revenue_by_segment at sf0.1: 64
     auto-split blocks → 10.5 s vs 8 size-targeted blocks → 3.1 s); at 100 TB
     the same rule yields thousands of blocks — parallelism tracks data, not
-    the driver's CPU count."""
+    the driver's CPU count.  ``hi`` is a runaway backstop only (65536 blocks
+    ≈ 256 GB at the default target): past it block COUNT stops growing, so
+    it must sit far above any single-table size this engine will see in one
+    read — the old 4096 cap silently fattened blocks past ~16 GB/table."""
     import os as _os
 
     sz = _os.path.getsize(f"{sf_dir}/{table}.parquet")
@@ -1637,7 +1646,7 @@ def doc_substring_dup_stats(sf_dir: str):
     One hash-partition exchange (positions of a hash co-locate), doc-sized
     partials out; the oracle reproduces the rolling hash in HUGEINT and the
     duplication counts exactly (``stages/dedup.py::substring_dup_stats``)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.substring_dup_stats(ds, window=text.WINNOW_WINDOW)
 
 
@@ -1673,7 +1682,7 @@ def minhash_neardup_pairs(sf_dir: str):
     doc_id % 5 == 0 gets a perturbed copy (id + 1_000_000).  Probabilistic
     recall ⇒ rows-only here; pytest verifies precision (all reported pairs
     have true Jaccard ≥ τ) and planted-pair recall against brute force."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = _plant_copies(
         base, "doc_id", 5, 1_000_000,
         lambda t: t.set_column(
@@ -1690,7 +1699,7 @@ def shared_chunk_pairs_query(sf_dir: str):
     SQL-expressible): planted copies (doc_id % 7 == 0 duplicated at
     id + 2_000_000 with a prepended line) must share most chunks with their
     original; deterministic."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = _plant_copies(
         base, "doc_id", 7, 2_000_000,
         lambda t: t.set_column(
@@ -1741,7 +1750,7 @@ def token_jaccard_pairs_query(sf_dir: str):
 
     from ..stages.ssjoin import token_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return token_jaccard_pairs(ds, threshold=Fraction(1, 4))
 
 
@@ -1802,7 +1811,7 @@ def neardup_dedup_survivors(sf_dir: str):
     from ..stages.cc import neardup_survivors
     from ..stages.ssjoin import token_jaccard_pairs
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = token_jaccard_pairs(docs, threshold=Fraction(1, 4))
     ids = _read(sf_dir, "documents", ["doc_id"])
     return _stable(
@@ -1836,7 +1845,7 @@ def corpus_frequent_terms(sf_dir: str):
     from ..stages.sketch import frequent_terms
 
     return frequent_terms(
-        _read(sf_dir, "documents", ["text"], num_blocks=16), percent=1
+        _read(sf_dir, "documents", ["text"]), percent=1
     )
 
 
@@ -1917,7 +1926,7 @@ def corpus_prep_pipeline(sf_dir: str):
     from ..stages.sampling import assign_split
     from ..stages.ssjoin import token_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def quality_keep(t: pa.Table) -> pa.Table:
         txt = t.column("text")
@@ -2413,7 +2422,7 @@ def minhash_md5_neardup_pairs_query(sf_dir: str):
     pipeline — candidates included — not just the signature anchor
     (``minhash_md5_signatures``).  The production ``minhash_neardup_pairs``
     keeps the faster blake2b path with capped degenerate buckets."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = _plant_copies(
         base, "doc_id", _MD5_PAIRS_MOD, _MD5_PAIRS_OFFSET,
         lambda t: t.set_column(
@@ -2474,7 +2483,7 @@ def simhash_md5_neardup_pairs_query(sf_dir: str):
     verify (≤ 3) — the one-shuffle near-dup shape with every stage
     DuckDB-reproduced (the production ``simhash_neardup_pairs`` keeps the
     faster blake2b signatures and capped buckets)."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = _plant_copies(
         base, "doc_id", _SIM_PAIRS_MOD, _SIM_PAIRS_OFFSET,
         lambda t: t.set_column(
@@ -2501,7 +2510,7 @@ def simhash_neardup_pairs(sf_dir: str):
     no text access after signing).  Planted near-identical copies
     (doc_id % 11 == 0, one word changed, id + 3_000_000) must surface;
     deterministic, rows-only (probabilistic recall by design)."""
-    base = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
     # textbook composition: EXACT dedup first (collapses identical-template
     # clusters, which would otherwise dominate candidate volume), then
     # simhash near-dup over the survivors
@@ -2871,7 +2880,7 @@ def cosine_lsh_dup_pairs(sf_dir: str):
     the planted exact duplicates recall is certain and the brute-force SQL
     oracle matches exactly."""
     ds = _plant_copies(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=16),
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         "vec_id", 100, 1_000_000, lambda t: t,
     )
     return ann.cosine_neardup_pairs_lsh(ds, threshold=0.999999)
@@ -6825,7 +6834,7 @@ def corpus_inverted_index(sf_dir: str):
     exchange; posting lists assembled by a per-group numpy lexsort +
     run-detect (no per-term dispatch); SQL-exact including the posting-list
     contents (``stages/text.py::inverted_index``)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return text.inverted_index(ds)
 
 
@@ -10666,7 +10675,7 @@ def _cms_with_frequent_terms(sf_dir: str, depth: int = 4, width: int = 8192):
     from ..stages.sketch import cms_sketch, frequent_terms
     from ..stages.ssjoin import TOKEN_SPLIT_PATTERN
 
-    docs = _read(sf_dir, "documents", ["text"], num_blocks=16)
+    docs = _read(sf_dir, "documents", ["text"])
 
     def toks(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(

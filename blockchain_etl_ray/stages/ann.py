@@ -356,7 +356,29 @@ def ivfpq_topk(
             }
         )
 
-    partials = vectors.map_batches(partial, batch_format="pyarrow")
+    # Scrub 0-row blocks around the groupby (the cc.py idiom): a batch
+    # whose vectors all fall outside every probed list emits an empty
+    # partial, and Ray 2.49's shuffle turns those into SCHEMALESS blocks
+    # that downstream strict consumers warn on ("RefBundle with a
+    # different schema") or crash over (Acero joins).
+    from .stabilize import drop_empty_blocks
+
+    _PARTIAL_SCHEMA = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("ip_x1m_adc", pa.int64()),
+        ]
+    )
+    # Coalesce partials (≤ len(qids)·k rows per input block) to no more
+    # blocks than there are query groups: the groupby's range-sort emits
+    # one output partition per input block, and partitions holding no
+    # group surface as schemaless empties (the BENCH_r04 "RefBundle with
+    # a different schema" warning).
+    partials = drop_empty_blocks(
+        vectors.map_batches(partial, batch_format="pyarrow"),
+        empty_schema=_PARTIAL_SCHEMA,
+    ).repartition(max(1, min(len(qids), 16)))
 
     def global_topk(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -370,7 +392,10 @@ def ivfpq_topk(
             "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
         )
 
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+    return drop_empty_blocks(
+        partials.groupby("query_id").map_groups(global_topk, batch_format="pyarrow"),
+        empty_schema=_PARTIAL_SCHEMA.append(pa.field("rank", pa.int64())),
+    )
 
 
 def build_ivf_index(
