@@ -11867,9 +11867,7 @@ _DRIVER_ORDER = [
     "cdc_ordinal_window",
     "cdc_change_feed",
     "cdc_multi_repo_heads",
-    "cdc_multi_path_heads",
     "cdc_multi_lang_stats",
-    "cdc_multi_commit_log",
     "cdc_nested_spans",
     "cdc_repo_touch",
     "cdc_repo_stats",
@@ -11877,7 +11875,6 @@ _DRIVER_ORDER = [
     "cdc_scd2_history",
     "cdc_point_in_time_join",
     "cdc_join_view",
-    "cdc_top_repos_by_bytes",
     "receipts_consistency_fill",
     "trace_export_synthetic",
     "balances_at_height",
@@ -11891,17 +11888,25 @@ _DRIVER_ORDER = [
     "event_type_stats",
     "user_value_flows",
     "doc_token_stats",
-    "doc_stopword_profile",
-    "event_type_sliding_hourly",
+    # --- round-4/5 flagships rotated INTO the window (round-5 verdict
+    # --- item 2): the driver had never hash-checked the blob fetch-and-
+    # --- join, the sketch tolerance contracts, or the two iterative
+    # --- graph fixpoints; six redundant near-variants moved just past
+    # --- the boundary (still sweep-verified every round) ---
+    "blob_fetch_join",
+    "approx_distinct_tolerance",
+    "cms_term_bounds",
+    "quantile_sketch_tolerance",
+    "user_pagerank",
+    "purchase_graph_coreness",
     # --- one representative per remaining operator family (the window is
-    # --- 50 entries: CDC core 0-20, repaired aggregates 21-28, then exactly
+    # --- 50 entries: CDC core + repaired aggregates + r4 flagships, then
     # --- one ambassador per family so no family loses driver evidence) ---
     "enrich_orders_customer",
     "missing_user_ids",
     "rank_orders_within_customer",
     "latest_event_per_user",
     "rule_filter_events",
-    "rule_filter_regex_events",
     "ann_topk_cosine",
     "purchase_last_click_asof",
     "vsum_by_event_type",
@@ -11918,6 +11923,12 @@ _DRIVER_ORDER = [
     "event_value_percentiles",
     # ---- entries below sit past the driver's 50-query window; all remain
     # ---- verified by tools/oracle_sweep.py (SQL-paired) and pytest.
+    "cdc_multi_path_heads",
+    "cdc_multi_commit_log",
+    "cdc_top_repos_by_bytes",
+    "doc_stopword_profile",
+    "event_type_sliding_hourly",
+    "rule_filter_regex_events",
     "nation_region_counts",
     "rule_filter_udf_docs",
     "peak_concurrent_events",
