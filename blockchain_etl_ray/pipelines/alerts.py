@@ -9,9 +9,12 @@ Ray-Data-first: each rule is a compiled vectorized predicate
 (functions/rules.py); ONE pass of ``map_batches`` evaluates ALL rules per
 batch and emits (rule, matched-row) pairs; receivers consume the matched
 stream via ``iter_batches`` on the driver (network sinks don't belong in
-tasks).  Receivers are registered by name — the dynamic-import analog — and
-external ones (slack/pagerduty) are stubbed behind a named error since the
-sandbox has no network.
+tasks).  Receivers are registered by name — the dynamic-import analog.
+SaaS receivers (slack/pagerduty/wechat) are FORMAT-ONLY subclasses of the
+generic :class:`WebhookReceiver`: they build the vendor payload shape and
+inherit the shared POST/retry transport, so every one of them is testable
+against an in-process HTTP server in this sandbox and works against the
+real endpoint in a networked deployment.
 """
 
 from __future__ import annotations
@@ -131,23 +134,153 @@ class WebhookReceiver(Receiver):
                 raise OSError(f"webhook 5xx: {e.code}") from e
             raise
 
+    def _payload(self, rule_name: str, rows: list[dict]) -> dict:
+        """Build the JSON body for one delivery.  Vendor receivers below
+        override ONLY this — the transport (retry policy, 4xx/5xx split,
+        timeout) is shared."""
+        return {"rule": rule_name, "alerts": rows}
+
     def receive(self, rule_name, rows):
         from ..functions.retry import execute_with_retries
 
         payload = json.dumps(
-            {"rule": rule_name, "alerts": rows}, default=str
+            self._payload(rule_name, rows), default=str
         ).encode("utf-8")
         execute_with_retries(lambda: self._post(payload), self.policy)
         self.delivered += 1
 
 
 @register_receiver("slack")
-class SlackReceiver(Receiver):
-    def __init__(self, *a, **kw):
-        raise NotImplementedError(
-            "slack receiver needs network access, unavailable in this sandbox; "
-            "use the generic 'webhook' receiver pointed at the Slack webhook URL"
+class SlackReceiver(WebhookReceiver):
+    """Slack incoming-webhook formatter over the generic transport: the
+    vendor-specific part is ONLY the payload shape (``username`` /
+    ``channel`` / ``icon_*`` overrides plus one ``attachments`` entry whose
+    fields carry the rendered rows — the public incoming-webhook schema;
+    reference analog ``blockchainetl/alert/receivers/slack_receiver.py``).
+    Delivery, retries and error classes are inherited from
+    :class:`WebhookReceiver`, so the formatter is fully testable against an
+    in-process HTTP server — point ``url`` at a real Slack webhook in a
+    networked deployment."""
+
+    def __init__(
+        self,
+        url: str,
+        username: str | None = None,
+        channel: str | None = None,
+        icon_emoji: str = ":robot_face:",
+        icon_url: str | None = None,
+        color: str = "warning",
+        **transport,
+    ):
+        super().__init__(url, **transport)
+        self.username = username
+        self.channel = channel
+        self.icon_emoji = icon_emoji
+        self.icon_url = icon_url
+        self.color = color
+
+    def _payload(self, rule_name, rows):
+        payload: dict = {}
+        if self.username:
+            payload["username"] = self.username
+        if self.channel:
+            payload["channel"] = self.channel
+        if self.icon_url:
+            payload["icon_url"] = self.icon_url
+        elif self.icon_emoji:
+            payload["icon_emoji"] = self.icon_emoji
+        pretext = f"Rule: `{rule_name}` ({len(rows)} match(es))"
+        lines = [
+            " ".join(f"{k}: `{v}`" for k, v in row.items()) for row in rows
+        ]
+        payload["attachments"] = [
+            {
+                "color": self.color,
+                "pretext": pretext,
+                "fallback": pretext,
+                "fields": [
+                    {
+                        "title": "Alerts",
+                        "value": "\n".join(lines),
+                        "short": False,
+                    }
+                ],
+            }
+        ]
+        return payload
+
+
+@register_receiver("pagerduty")
+class PagerDutyReceiver(WebhookReceiver):
+    """PagerDuty Events-API-v2 formatter over the generic transport: one
+    ``trigger`` event per delivery with the matched rows as
+    ``custom_details`` (the public events-v2 schema).  ``url`` defaults to
+    the public enqueue endpoint but is injectable so the formatter is
+    testable against an in-process server."""
+
+    def __init__(
+        self,
+        routing_key: str,
+        url: str = "https://events.pagerduty.com/v2/enqueue",
+        severity: str = "warning",
+        source: str = "blockchain-etl-ray",
+        **transport,
+    ):
+        super().__init__(url, **transport)
+        self.routing_key = routing_key
+        self.severity = severity
+        self.source = source
+
+    def _payload(self, rule_name, rows):
+        return {
+            "routing_key": self.routing_key,
+            "event_action": "trigger",
+            "dedup_key": f"rule:{rule_name}",
+            "payload": {
+                "summary": f"{rule_name}: {len(rows)} alert(s)",
+                "severity": self.severity,
+                "source": self.source,
+                "custom_details": {"alerts": rows},
+            },
+        }
+
+
+@register_receiver("wechat")
+class WechatReceiver(WebhookReceiver):
+    """WeChat-Work bot formatter over the generic transport: markdown
+    message body, bot key appended as the ``?key=`` query parameter
+    (reference analog ``blockchainetl/alert/receivers/wechat_receiver.py``
+    — payload construction only; delivery is the shared transport)."""
+
+    _TITLE_COLORS = {"green": "info", "gray": "comment", "red": "warning"}
+
+    def __init__(
+        self,
+        webhook: str,
+        token: str,
+        title: str = "alerts",
+        title_color: str = "green",
+        **transport,
+    ):
+        super().__init__(f"{webhook}?key={token}", **transport)
+        self.title = title
+        self.title_color = self._TITLE_COLORS.get(title_color, "black")
+
+    def _payload(self, rule_name, rows):
+        lines = [
+            "> " + " ".join(f"{k}: `{v}`" for k, v in row.items())
+            for row in rows
+        ]
+        body = "\n".join(lines)
+        content = (
+            f'# <font color="{self.title_color}">{self.title}</font>\n\n'
+            f"## Rule: `{rule_name}`\n\n{body}\n"
         )
+        return {
+            "msgtype": "markdown",
+            "markdown": {"content": content},
+            "mentioned_list": [],
+        }
 
 
 @dataclass

@@ -41,10 +41,12 @@ def test_alert_set_counts_match_manual_filters(tmp_path):
     assert len(matched) == exp_big + exp_err
 
 
-def test_unknown_receiver_and_stubbed_slack():
+def test_unknown_receiver_raises():
     with pytest.raises(KeyError, match="unknown receiver"):
         AlertSet([Alert("a", "value > 1", receivers=["nope"])])
-    with pytest.raises(NotImplementedError, match="network"):
+    # vendor receivers are real now, but still refuse to build without
+    # their delivery target
+    with pytest.raises(TypeError):
         AlertSet([Alert("a", "value > 1", receivers=["slack"])])
 
 
@@ -189,5 +191,89 @@ def test_webhook_receiver_4xx_is_not_retried():
         with pytest.raises(urllib.error.HTTPError):
             r.receive("x", [{"a": 1}])
         assert srv.n == 1  # exactly one attempt, no retries on 4xx
+    finally:
+        srv.close()
+
+
+def test_vendor_receivers_format_and_deliver(tmp_path):
+    """Slack / PagerDuty / WeChat receivers are format-only subclasses of
+    the generic webhook transport: each builds its vendor payload shape
+    and POSTs it through the shared retry path (verified against the
+    in-process server, including one transient 503)."""
+    from blockchain_etl_ray.pipelines.alerts import (
+        PagerDutyReceiver,
+        SlackReceiver,
+        WechatReceiver,
+    )
+
+    rows = [{"user_id": 7, "value": 99.5}, {"user_id": 8, "value": 12.0}]
+
+    srv = _WebhookServer(fail_first=1)
+    try:
+        slack = SlackReceiver(
+            srv.url, username="etl-bot", channel="#alerts", backoff_seconds=0.01
+        )
+        slack.receive("big_purchase", rows)
+        p = srv.posts[-1]
+        assert p["username"] == "etl-bot" and p["channel"] == "#alerts"
+        att = p["attachments"][0]
+        assert "big_purchase" in att["pretext"] and att["fallback"] == att["pretext"]
+        assert "user_id: `7`" in att["fields"][0]["value"]
+        assert slack.delivered == 1  # through the transient 503
+    finally:
+        srv.close()
+
+    srv = _WebhookServer()
+    try:
+        pd_ = PagerDutyReceiver(routing_key="rk-123", url=srv.url)
+        pd_.receive("errors", rows)
+        p = srv.posts[-1]
+        assert p["routing_key"] == "rk-123"
+        assert p["event_action"] == "trigger"
+        assert p["payload"]["summary"].startswith("errors: 2")
+        assert p["payload"]["custom_details"]["alerts"] == [
+            {"user_id": 7, "value": 99.5},
+            {"user_id": 8, "value": 12.0},
+        ]
+    finally:
+        srv.close()
+
+    srv = _WebhookServer()
+    try:
+        wc = WechatReceiver(webhook=srv.url, token="tok42", title="cdc alerts")
+        assert wc.url.endswith("?key=tok42")
+        wc.receive("deletes", rows)
+        p = srv.posts[-1]
+        assert p["msgtype"] == "markdown"
+        assert "deletes" in p["markdown"]["content"]
+        assert "user_id: `8`" in p["markdown"]["content"]
+    finally:
+        srv.close()
+
+
+def test_vendor_receiver_wired_through_yaml(tmp_path):
+    """A YAML rule set can name the slack receiver directly and deliver
+    through it (the reference's receivers: {name: {receiver: slack, ...}}
+    wiring)."""
+    srv = _WebhookServer()
+    try:
+        conf = tmp_path / "rules.yaml"
+        conf.write_text(
+            f"""
+receivers:
+  team: {{receiver: slack, init_args: {{url: "{srv.url}", username: bot,
+          backoff_seconds: 0.01}}}}
+rules:
+  - name: errors
+    rule: "event_type == 'error'"
+    receivers: [team]
+"""
+        )
+        aset = AlertSet.from_yaml(str(conf))
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        counts = aset.run(ds)
+        assert counts["errors"] > 0
+        assert len(srv.posts) == aset.receiver("team").delivered > 0
+        assert all(p["username"] == "bot" for p in srv.posts)
     finally:
         srv.close()
