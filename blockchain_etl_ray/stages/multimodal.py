@@ -9,11 +9,14 @@ Design (the part that matters at 100 TB — and what the tests cover):
   ``ethereumetl/service/eth_token_service.py:44-130`` analog);
 - batches stay small for wide binary rows (callers pass ``batch_size``;
   blocks of ~100 MiB of media would otherwise pin workers);
-- stages degrade explicitly: real codecs (PIL / ffmpeg / torchaudio) are NOT
-  in this container, so each actor takes ``codec="synthetic"`` — a
-  deterministic stand-in documented below — and raises ``NotImplementedError``
-  naming the missing dependency when asked for a real codec.  The Ray-side
-  plumbing (schemas, actor signatures, batch shapes, output layout) is real.
+- stages degrade explicitly: the default ``codec="synthetic"`` decodes the
+  deterministic stand-in below; ``codec="jpeg-header"`` parses REAL JPEG
+  marker segments for dimensions with pure stdlib (always available);
+  ``codec="jpeg"`` does full pixel decode/resize through the OPTIONAL PIL
+  dependency and raises a named ``NotImplementedError`` when PIL is absent
+  (ffmpeg/torchaudio paths remain named stubs).  The Ray-side plumbing
+  (schemas, actor signatures, batch shapes, output layout) is identical
+  across codecs.
 
 Synthetic codec format (deterministic, self-describing):
   image:  b"IMG1" + uint16 width + uint16 height + width*height payload bytes
@@ -74,18 +77,74 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px
 
 
+JPEG_SOI = b"\xff\xd8"
+
+
+def jpeg_dimensions(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) of a REAL JPEG from its marker
+    segments — pure stdlib, no codec: walk SOI → table/APPn segments to
+    the first SOFn frame header (ITU-T T.81 §B.2.2 layout: marker, length,
+    precision byte, Y lines, X samples, Nf components).  This is the
+    always-available half of the real-JPEG path: inventory/validation
+    without pixel decode; full decode needs PIL (``codec="jpeg"``)."""
+    if buf[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    i, n = 2, len(buf)
+    while i + 4 <= n:
+        if buf[i] != 0xFF:
+            raise ValueError(f"JPEG marker misalignment at offset {i}")
+        marker = buf[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: no body
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+        # SOFn = C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(buf[i + 5 : i + 7], "big")
+            width = int.from_bytes(buf[i + 7 : i + 9], "big")
+            return width, height, buf[i + 9]
+        i += 2 + seglen
+    raise ValueError("no SOFn frame header found in JPEG stream")
+
+
+def _import_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise NotImplementedError(
+            "codec 'jpeg': full pixel decode needs the optional PIL "
+            "dependency (pure-local, no network), not installed in this "
+            "environment; use codec='jpeg-header' for dimensions-only or "
+            "codec='synthetic' for the deterministic stand-in"
+        ) from e
+
+
 class ImageDecoder:
     """Actor stage: payload → (width, height, mean_luma, phash64).
 
-    ``codec="synthetic"`` decodes the deterministic stand-in; ``codec="pil"``
-    would decode real images — unavailable in this container."""
+    Codecs (resolved ONCE per actor in ``__init__`` — the actor-pool
+    pattern):
+    - ``"synthetic"``: the deterministic stand-in format above;
+    - ``"jpeg"``: REAL baseline JPEG via the optional PIL dependency
+      (grayscale-converted pixels feed the same luma/phash kernels);
+      raises the named error when PIL is absent;
+    - ``"jpeg-header"``: real JPEG, dimensions only (pure stdlib marker
+      walk — always available); ``mean_luma``/``phash64`` are null."""
 
     def __init__(self, codec: str = "synthetic"):
-        if codec != "synthetic":
+        if codec not in ("synthetic", "jpeg", "jpeg-header"):
             raise NotImplementedError(
-                f"codec {codec!r}: real image decoding needs PIL/opencv, "
-                "not installed in this environment"
+                f"codec {codec!r}: real image decoding beyond JPEG needs "
+                "PIL/opencv, not installed in this environment"
             )
+        self.pil = _import_pil() if codec == "jpeg" else None
         self.codec = codec
 
     @staticmethod
@@ -97,14 +156,26 @@ class ImageDecoder:
         bits = (small > small.mean()).astype(np.uint64).reshape(-1)
         return int(bits @ (1 << np.arange(64, dtype=np.uint64)))
 
+    def _pixels(self, payload: bytes) -> tuple[int, int, np.ndarray | None]:
+        if self.codec == "synthetic":
+            return _decode_image(payload)
+        if self.codec == "jpeg-header":
+            w, h, _nf = jpeg_dimensions(payload)
+            return w, h, None
+        import io
+
+        img = self.pil.open(io.BytesIO(payload)).convert("L")
+        px = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, px
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, lumas, phashes = [], [], [], []
         for payload in batch.column("payload").to_pylist():
-            w, h, px = _decode_image(payload)
+            w, h, px = self._pixels(payload)
             widths.append(w)
             heights.append(h)
-            lumas.append(int(px.mean().round()))
-            phashes.append(self._phash(px) - (1 << 63))
+            lumas.append(None if px is None else int(px.mean().round()))
+            phashes.append(None if px is None else self._phash(px) - (1 << 63))
         return (
             batch.drop_columns(["payload"])
             .append_column("width", pa.array(widths, type=pa.int32()))
@@ -120,24 +191,34 @@ class ImageResizer:
     stage composes with further media stages."""
 
     def __init__(self, target: tuple[int, int] = (8, 8), codec: str = "synthetic"):
-        if codec != "synthetic":
+        if codec not in ("synthetic", "jpeg"):
             raise NotImplementedError(
                 f"codec {codec!r}: real resizing needs PIL/opencv"
             )
+        self.pil = _import_pil() if codec == "jpeg" else None
+        self.codec = codec
         self.tw, self.th = target
 
+    def _resize(self, payload: bytes) -> bytes:
+        if self.codec == "jpeg":
+            import io
+
+            img = self.pil.open(io.BytesIO(payload))
+            buf = io.BytesIO()
+            img.resize((self.tw, self.th)).save(buf, format="JPEG")
+            return buf.getvalue()
+        w, h, px = _decode_image(payload)
+        yi = (np.arange(self.th) * h // self.th)[:, None]
+        xi = (np.arange(self.tw) * w // self.tw)[None, :]
+        small = px[yi, xi]
+        return (
+            IMAGE_MAGIC
+            + struct.pack("<HH", self.tw, self.th)
+            + small.astype(np.uint8).tobytes()
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for payload in batch.column("payload").to_pylist():
-            w, h, px = _decode_image(payload)
-            yi = (np.arange(self.th) * h // self.th)[:, None]
-            xi = (np.arange(self.tw) * w // self.tw)[None, :]
-            small = px[yi, xi]
-            out.append(
-                IMAGE_MAGIC
-                + struct.pack("<HH", self.tw, self.th)
-                + small.astype(np.uint8).tobytes()
-            )
+        out = [self._resize(p) for p in batch.column("payload").to_pylist()]
         idx = batch.schema.get_field_index("payload")
         return batch.set_column(idx, "payload", pa.array(out, type=pa.large_binary()))
 

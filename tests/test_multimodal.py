@@ -71,3 +71,129 @@ def test_real_codecs_fail_loudly():
         mm.ImageDecoder(codec="pil")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         mm.FrameSampler(codec="ffmpeg")
+
+
+def _minimal_jpeg_bytes(width: int, height: int, n_comp: int = 3) -> bytes:
+    """Hand-built syntactically valid JPEG prefix: SOI, APP0 (JFIF), DQT,
+    SOF0 with the given frame dims, EOI.  Enough for any marker-segment
+    parser; no entropy-coded data (we never pixel-decode it)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(n_comp)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * n_comp)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + bytes([n_comp])
+        + comps
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_dimensions_pure_parser():
+    """Real-JPEG marker walk finds SOF0 dims without any codec."""
+    buf = _minimal_jpeg_bytes(640, 480)
+    assert mm.jpeg_dimensions(buf) == (640, 480, 3)
+    gray = _minimal_jpeg_bytes(31, 17, n_comp=1)
+    assert mm.jpeg_dimensions(gray) == (31, 17, 1)
+    with pytest.raises(ValueError, match="SOI"):
+        mm.jpeg_dimensions(b"not a jpeg")
+    with pytest.raises(ValueError, match="SOFn"):
+        mm.jpeg_dimensions(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_header_codec_actor_stage():
+    """ImageDecoder(codec='jpeg-header') inventories REAL JPEG payloads
+    (dims from the marker walk, luma/phash null) through the same
+    actor-pool plumbing as the synthetic codec."""
+    payloads = [_minimal_jpeg_bytes(64, 32), _minimal_jpeg_bytes(100, 7, 1)]
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "image"]),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.ImageDecoder,
+            fn_constructor_kwargs={"codec": "jpeg-header"},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert out["width"].tolist() == [64, 100]
+    assert out["height"].tolist() == [32, 7]
+    assert out["mean_luma"].isna().all() and out["phash64"].isna().all()
+
+
+def test_jpeg_full_decode_roundtrip_with_pil():
+    """Full-pixel path (optional PIL): generate a REAL JPEG, decode it
+    through ImageDecoder(codec='jpeg'), resize through
+    ImageResizer(codec='jpeg'), and re-parse the re-encoded bytes with the
+    pure header walk — the two real-JPEG paths must agree."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    px = (np.arange(48 * 32, dtype=np.uint8).reshape(32, 48) * 5) % 251
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="JPEG")
+    payload = buf.getvalue()
+    assert mm.jpeg_dimensions(payload)[:2] == (48, 32)
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([payload], pa.large_binary()),
+        }
+    )
+    dec = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.ImageDecoder,
+            fn_constructor_kwargs={"codec": "jpeg"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert dec["width"].tolist() == [48] and dec["height"].tolist() == [32]
+    assert abs(dec["mean_luma"][0] - px.mean()) < 3  # JPEG is lossy
+
+    resized = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.ImageResizer,
+            fn_constructor_kwargs={"codec": "jpeg", "target": (16, 8)},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert mm.jpeg_dimensions(resized["payload"][0])[:2] == (16, 8)
+
+
+def test_jpeg_full_decode_without_pil_raises():
+    """When PIL is absent the full-pixel codec refuses with a NAMED error
+    (the header-only codec stays available)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed here; absent-dependency branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.ImageDecoder(codec="jpeg")
+    mm.ImageDecoder(codec="jpeg-header")  # always available
