@@ -1,0 +1,127 @@
+"""Jobs-API submission evidence (north-rule `ray job submit` claim).
+
+The sandbox ships ``ray[data]`` without ``ray[default]``'s aiohttp, so the
+dashboard HTTP endpoint the ``ray job submit`` CLI talks to cannot start
+here.  Everything BEHIND that endpoint is present, and this test drives it
+directly: ``JobManager`` (the server-side component the HTTP handler calls)
+submits an entrypoint with a REAL packaged ``working_dir`` runtime_env —
+``get_uri_for_directory`` → ``upload_package_if_needed`` → ``gcs://`` URI,
+exactly what the CLI client does — onto a two-raylet cluster, where the
+job supervisor actor downloads the package, runs the driver, and the
+replayed state is verified from the outside.
+
+Runs in a subprocess so the cluster lifecycle never touches the pytest
+session's Ray (same pattern as tests/test_two_node.py)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_DRIVER = textwrap.dedent(
+    """
+    import asyncio, os, sys, time
+    os.environ.pop("RAY_ADDRESS", None)
+    import ray
+    from ray.cluster_utils import Cluster
+
+    scratch, repo = sys.argv[1], sys.argv[2]
+
+    # the job's own driver script, shipped via the PACKAGED working_dir
+    workdir = os.path.join(scratch, "jobpkg")
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "job_entry.py"), "w") as f:
+        f.write(
+            'import os, sys\\n'
+            'import ray\\n'
+            'ray.init(address="auto", logging_level="ERROR")\\n'
+            'from ray.data import DataContext\\n'
+            'DataContext.get_current().enable_progress_bars = False\\n'
+            'from blockchain_etl_ray.fixtures.synth import write_corpus\\n'
+            'from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine\\n'
+            'scratch = sys.argv[1]\\n'
+            'events = os.path.join(scratch, "events")\\n'
+            'write_corpus(events, n_events=6000, seed=23, n_epochs=6)\\n'
+            'eng = ReplayEngine(os.path.join(scratch, "state"),\\n'
+            '                   ReplayConfig(num_partitions=4, epoch_batch_size=3))\\n'
+            'stats = eng.replay(events)\\n'
+            'assert eng.gaps(events) == []\\n'
+            'print("JOB_ROWS", eng.read_state().count(), flush=True)\\n'
+        )
+
+    cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+    cluster.add_node(num_cpus=2)
+    ray.init(address=cluster.address, logging_level="ERROR")
+
+    # client-side packaging: the same call the `ray job submit` CLI path
+    # makes — zips the working_dir, uploads it to the GCS package store,
+    # and rewrites the runtime_env to the gcs:// URI
+    from ray._private.runtime_env.working_dir import upload_working_dir_if_needed
+    packed = upload_working_dir_if_needed({"working_dir": workdir}, scratch)
+    pkg_uri = packed["working_dir"]
+    assert pkg_uri.startswith("gcs://"), pkg_uri
+
+    from ray.dashboard.modules.job.job_manager import JobManager
+    gcs = ray._private.worker.global_worker.gcs_client
+    logs_dir = os.path.join(scratch, "job_logs")
+    os.makedirs(logs_dir, exist_ok=True)
+    jm = JobManager(gcs, logs_dir)
+
+    async def run():
+        sid = await jm.submit_job(
+            entrypoint=f"python job_entry.py {scratch}",
+            runtime_env={
+                "working_dir": pkg_uri,
+                "env_vars": {"PYTHONPATH": repo},
+            },
+            metadata={"pipeline": "cdc_replay"},
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            status = await jm.get_job_status(sid)
+            if status.is_terminal():
+                return sid, status
+            await asyncio.sleep(1.0)
+        return sid, None
+
+    sid, status = asyncio.get_event_loop().run_until_complete(run())
+    logs = jm.get_job_logs(sid)
+    assert status is not None and str(status) == "SUCCEEDED", (status, logs)
+    assert "JOB_ROWS" in logs, logs
+
+    # verify the job's replayed state from OUTSIDE the job
+    from blockchain_etl_ray.fixtures.oracle import fold_events, live_rows
+    from blockchain_etl_ray.pipelines.replay import ReplayConfig, ReplayEngine
+    import pandas as pd
+    events = os.path.join(scratch, "events")
+    eng = ReplayEngine(os.path.join(scratch, "state"),
+                       ReplayConfig(num_partitions=4, epoch_batch_size=3))
+    state = (eng.read_state().to_pandas()
+             .sort_values(["repo", "path"]).reset_index(drop=True))
+    oracle = (pd.DataFrame(live_rows(fold_events(events)))
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(state) == len(oracle) > 0
+    assert state["content_sha256"].tolist() == oracle["content_sha256"].tolist()
+    print("JOB_SUBMIT_OK", len(state))
+    ray.shutdown()
+    cluster.shutdown()
+    """
+)
+
+
+@pytest.mark.slow
+def test_job_manager_submission_packaged_workdir(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _DRIVER, str(tmp_path), repo],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "JOB_SUBMIT_OK" in out.stdout
