@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Ray-only timing sweep of the full query catalog at an arbitrary sf_dir
+(no DuckDB side — use tools/oracle_sweep.py for correctness).  Built for
+the sf1 constant-hygiene pass: run against tools/scale_testdata.py output
+and diff per-query times against an sf0.1 run to spot pipelines whose
+tuning constants (bucket counts, broadcast limits, pool caps) stop
+scaling.
+
+Usage:
+    python tools/bench_catalog.py [SF_DIR] [--only name1,name2]
+Prints one JSON line {"sf_dir": ..., "times": {...}, "rows": {...},
+"errors": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import ray
+    import ray.data as rd
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from blockchain_etl_ray.pipelines.queries import registry
+
+    times, rows, errors = {}, {}, {}
+    for name, (fn, _sql) in sorted(registry().items()):
+        if only is not None and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            n = res.count() if isinstance(res, rd.Dataset) else len(res)
+            rows[name] = int(n)
+            times[name] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001 - survey sweep, record and move on
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            times[name] = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "times": times, "rows": rows, "errors": errors}
+        )
+    )
+    ray.shutdown()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

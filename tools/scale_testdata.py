@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Deterministic N× scale-up of the driver's sf0.1 tables for LOCAL
+capacity/constant-hygiene benching (never for correctness — the DuckDB
+oracles pair with the driver's own tables).
+
+Each replica r ∈ [0, N) shifts every key column past the base range so
+entity CARDINALITY scales with the data (10× docs, users, orders — not 10
+copies of the same key, which would distort group sizes and pair joins);
+foreign keys get the same shift so join fan-outs stay realistic.  Document
+texts get a per-replica shard token appended so exact-dup clusters keep
+their sf0.1 structure instead of every doc gaining N−1 perfect clones.
+region/nation stay fixed (dimension tables).
+
+Usage:
+    python tools/scale_testdata.py [FACTOR] [OUT_DIR] [SRC_DIR]
+Defaults: 10 /tmp/graft_sf1 /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: per-table {column: per-replica shift}; text mutation handled separately
+SHIFTS: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 1_000_000,
+    },
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+FIXED = ["region", "nation"]
+
+
+def replica(t: pa.Table, table: str, r: int) -> pa.Table:
+    if r == 0:
+        return t
+    for col, step in SHIFTS.get(table, {}).items():
+        i = t.schema.get_field_index(col)
+        shifted = pc.add(t.column(col), pa.scalar(r * step, t.schema.field(i).type))
+        t = t.set_column(i, col, shifted)
+    if table == "documents":
+        i = t.schema.get_field_index("text")
+        t = t.set_column(
+            i, "text", pc.binary_join_element_wise(t.column("text"), f" shard{r}", "")
+        )
+    return t
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+    src_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+    for table in FIXED + sorted(SHIFTS):
+        src = pq.read_table(f"{src_dir}/{table}.parquet")
+        reps = 1 if table in FIXED else factor
+        out = pa.concat_tables([replica(src, table, r) for r in range(reps)])
+        pq.write_table(out, f"{out_dir}/{table}.parquet")
+        print(f"{table}: {src.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
