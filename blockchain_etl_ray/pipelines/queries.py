@@ -2653,6 +2653,100 @@ def media_frame_inventory(sf_dir: str):
     )
 
 
+@register(
+    "media_container_inventory",
+    """
+    WITH m AS (SELECT doc_id, doc_id % 3 AS k FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+                WHEN k = 0 THEN 'jpeg'
+                WHEN k = 1 THEN 'png'
+                ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 97 <> 0 AND k IN (0, 1)
+                THEN CAST(32 + (doc_id % 7) * 16 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 97 <> 0 AND k IN (0, 1)
+                THEN CAST(24 + (doc_id % 5) * 8 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 97 <> 0 AND k = 2
+                THEN CAST(1 + doc_id % 2 AS BIGINT) END AS n_channels,
+           CASE WHEN doc_id % 97 <> 0 AND k = 2
+                THEN CAST(8000 * (1 + doc_id % 3) AS BIGINT) END AS sample_rate
+    FROM m
+    """,
+)
+def media_container_inventory(sf_dir: str):
+    """REAL-container inventory, SQL-VERIFIED: deterministic JPEG/PNG/WAV
+    byte streams are planted from the documents table (real SOI/SOF0
+    markers, IHDR chunk, RIFF fmt chunk — ``stages/multimodal.py``
+    builders), every 97th payload corrupted; the ``MediaHeaderParser``
+    actor pool sniffs the format by signature and parses
+    dimensions/channels FROM THE BYTES with pure stdlib, and the oracle
+    recomputes them from the planting formulas — a marker-walk bug, a
+    wrong endianness, or a mis-sniffed format breaks the hash.  This is
+    the at-scale pre-decode inventory pass of a multimodal corpus
+    (reference analog: the Origin export job's content-type probe,
+    ``export_origin_job.py:36-139``)."""
+    from ..stages import multimodal as mm
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        # fixture derivation (per-row byte construction, like the blob
+        # address plant): real container headers keyed off doc_id
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            if d % 97 == 0:
+                payloads.append(b"\x00garbage-not-a-container")
+            elif d % 3 == 0:
+                payloads.append(
+                    mm.synth_jpeg_header(32 + (d % 7) * 16, 24 + (d % 5) * 8)
+                )
+            elif d % 3 == 1:
+                payloads.append(
+                    mm.synth_png_header(32 + (d % 7) * 16, 24 + (d % 5) * 8)
+                )
+            else:
+                payloads.append(
+                    mm.synth_wav_header(1 + d % 2, 8000 * (1 + d % 3))
+                )
+        return pa.table(
+            {
+                "media_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    out = docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        mm.MediaHeaderParser,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_bounds(),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "format": t.column("format"),
+                "width": pc.cast(t.column("width"), pa.int64()),
+                "height": pc.cast(t.column("height"), pa.int64()),
+                "n_channels": pc.cast(t.column("n_channels"), pa.int64()),
+                "sample_rate": pc.cast(t.column("sample_rate"), pa.int64()),
+            }
+        )
+
+    return _stable(
+        out.map_batches(widen, batch_format="pyarrow"),
+        [
+            ("media_id", pa.int64()),
+            ("format", pa.string()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("n_channels", pa.int64()),
+            ("sample_rate", pa.int64()),
+        ],
+    )
+
+
 # ===========================================================================
 # Embedding similarity (embeddings table)
 # ===========================================================================
@@ -11573,8 +11667,13 @@ def blob_fetch_join(sf_dir: str):
 
     fetched = ds.map_batches(addresses, batch_format="pyarrow").map_batches(
         BlobFetcher,
+        # attempts=1: this store is populate-barriered before the read and
+        # the absent addresses are PLANTED misses — retry/backoff (meant
+        # for remote/racy stores) would serialize 0.15 s per missing
+        # address inside each actor and dominate the pipeline at scale
         fn_constructor_kwargs=dict(
-            root=root, address_col="address", out_col="blob", algo="md5"
+            root=root, address_col="address", out_col="blob", algo="md5",
+            attempts=1,
         ),
         batch_format="pyarrow",
         concurrency=pool_bounds(),
@@ -11967,6 +12066,7 @@ _DRIVER_ORDER = [
     "simhash_md5_signatures",
     "minhash_md5_signatures",
     "media_frame_inventory",
+    "media_container_inventory",
     "doc_bpe_token_counts",
     "corpus_release_pipeline",
     "doc_langid",

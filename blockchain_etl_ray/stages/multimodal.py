@@ -112,6 +112,98 @@ def jpeg_dimensions(buf: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOFn frame header found in JPEG stream")
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_jpeg_header(width: int, height: int, n_comp: int = 3) -> bytes:
+    """Minimal syntactically-valid REAL-JPEG prefix (SOI, JFIF APP0, DQT,
+    SOF0, EOI) — deterministic fixture for header-level pipelines; no
+    entropy-coded data, so only header parsers may consume it."""
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+        b"\x00\x01\x00\x01\x00\x00"
+    )
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    sof0 = (
+        b"\xff\xc0"
+        + (8 + 3 * n_comp).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([n_comp])
+        + comps
+    )
+    return JPEG_SOI + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def synth_png_header(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal REAL-PNG prefix: signature + IHDR chunk (zeroed CRC — fine
+    for header parsers, not for decoders)."""
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([bit_depth, 0, 0, 0, 0])
+    )
+    return PNG_SIG + (13).to_bytes(4, "big") + b"IHDR" + ihdr + bytes(4)
+
+
+def synth_wav_header(channels: int, sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal REAL-WAV (RIFF) stream: fmt chunk + empty data chunk."""
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + (0).to_bytes(4, "little")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def png_dimensions(buf: bytes) -> tuple[int, int, int]:
+    """(width, height, bit_depth) of a REAL PNG from its IHDR chunk — pure
+    stdlib (RFC 2083 §3: 8-byte signature, then the IHDR chunk whose first
+    8 data bytes are big-endian width/height).  Same always-available
+    inventory role as :func:`jpeg_dimensions`."""
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    # first chunk MUST be IHDR: length(4) type(4) data(13) crc(4)
+    if buf[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR as first chunk")
+    width = int.from_bytes(buf[16:20], "big")
+    height = int.from_bytes(buf[20:24], "big")
+    bit_depth = buf[24]
+    return width, height, bit_depth
+
+
+def wav_info(buf: bytes) -> tuple[int, int, int]:
+    """(n_channels, sample_rate, bits_per_sample) of a REAL WAV from its
+    RIFF ``fmt `` chunk — pure stdlib chunk walk (RIFF: 'RIFF' size 'WAVE',
+    then chunks of id(4)+size(4)+data; 'fmt ' data is the PCM format
+    struct).  The audio-side analog of the image header parsers."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE header)")
+    i, n = 12, len(buf)
+    while i + 8 <= n:
+        cid = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            d = buf[i + 8 : i + 8 + size]
+            channels = int.from_bytes(d[2:4], "little")
+            rate = int.from_bytes(d[4:8], "little")
+            bits = int.from_bytes(d[14:16], "little")
+            return channels, rate, bits
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no fmt chunk found in WAV stream")
+
+
 def _import_pil():
     try:
         from PIL import Image  # noqa: PLC0415
@@ -182,6 +274,55 @@ class ImageDecoder:
             .append_column("height", pa.array(heights, type=pa.int32()))
             .append_column("mean_luma", pa.array(lumas, type=pa.int32()))
             .append_column("phash64", pa.array(phashes, type=pa.int64()))
+        )
+
+
+class MediaHeaderParser:
+    """Actor stage: sniff REAL media container formats by signature and
+    emit one typed inventory row per payload — JPEG (marker walk), PNG
+    (IHDR), WAV (RIFF fmt chunk) and the synthetic stand-ins, with no
+    codec dependency anywhere.  This is the at-scale inventory/validation
+    pass a multimodal corpus runs BEFORE expensive pixel/audio decode:
+    dimensions, channel counts and malformed payloads (format="unknown")
+    from the first bytes only.
+
+    Output columns: ``media_id``, ``format``, ``width``/``height`` (images;
+    null otherwise), ``n_channels``/``sample_rate`` (audio; null
+    otherwise)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts, ws, hs, chans, rates = [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            fmt, w, h, ch, rate = "unknown", None, None, None, None
+            try:
+                if payload[:2] == JPEG_SOI:
+                    fmt = "jpeg"
+                    w, h, _ = jpeg_dimensions(payload)
+                elif payload[:8] == PNG_SIG:
+                    fmt = "png"
+                    w, h, _ = png_dimensions(payload)
+                elif payload[:4] == b"RIFF":
+                    fmt = "wav"
+                    ch, rate, _ = wav_info(payload)
+                elif payload[:4] == IMAGE_MAGIC:
+                    fmt = "synthetic-image"
+                    w, h = struct.unpack("<HH", payload[4:8])
+                elif payload[:4] == VIDEO_MAGIC:
+                    fmt = "synthetic-video"
+            except (ValueError, IndexError, struct.error):
+                fmt, w, h, ch, rate = "unknown", None, None, None, None
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            chans.append(ch)
+            rates.append(rate)
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("format", pa.array(fmts, pa.string()))
+            .append_column("width", pa.array(ws, pa.int32()))
+            .append_column("height", pa.array(hs, pa.int32()))
+            .append_column("n_channels", pa.array(chans, pa.int32()))
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
         )
 
 

@@ -197,3 +197,65 @@ def test_jpeg_full_decode_without_pil_raises():
     with pytest.raises(NotImplementedError, match="PIL"):
         mm.ImageDecoder(codec="jpeg")
     mm.ImageDecoder(codec="jpeg-header")  # always available
+
+
+def test_png_and_wav_header_parsers():
+    """PNG IHDR and RIFF fmt walks against hand-built byte streams
+    (independent of the module's own builders)."""
+    import struct
+
+    ihdr_data = struct.pack(">II", 800, 600) + bytes([16, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_data
+        + b"\x00\x00\x00\x00"
+    )
+    assert mm.png_dimensions(png) == (800, 600, 16)
+    with pytest.raises(ValueError, match="signature"):
+        mm.png_dimensions(b"JFIF....")
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 22050, 88200, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"  # pre-fmt chunk to skip
+    body = b"WAVE" + junk + fmt + b"data" + struct.pack("<I", 0)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm.wav_info(wav) == (2, 22050, 16)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.wav_info(b"OggS....")
+
+
+def test_media_header_parser_stage_mixed_formats():
+    """The no-codec inventory stage sniffs real JPEG/PNG/WAV + synthetic
+    payloads in one batch and flags malformed bytes instead of raising."""
+    payloads = [
+        mm.synth_jpeg_header(48, 32),
+        mm.synth_png_header(64, 64),
+        mm.synth_wav_header(1, 16000),
+        mm.synth_image("seed", 8, 8),
+        b"\xff\xd8broken",  # JPEG SOI but no SOF -> unknown
+        b"total garbage",
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.MediaHeaderParser, batch_format="pyarrow", batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["format"].tolist() == [
+        "jpeg", "png", "wav", "synthetic-image", "unknown", "unknown",
+    ]
+    assert out.loc[0, "width"] == 48 and out.loc[1, "height"] == 64
+    assert out.loc[2, "n_channels"] == 1 and out.loc[2, "sample_rate"] == 16000
+    assert out.loc[3, "width"] == 8
+    assert out["width"].isna().tolist() == [False, False, True, False, True, True]
