@@ -49,6 +49,7 @@ def main() -> int:
     for name, (fn, _sql) in sorted(registry().items()):
         if only is not None and name not in only:
             continue
+        print(f"RUNNING {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             res = fn(sf_dir)

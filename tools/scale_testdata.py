@@ -51,9 +51,27 @@ def replica(t: pa.Table, table: str, r: int) -> pa.Table:
         shifted = pc.add(t.column(col), pa.scalar(r * step, t.schema.field(i).type))
         t = t.set_column(i, col, shifted)
     if table == "documents":
+        # prefix EVERY word with the replica id so replicas are DISJOINT in
+        # token/shingle space: each replica then reproduces sf0.1's dedup /
+        # near-dup pair structure exactly (pairs scale ×N, linear), instead
+        # of every doc gaining N−1 single-token-diff near-clones — which
+        # makes candidate pairs grow quadratically (measured: a 64 M-row
+        # 28 GB verify-join at N=10 that livelocked the object store) and
+        # benchmarks an adversarial corpus no real 10× crawl resembles
+        # the prefix must be \w-only and separator-free: the engine (and its
+        # oracles) tokenize on \W+ runs, so "s1·foo" would SPLIT into a
+        # replica-wide super-common "s1" token interleaved at every
+        # position — measured 575 M candidate pairs at N=10 vs sf0.1's
+        # 737 k (quadratic in bucket size), where "s1xfoo" keeps one
+        # replica-unique token per word and candidates scale ~linearly
         i = t.schema.get_field_index("text")
+        mutated = pc.replace_substring_regex(
+            t.column("text"), r"(\w+)", rf"s{r}x\1"
+        )
+        t = t.set_column(i, "text", mutated)
+        j = t.schema.get_field_index("n_chars")
         t = t.set_column(
-            i, "text", pc.binary_join_element_wise(t.column("text"), f" shard{r}", "")
+            j, "n_chars", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
         )
     return t
 
