@@ -3055,7 +3055,13 @@ def _write_cdc_log(sf_dir: str) -> tuple[Path, Path]:
     cached = _CDC_LOG_CACHE.get(sf_dir)
     if cached is not None and cached.exists():
         return cached, Path(tempfile.mkdtemp(prefix="cdc_replay_"))
-    ev = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
+    # combine_chunks: pyarrow 16.1's if_else kernel emits CORRUPT binary
+    # offsets ("First or last binary offset out of bounds") when the string
+    # input spans multiple chunks — surfaced at the sf1 capacity pass
+    # (8-chunk 1 M-row reads), invisible on single-chunk small tables
+    ev = _tbl(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "props"]
+    ).combine_chunks()
     n = ev.num_rows
     eid = ev.column("event_id")
     opsel = _mod(eid, 10)
@@ -6165,6 +6171,10 @@ def customer_running_spend(sf_dir: str):
         num_blocks=8,
     )
 
+
+#: test hook: force event_type_spearman down the unbounded-domain
+#: two-level-rank path even when the packed int64 domain would fit
+_FORCE_TWO_LEVEL_RANK = False
 
 #: one constant ties the SQL unroll depth to the engine's round cap: the
 #: engine raises on non-convergence within this many rounds (stages/kcore),
@@ -11114,13 +11124,20 @@ def event_type_spearman(sf_dir: str):
     imin, imax = int(stats["imin"].min()), int(stats["imax"].max())
     ispan = imax - imin + 1
     vspan, tspan = vmax - vmin + 1, tmax - tmin + 1
+    # (type, value) must pack into int64 for BOTH paths; whether the id
+    # tiebreak also fits the pack picks the machinery: one packed
+    # global_rank when it does, the two-level histogram rank
+    # (stages/sampling.py::two_level_rank — distinct-key prefix counts,
+    # then per-key tie resolution) for unbounded id domains
     for span in (vspan, tspan):
-        if len(types) * span * ispan >= (1 << 63):
+        if len(types) * span >= (1 << 63):
             raise ValueError(
-                "event_type_spearman packed-key domain exceeds int64: "
-                f"{len(types)} types × span {span} × ids {ispan}; use the "
-                "two-level histogram variant for unbounded domains"
+                "event_type_spearman (type, value) domain exceeds int64: "
+                f"{len(types)} types × span {span}"
             )
+    packed_fits = not _FORCE_TWO_LEVEL_RANK and all(
+        len(types) * span * ispan < (1 << 63) for span in (vspan, tspan)
+    )
 
     types_arr = pa.array(types, pa.string())
 
@@ -11152,12 +11169,59 @@ def event_type_spearman(sf_dir: str):
 
         return f
 
-    rx = global_rank(
-        ev.map_batches(keyed("vx100", vmin, vspan), batch_format="pyarrow"), "k"
-    ).map_batches(unpack("gx"), batch_format="pyarrow")
-    ry = global_rank(
-        ev.map_batches(keyed("tus", tmin, tspan), batch_format="pyarrow"), "k"
-    ).map_batches(unpack("gy"), batch_format="pyarrow")
+    def keyed2(col: str, lo: int, span: int):
+        def f(t: pa.Table) -> pa.Table:
+            ti = (
+                pc.index_in(t.column("event_type"), value_set=types_arr)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            v = t.column(col).to_numpy(zero_copy_only=False) - lo
+            return pa.table(
+                {
+                    "k": pa.array(ti * span + v),
+                    "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                }
+            )
+
+        return f
+
+    def unpack2(name: str):
+        # same output contract as unpack(): "tix" still scaled by span
+        # (fix_x/fix_y divide it down), rank order identical — two-level
+        # ranks ORDER BY ((type,value) key, event_id), the exact order the
+        # packed path encodes
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "tix": t.column("k"),
+                    name: t.column("rank"),
+                }
+            )
+
+        return f
+
+    if packed_fits:
+        rx = global_rank(
+            ev.map_batches(keyed("vx100", vmin, vspan), batch_format="pyarrow"), "k"
+        ).map_batches(unpack("gx"), batch_format="pyarrow")
+        ry = global_rank(
+            ev.map_batches(keyed("tus", tmin, tspan), batch_format="pyarrow"), "k"
+        ).map_batches(unpack("gy"), batch_format="pyarrow")
+    else:
+        from ..stages.sampling import two_level_rank
+
+        rx = two_level_rank(
+            ev.map_batches(keyed2("vx100", vmin, vspan), batch_format="pyarrow"),
+            "k",
+            "event_id",
+        ).map_batches(unpack2("gx"), batch_format="pyarrow")
+        ry = two_level_rank(
+            ev.map_batches(keyed2("tus", tmin, tspan), batch_format="pyarrow"),
+            "k",
+            "event_id",
+        ).map_batches(unpack2("gy"), batch_format="pyarrow")
 
     vspan_b, tspan_b, base_b = vspan, tspan, base
 

@@ -541,6 +541,137 @@ def concat_pack_offsets(
     )
 
 
+def two_level_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    coarse_bits: int = 8,
+    group_parts: int = 64,
+) -> rd.Dataset:
+    """0-based global rank over ``ORDER BY (key, id)`` when the composite
+    does NOT fit one packed int64 — the two-level histogram variant of
+    :func:`global_rank`.
+
+    Level 1 ranks the DISTINCT keys: per-batch (key → count) partials fold
+    through one distinct-key-sized hash exchange, then
+    ``concat_pack_offsets`` (unit=count) turns each distinct key's
+    exclusive prefix COUNT into its base rank — only ``key`` itself must
+    fit an int64, not ``key × id-span``.  Level 2 breaks ties: rows and
+    (key, base) pairs are tag-unioned on a key-hash bucket (the one
+    row-sized exchange), and each bucket task sorts its rows by (key, id)
+    and adds the within-key position to the key's base.
+
+    ``key_col`` must be a NON-NEGATIVE int64 (possibly duplicated);
+    ``id_col`` must be unique within its key.  Output columns:
+    (``id_col``, ``key_col``, ``rank``).
+    """
+    from .dedup import _with_gpart
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        uk, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {key_col: pa.array(uk), "_cnt": pa.array(counts.astype(np.int64))}
+        )
+
+    def cnt_fold(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        c = g.column("_cnt").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({key_col: pa.array(uk), "_cnt": pa.array(tot)})
+
+    distinct = (
+        _with_gpart(
+            ds.map_batches(cnt_partial, batch_format="pyarrow"),
+            key_col,
+            group_parts,
+        )
+        .groupby("gpart")
+        .map_groups(
+            lambda g: cnt_fold(g.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
+    )
+    starts = concat_pack_offsets(
+        distinct, key_col, "_cnt", seq_len=1, coarse_bits=coarse_bits
+    )
+
+    # level 2: tag-union (rows, key starts) co-located by key bucket
+    def row_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: pc.cast(t.column(key_col), pa.int64()),
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                "_start": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def start_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                id_col: pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "_start": pc.cast(t.column("start_tok"), pa.int64()),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = _with_gpart(
+        ds.map_batches(row_side, batch_format="pyarrow").union(
+            starts.map_batches(start_side, batch_format="pyarrow")
+        ),
+        key_col,
+        group_parts,
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        st = g.column("_start").to_numpy(zero_copy_only=False)
+        rows = side == 0
+        rk, rid = k[rows], ids[rows]
+        sk, sst = k[~rows], st[~rows]
+        s_order = np.argsort(sk)
+        sk, sst = sk[s_order], sst[s_order]
+        order = np.lexsort((rid, rk))
+        rk_s, rid_s = rk[order], rid[order]
+        n = len(rk_s)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = rk_s[1:] != rk_s[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, -1))
+        pos = idx - run_start
+        base = sst[np.searchsorted(sk, rk_s)]
+        rank = base + pos
+        return pa.table(
+            {
+                id_col: pa.array(rid_s),
+                key_col: pa.array(rk_s),
+                "rank": pa.array(rank),
+            }
+        )
+
+    return (
+        both.groupby("gpart")
+        .map_groups(
+            lambda g: resolve(g.drop_columns(["gpart"])), batch_format="pyarrow"
+        )
+    )
+
+
 def global_rank(ds: rd.Dataset, key_col: str, coarse_bits: int = 8) -> rd.Dataset:
     """0-based global rank of every row in ascending ``key_col`` order —
     SQL ``row_number() OVER (ORDER BY key) - 1`` — WITHOUT a global sort:

@@ -292,3 +292,64 @@ def test_temperature_mixture_flattens_toward_low_resource():
     share_s = (out["lang"].value_counts() / len(out)).to_dict()
     assert share_s["fr"] > share_c["fr"]  # low-resource up-weighted
     assert share_s["en"] < share_c["en"]  # high-resource down-weighted
+
+
+def test_two_level_rank_matches_lexsort_oracle(ray_session):
+    """two_level_rank == row_number()-1 over ORDER BY (key, id) for a
+    duplicated-key input (the unbounded-domain fallback of global_rank)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.sampling import two_level_rank
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    keys = rng.integers(0, 40, n).astype(np.int64)  # heavy duplication
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "id": pa.array(ids)})
+    out = (
+        two_level_rank(rd.from_arrow(t).repartition(8), "k", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((ids, keys))
+    want = np.empty(n, dtype=np.int64)
+    want[order] = np.arange(n)
+    got = out.sort_values("id")["rank"].to_numpy()
+    by_id = np.argsort(ids)
+    assert (got == want[by_id]).all()
+
+
+def test_spearman_two_level_path_matches_packed(ray_session, monkeypatch):
+    """Forcing the unbounded-domain two-level path must reproduce the
+    packed-path result bit-exactly (same ORDER BY (type, value, id)) and
+    therefore still match the SQL oracle."""
+    import duckdb
+    import pandas as pd
+
+    from blockchain_etl_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    fn, sql = q.registry()["event_type_spearman"]
+
+    def run():
+        out = fn(sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    packed = run()
+    monkeypatch.setattr(q, "_FORCE_TWO_LEVEL_RANK", True)
+    two_level = run()
+    pd.testing.assert_frame_equal(packed, two_level, check_dtype=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exp = con.execute(sql).fetchdf()
+    cols = sorted(exp.columns)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(two_level, e, check_dtype=False)
