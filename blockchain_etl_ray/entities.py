@@ -295,7 +295,9 @@ def _derive_repo_heads(nt: pa.Table) -> pa.Table:
     """repo → last-touched (path, commit, lang) by LWW ordinal.  File deletes
     are repo UPDATES (a repo outlives its files), so no tombstones here —
     the 'latest_balance'-style always-live entity."""
-    op = pc.if_else(
+    from .functions.arrowsafe import if_else as _safe_if_else
+
+    op = _safe_if_else(
         pc.equal(nt.column("op"), "delete"), pa.scalar("update"), nt.column("op")
     )
     return pa.table(

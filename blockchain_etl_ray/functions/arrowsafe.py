@@ -1,0 +1,48 @@
+"""Workarounds for pyarrow kernel defects this engine has hit at scale.
+
+``pyarrow.compute.if_else`` (observed on 16.1.0) emits CORRUPT binary
+offsets — "First or last binary offset out of bounds" — when its output is
+a VARIABLE-WIDTH type (string/large_string/binary) and the condition and
+value inputs are ChunkedArrays whose chunk boundaries DISAGREE (e.g. a
+mask derived from an int64 column of a parquet read zipped against that
+read's string column: the reader chunks fixed- and variable-width columns
+differently).  Single-chunk inputs, identically-chunked inputs, and
+fixed-width outputs are unaffected (all verified by test).
+
+The corruption survives until something validates the array, so a write
+path could persist it — hence a shared safe wrapper rather than per-site
+fixes.  Found by the round-5 sf1 capacity pass (multi-chunk 1 M-row reads;
+invisible on single-chunk small tables).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_VAR_WIDTH = (pa.types.is_string, pa.types.is_large_string, pa.types.is_binary,
+              pa.types.is_large_binary)
+
+
+def _is_var_width(t: pa.DataType) -> bool:
+    return any(p(t) for p in _VAR_WIDTH)
+
+
+def _flatten(x):
+    if isinstance(x, pa.ChunkedArray) and x.num_chunks != 1:
+        return x.combine_chunks()
+    return x
+
+
+def if_else(cond, left, right):
+    """``pc.if_else`` that is safe for variable-width outputs: when either
+    value side is var-width and any operand is multi-chunk, chunks are
+    combined first so all operands present one chunk layout."""
+    types = [
+        x.type
+        for x in (cond, left, right)
+        if isinstance(x, (pa.Array, pa.ChunkedArray, pa.Scalar))
+    ]
+    if any(_is_var_width(t) for t in types):
+        cond, left, right = _flatten(cond), _flatten(left), _flatten(right)
+    return pc.if_else(cond, left, right)

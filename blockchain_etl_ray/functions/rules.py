@@ -248,7 +248,12 @@ def compile_rule(
             cond = ev(node.test, batch)
             a, b = ev(node.body, batch), ev(node.orelse, batch)
             if isinstance(cond, (pa.Array, pa.ChunkedArray)):
-                return pc.if_else(cond, a, b)
+                # arrowsafe: pc.if_else corrupts var-width outputs when
+                # operand chunk layouts disagree (user expressions can
+                # produce string branches over mixed-origin columns)
+                from .arrowsafe import if_else as _safe_if_else
+
+                return _safe_if_else(cond, a, b)
             return a if cond else b
         if isinstance(node, ast.Call):
             name = getattr(node.func, "id", None)

@@ -7145,8 +7145,10 @@ def _plant_pii(t: pa.Table) -> pa.Table:
     empty = pa.scalar("", pa.string())
 
     def when(k: int, *parts):
+        from ..functions.arrowsafe import if_else as _safe_if_else
+
         joined = pc.binary_join_element_wise(*parts, "")
-        return pc.if_else(pc.equal(_mod(ids, k), 0), joined, empty)
+        return _safe_if_else(pc.equal(_mod(ids, k), 0), joined, empty)
 
     s7 = when(7, " contact user", idstr, "@example.com")
     s11 = when(

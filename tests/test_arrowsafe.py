@@ -1,0 +1,60 @@
+"""pyarrow if_else chunk-corruption workaround (functions/arrowsafe.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from blockchain_etl_ray.functions.arrowsafe import if_else
+
+
+def _diff_chunked(n=2500, split_mask=700, split_val=1000):
+    vals = pa.chunked_array(
+        [
+            pa.array([f"x{i}" * 3 for i in range(split_val)]),
+            pa.array([f"y{i}" * 5 for i in range(split_val, n)]),
+        ]
+    )
+    mask = pa.chunked_array(
+        [
+            pa.array(np.arange(split_mask) % 10 == 9),
+            pa.array(np.arange(split_mask, n) % 10 == 9),
+        ]
+    )
+    return mask, vals
+
+
+def test_raw_kernel_is_broken_on_mismatched_chunks():
+    """Canary: if this starts PASSING, pyarrow fixed the kernel and the
+    workaround can be retired."""
+    mask, vals = _diff_chunked()
+    out = pc.if_else(mask, pa.scalar(None, pa.string()), vals)
+    with pytest.raises(pa.ArrowInvalid, match="offset"):
+        pa.table({"c": out}).validate(full=True)
+
+
+def test_safe_if_else_string_output_valid_and_correct():
+    mask, vals = _diff_chunked()
+    out = if_else(mask, pa.scalar(None, pa.string()), vals)
+    pa.table({"c": out}).validate(full=True)
+    want = [
+        None if i % 10 == 9 else (f"x{i}" * 3 if i < 1000 else f"y{i}" * 5)
+        for i in range(2500)
+    ]
+    assert out.to_pylist() == want
+
+
+def test_safe_if_else_passthrough_fixed_width():
+    """Fixed-width outputs are unaffected; the wrapper must not copy."""
+    n = 2500
+    v = pa.chunked_array(
+        [pa.array(np.arange(1000, dtype=np.int64)),
+         pa.array(np.arange(1000, n, dtype=np.int64))]
+    )
+    m = pa.chunked_array(
+        [pa.array(np.arange(700) % 10 == 9),
+         pa.array(np.arange(700, n) % 10 == 9)]
+    )
+    out = if_else(m, pa.scalar(-1, pa.int64()), v)
+    want = np.where(np.arange(n) % 10 == 9, -1, np.arange(n))
+    assert (out.to_numpy(zero_copy_only=False) == want).all()
