@@ -7606,7 +7606,7 @@ def _release_v3_gated(sf_dir: str):
     import ray
 
     from ..stages.dedup import substring_dup_stats
-    from ..stages.joins import partitioned_join
+    from ..stages.joins import bucketed_join
 
     raw = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -7673,11 +7673,10 @@ def _release_v3_gated(sf_dir: str):
         sd_keep, batch_format="pyarrow"
     )
 
-    return partitioned_join(
-        partitioned_join(gated, keep_lp, on=("doc_id",), num_partitions=4),
+    return bucketed_join(
+        bucketed_join(gated, keep_lp, on="doc_id"),
         keep_sd,
-        on=("doc_id",),
-        num_partitions=4,
+        on="doc_id",
     )
 
 
@@ -9323,7 +9322,7 @@ def hybrid_rrf_fusion(sf_dir: str):
     are pure integer division ``1e6 // (k + rank)``, and the two rank
     tables meet in one partitioned left-outer join — bit-exact vs the
     window-rank oracle."""
-    from ..stages.joins import partitioned_join
+    from ..stages.joins import bucketed_join
     from ..stages.sampling import global_rank
 
     # ranking B: quantized semantic score over the embedding table
@@ -9401,8 +9400,8 @@ def hybrid_rrf_fusion(sf_dir: str):
 
     lex_ranks = ra.map_batches(ra_unpack, batch_format="pyarrow")
 
-    joined = partitioned_join(
-        sem_ranks, lex_ranks, on=("doc_id",), join_type="left_outer"
+    joined = bucketed_join(
+        sem_ranks, lex_ranks, on="doc_id", join_type="left_outer"
     )
 
     def fuse(t: pa.Table) -> pa.Table:
@@ -10661,7 +10660,7 @@ def corpus_release_v4(sf_dir: str):
     spliced in, so the compositions cannot drift."""
     import ray
 
-    from ..stages.joins import partitioned_join
+    from ..stages.joins import bucketed_join
 
     # stage the composition: each sub-pipeline completes and releases its
     # actor pools before the next starts (v4's combined lazy DAG holds four
@@ -10705,11 +10704,10 @@ def corpus_release_v4(sf_dir: str):
         concurrency=pool_bounds(),
     ).map_batches(line_keep, batch_format="pyarrow").materialize()
 
-    gated4 = partitioned_join(
-        partitioned_join(gated, keep_dsir, on=("doc_id",), num_partitions=4),
+    gated4 = bucketed_join(
+        bucketed_join(gated, keep_dsir, on="doc_id"),
         keep_lines,
-        on=("doc_id",),
-        num_partitions=4,
+        on="doc_id",
     )
     return _release_dedup_split(gated4)
 

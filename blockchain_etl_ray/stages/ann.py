@@ -607,7 +607,7 @@ def cosine_neardup_pairs_lsh(
     planted-dup recall asserted in pytest."""
     import pyarrow.compute as pc
 
-    from .joins import partitioned_join
+    from .joins import bucketed_join
     from .stabilize import stabilize
 
     width = n_planes // bands
@@ -667,13 +667,13 @@ def cosine_neardup_pairs_lsh(
         )
 
     emb = vectors.map_batches(emb_blob, batch_format="pyarrow").materialize()
-    j1 = partitioned_join(cand, emb, on=("a",), right_on=(id_col,), num_partitions=4).map_batches(
+    j1 = bucketed_join(cand, emb, on="a", right_on=id_col).map_batches(
         lambda t: t.rename_columns(
             [("emb_a" if c == "emb" else c) for c in t.column_names]
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, emb, on=("b",), right_on=(id_col,), num_partitions=4)
+    j2 = bucketed_join(j1, emb, on="b", right_on=id_col)
 
     def verify(t: pa.Table) -> pa.Table:
         # blobs are uniform-width float64 rows: decode BOTH sides buffer-level

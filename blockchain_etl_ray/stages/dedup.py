@@ -396,7 +396,7 @@ def verify_pairs_jaccard(
     the reference uses when enriching from landed tables rather than memory
     (``bitcoinetl/streaming/enrich.py:16-48``).  Jaccard is returned as an
     exact scaled int (j_pct_x100) for cross-engine comparability."""
-    from .joins import partitioned_join
+    from .joins import bucketed_join
     from .stabilize import stabilize
 
     out_schema = pa.schema(
@@ -415,13 +415,13 @@ def verify_pairs_jaccard(
     sh = docs.map_batches(
         lambda t: shingle_set_rows(t, shingle_k), batch_format="pyarrow"
     ).materialize()
-    j1 = partitioned_join(pairs, sh, on=("a",), right_on=("doc_id",), num_partitions=4).map_batches(
+    j1 = bucketed_join(pairs, sh, on="a", right_on="doc_id").map_batches(
         lambda t: t.rename_columns(
             [("sh_a" if c == "shingles" else c) for c in t.column_names]
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",), num_partitions=4)
+    j2 = bucketed_join(j1, sh, on="b", right_on="doc_id")
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -825,7 +825,7 @@ def minhash_md5_neardup_pairs(
     sub-splits, which this SQL-anchored variant deliberately avoids — the
     ``max_bucket`` here is a guard rail sized to never trigger after exact
     dedup at test scale)."""
-    from .joins import partitioned_join
+    from .joins import bucketed_join
     from .stabilize import stabilize
 
     bands = docs.map_batches(
@@ -855,9 +855,7 @@ def minhash_md5_neardup_pairs(
     sh = docs.map_batches(
         lambda t: md5_shingle_set_rows(t, shingle_k), batch_format="pyarrow"
     ).materialize()
-    j1 = partitioned_join(
-        pairs, sh, on=("a",), right_on=("doc_id",), num_partitions=4
-    ).map_batches(
+    j1 = bucketed_join(pairs, sh, on="a", right_on="doc_id").map_batches(
         lambda t: t.rename_columns(
             [
                 {"shingles": "sh_a", "n": "na"}.get(c, c)
@@ -866,7 +864,7 @@ def minhash_md5_neardup_pairs(
         ),
         batch_format="pyarrow",
     )
-    j2 = partitioned_join(j1, sh, on=("b",), right_on=("doc_id",), num_partitions=4)
+    j2 = bucketed_join(j1, sh, on="b", right_on="doc_id")
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -1089,7 +1087,7 @@ def substring_dup_stats(
     doc-keyed fold then sums partials.  No suffix array, no corpus
     broadcast; the exchange is window-count-sized (≈ bytes), the result
     doc-count-sized."""
-    from .joins import partitioned_join
+    from .joins import bucketed_join
     from .stabilize import stabilize
 
     rows = docs.map_batches(
@@ -1178,15 +1176,14 @@ def substring_dup_stats(
         )
 
     base = docs.map_batches(totals, batch_format="pyarrow")
-    joined = partitioned_join(
+    joined = bucketed_join(
         base,
         dups.map_batches(
             lambda t: t.select(["doc_id", "n_dup_windows"]),
             batch_format="pyarrow",
         ),
-        on=("doc_id",),
+        on="doc_id",
         join_type="left_outer",
-        num_partitions=4,
     )
 
     def fill(t: pa.Table) -> pa.Table:

@@ -193,6 +193,81 @@ def asof_join(
     return left.map_batches(AsOf, batch_format="pyarrow", concurrency=pool_bounds())
 
 
+def _empty_side_fallback(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    rkeys: set[str],
+    join_type: str,
+    left_schema: pa.Schema | None,
+    right_schema: pa.Schema | None,
+) -> rd.Dataset | None:
+    """Shared ALL-EMPTY-side short-circuit for the two hash-join shapes
+    (Ray's JoinOperator crashes outright on one; the bucket exchange's
+    schema padding cannot run on a schemaless side).  Returns None when
+    both sides are non-empty.  Empty joins have well-defined results for
+    the two join types used in this repo: inner (or any empty LEFT) →
+    empty with the joined schema; left_outer with an empty RIGHT → every
+    left row survives with null right columns."""
+    if join_type not in ("inner", "left_outer") or (
+        left.count() != 0 and right.count() != 0
+    ):
+        return None
+
+    def _arrow_schema(d: rd.Dataset, override: pa.Schema | None) -> pa.Schema:
+        if override is not None:
+            return override
+        # Dataset.schema() unifies across blocks when Ray can resolve it
+        # (it returns None for a fully-shuffled empty dataset in 2.49).
+        try:
+            s = d.schema(fetch_if_missing=True)
+        except Exception:
+            s = None
+        if s is not None:
+            base = getattr(s, "base_schema", None)
+            if isinstance(base, pa.Schema) and len(base) > 0:
+                return base
+            if s.names:
+                return pa.schema(
+                    [pa.field(n, t) for n, t in zip(s.names, s.types)]
+                )
+        # Fall back to block scan, SKIPPING schemaless empties — a
+        # shuffle stage's empty blocks carry pa.schema([]) in Ray 2.49
+        # and taking the first raw block would adopt that.
+        for bundle in d.iter_internal_ref_bundles():
+            for ref, _meta in bundle.blocks:
+                sch = ray.get(ref).schema
+                if sch.names:
+                    return sch
+        return pa.schema([])
+
+    ls = _arrow_schema(left, left_schema)
+    rs = _arrow_schema(right, right_schema)
+    colliding = [
+        f.name for f in rs if f.name not in rkeys and f.name in ls.names
+    ]
+    if colliding:
+        # Mirror Ray's join, which CRASHES on name-colliding non-key
+        # right columns when no suffixes are given (KeyError "Field ...
+        # exists 2 times in schema" from the hash-shuffle aggregator) —
+        # silently omitting them here would make the empty-side path
+        # diverge from the non-empty one.
+        raise ValueError(
+            "join: non-key column(s) "
+            f"{colliding} exist on both sides; rename them before the "
+            "join (Ray's hash join also fails on this layout)"
+        )
+    extra = [f for f in rs if f.name not in rkeys and f.name not in ls.names]
+    if join_type == "left_outer" and left.count() > 0:
+        # empty right: left rows pass through with null right columns
+        def addnull(t: pa.Table) -> pa.Table:
+            for f in extra:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            return t
+
+        return left.map_batches(addnull, batch_format="pyarrow")
+    return rd.from_arrow(pa.schema(list(ls) + extra).empty_table())
+
+
 def partitioned_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -233,64 +308,11 @@ def partitioned_join(
     # well-defined results for the two join types used in this repo:
     # inner (or any empty LEFT) → empty with the joined schema; left_outer
     # with an empty RIGHT → every left row survives with null right columns.
-    if join_type in ("inner", "left_outer") and (
-        left.count() == 0 or right.count() == 0
-    ):
-
-        def _arrow_schema(d: rd.Dataset, override: pa.Schema | None) -> pa.Schema:
-            if override is not None:
-                return override
-            # Dataset.schema() unifies across blocks when Ray can resolve it
-            # (it returns None for a fully-shuffled empty dataset in 2.49).
-            try:
-                s = d.schema(fetch_if_missing=True)
-            except Exception:
-                s = None
-            if s is not None:
-                base = getattr(s, "base_schema", None)
-                if isinstance(base, pa.Schema) and len(base) > 0:
-                    return base
-                if s.names:
-                    return pa.schema(
-                        [pa.field(n, t) for n, t in zip(s.names, s.types)]
-                    )
-            # Fall back to block scan, SKIPPING schemaless empties — a
-            # shuffle stage's empty blocks carry pa.schema([]) in Ray 2.49
-            # and taking the first raw block would adopt that.
-            for bundle in d.iter_internal_ref_bundles():
-                for ref, _meta in bundle.blocks:
-                    sch = ray.get(ref).schema
-                    if sch.names:
-                        return sch
-            return pa.schema([])
-
-        ls = _arrow_schema(left, left_schema)
-        rs = _arrow_schema(right, right_schema)
-        rkeys = set(right_on or on)
-        colliding = [
-            f.name for f in rs if f.name not in rkeys and f.name in ls.names
-        ]
-        if colliding:
-            # Mirror Ray's join, which CRASHES on name-colliding non-key
-            # right columns when no suffixes are given (KeyError "Field ...
-            # exists 2 times in schema" from the hash-shuffle aggregator) —
-            # silently omitting them here would make the empty-side path
-            # diverge from the non-empty one.
-            raise ValueError(
-                "partitioned_join: non-key column(s) "
-                f"{colliding} exist on both sides; rename them before the "
-                "join (Ray's hash join also fails on this layout)"
-            )
-        extra = [f for f in rs if f.name not in rkeys and f.name not in ls.names]
-        if join_type == "left_outer" and left.count() > 0:
-            # empty right: left rows pass through with null right columns
-            def addnull(t: pa.Table) -> pa.Table:
-                for f in extra:
-                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
-                return t
-
-            return left.map_batches(addnull, batch_format="pyarrow")
-        return rd.from_arrow(pa.schema(list(ls) + extra).empty_table())
+    fallback = _empty_side_fallback(
+        left, right, set(right_on or on), join_type, left_schema, right_schema
+    )
+    if fallback is not None:
+        return fallback
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
@@ -462,6 +484,16 @@ def bucketed_join(
     import numpy as np
 
     right_on = right_on or on
+    # scrub + ALL-EMPTY-side short-circuit (shared with partitioned_join):
+    # the schema padding below cannot run on a schemaless side, and gate
+    # chains legitimately drop every row at some scales
+    left = _drop_empty_blocks(left)
+    right = _drop_empty_blocks(right)
+    fallback = _empty_side_fallback(
+        left, right, {right_on}, join_type, None, None
+    )
+    if fallback is not None:
+        return fallback
     _MULT = 2654435761
     width = (1 << 31) // num_buckets + 1
 
