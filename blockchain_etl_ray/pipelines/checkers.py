@@ -27,10 +27,61 @@ import ray.data as rd
 from ray.data.aggregate import Count
 
 
+def _single_int_key(ds: rd.Dataset, key_cols: list[str]) -> str | None:
+    """The fast bucket-exchange path applies when the key is ONE integer
+    column (hashable by multiply-shift); multi-column / non-integer keys
+    take the native groupby."""
+    if len(key_cols) != 1:
+        return None
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        import pyarrow as _pa
+
+        t = dict(zip(s.names, s.types)).get(key_cols[0])
+        return key_cols[0] if t is not None and _pa.types.is_integer(t) else None
+    except Exception:
+        return None
+
+
 def duplicate_keys(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
     """(key..., n) for keys appearing more than once — the duplicate-row
-    checker.  Pre-aggregation happens inside Ray's hash aggregate; the
-    shuffle carries one row per distinct key, not the raw stream."""
+    checker.
+
+    Single-int-key path: per-batch PARTIAL counts (map-side Arrow
+    ``group_by`` — the exchange ships one row per (batch, key)), one bucket
+    exchange finishing counts per key (every key lives in exactly one
+    bucket).  Ray's native hash aggregate pays a large per-group cost in
+    its sort-based exchange at full key cardinality (the
+    ``stages/hashagg.py`` pathology: a checker over 1 M distinct event ids
+    took 10 s at the sf1 capacity pass).  Multi-column / non-integer keys
+    keep the native path."""
+    key = _single_int_key(ds, key_cols)
+    if key is not None:
+        from ..stages.hashagg import bucketed_group_aggregate
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select([key]).group_by(key).aggregate([(key, "count")])
+            return pa.table(
+                {
+                    key: g.column(key),
+                    "n": pc.cast(g.column(f"{key}_count"), pa.int64()),
+                }
+            )
+
+        def finish(g: pa.Table) -> pa.Table:
+            f = g.group_by(key).aggregate([("n", "sum")])
+            out = pa.table(
+                {
+                    key: f.column(key),
+                    "n": pc.cast(f.column("n_sum"), pa.int64()),
+                }
+            )
+            return out.filter(pc.greater(out.column("n"), 1))
+
+        return bucketed_group_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"), key, finish
+        )
+
     agg = ds.groupby(key_cols).aggregate(Count(alias_name="n"))
 
     def only_dups(t: pa.Table) -> pa.Table:
@@ -48,10 +99,13 @@ def count_mismatch(
 ) -> rd.Dataset:
     """Keys whose per-key row counts differ between two streams (tx/receipt
     consistency check analog).  Tag-union-aggregate: both streams project to
-    (key, is_left, is_right) indicator columns, ONE distributed groupby sums
-    them — no driver-side join, no second shuffle."""
+    (key, is_left, is_right) indicator columns and ONE exchange sums them —
+    no driver-side join, no second shuffle.  Single-int-key streams take
+    the combiner + bucket-exchange path (per-batch partial sums, then
+    per-key finish inside key-hash buckets — see :func:`duplicate_keys`);
+    others the native groupby."""
 
-    def tag(is_left: bool):
+    def tag(is_left: bool, combine: bool):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
             one = pa.array([1] * n, type=pa.int64())
@@ -59,18 +113,21 @@ def count_mismatch(
             cols = {k: t.column(k) for k in key_cols}
             cols[left_name] = one if is_left else zero
             cols[right_name] = zero if is_left else one
-            return pa.table(cols)
+            out = pa.table(cols)
+            if combine:
+                g = out.group_by(key_cols).aggregate(
+                    [(left_name, "sum"), (right_name, "sum")]
+                )
+                out = pa.table(
+                    {
+                        **{k: g.column(k) for k in key_cols},
+                        left_name: pc.cast(g.column(f"{left_name}_sum"), pa.int64()),
+                        right_name: pc.cast(g.column(f"{right_name}_sum"), pa.int64()),
+                    }
+                )
+            return out
 
         return f
-
-    both = left.map_batches(tag(True), batch_format="pyarrow").union(
-        right.map_batches(tag(False), batch_format="pyarrow")
-    )
-    from ray.data.aggregate import Sum
-
-    agg = both.groupby(key_cols).aggregate(
-        Sum(left_name, alias_name=left_name), Sum(right_name, alias_name=right_name)
-    )
 
     def mismatched(t: pa.Table) -> pa.Table:
         return t.filter(
@@ -79,6 +136,38 @@ def count_mismatch(
                 pc.cast(t.column(right_name), pa.int64()),
             )
         )
+
+    key = _single_int_key(left, key_cols)
+    if key is not None:
+        from ..stages.hashagg import bucketed_group_aggregate
+
+        both = left.map_batches(tag(True, True), batch_format="pyarrow").union(
+            right.map_batches(tag(False, True), batch_format="pyarrow")
+        )
+
+        def finish(g: pa.Table) -> pa.Table:
+            f = g.group_by(key).aggregate(
+                [(left_name, "sum"), (right_name, "sum")]
+            )
+            out = pa.table(
+                {
+                    key: f.column(key),
+                    left_name: pc.cast(f.column(f"{left_name}_sum"), pa.int64()),
+                    right_name: pc.cast(f.column(f"{right_name}_sum"), pa.int64()),
+                }
+            )
+            return mismatched(out)
+
+        return bucketed_group_aggregate(both, key, finish)
+
+    both = left.map_batches(tag(True, False), batch_format="pyarrow").union(
+        right.map_batches(tag(False, False), batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = both.groupby(key_cols).aggregate(
+        Sum(left_name, alias_name=left_name), Sum(right_name, alias_name=right_name)
+    )
 
     return agg.map_batches(mismatched, batch_format="pyarrow")
 
