@@ -33,7 +33,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.bigint import batch_partial_vsum, merge_partials
 from ..functions.parity import scaled_int
-from ..stages import ann, dedup, streamwin, sweepline, text, windows
+from ..stages import ann, dedup, hashagg, streamwin, sweepline, text, windows
 from ..stages.joins import broadcast_enrich, broadcast_semi_join
 from ..stages.stabilize import pool_bounds, stabilize
 
@@ -281,8 +281,21 @@ def revenue_by_segment(sf_dir: str):
     joined = bucketed_join(
         line, orders_seg, on="l_orderkey", right_on="o_orderkey", num_buckets=nb
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("rev_x100", alias_name="revenue_x100"), Sum("n_items", alias_name="n_items")
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        # collapse each joined block to ≤5 segment rows before the exchange
+        g = t.group_by("c_mktsegment").aggregate(
+            [("rev_x100", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue_x100", "n_items"])
+
+    agg = (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_x100", alias_name="revenue_x100"),
+            Sum("n_items", alias_name="n_items"),
+        )
     )
     return _stable(
         agg,
@@ -505,23 +518,21 @@ def latest_event_per_user(sf_dir: str):
     ``blockchainetl/streaming/postgres_utils.py:80-88``) expressed as a
     per-key max-ordinal fold — the same resolve the CDC merge stage runs."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
-        )
-        g = group.take(idx[:1])
-        return pa.table(
+    latest = windows.grouped_first_rows(
+        ds, by=["user_id"], order=[("ts", "descending"), ("event_id", "descending")]
+    ).map_batches(
+        lambda g: pa.table(
             {
                 "user_id": g.column("user_id"),
                 "event_id": g.column("event_id"),
                 "event_type": g.column("event_type"),
                 "value_x100": scaled_int(g.column("value")),
             }
-        )
-
+        ),
+        batch_format="pyarrow",
+    )
     return _stable(
-        ds.groupby("user_id").map_groups(latest, batch_format="pyarrow"),
+        latest,
         [
             ("user_id", pa.int64()),
             ("event_id", pa.int64()),
@@ -544,14 +555,18 @@ def dedup_first_event_per_user_type(sf_dir: str):
     row per group (``blockchainetl/cli/gp_autofix.py:219-307`` duplicate
     cleanup semantics)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(idx[:1])
-        return _ts_us(g, "ts", "ts_us").select(["user_id", "event_type", "event_id", "ts_us"])
-
+    firsts = windows.grouped_first_rows(
+        ds,
+        by=["user_id", "event_type"],
+        order=[("ts", "ascending"), ("event_id", "ascending")],
+    ).map_batches(
+        lambda t: _ts_us(t, "ts", "ts_us").select(
+            ["user_id", "event_type", "event_id", "ts_us"]
+        ),
+        batch_format="pyarrow",
+    )
     return _stable(
-        ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pyarrow"),
+        firsts,
         [
             ("user_id", pa.int64()),
             ("event_type", pa.string()),
@@ -895,25 +910,37 @@ def user_value_flows(sf_dir: str):
         t = t.filter(qualifying)
         is_in = pc.is_in(t.column("event_type"), value_set=pa.array(["signup", "click"]))
         v = scaled_int(t.column("value"))
-        return pa.table(
-            {
-                "user_id": t.column("user_id"),
-                "in_x100": pc.if_else(is_in, v, zero),
-                "n_in": pc.cast(is_in, pa.int64()),
-                "out_x100": pc.if_else(is_in, zero, v),
-                "n_out": pc.cast(pc.invert(is_in), pa.int64()),
-            }
+        # map-side combiner: collapse the batch to one partial row per user
+        # before the exchange (hashagg recipe — the native full-cardinality
+        # groupby paid a 150k-key sort exchange on event-level rows)
+        return (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "in_x100": pc.if_else(is_in, v, zero),
+                    "n_in": pc.cast(is_in, pa.int64()),
+                    "out_x100": pc.if_else(is_in, zero, v),
+                    "n_out": pc.cast(pc.invert(is_in), pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate(
+                [("in_x100", "sum"), ("n_in", "sum"), ("out_x100", "sum"), ("n_out", "sum")]
+            )
+            .rename_columns(["user_id", "in_x100", "n_in", "out_x100", "n_out"])
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("in_x100", alias_name="in_x100"),
-            Sum("n_in", alias_name="n_in"),
-            Sum("out_x100", alias_name="out_x100"),
-            Sum("n_out", alias_name="n_out"),
+    def fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by("user_id")
+            .aggregate(
+                [("in_x100", "sum"), ("n_in", "sum"), ("out_x100", "sum"), ("n_out", "sum")]
+            )
+            .rename_columns(["user_id", "in_x100", "n_in", "out_x100", "n_out"])
         )
+
+    agg = hashagg.bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", fold
     )
     schema = pa.schema(
         [
@@ -1079,10 +1106,22 @@ def users_without_big_purchase(sf_dir: str):
         filters=[("event_type", "=", "purchase"), ("value", ">", 180.0)],
     )
     ds = _read(sf_dir, "events", ["user_id"])
-    distinct = (
-        broadcast_semi_join(ds, big, on=["user_id"], anti=True)
-        .groupby("user_id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    def uniq(t: pa.Table) -> pa.Table:
+        col = t.column("user_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"user_id": col.unique()})
+
+    # map-side unique shrinks each batch to its distinct keys, then ONE
+    # bucket exchange finishes the distinct (hashagg recipe — the native
+    # per-key groupby paid a full-cardinality sort exchange here)
+    distinct = hashagg.bucketed_group_aggregate(
+        broadcast_semi_join(ds, big, on=["user_id"], anti=True).map_batches(
+            uniq, batch_format="pyarrow"
+        ),
+        "user_id",
+        uniq,
     )
     return _stable(distinct, [("user_id", pa.int64())])
 
@@ -3044,7 +3083,13 @@ def cosine_exact_dup_pairs(sf_dir: str):
         0, "vec_id", pc.add(extra.column("vec_id"), 1_000_000)
     )
     allv = pa.concat_tables([base, extra])
-    ds = rd.from_arrow(allv)
+    # one block per slice — from_arrow(table) would make ONE block and run
+    # the whole O(N²) matmul in a single task (measured 9.3 s single-task vs
+    # sub-second at 64-way on 20k vectors at sf1)
+    step = max(256, -(-allv.num_rows // 64))
+    ds = rd.from_arrow(
+        [allv.slice(i, step) for i in range(0, allv.num_rows, step)]
+    )
     return dedup_pairs_select(
         ann.cosine_neardup_pairs(ds, allv, threshold=0.999999)
     )
@@ -11653,10 +11698,15 @@ def rag_chunk_dedup(sf_dir: str):
             .rename_columns(["chunk_md5", "pack", "n_copies"])
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("chunk_md5")
-        .aggregate(Min("pack", alias_name="pack"), Sum("n_copies", alias_name="n_copies"))
+    def fold(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by("chunk_md5")
+            .aggregate([("pack", "min"), ("n_copies", "sum")])
+            .rename_columns(["chunk_md5", "pack", "n_copies"])
+        )
+
+    agg = hashagg.bucketed_group_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"), "chunk_md5", fold
     )
 
     def finish(t: pa.Table) -> pa.Table:

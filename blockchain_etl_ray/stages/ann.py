@@ -569,18 +569,17 @@ def cosine_neardup_pairs(
         m = _to_matrix(batch.column(vec_col))
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ m_a.T
-        a_out, b_out, c_out = [], [], []
-        for i in range(len(ids)):
-            hits = np.nonzero((sims[i] >= threshold) & (ids_a > ids[i]))[0]
-            for j in hits:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids_a[j]))
-                c_out.append(int(round(sims[i, j] * 1_000_000)))
+        # fully vectorized hit extraction (np.round is half-even, same as the
+        # Python round() this replaced)
+        mask = (sims >= threshold) & (ids_a[None, :] > ids[:, None])
+        ii, jj = np.nonzero(mask)
         return pa.table(
             {
-                "a": pa.array(a_out, type=pa.int64()),
-                "b": pa.array(b_out, type=pa.int64()),
-                "cos_x1m": pa.array(c_out, type=pa.int64()),
+                "a": pa.array(ids[ii], type=pa.int64()),
+                "b": pa.array(ids_a[jj], type=pa.int64()),
+                "cos_x1m": pa.array(
+                    np.round(sims[ii, jj] * 1_000_000).astype(np.int64)
+                ),
             }
         )
 

@@ -99,6 +99,58 @@ def _run_starts(row_o: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], np.nonzero(row_o[1:] != row_o[:-1])[0] + 1])
 
 
+#: FNV-1a-style fold constants for the word-wise shingle hash (public FNV
+#: offset/prime); the shingle hash is a Horner fold of per-WORD blake2b
+#: digests, so batch paths hash only the vocabulary (distinct words) in
+#: Python and combine vectorized — shingles carry <= k words by construction
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _shingle_hash_py(s: str) -> int:
+    """Per-row twin of :func:`_dict_shingle_hashes` — one shingle string."""
+    H = _FNV_OFF
+    b2 = hashlib.blake2b
+    for w in s.split(" "):
+        hw = int.from_bytes(b2(w.encode(), digest_size=8).digest(), "big")
+        H = ((H * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF) ^ hw
+    return H >> 1
+
+
+def _dict_shingle_hashes(dic: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hashes of DISTINCT shingle strings: blake2b once per
+    distinct WORD (vocabulary-sized — the ST1 cache premise), then a
+    fixed-width FNV-style Horner fold over each shingle's word hashes; the
+    fold loop runs <= max-words-per-shingle (= k) fully-vectorized steps.
+    Replaces a per-distinct-shingle Python blake2b loop that dominated the
+    minhash/jaccard family at sf1.  Value-parity with ``_shingle_hash_py``
+    is pinned by ``test_minhasher_batch_signatures_match_per_row``."""
+    n = len(dic)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    words = pc.split_pattern(dic, pattern=" ")
+    flat = words.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = flat.dictionary_encode()
+    b2 = hashlib.blake2b
+    buf = b"".join(
+        b2(w.encode(), digest_size=8).digest() for w in enc.dictionary.to_pylist()
+    )
+    wh = np.frombuffer(buf, dtype=">u8")
+    whf = wh[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    H = np.full(n, np.uint64(_FNV_OFF), dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(int(counts.max())):
+        sel = counts > j
+        H[sel] = (H[sel] * prime) ^ whf[offs[sel] + j]
+    return (H >> np.uint64(1)).astype(np.int64)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Sorted unique 64-bit hashes of the k-word shingles of ``text``."""
     words = text.split(" ")
@@ -106,10 +158,7 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         shingles = [" ".join(words)]
     else:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    hs = {
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 3
-        for s in shingles
-    }
+    hs = {_shingle_hash_py(s) for s in shingles}
     return np.fromiter(hs, dtype=np.int64, count=len(hs))
 
 
@@ -148,16 +197,10 @@ class MinHasher:
         if n_docs == 0:
             return np.empty((0, self.num_perm), dtype=np.int64)
         row_o, dic, idx_o = _batch_shingle_rows(texts, self.k)
-        # one C-level join of the 8-byte digests, decoded in bulk — cheaper
-        # than per-entry int.from_bytes (the digest loop is the only
-        # remaining per-string Python, and only over DISTINCT shingles)
-        b2 = hashlib.blake2b
-        buf = b"".join(
-            b2(x.encode(), digest_size=8).digest() for x in dic.to_pylist()
-        )
-        dict_h = (np.frombuffer(buf, dtype=">u8") >> np.uint64(3)).astype(
-            np.int64
-        )
+        # vocabulary-level blake2b + vectorized word-fold: Python hashing
+        # touches only distinct WORDS, never shingles (measured the dominant
+        # cost of the signature stage at sf1 before the swap)
+        dict_h = _dict_shingle_hashes(dic)
         starts = _run_starts(row_o)
         # int64 wraparound then Python-style mod — exactly signature()'s ops,
         # computed ONCE per distinct shingle and gathered per pair
@@ -369,65 +412,221 @@ def shingle_set_rows(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
     """(doc_id, shingles) rows — the join side of the distributed Jaccard
     verification.  Shingle sets travel as SORTED int64 bytes in a binary
     column (Acero hash joins reject list-typed payload columns; the byte blob
-    round-trips zero-copy through ``np.frombuffer``)."""
-    ids, sets_ = [], []
-    for did, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        ids.append(did)
-        sets_.append(np.sort(shingle_hashes(text, shingle_k)).tobytes())
+    round-trips zero-copy through ``np.frombuffer``).
+
+    Vectorized: one shared batch shingle explode + dictionary-level hashing
+    (``_dict_shingle_hashes``); the remaining per-doc loop only slices the
+    presorted hash array and calls ``.tobytes()`` (the former per-doc
+    ``shingle_hashes`` re-split and re-hashed every doc's text in Python)."""
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    doc_ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    row_o, dic, idx_o = _batch_shingle_rows(texts, shingle_k)
+    h = _dict_shingle_hashes(dic)[idx_o]
+    order = np.lexsort((h, row_o))
+    row_s, h_s = row_o[order], h[order]
+    # drop duplicate (row, hash) cells (hash collisions inside one doc)
+    keep = np.empty(len(row_s), dtype=bool)
+    if len(row_s):
+        keep[0] = True
+        keep[1:] = (row_s[1:] != row_s[:-1]) | (h_s[1:] != h_s[:-1])
+    row_s, h_s = row_s[keep], h_s[keep]
+    starts = _run_starts(row_s)
+    ends = np.append(starts[1:], len(row_s)).astype(np.int64)
+    ids = doc_ids[row_s[starts]] if len(starts) else np.empty(0, dtype=np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
-            "shingles": pa.array(sets_, type=pa.large_binary()),
+            "shingles": pa.array(
+                [h_s[st:en].tobytes() for st, en in zip(starts, ends)],
+                type=pa.large_binary(),
+            ),
         }
     )
 
 
+def grid_pair_blob_join(
+    pairs: rd.Dataset,
+    sets_: rd.Dataset,
+    grid: int = 8,
+    doc_col: str = "doc_id",
+    finish=None,
+    dedup_pairs_in_cell: bool = False,
+) -> rd.Dataset:
+    """Co-partitioned (a, b) pair ↔ per-doc payload join on a grid×grid cell
+    key — the verify-join topology for candidate-pair verification.
+
+    Each pair ships ONCE to cell ``(bucket(a), bucket(b))``; each set row
+    ships ``grid`` times per side (a-side to cells ``(bucket(doc), *)``,
+    b-side to ``(*, bucket(doc))``).  Exchange volume is therefore
+    ``pairs×16B + 2·grid·|sets|`` — the chained two-``bucketed_join``
+    alternative shipped every pair row WITH its a-side blob through the
+    second exchange (measured 6.2 s of an 8.5 s verify at sf1 for 6.8 M
+    candidates).  Output rows: ``a, b, <payload>_a..., <payload>_b...``
+    (inner-join semantics: pairs whose doc has no set row are dropped, as
+    before).  Partitioning assumption: cells are balanced because the cell
+    key hashes BOTH endpoint ids; a hot doc spreads across a full grid row
+    or column, never one cell.
+
+    ``finish`` (optional): a ``pa.Table -> pa.Table`` verifier applied to the
+    joined rows INSIDE each cell task — the joined blob table (pairs × two
+    payloads, GBs at sf1) then never transits the object store; only the
+    verifier's (tiny) output does.
+
+    ``dedup_pairs_in_cell``: accept a candidate stream WITH duplicate (a, b)
+    rows and unique them inside the cell (duplicates of a pair always land
+    in the same cell — the cell key is a pure function of (a, b)), saving
+    the caller a dedicated full-candidate dedup exchange."""
+    payload = [c for c in sets_.schema().names if c != doc_col]
+    ptypes = {
+        c: t for c, t in zip(sets_.schema().names, sets_.schema().types) if c != doc_col
+    }
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
+        cell = (a % grid) * grid + (b % grid)
+        n = len(a)
+        cols = {
+            "cell": pa.array(cell.astype(np.int32)),
+            "role": pa.array(np.zeros(n, dtype=np.int8)),
+            "a": pa.array(a),
+            "b": pa.array(b),
+            doc_col: pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        for c in payload:
+            cols[c] = pa.nulls(n, ptypes[c])
+        return pa.table(cols)
+
+    def replicate(role: int):
+        def rep(t: pa.Table) -> pa.Table:
+            doc = pc.cast(t.column(doc_col), pa.int64()).to_numpy(zero_copy_only=False)
+            n = len(doc)
+            docs_r = np.repeat(doc, grid)
+            k = np.tile(np.arange(grid, dtype=np.int64), n)
+            if role == 1:  # a-side: cells (bucket(doc), *)
+                cell = (docs_r % grid) * grid + k
+            else:  # b-side: cells (*, bucket(doc))
+                cell = k * grid + (docs_r % grid)
+            ridx = pa.array(np.repeat(np.arange(n, dtype=np.int64), grid))
+            cols = {
+                "cell": pa.array(cell.astype(np.int32)),
+                "role": pa.array(np.full(n * grid, role, dtype=np.int8)),
+                "a": pa.array(np.zeros(n * grid, dtype=np.int64)),
+                "b": pa.array(np.zeros(n * grid, dtype=np.int64)),
+                doc_col: pa.array(docs_r),
+            }
+            for c in payload:
+                col = t.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[c] = col.take(ridx)
+            return pa.table(cols)
+
+        return rep
+
+    tagged = (
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+        .union(sets_.map_batches(replicate(1), batch_format="pyarrow"))
+        .union(sets_.map_batches(replicate(2), batch_format="pyarrow"))
+    )
+
+    def cell_join(g: pa.Table) -> pa.Table:
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        p = g.filter(pa.array(role == 0))
+        if dedup_pairs_in_cell and p.num_rows:
+            av = p.column("a").to_numpy(zero_copy_only=False)
+            bv = p.column("b").to_numpy(zero_copy_only=False)
+            order = np.lexsort((bv, av))
+            av, bv = av[order], bv[order]
+            first = np.empty(len(av), dtype=bool)
+            first[0] = True
+            first[1:] = (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])
+            p = pa.table({"a": pa.array(av[first]), "b": pa.array(bv[first])})
+        out_cols: dict = {
+            "a": p.column("a"),
+            "b": p.column("b"),
+        }
+        if p.num_rows == 0:
+            for c in payload:
+                out_cols[f"{c}_a"] = pa.nulls(0, ptypes[c])
+                out_cols[f"{c}_b"] = pa.nulls(0, ptypes[c])
+            empty = pa.table(out_cols)
+            return finish(empty) if finish is not None else empty
+        keep = np.ones(p.num_rows, dtype=bool)
+        sides = {}
+        for role_id, key_col, suffix in ((1, "a", "_a"), (2, "b", "_b")):
+            s = g.filter(pa.array(role == role_id))
+            docs_s = s.column(doc_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(docs_s, kind="stable")
+            ds_sorted = docs_s[order]
+            want = p.column(key_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ds_sorted, want)
+            pos_c = np.minimum(pos, max(len(ds_sorted) - 1, 0))
+            ok = (len(ds_sorted) > 0) & (ds_sorted[pos_c] == want)
+            keep &= ok
+            sides[suffix] = (s, order[pos_c])
+        kidx = pa.array(np.flatnonzero(keep))
+        out_cols["a"] = p.column("a").take(kidx)
+        out_cols["b"] = p.column("b").take(kidx)
+        for suffix in ("_a", "_b"):
+            s, rows = sides[suffix]
+            take = pa.array(rows[keep])
+            for c in payload:
+                col = s.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                out_cols[f"{c}{suffix}"] = col.take(take)
+        joined = pa.table(out_cols)
+        return finish(joined) if finish is not None else joined
+
+    return (
+        tagged.groupby("cell")
+        .map_groups(
+            lambda g: cell_join(g.drop_columns(["cell"])), batch_format="pyarrow"
+        )
+    )
+
+
 def verify_pairs_jaccard(
-    pairs: rd.Dataset, docs: rd.Dataset, threshold: float, shingle_k: int = 5
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    threshold: float,
+    shingle_k: int = 5,
+    dedup_in_cell: bool = False,
 ) -> rd.Dataset:
     """Exact n-gram Jaccard verification of candidate pairs — DISTRIBUTED.
 
-    Instead of broadcasting the corpus, the pair ids are hash-join-partitioned
-    against per-doc shingle sets (``partitioned_join`` twice: a-side, then
-    b-side), so the data moved is bounded by the CANDIDATE VOLUME (which the
-    capped pair generation already bounds), never by corpus size — the shape
-    the reference uses when enriching from landed tables rather than memory
-    (``bitcoinetl/streaming/enrich.py:16-48``).  Jaccard is returned as an
-    exact scaled int (j_pct_x100) for cross-engine comparability."""
-    from .joins import bucketed_join
+    Instead of broadcasting the corpus, pairs and per-doc shingle sets meet
+    on a grid×grid co-partition (:func:`grid_pair_blob_join`): each pair
+    ships once, each set row ``grid`` times per side — so the data moved is
+    bounded by candidate volume + a small replication of the doc-bounded set
+    table, never corpus² (the former chained-``bucketed_join`` shape shipped
+    every pair WITH its a-side blob through the second exchange).  Jaccard
+    is returned as an exact scaled int (j_pct_x100) for cross-engine
+    comparability."""
     from .stabilize import stabilize
 
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("j_pct_x100", pa.int64())]
     )
-    # empty candidate sets must short-circuit: Ray 2.49's hash-shuffle join
-    # rebuilds empty exchange partitions schemaless and Acero then fails to
-    # resolve the key field (pairs is stabilize-materialized => count is free)
-    if pairs.count() == 0:
+    # empty MATERIALIZED candidate sets short-circuit (count is free there);
+    # with in-cell dedup the candidate stream is unmaterialized, and the
+    # grid path handles empties itself (cells emit schema'd empty tables)
+    if not dedup_in_cell and pairs.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    # the shingle side is doc-bounded and consumed by BOTH joins: compute it
-    # once (materialize) instead of re-shingling the corpus per join; small
-    # fixed join partition count — the verify volume is candidate-bounded,
-    # and hash-join aggregator actors cost ~0.5 s spin-up apiece
     sh = docs.map_batches(
         lambda t: shingle_set_rows(t, shingle_k), batch_format="pyarrow"
-    ).materialize()
-    j1 = bucketed_join(pairs, sh, on="a", right_on="doc_id").map_batches(
-        lambda t: t.rename_columns(
-            [("sh_a" if c == "shingles" else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
     )
-    j2 = bucketed_join(j1, sh, on="b", right_on="doc_id")
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        blobs_a = t.column("sh_a").to_pylist()
-        blobs_b = t.column("shingles").to_pylist()
+        blobs_a = t.column("shingles_a").to_pylist()
+        blobs_b = t.column("shingles_b").to_pylist()
         keep_a, keep_b, jpct = [], [], []
         for i in range(len(a)):
             sa = np.frombuffer(blobs_a[i], dtype=np.int64)
@@ -447,7 +646,9 @@ def verify_pairs_jaccard(
             }
         )
 
-    out = j2.map_batches(check, batch_format="pyarrow")
+    out = grid_pair_blob_join(
+        pairs, sh, finish=check, dedup_pairs_in_cell=dedup_in_cell
+    )
     return stabilize(
         out, [("a", pa.int64()), ("b", pa.int64()), ("j_pct_x100", pa.int64())]
     )
@@ -471,8 +672,10 @@ def minhash_near_dups(
         batch_format="pyarrow",
         concurrency=pool_bounds(),
     )
-    cand = _dedup_pairs(lsh_candidate_pairs(buckets, max_bucket))
-    return verify_pairs_jaccard(cand, docs, threshold, shingle_k)
+    cand = lsh_candidate_pairs(buckets, max_bucket)
+    return verify_pairs_jaccard(
+        cand, docs, threshold, shingle_k, dedup_in_cell=True
+    )
 
 
 #: per-worker word→±1-vector cache: natural-language vocabularies are tiny
@@ -1338,15 +1541,26 @@ def shared_chunk_pairs(
     )
 
 
-def exact_dedup(ds: rd.Dataset, fingerprint_col: str, order_col: str) -> rd.Dataset:
+def exact_dedup(
+    ds: rd.Dataset, fingerprint_col: str, order_col: str, num_buckets: int = 32
+) -> rd.Dataset:
     """Keep the min-``order_col`` row per fingerprint (U8: hash-partition +
-    per-group first; deterministic winner)."""
+    per-group first; deterministic winner).
 
-    def first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
-        return group.take(idx[:1])
+    Scale shape: ``windows.grouped_first_rows`` — map-side per-batch
+    candidate firsts, ONE coarse bucket exchange, vectorized per-bucket
+    re-pick.  The former ``groupby(fingerprint).map_groups`` paid a
+    full-cardinality string-key sort exchange plus O(groups) Python group
+    dispatches (the dominant cost of every plant→dedup→LSH pipeline at
+    sf1)."""
+    from .windows import grouped_first_rows
 
-    return ds.groupby(fingerprint_col).map_groups(first, batch_format="pyarrow")
+    return grouped_first_rows(
+        ds,
+        by=[fingerprint_col],
+        order=[(order_col, "ascending")],
+        num_buckets=num_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------

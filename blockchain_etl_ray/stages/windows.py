@@ -19,19 +19,119 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
-def partition_rank(
-    ds: rd.Dataset, by: list[str], order: list[tuple[str, str]], rank_col: str = "rn"
-) -> rd.Dataset:
-    """row_number() over (partition by ``by`` order by ``order``) (A2)."""
+def _combined_buckets(t: pa.Table, by: list[str], num_buckets: int):
+    """Vectorized hash bucket (int64 ndarray) over one-or-more NON-NULL
+    int/string key columns — the coarse exchange key of the combiner +
+    bucket-exchange recipe (see ``stages/hashagg.py`` header: exchange on B
+    distinct values, exact vectorized work inside the bucket).  String keys
+    use the version-stable md5-prefix hash; int keys a 64-bit multiply-mix."""
+    import numpy as np
 
-    def rank(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=order)
-        g = group.take(idx)
-        return g.append_column(
-            rank_col, pa.array(range(1, g.num_rows + 1), type=pa.int64())
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in by:
+        col = t.column(c)
+        if col.null_count:
+            raise TypeError(f"bucketed window key {c!r} must be non-null")
+        kt = col.type
+        if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+            from ..functions.hashing import md5_prefix_u32
+
+            hv = md5_prefix_u32(col).astype(np.uint64)
+        elif pa.types.is_integer(kt):
+            k = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            hv = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        else:
+            raise TypeError(f"bucketed window key {c!r} must be int or string, got {kt}")
+        h = h * np.uint64(1099511628211) ^ hv
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype("int64")
+
+
+def _sorted_with_starts(t: pa.Table, by: list[str], order: list[tuple[str, str]]):
+    """Sort ``t`` by (by ascending, *order); return the sorted table plus the
+    start index of every ``by``-group — the shared vectorized core of the
+    window family (no per-group Python dispatch anywhere downstream)."""
+    import numpy as np
+
+    sk = [(b, "ascending") for b in by] + list(order)
+    idx = pc.sort_indices(t, sort_keys=sk)
+    g = t.take(idx)
+    n = g.num_rows
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+        for b in by:
+            col = g.column(b).combine_chunks()
+            neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), True)
+            change[1:] |= neq.to_numpy(zero_copy_only=False)
+    return g, np.flatnonzero(change)
+
+
+def _tag_buckets(by: list[str], num_buckets: int):
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_gb", pa.array(_combined_buckets(t, by, num_buckets), type=pa.int64())
         )
 
-    return ds.groupby(by).map_groups(rank, batch_format="pyarrow")
+    return tag
+
+
+def partition_rank(
+    ds: rd.Dataset,
+    by: list[str],
+    order: list[tuple[str, str]],
+    rank_col: str = "rn",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """row_number() over (partition by ``by`` order by ``order``) (A2).
+
+    Scale shape: ONE exchange on a B-valued hash bucket of ``by`` (every
+    group lands whole in exactly one bucket), then a single vectorized
+    sort + boundary-scan per bucket — rank is ``arange - group_start + 1``.
+    Replaces the earlier per-group ``map_groups`` (O(groups) Python
+    dispatches; measured 5.6 s → sub-second at sf1 for 150 k groups)."""
+    import numpy as np
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_gb"])
+        g, starts = _sorted_with_starts(g, by, order)
+        n = g.num_rows
+        counts = np.diff(np.append(starts, n))
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        return g.append_column(rank_col, pa.array(rn, type=pa.int64()))
+
+    return (
+        ds.map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_first_rows(
+    ds: rd.Dataset,
+    by: list[str],
+    order: list[tuple[str, str]],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Exact FIRST full row per group (``QUALIFY ROW_NUMBER() = 1``), U8 dup
+    cleanup shape: map-side per-batch candidate firsts (at most one row per
+    group per batch leaves the batch), one bucket exchange, per-bucket
+    vectorized re-pick.  Order keys must be group-unique for determinism
+    (callers pass an id tie-break)."""
+
+    def firsts(t: pa.Table) -> pa.Table:
+        g, starts = _sorted_with_starts(t, by, order)
+        return g.take(pa.array(starts))
+
+    return (
+        ds.map_batches(firsts, batch_format="pyarrow")
+        .map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(
+            lambda g: firsts(g.drop_columns(["_gb"])), batch_format="pyarrow"
+        )
+    )
 
 
 def sessionize(
@@ -52,21 +152,40 @@ def sessionize(
     )
     gap_us = int(gap_seconds * 1_000_000)
 
-    def sessions(group: pa.Table) -> pa.Table:
+    def sessions_bucket(g: pa.Table) -> pa.Table:
         import numpy as np
 
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        ts_us = group.column(ts_col).take(idx).cast(pa.int64()).to_numpy()
-        n_sessions = 1 + int((np.diff(ts_us) > gap_us).sum()) if len(ts_us) else 0
+        g = g.drop_columns(["_gb"])
+        g, starts = _sorted_with_starts(g, [key], sort_keys)
+        n = g.num_rows
+        ts_us = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        new_key = np.zeros(n, dtype=bool)
+        new_key[starts] = True
+        session_start = new_key.copy()
+        if n > 1:
+            # a same-key row whose gap since the previous row exceeds the
+            # threshold starts a session; cross-key positions are already
+            # True via new_key, so the stray diff there is harmless
+            session_start[1:] |= np.diff(ts_us) > gap_us
+        counts = np.diff(np.append(starts, n))
+        n_sessions = (
+            np.add.reduceat(session_start.astype(np.int64), starts)
+            if len(starts)
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
-                key: group.column(key).slice(0, 1),
-                "n_sessions": pa.array([n_sessions], type=pa.int64()),
-                "n_events": pa.array([group.num_rows], type=pa.int64()),
+                key: g.take(pa.array(starts)).column(key),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
             }
         )
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(_tag_buckets([key], 32), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
 
 
 def tumbling_count(
@@ -215,25 +334,72 @@ def grouped_first_last(
     order: list[tuple[str, str]],
     first_cols: dict[str, str],
     last_cols: dict[str, str],
+    num_buckets: int = 32,
 ) -> rd.Dataset:
     """First/last-touch extraction per group (A3 first/last row semantics,
-    ``eth_token_holder_adapter.py:258-268``): output one row per group with
-    renamed first_*/last_* columns."""
+    ``eth_token_holder_adapter.py:258-268``): one row per group with renamed
+    first_*/last_* columns plus ``n_events``.
 
-    def fl(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=order)
-        g = group.take(idx)
-        row = {}
-        for b in by:
-            row[b] = g.column(b)[0].as_py()
+    Scale shape (combiner + one bucket exchange, no per-group Python): each
+    batch collapses to one partial row per group carrying the first/last
+    order-key values and a row count; the exchange moves partials (≤ groups
+    × batches rows), and the per-bucket fold re-sorts partials twice
+    (ascending pick-first for the first side, ascending pick-last for the
+    last side) and sums counts with ``np.add.reduceat``."""
+    import numpy as np
+
+    ocols = [c for c, _ in order]
+    f_need = list(dict.fromkeys(ocols + list(first_cols)))
+    l_need = list(dict.fromkeys(ocols + list(last_cols)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, starts = _sorted_with_starts(t, by, order)
+        n = g.num_rows
+        ends = np.append(starts[1:], n) - 1
+        counts = np.diff(np.append(starts, n))
+        firsts = g.take(pa.array(starts))
+        lasts = g.take(pa.array(ends))
+        cols: dict = {b: firsts.column(b) for b in by}
+        for c in f_need:
+            cols["__f_" + c] = firsts.column(c)
+        for c in l_need:
+            cols["__l_" + c] = lasts.column(c)
+        cols["__n"] = pa.array(counts, type=pa.int64())
+        return pa.table(cols)
+
+    forder = [("__f_" + c, d) for c, d in order]
+    lorder = [("__l_" + c, d) for c, d in order]
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_gb"])
+        gf, fst = _sorted_with_starts(g, by, forder)
+        firsts = gf.take(pa.array(fst))
+        gl, lst = _sorted_with_starts(g, by, lorder)
+        ends = np.append(lst[1:], gl.num_rows) - 1
+        lasts = gl.take(pa.array(ends))
+        # group sequence is identical in gf and gl (same ascending by-sort),
+        # so positionally-aligned assembly is exact
+        out: dict = {b: firsts.column(b) for b in by}
         for src, dst in first_cols.items():
-            row[dst] = g.column(src)[0].as_py()
+            out[dst] = firsts.column("__f_" + src)
         for src, dst in last_cols.items():
-            row[dst] = g.column(src)[g.num_rows - 1].as_py()
-        row["n_events"] = g.num_rows
-        return pa.Table.from_pylist([row])
+            out[dst] = lasts.column("__l_" + src)
+        nsum = (
+            np.add.reduceat(
+                gf.column("__n").to_numpy(zero_copy_only=False), fst
+            )
+            if len(fst)
+            else np.empty(0, dtype=np.int64)
+        )
+        out["n_events"] = pa.array(nsum.astype(np.int64), type=pa.int64())
+        return pa.table(out)
 
-    return ds.groupby(by).map_groups(fl, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(fold, batch_format="pyarrow")
+    )
 
 
 def propagate_group_status(
