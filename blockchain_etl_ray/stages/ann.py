@@ -606,7 +606,6 @@ def cosine_neardup_pairs_lsh(
     planted-dup recall asserted in pytest."""
     import pyarrow.compute as pc
 
-    from .joins import bucketed_join
     from .stabilize import stabilize
 
     width = n_planes // bands
@@ -648,31 +647,18 @@ def cosine_neardup_pairs_lsh(
         lambda g: _run_pairs_table(g, "band_key", id_col, max_bucket),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Count
-
-    cand = stabilize(
-        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")),
-        [("a", pa.int64()), ("b", pa.int64()), ("_nb", pa.int64())],
-    ).select_columns(["a", "b"])
 
     def emb_blob(batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch.column(vec_col))
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table(
             {
-                id_col: batch.column(id_col),
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
                 "emb": pa.array([row.tobytes() for row in m], type=pa.large_binary()),
             }
         )
 
-    emb = vectors.map_batches(emb_blob, batch_format="pyarrow").materialize()
-    j1 = bucketed_join(cand, emb, on="a", right_on=id_col).map_batches(
-        lambda t: t.rename_columns(
-            [("emb_a" if c == "emb" else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = bucketed_join(j1, emb, on="b", right_on=id_col)
+    emb = vectors.map_batches(emb_blob, batch_format="pyarrow")
 
     def verify(t: pa.Table) -> pa.Table:
         # blobs are uniform-width float64 rows: decode BOTH sides buffer-level
@@ -681,7 +667,7 @@ def cosine_neardup_pairs_lsh(
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
         A = _blob_matrix(t.column("emb_a"))
-        B = _blob_matrix(t.column("emb"))
+        B = _blob_matrix(t.column("emb_b"))
         cos = np.einsum("ij,ij->i", A, B) if len(a) else np.empty(0)
         keep = cos >= threshold
         return pa.table(
@@ -694,8 +680,13 @@ def cosine_neardup_pairs_lsh(
             }
         )
 
+    # grid co-partitioned verify with in-cell candidate dedup — replaces a
+    # full-cardinality (a, b) groupby-count exchange plus two chained
+    # blob-attached bucketed_joins (see dedup.grid_pair_blob_join)
+    from .dedup import grid_pair_blob_join
+
     return stabilize(
-        j2.map_batches(verify, batch_format="pyarrow"),
+        grid_pair_blob_join(cand, emb, finish=verify, dedup_pairs_in_cell=True),
         [("a", pa.int64()), ("b", pa.int64()), ("cos_x1m", pa.int64())],
     )
 

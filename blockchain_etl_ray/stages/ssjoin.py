@@ -123,9 +123,18 @@ def _tok_hash_u64(tokens: np.ndarray) -> np.ndarray:
     )
 
 
+#: position bits in the packed (n_tokens, prefix_position) signature —
+#: supports docs up to 2^20 distinct shingles; n_tokens then fits 2^43
+_POS_BITS = 20
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
 def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
     """Per-doc prefix emission: sort the doc's tokens by (df asc, token asc),
-    prefix length = n - ceil(t*n) + 1, emit (tok_hash, doc_id, n_tokens).
+    prefix length = n - ceil(t*n) + 1, emit (tok_hash, doc_id, n_tokens)
+    where ``n_tokens`` packs ``n · 2^20 + prefix_position`` — the position
+    feeds the PPJoin positional filter in pair-gen (Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection" — public literature).
     ``group`` holds MANY whole docs (grouped by doc_id).  The token STRING is
     the tie-break within equal df so the global order is total even under
     tok_hash collisions; the emitted key is the precomputed int hash."""
@@ -146,9 +155,16 @@ def prefix_rows(group: pa.Table, threshold: Fraction) -> pa.Table:
         plen = n - ceil_tn + 1
         if plen <= 0:
             continue
+        if n > _POS_MASK:
+            raise ValueError(
+                f"doc with {n} distinct shingles overflows the packed "
+                f"prefix-position signature (max {_POS_MASK})"
+            )
         out_tok.append(toh[st : st + plen])
         out_doc.append(np.full(plen, doc[st], dtype=np.int64))
-        out_n.append(np.full(plen, n, dtype=np.int64))
+        out_n.append(
+            (np.int64(n) << _POS_BITS) + np.arange(plen, dtype=np.int64)
+        )
     if not out_tok:
         return pa.table(
             {
@@ -251,14 +267,26 @@ def token_jaccard_pairs(
     num, den = threshold.numerator, threshold.denominator
 
     def gen_pairs(g: pa.Table) -> pa.Table:
-        # carry n_tokens through pair-gen (sig_col) and apply the LENGTH
-        # FILTER immediately: J >= t needs den*min(na,nb) >= num*max(na,nb)
-        # (inter <= min, union >= max) — prunes size-incompatible candidates
-        # before they ever shuffle (measured 718k -> 395k pairs at sf0.1)
+        # carry the packed (n_tokens, position) signature through pair-gen
+        # (sig_col) and prune candidates before they ever shuffle:
+        # 1. LENGTH filter: J >= t needs den*min(na,nb) >= num*max(na,nb)
+        #    (inter <= min, union >= max) — measured 718k -> 395k at sf0.1;
+        # 2. PPJoin POSITIONAL filter: for the occurrence at prefix
+        #    positions (pa, pb) the achievable overlap is bounded by
+        #    1 + min(na-pa-1, nb-pb-1); J >= t needs overlap >=
+        #    ceil(num*(na+nb)/(num+den)).  Complete because every shared
+        #    prefix token generates the pair independently (one bucket per
+        #    token) and the FIRST shared token in the global order always
+        #    satisfies the bound for a true pair.
         p = _run_pairs_table(g, "tok_hash", "doc_id", max_bucket, sig_col="n_tokens")
-        na = p.column("sig_a").to_numpy(zero_copy_only=False)
-        nb = p.column("sig_b").to_numpy(zero_copy_only=False)
-        keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        sa = p.column("sig_a").to_numpy(zero_copy_only=False)
+        sb = p.column("sig_b").to_numpy(zero_copy_only=False)
+        na, pa_ = sa >> _POS_BITS, sa & _POS_MASK
+        nb, pb_ = sb >> _POS_BITS, sb & _POS_MASK
+        alpha = -(-(num * (na + nb)) // (num + den))
+        keep = (den * np.minimum(na, nb) >= num * np.maximum(na, nb)) & (
+            1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
+        )
         return p.select(["a", "b"]).filter(pa.array(keep))
 
     cand = bucketed.groupby(["gpart"]).map_groups(gen_pairs, batch_format="pyarrow")
