@@ -559,14 +559,19 @@ def grid_pair_blob_join(
         sides = {}
         for role_id, key_col, suffix in ((1, "a", "_a"), (2, "b", "_b")):
             s = g.filter(pa.array(role == role_id))
+            want = p.column(key_col).to_numpy(zero_copy_only=False)
             docs_s = s.column(doc_col).to_numpy(zero_copy_only=False)
+            if len(docs_s) == 0:
+                # a cell can hold pairs but no set rows on one side (all
+                # its docs missing from sets_): every pair there drops
+                keep &= False
+                sides[suffix] = (s, np.zeros(p.num_rows, dtype=np.int64))
+                continue
             order = np.argsort(docs_s, kind="stable")
             ds_sorted = docs_s[order]
-            want = p.column(key_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(ds_sorted, want)
-            pos_c = np.minimum(pos, max(len(ds_sorted) - 1, 0))
-            ok = (len(ds_sorted) > 0) & (ds_sorted[pos_c] == want)
-            keep &= ok
+            pos_c = np.minimum(pos, len(ds_sorted) - 1)
+            keep &= ds_sorted[pos_c] == want
             sides[suffix] = (s, order[pos_c])
         kidx = pa.array(np.flatnonzero(keep))
         out_cols["a"] = p.column("a").take(kidx)

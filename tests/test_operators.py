@@ -1945,3 +1945,116 @@ def test_cms_queries_survive_flat_term_distribution(tmp_path):
         fn, _ = reg[name]
         out = fn(str(sf)).to_pandas()
         assert len(out) == 0, (name, out)
+
+
+def test_grid_pair_blob_join_semantics():
+    """grid_pair_blob_join: inner-join drop for missing docs, in-cell pair
+    dedup, payload suffixing, and the fused finish callback — across grid
+    sizes that do and don't divide the id space."""
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.dedup import grid_pair_blob_join
+
+    sets_ = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 5], pa.int64()),
+                "blob": pa.array([b"one", b"two", b"three", b"five"], pa.large_binary()),
+                "n": pa.array([10, 20, 30, 50], pa.int64()),
+            }
+        )
+    )
+    # (1,2) duplicated; (3,4) has a missing b-side doc -> dropped
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 3, 2], pa.int64()),
+                "b": pa.array([2, 2, 4, 5], pa.int64()),
+            }
+        )
+    )
+    for grid in (2, 3, 8):
+        out = grid_pair_blob_join(
+            pairs, sets_, grid=grid, dedup_pairs_in_cell=True
+        ).to_pandas()
+        got = sorted(map(tuple, out[["a", "b", "n_a", "n_b"]].values.tolist()))
+        assert got == [(1, 2, 10, 20), (2, 5, 20, 50)], (grid, got)
+        assert sorted(out.columns) == ["a", "b", "blob_a", "blob_b", "n_a", "n_b"]
+        blobs = {
+            (r.a, r.b): (r.blob_a, r.blob_b) for r in out.itertuples()
+        }
+        assert blobs[(1, 2)] == (b"one", b"two")
+
+    # fused finish sees the joined rows inside the cell task
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "tot": pc.add(t.column("n_a"), t.column("n_b")),
+            }
+        )
+
+    out = grid_pair_blob_join(
+        pairs, sets_, grid=4, finish=finish, dedup_pairs_in_cell=True
+    ).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [(1, 2, 30), (2, 5, 70)]
+
+
+def test_grouped_first_rows_and_bucket_keys():
+    """grouped_first_rows picks the exact first full row per group across
+    batch boundaries (descending order too); _combined_buckets rejects null
+    keys loudly."""
+    import pytest
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.windows import _combined_buckets, grouped_first_rows
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+            "s": pa.array(["x", "y", "x", "x", "y", "y"], pa.string()),
+            "o": pa.array([5, 3, 9, 1, 4, 7], pa.int64()),
+            "v": pa.array([50, 30, 90, 10, 40, 70], pa.int64()),
+        }
+    )
+    # two single-row-heavy blocks so per-batch candidates must re-fold
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2, 2), t.slice(4, 2)])
+    asc = grouped_first_rows(ds, by=["k"], order=[("o", "ascending")]).to_pandas()
+    assert sorted(map(tuple, asc[["k", "o", "v"]].values.tolist())) == [
+        (1, 3, 30), (2, 1, 10), (3, 7, 70),
+    ]
+    desc = grouped_first_rows(ds, by=["k"], order=[("o", "descending")]).to_pandas()
+    assert sorted(map(tuple, desc[["k", "o", "v"]].values.tolist())) == [
+        (1, 5, 50), (2, 9, 90), (3, 7, 70),
+    ]
+    multi = grouped_first_rows(
+        ds, by=["k", "s"], order=[("o", "ascending")]
+    ).to_pandas()
+    assert sorted(map(tuple, multi[["k", "s", "o"]].values.tolist())) == [
+        (1, "x", 5), (1, "y", 3), (2, "x", 1), (2, "y", 4), (3, "y", 7),
+    ]
+
+    with pytest.raises(TypeError, match="non-null"):
+        _combined_buckets(
+            pa.table({"k": pa.array([1, None], pa.int64())}), ["k"], 8
+        )
+
+
+def test_dict_shingle_hash_parity():
+    """_dict_shingle_hashes (vectorized word-fold) is value-identical to the
+    per-row _shingle_hash_py across empty words, unicode and long shingles."""
+    from blockchain_etl_ray.stages.dedup import _dict_shingle_hashes, _shingle_hash_py
+
+    shingles = [
+        "a b c d e",
+        "",
+        " ",
+        "single",
+        "héllo wörld ünicode test gram",
+        "repeat repeat repeat repeat repeat",
+        "x" * 500 + " tail",
+    ]
+    got = _dict_shingle_hashes(pa.array(shingles, pa.string()))
+    exp = [_shingle_hash_py(s) for s in shingles]
+    assert got.tolist() == exp
