@@ -231,3 +231,125 @@ def test_dedup_string_pairs_equals_set_semantics(data):
     got = set(zip(out["a"], out["b"]))
     assert got == set(pairs)
     assert len(out) == len(got)  # no residual duplicates
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_token_jaccard_pairs_equals_bruteforce(data):
+    """Property: the full prefix-filter + PPJoin-positional + grid-verify
+    pipeline returns EXACTLY the brute-force token-Jaccard pairs — guards
+    the completeness argument of the positional filter (a true pair must
+    survive via its first shared token in the global order) against any
+    refactor of the candidate pruning."""
+    import re
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.ssjoin import token_jaccard_pairs
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n_docs = data.draw(st.integers(min_value=2, max_value=12))
+    texts = [
+        " ".join(
+            data.draw(
+                st.lists(st.sampled_from(vocab), min_size=0, max_size=10)
+            )
+        )
+        for _ in range(n_docs)
+    ]
+    thr = data.draw(
+        st.sampled_from([Fraction(1, 4), Fraction(1, 2), Fraction(3, 4)])
+    )
+
+    def shingles(text):
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = set()
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            sa, sb = shingles(texts[i]), shingles(texts[j])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * thr.denominator >= thr.numerator * union:
+                expected.add((i, j, inter, union))
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    n_blocks = data.draw(st.integers(min_value=1, max_value=3))
+    res = token_jaccard_pairs(
+        rd.from_arrow(docs).repartition(n_blocks), threshold=thr
+    )
+    # block-level consumption, like the driver (Dataset.to_pandas drops
+    # columns entirely on zero-row datasets in Ray 2.49)
+    import ray
+
+    out = pa.concat_tables([ray.get(r) for r in res.to_arrow_refs()]).to_pandas()
+    got = set(
+        zip(out["id_a"], out["id_b"], out["n_inter"], out["n_union"])
+    )
+    assert got == expected
+
+
+@given(data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_grouped_first_rows_equals_pandas(data):
+    """Property: grouped_first_rows == pandas sort + groupby-head(1) for any
+    grouping/order/block split (mixed asc/desc, string keys)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.windows import grouped_first_rows
+
+    n = data.draw(st.integers(min_value=1, max_value=30))
+    ks = data.draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=n, max_size=n)
+    )
+    # unique tie-break column so "first" is well-defined on both sides
+    order_vals = data.draw(
+        st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    direction = data.draw(st.sampled_from(["ascending", "descending"]))
+    t = pa.table(
+        {
+            "k": pa.array([f"k{v}" for v in ks], pa.string()),
+            "o": pa.array(order_vals, pa.int64()),
+            "v": pa.array(range(n), pa.int64()),
+        }
+    )
+    n_blocks = data.draw(st.integers(min_value=1, max_value=4))
+    out = (
+        grouped_first_rows(
+            rd.from_arrow(t).repartition(n_blocks),
+            by=["k"],
+            order=[("o", direction)],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas()
+        .sort_values("o", ascending=(direction == "ascending"), kind="mergesort")
+        .groupby("k", as_index=False)
+        .head(1)
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "o", "v"]], exp[["k", "o", "v"]]
+    )
