@@ -1521,8 +1521,6 @@ def shared_chunk_pairs(
     """Doc pairs sharing ≥ ``min_shared`` content-defined chunks (a < b).
     Default chunking (~96 B average) suits short documents; raise the sizes
     for real source files."""
-    from ray.data.aggregate import Count
-
     from .stabilize import stabilize
 
     chunks = docs.map_batches(
@@ -1536,13 +1534,50 @@ def shared_chunk_pairs(
         lambda g: _run_pairs_table(g, "chunk_hash", "doc_id", max_bucket),
         batch_format="pyarrow",
     )
-    counted = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_shared"))
-    counted = stabilize(
-        counted, [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
+
+    # pair-hash bucketed count with the min_shared filter fused in-bucket —
+    # every occurrence of a pair lands in the same bucket (the bucket is a
+    # pure function of (a, b)), so bucket-local counts are global and the
+    # native full-cardinality (a, b) groupby-count exchange is retired
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(33)
+        return t.append_column(
+            "gpart", pa.array(((h >> np.uint64(32)) % np.uint64(64)).astype(np.int32))
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        if len(a):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(a)))
+        keep = counts >= min_shared
+        return pa.table(
+            {
+                "a": pa.array(a[starts][keep]),
+                "b": pa.array(b[starts][keep]),
+                "n_shared": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
+
+    counted = (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(
+            lambda g: count_bucket(g.drop_columns(["gpart"])),
+            batch_format="pyarrow",
+        )
     )
-    return counted.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("n_shared"), min_shared)),
-        batch_format="pyarrow",
+    return stabilize(
+        counted, [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
     )
 
 

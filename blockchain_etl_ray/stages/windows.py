@@ -417,17 +417,31 @@ def propagate_group_status(
     ``out_col`` = 0 when self or any ancestor failed, else the row's own
     status.
 
-    Shape: ``groupby(group_keys).map_groups`` — groups are block-sized in the
-    reference and bounded here; inside a group, addresses sort by depth so
-    each row resolves its parent with one dict lookup (no rescans)."""
+    Shape: one coarse hash-bucket exchange on ``group_keys`` (whole groups
+    co-locate; the former per-group ``map_groups`` paid O(groups) Python
+    dispatches); inside a bucket, rows sort by (group, depth, address) so
+    each row resolves its parent with one dict lookup (no rescans), and the
+    per-group dict resets at run boundaries."""
 
-    def propagate(group: pa.Table) -> pa.Table:
-        addrs = group.column(addr_col).to_pylist()
-        status = group.column(status_col).to_pylist()
-        order = sorted(range(len(addrs)), key=lambda i: (addrs[i].count(sep), addrs[i]))
+    def propagate_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = g.drop_columns(["_gb"])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], type=pa.int64()))
+        addrs = g.column(addr_col).to_pylist()
+        depth = [a.count(sep) for a in addrs]
+        gkey = list(zip(*(g.column(k).to_pylist() for k in group_keys)))
+        order = sorted(range(n), key=lambda i: (gkey[i], depth[i], addrs[i]))
+        status = g.column(status_col).to_pylist()
+        out = [0] * n
         eff: dict[str, int] = {}
-        out = [0] * len(addrs)
+        prev_key = object()
         for i in order:
+            if gkey[i] != prev_key:
+                eff = {}
+                prev_key = gkey[i]
             a = addrs[i]
             s = 0 if status[i] == 0 else int(status[i])
             parent = a.rsplit(sep, 1)[0] if sep in a else None
@@ -435,9 +449,13 @@ def propagate_group_status(
                 s = 0
             eff[a] = s
             out[i] = s
-        return group.append_column(out_col, pa.array(out, type=pa.int64()))
+        return g.append_column(out_col, pa.array(out, type=pa.int64()))
 
-    return ds.groupby(group_keys).map_groups(propagate, batch_format="pyarrow")
+    return (
+        ds.map_batches(_tag_buckets(group_keys, 32), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(propagate_bucket, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
