@@ -238,6 +238,8 @@ def write_corpus(
             use_ray = False
 
     if use_ray:
+        import math
+
         import ray
 
         pool_ref = ray.put(pool)
@@ -246,11 +248,26 @@ def write_corpus(
                 sl, seed, ray.get(pool_ref), e, schema_evolution_at, path
             )
         )
+        # Memory-aware fan-out: content lengths are lognormal, so the MEAN
+        # is median·e^(σ²/2) (≈6× the median at the default σ) and one
+        # epoch task transiently holds ~3× its raw content bytes (python
+        # strings + arrow table + parquet buffer).  Declaring that as a
+        # ``memory`` resource lets Ray bound how many build tasks run at
+        # once — an unannotated 32-way fan-out at 50 M events OOM-killed
+        # workers on a 128 GiB box.
+        mean_content = min(
+            defaults["content_cap"],
+            int(
+                defaults["content_median"]
+                * math.exp(defaults["content_sigma"] ** 2 / 2)
+            ),
+        )
         futs = []
         for e, sl in slices.items():
             f = out / f"epoch={e:06d}.parquet"
             files.append(str(f))
-            futs.append(build.remote(sl, e, str(f)))
+            est = max(256 << 20, 3 * len(sl["epoch"]) * mean_content)
+            futs.append(build.options(memory=est).remote(sl, e, str(f)))
         rows = sum(ray.get(futs))
     else:
         for e, sl in slices.items():
