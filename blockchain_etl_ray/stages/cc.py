@@ -290,14 +290,18 @@ def pagerank_ranks(
     ``r'[v] = (1-d)·S//(d_den·N) + Σ_{u→v} d_num·(r[u]//outdeg[u])//d_den``
 
     (S = 1e12 fixed-point scale; dangling mass dropped — the deterministic
-    choice).  Distributed shape: edges keep their blocks; each iteration
-    broadcasts the rank table once (``ray.put``, centroid-style) and every
-    edge batch emits per-dst PARTIAL integer sums, folded by one small
-    groupby — the per-iteration exchange is node-sized, never edge-sized.
-    The rank vector is assumed broadcastable (nodes ≪ edges — the same
-    assumption as k-means centroids); for node sets past worker memory,
-    partition ranks by node hash and swap the broadcast for a bucketed
-    join.  Returns (node, rank) sorted by node, rank in 1e-12 units."""
+    choice).  Distributed shape: edge blocks are pinned ONCE into a pool of
+    shard ACTORS (the §2.8 stateful-stage escape hatch — a per-iteration
+    ``map_batches`` relaunch costs ~1.5 s of Dataset fixed overhead, ×20
+    iterations it dominated the whole query at 32 s); each iteration
+    broadcasts the rank share vector (``ray.put``, centroid-style), every
+    shard returns per-dst PARTIAL integer sums over its resident edges, and
+    the driver folds the node-sized partials — the per-iteration exchange
+    is node-sized, never edge-sized.  The rank vector is assumed
+    broadcastable (nodes ≪ edges — the same assumption as k-means
+    centroids); for node sets past worker memory, partition ranks by node
+    hash and swap the broadcast for a bucketed join.  Returns (node, rank)
+    sorted by node, rank in 1e-12 units."""
     import ray
 
     import pyarrow.compute as pc
@@ -333,41 +337,59 @@ def pagerank_ranks(
     base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
     rank = np.full(n, PR_SCALE // n, dtype=np.int64)
 
-    for _ in range(n_iters):
-        share = np.zeros(n, dtype=np.int64)
-        nz = outdeg > 0
-        share[nz] = rank[nz] // outdeg[nz]
-        ref = ray.put((nodes, share))
+    @ray.remote
+    class _EdgeShard:
+        """Holds one shard's (src, dst) arrays resident; per-dst partial
+        sums per iteration (state in ``__init__``, work per call)."""
 
-        def contrib(t: pa.Table) -> pa.Table:
-            nd, sh = ray.get(ref) if not isinstance(ref, tuple) else ref
-            s = pc.cast(t.column(src_col), pa.int64()).to_numpy(zero_copy_only=False)
-            d = pc.cast(t.column(dst_col), pa.int64()).to_numpy(zero_copy_only=False)
-            c = PR_D_NUM * sh[np.searchsorted(nd, s)] // PR_D_DEN
-            order = np.argsort(d, kind="stable")
-            ds_, cs = d[order], c[order]
-            new = np.empty(len(ds_), dtype=bool)
-            if len(ds_):
-                new[0] = True
-                new[1:] = ds_[1:] != ds_[:-1]
-            cell = np.cumsum(new) - 1 if len(ds_) else new.astype(np.int64)
-            ncell = int(cell[-1] + 1) if len(ds_) else 0
-            out = np.zeros(ncell, dtype=np.int64)
-            np.add.at(out, cell, cs)
-            return pa.table(
-                {"v": pa.array(ds_[new] if len(ds_) else ds_), "c": pa.array(out)}
-            )
-
-        parts = pa.concat_tables(
-            list(
-                edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow", batch_size=None
+        def __init__(self, block_refs):
+            # nested ObjectRefs are NOT auto-resolved inside containers
+            tabs = [t for t in ray.get(list(block_refs)) if t.num_rows]
+            if tabs:
+                t = pa.concat_tables(tabs)
+                s = pc.cast(t.column(src_col), pa.int64()).to_numpy(
+                    zero_copy_only=False
                 )
-            )
-        )
-        g = parts.group_by("v").aggregate([("c", "sum")])
-        rank = np.full(n, base, dtype=np.int64)
-        vp = np.searchsorted(nodes, g.column("v").to_numpy(zero_copy_only=False))
-        rank[vp] += g.column("c_sum").to_numpy(zero_copy_only=False)
+                d = pc.cast(t.column(dst_col), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                # dst-sorted once so each iteration is a gather + reduceat
+                order = np.argsort(d, kind="stable")
+                d_sorted = d[order]
+                self.s_by_d = s[order]
+                self.starts = np.concatenate(
+                    [[0], np.nonzero(d_sorted[1:] != d_sorted[:-1])[0] + 1]
+                )
+                self.d_uniq = d_sorted[self.starts]
+            else:
+                self.s_by_d = np.empty(0, dtype=np.int64)
+                self.starts = np.empty(0, dtype=np.int64)
+                self.d_uniq = np.empty(0, dtype=np.int64)
+
+        def contrib(self, ref):
+            nd, sh = ref
+            if not len(self.s_by_d):
+                return self.d_uniq, np.empty(0, dtype=np.int64)
+            c = PR_D_NUM * sh[np.searchsorted(nd, self.s_by_d)] // PR_D_DEN
+            return self.d_uniq, np.add.reduceat(c, self.starts)
+
+    refs = edges.to_arrow_refs()
+    n_shards = max(1, min(16, len(refs)))
+    shards = [
+        _EdgeShard.remote([refs[i] for i in range(k, len(refs), n_shards)])
+        for k in range(n_shards)
+    ]
+    try:
+        for _ in range(n_iters):
+            share = np.zeros(n, dtype=np.int64)
+            nz = outdeg > 0
+            share[nz] = rank[nz] // outdeg[nz]
+            ref = ray.put((nodes, share))
+            rank = np.full(n, base, dtype=np.int64)
+            for d_uniq, sums in ray.get([s.contrib.remote(ref) for s in shards]):
+                rank[np.searchsorted(nodes, d_uniq)] += sums
+    finally:
+        for s in shards:
+            ray.kill(s)
 
     return pa.table({"node": pa.array(nodes), "rank_x1e12": pa.array(rank)})
