@@ -451,7 +451,7 @@ def shingle_set_rows(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
 def grid_pair_blob_join(
     pairs: rd.Dataset,
     sets_: rd.Dataset,
-    grid: int = 8,
+    grid: int | None = None,
     doc_col: str = "doc_id",
     finish=None,
     dedup_pairs_in_cell: bool = False,
@@ -479,7 +479,16 @@ def grid_pair_blob_join(
     ``dedup_pairs_in_cell``: accept a candidate stream WITH duplicate (a, b)
     rows and unique them inside the cell (duplicates of a pair always land
     in the same cell — the cell key is a pure function of (a, b)), saving
-    the caller a dedicated full-candidate dedup exchange."""
+    the caller a dedicated full-candidate dedup exchange.
+
+    ``grid`` defaults to ``ceil(sqrt(2 · cluster CPUs))`` — cells ≈ 2×CPUs
+    and set replication grows only with the square root of the cluster."""
+    if grid is None:
+        import math
+
+        from .windows import default_buckets
+
+        grid = math.isqrt(default_buckets() - 1) + 1
     payload = [c for c in sets_.schema().names if c != doc_col]
     ptypes = {
         c: t for c, t in zip(sets_.schema().names, sets_.schema().types) if c != doc_col
@@ -1582,7 +1591,7 @@ def shared_chunk_pairs(
 
 
 def exact_dedup(
-    ds: rd.Dataset, fingerprint_col: str, order_col: str, num_buckets: int = 32
+    ds: rd.Dataset, fingerprint_col: str, order_col: str, num_buckets: int | None = None
 ) -> rd.Dataset:
     """Keep the min-``order_col`` row per fingerprint (U8: hash-partition +
     per-group first; deterministic winner).

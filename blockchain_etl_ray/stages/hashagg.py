@@ -36,14 +36,20 @@ def bucketed_group_aggregate(
     ds: rd.Dataset,
     key: str,
     agg_fn: Callable[[pa.Table], pa.Table],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Exact per-key aggregation for HIGH-CARDINALITY int64 or string keys.
 
     ``agg_fn`` receives one bucket's rows (a ``pa.Table`` WITHOUT the bucket
     column) and must return that bucket's fully-aggregated rows — typically a
-    single vectorized ``Table.group_by(key).aggregate(...)``.
+    single vectorized ``Table.group_by(key).aggregate(...)``.  The default
+    bucket count tracks the cluster's CPU count (``windows.default_buckets``)
+    so exchange parallelism grows with the cluster.
     """
+    if num_buckets is None:
+        from .windows import default_buckets
+
+        num_buckets = default_buckets()
     width = (1 << 31) // num_buckets + 1
 
     def bucketize(t: pa.Table) -> pa.Table:

@@ -19,6 +19,23 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def default_buckets() -> int:
+    """Bucket count for the coarse window exchanges: tracks the CLUSTER's
+    CPU count (2× for stragglers) with a floor of 32, so exchange
+    parallelism grows with the cluster instead of hard-coding the test
+    box's width (the round-4 `num_blocks=16` lesson applied to buckets).
+    On the 4-CPU test fixture this is exactly the old constant 32."""
+    try:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
+    except Exception:  # pragma: no cover - resource query races
+        cpus = 8
+    return max(32, 2 * cpus)
+
+
 def _combined_buckets(t: pa.Table, by: list[str], num_buckets: int):
     """Vectorized hash bucket (int64 ndarray) over one-or-more NON-NULL
     int/string key columns — the coarse exchange key of the combiner +
@@ -82,7 +99,7 @@ def partition_rank(
     by: list[str],
     order: list[tuple[str, str]],
     rank_col: str = "rn",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """row_number() over (partition by ``by`` order by ``order``) (A2).
 
@@ -102,7 +119,10 @@ def partition_rank(
         return g.append_column(rank_col, pa.array(rn, type=pa.int64()))
 
     return (
-        ds.map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        ds.map_batches(
+            _tag_buckets(by, num_buckets or default_buckets()),
+            batch_format="pyarrow",
+        )
         .groupby("_gb")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
@@ -112,7 +132,7 @@ def grouped_first_rows(
     ds: rd.Dataset,
     by: list[str],
     order: list[tuple[str, str]],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Exact FIRST full row per group (``QUALIFY ROW_NUMBER() = 1``), U8 dup
     cleanup shape: map-side per-batch candidate firsts (at most one row per
@@ -126,7 +146,10 @@ def grouped_first_rows(
 
     return (
         ds.map_batches(firsts, batch_format="pyarrow")
-        .map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        .map_batches(
+            _tag_buckets(by, num_buckets or default_buckets()),
+            batch_format="pyarrow",
+        )
         .groupby("_gb")
         .map_groups(
             lambda g: firsts(g.drop_columns(["_gb"])), batch_format="pyarrow"
@@ -182,7 +205,9 @@ def sessionize(
         )
 
     return (
-        ds.map_batches(_tag_buckets([key], 32), batch_format="pyarrow")
+        ds.map_batches(
+            _tag_buckets([key], default_buckets()), batch_format="pyarrow"
+        )
         .groupby("_gb")
         .map_groups(sessions_bucket, batch_format="pyarrow")
     )
@@ -334,7 +359,7 @@ def grouped_first_last(
     order: list[tuple[str, str]],
     first_cols: dict[str, str],
     last_cols: dict[str, str],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """First/last-touch extraction per group (A3 first/last row semantics,
     ``eth_token_holder_adapter.py:258-268``): one row per group with renamed
@@ -396,7 +421,10 @@ def grouped_first_last(
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .map_batches(_tag_buckets(by, num_buckets), batch_format="pyarrow")
+        .map_batches(
+            _tag_buckets(by, num_buckets or default_buckets()),
+            batch_format="pyarrow",
+        )
         .groupby("_gb")
         .map_groups(fold, batch_format="pyarrow")
     )
@@ -452,7 +480,9 @@ def propagate_group_status(
         return g.append_column(out_col, pa.array(out, type=pa.int64()))
 
     return (
-        ds.map_batches(_tag_buckets(group_keys, 32), batch_format="pyarrow")
+        ds.map_batches(
+            _tag_buckets(group_keys, default_buckets()), batch_format="pyarrow"
+        )
         .groupby("_gb")
         .map_groups(propagate_bucket, batch_format="pyarrow")
     )
