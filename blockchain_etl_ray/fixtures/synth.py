@@ -262,12 +262,18 @@ def write_corpus(
                 * math.exp(defaults["content_sigma"] ** 2 / 2)
             ),
         )
+        # clamp the per-task claim below the smallest plausible node share:
+        # a task demanding more memory than any node offers is INFEASIBLE
+        # and ray.get would block forever (no exception) — past the clamp
+        # the task may page/spill, which beats never being scheduled
+        cluster_mem = int(ray.cluster_resources().get("memory", 8 << 30))
+        cap = max(256 << 20, int(cluster_mem * 0.45))
         futs = []
         for e, sl in slices.items():
             f = out / f"epoch={e:06d}.parquet"
             files.append(str(f))
             est = max(256 << 20, 3 * len(sl["epoch"]) * mean_content)
-            futs.append(build.options(memory=est).remote(sl, e, str(f)))
+            futs.append(build.options(memory=min(est, cap)).remote(sl, e, str(f)))
         rows = sum(ray.get(futs))
     else:
         for e, sl in slices.items():

@@ -489,14 +489,26 @@ def grid_pair_blob_join(
         from .windows import default_buckets
 
         grid = math.isqrt(default_buckets() - 1) + 1
+    # materialize the set side ONCE: it is consumed three times (schema
+    # inference + both replicate branches) and each un-materialized consumer
+    # would re-execute the whole upstream (measured 3× corpus re-shingling)
+    sets_ = sets_.materialize()
     payload = [c for c in sets_.schema().names if c != doc_col]
     ptypes = {
         c: t for c, t in zip(sets_.schema().names, sets_.schema().types) if c != doc_col
     }
+
+    def _grid_bucket(x: np.ndarray) -> np.ndarray:
+        # multiply-mix before the modulo so strided/offset id patterns
+        # (all-even ids, generator offsets) still spread across the grid —
+        # same int mix as windows._combined_buckets
+        h = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(32)) % np.uint64(grid)).astype(np.int64)
+
     def tag_pairs(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
         b = pc.cast(t.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
-        cell = (a % grid) * grid + (b % grid)
+        cell = _grid_bucket(a) * grid + _grid_bucket(b)
         n = len(a)
         cols = {
             "cell": pa.array(cell.astype(np.int32)),
@@ -516,9 +528,9 @@ def grid_pair_blob_join(
             docs_r = np.repeat(doc, grid)
             k = np.tile(np.arange(grid, dtype=np.int64), n)
             if role == 1:  # a-side: cells (bucket(doc), *)
-                cell = (docs_r % grid) * grid + k
+                cell = _grid_bucket(docs_r) * grid + k
             else:  # b-side: cells (*, bucket(doc))
-                cell = k * grid + (docs_r % grid)
+                cell = k * grid + _grid_bucket(docs_r)
             ridx = pa.array(np.repeat(np.arange(n, dtype=np.int64), grid))
             cols = {
                 "cell": pa.array(cell.astype(np.int32)),
@@ -1546,15 +1558,20 @@ def shared_chunk_pairs(
 
     # pair-hash bucketed count with the min_shared filter fused in-bucket —
     # every occurrence of a pair lands in the same bucket (the bucket is a
-    # pure function of (a, b)), so bucket-local counts are global and the
-    # native full-cardinality (a, b) groupby-count exchange is retired
+    # pure function of (a, b), via the shared multi-key mix in
+    # windows._combined_buckets, width tracking the cluster), so
+    # bucket-local counts are global and the native full-cardinality
+    # (a, b) groupby-count exchange is retired
+    from .windows import _combined_buckets, default_buckets
+
+    n_parts = default_buckets()
+
     def tag(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = a * np.uint64(0x9E3779B97F4A7C15) ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
-        h ^= h >> np.uint64(33)
         return t.append_column(
-            "gpart", pa.array(((h >> np.uint64(32)) % np.uint64(64)).astype(np.int32))
+            "gpart",
+            pa.array(
+                _combined_buckets(t, ["a", "b"], n_parts).astype(np.int32)
+            ),
         )
 
     def count_bucket(g: pa.Table) -> pa.Table:

@@ -380,6 +380,16 @@ def grouped_first_last(
     def partial(t: pa.Table) -> pa.Table:
         g, starts = _sorted_with_starts(t, by, order)
         n = g.num_rows
+        # np.append(starts[1:], 0) - 1 would yield [-1] on an empty batch
+        # and Table.take would raise; keep the helper self-consistent
+        if n == 0:
+            cols0: dict = {b: g.column(b) for b in by}
+            for c in f_need:
+                cols0["__f_" + c] = g.column(c)
+            for c in l_need:
+                cols0["__l_" + c] = g.column(c)
+            cols0["__n"] = pa.array([], type=pa.int64())
+            return pa.table(cols0)
         ends = np.append(starts[1:], n) - 1
         counts = np.diff(np.append(starts, n))
         firsts = g.take(pa.array(starts))
@@ -400,7 +410,14 @@ def grouped_first_last(
         gf, fst = _sorted_with_starts(g, by, forder)
         firsts = gf.take(pa.array(fst))
         gl, lst = _sorted_with_starts(g, by, lorder)
-        ends = np.append(lst[1:], gl.num_rows) - 1
+        # the [-1] an empty group would produce never reaches take: guard
+        # like partial() (map_groups groups are non-empty today; stay
+        # self-consistent against empty-batch delivery changes)
+        ends = (
+            np.append(lst[1:], gl.num_rows) - 1
+            if len(lst)
+            else np.empty(0, dtype=np.int64)
+        )
         lasts = gl.take(pa.array(ends))
         # group sequence is identical in gf and gl (same ascending by-sort),
         # so positionally-aligned assembly is exact
