@@ -1054,7 +1054,6 @@ def minhash_md5_neardup_pairs(
     sub-splits, which this SQL-anchored variant deliberately avoids — the
     ``max_bucket`` here is a guard rail sized to never trigger after exact
     dedup at test scale)."""
-    from .joins import bucketed_join
     from .stabilize import stabilize
 
     bands = docs.map_batches(
@@ -1067,7 +1066,6 @@ def minhash_md5_neardup_pairs(
         lambda g: _run_pairs_table(g, "band_key", "doc_id", max_bucket),
         batch_format="pyarrow",
     )
-    pairs = _dedup_pairs(cand)
 
     out_schema = pa.schema(
         [
@@ -1078,30 +1076,18 @@ def minhash_md5_neardup_pairs(
             ("n_b", pa.int64()),
         ]
     )
-    if pairs.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
 
     sh = docs.map_batches(
         lambda t: md5_shingle_set_rows(t, shingle_k), batch_format="pyarrow"
-    ).materialize()
-    j1 = bucketed_join(pairs, sh, on="a", right_on="doc_id").map_batches(
-        lambda t: t.rename_columns(
-            [
-                {"shingles": "sh_a", "n": "na"}.get(c, c)
-                for c in t.column_names
-            ]
-        ),
-        batch_format="pyarrow",
     )
-    j2 = bucketed_join(j1, sh, on="b", right_on="doc_id")
 
     def check(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        na = t.column("na").to_numpy(zero_copy_only=False)
-        nb = t.column("n").to_numpy(zero_copy_only=False)
-        blobs_a = t.column("sh_a").to_pylist()
-        blobs_b = t.column("shingles").to_pylist()
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False)
+        blobs_a = t.column("shingles_a").to_pylist()
+        blobs_b = t.column("shingles_b").to_pylist()
         rows = {k: [] for k in ("a", "b", "inter", "n_a", "n_b")}
         for i in range(len(a)):
             sa = np.frombuffer(blobs_a[i], dtype=np.int64)
@@ -1118,7 +1104,10 @@ def minhash_md5_neardup_pairs(
             {k: pa.array(v, type=pa.int64()) for k, v in rows.items()}
         )
 
-    out = j2.map_batches(check, batch_format="pyarrow")
+    # grid co-partitioned verify with in-cell candidate dedup (see
+    # grid_pair_blob_join) — replaces the full-candidate dedup exchange plus
+    # two chained blob-attached bucketed_joins
+    out = grid_pair_blob_join(cand, sh, finish=check, dedup_pairs_in_cell=True)
     return stabilize(out, [(f.name, f.type) for f in out_schema])
 
 
