@@ -262,12 +262,22 @@ def write_corpus(
                 * math.exp(defaults["content_sigma"] ** 2 / 2)
             ),
         )
-        # clamp the per-task claim below the smallest plausible node share:
-        # a task demanding more memory than any node offers is INFEASIBLE
+        # clamp the per-task claim below the SMALLEST NODE's share: a task
+        # demanding more memory than any single node offers is INFEASIBLE
         # and ray.get would block forever (no exception) — past the clamp
         # the task may page/spill, which beats never being scheduled
-        cluster_mem = int(ray.cluster_resources().get("memory", 8 << 30))
-        cap = max(256 << 20, int(cluster_mem * 0.45))
+        try:
+            node_mems = [
+                int(n["Resources"].get("memory", 0))
+                for n in ray.nodes()
+                if n.get("Alive") and n.get("Resources", {}).get("memory")
+            ]
+        except Exception:  # pragma: no cover - GCS query races
+            node_mems = []
+        min_node_mem = min(node_mems) if node_mems else int(
+            ray.cluster_resources().get("memory", 8 << 30)
+        )
+        cap = max(256 << 20, int(min_node_mem * 0.45))
         futs = []
         for e, sl in slices.items():
             f = out / f"epoch={e:06d}.parquet"

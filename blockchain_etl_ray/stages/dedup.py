@@ -371,42 +371,6 @@ def lsh_candidate_pairs(
     )
 
 
-def _dedup_pairs(cand: rd.Dataset, group_parts: int = 64) -> rd.Dataset:
-    """Unique (a, b) pairs (a pair discovered in several bands verifies once).
-
-    Hash-bucket exchange + per-bucket vectorized sort-unique, NOT
-    ``groupby(["a","b"]).aggregate`` — Ray's sort aggregate pays per-GROUP
-    dispatch, and every distinct pair is its own group (measured 7.1 s for
-    681 k pairs vs ~0.5 s this way at sf0.1).  Duplicates co-locate because
-    the bucket is a pure function of the pair values."""
-    from .stabilize import stabilize
-
-    def tag(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
-        return t.append_column(
-            "gpart",
-            pa.array(((h >> np.uint64(33)) % np.uint64(group_parts)).astype(np.int32)),
-        )
-
-    def uniq(g: pa.Table) -> pa.Table:
-        a = g.column("a").to_numpy(zero_copy_only=False)
-        b = g.column("b").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        if len(a) > 1:
-            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    out = (
-        cand.map_batches(tag, batch_format="pyarrow")
-        .groupby("gpart")
-        .map_groups(uniq, batch_format="pyarrow")
-    )
-    return stabilize(out, [("a", pa.int64()), ("b", pa.int64())])
-
 
 def shingle_set_rows(batch: pa.Table, shingle_k: int = 5) -> pa.Table:
     """(doc_id, shingles) rows — the join side of the distributed Jaccard
@@ -571,9 +535,11 @@ def grid_pair_blob_join(
             "b": p.column("b"),
         }
         if p.num_rows == 0:
-            for c in payload:
-                out_cols[f"{c}_a"] = pa.nulls(0, ptypes[c])
-                out_cols[f"{c}_b"] = pa.nulls(0, ptypes[c])
+            # same suffix-outer column ORDER as the non-empty branch —
+            # divergent orders produce mixed-schema blocks downstream
+            for suffix in ("_a", "_b"):
+                for c in payload:
+                    out_cols[f"{c}{suffix}"] = pa.nulls(0, ptypes[c])
             empty = pa.table(out_cols)
             return finish(empty) if finish is not None else empty
         keep = np.ones(p.num_rows, dtype=bool)
@@ -1216,7 +1182,8 @@ def _simhash_pairs_from_band_rows(
     Verification runs BEFORE the cross-band dedup exchange: hamming is a pure
     per-row function (the signatures ride with the pair), so filtering first
     means only SURVIVING pairs are shuffled.  Dedup is the hash-bucket
-    vectorized unique of ``_dedup_pairs``, not a per-group aggregate — a
+    vectorized sort-unique (the ``grid_pair_blob_join`` in-cell idiom), not
+    a per-group aggregate — a
     ``groupby(a, b).aggregate(Min)`` pays Python dispatch per distinct pair
     (minutes at ~1M candidates, measured)."""
     from .stabilize import stabilize

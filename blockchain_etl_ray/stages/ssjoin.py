@@ -39,7 +39,6 @@ being in a prefix (rare) except in pathological all-identical corpora.
 
 from __future__ import annotations
 
-import hashlib
 from fractions import Fraction
 
 import numpy as np
@@ -108,18 +107,6 @@ def distinct_token_rows(
             "token": dist.column("shingle"),
             "tok_hash": pa.array(hashes),
         }
-    )
-
-
-def _tok_hash_u64(tokens: np.ndarray) -> np.ndarray:
-    b2 = hashlib.blake2b
-    return np.fromiter(
-        (
-            int.from_bytes(b2(t.encode("utf-8"), digest_size=8).digest(), "big") >> 1
-            for t in tokens
-        ),
-        dtype=np.int64,
-        count=len(tokens),
     )
 
 
@@ -377,7 +364,7 @@ def _within_edit1(a: str, b: str) -> bool:
 
 def _dedup_string_pairs(cand: rd.Dataset, group_parts: int = 64) -> rd.Dataset:
     """Unique string (a, b) pairs, distributed — the string-keyed twin of
-    ``stages/dedup.py::_dedup_pairs``: a pair-value hash buckets the
+    ``stages/dedup.py::grid_pair_blob_join``'s in-cell dedup: a pair-value hash buckets the
     exchange (duplicates co-locate because the bucket is a pure function of
     the pair), each bucket sort-uniques vectorized.  Replaces a driver-side
     ``ray.get``-all + pandas ``drop_duplicates`` tail, so pair volume never

@@ -380,17 +380,11 @@ def grouped_first_last(
     def partial(t: pa.Table) -> pa.Table:
         g, starts = _sorted_with_starts(t, by, order)
         n = g.num_rows
-        # np.append(starts[1:], 0) - 1 would yield [-1] on an empty batch
-        # and Table.take would raise; keep the helper self-consistent
-        if n == 0:
-            cols0: dict = {b: g.column(b) for b in by}
-            for c in f_need:
-                cols0["__f_" + c] = g.column(c)
-            for c in l_need:
-                cols0["__l_" + c] = g.column(c)
-            cols0["__n"] = pa.array([], type=pa.int64())
-            return pa.table(cols0)
-        ends = np.append(starts[1:], n) - 1
+        # guard the [-1] an empty batch would produce (like fold below);
+        # the rest of the assembly is n==0-safe as-is
+        ends = (
+            np.append(starts[1:], n) - 1 if n else np.empty(0, dtype=np.int64)
+        )
         counts = np.diff(np.append(starts, n))
         firsts = g.take(pa.array(starts))
         lasts = g.take(pa.array(ends))
