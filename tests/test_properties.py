@@ -353,3 +353,72 @@ def test_grouped_first_rows_equals_pandas(data):
     pd.testing.assert_frame_equal(
         out[["k", "o", "v"]], exp[["k", "o", "v"]]
     )
+
+
+@given(data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_grid_pair_blob_join_equals_pandas_merge(data):
+    """Property: grid_pair_blob_join == pandas double-merge (inner) for any
+    pair/set composition, grid size, duplicate pairs and missing docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from blockchain_etl_ray.stages.dedup import grid_pair_blob_join
+
+    doc_ids = data.draw(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                 max_size=12, unique=True)
+    )
+    sets_tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n": pa.array([d * 10 for d in doc_ids], pa.int64()),
+        }
+    )
+    # pairs may reference ids with no set row (dropped by the join)
+    pairs = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=45),
+                st.integers(min_value=0, max_value=45),
+            ),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    pairs_tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    grid = data.draw(st.sampled_from([2, 3, 5, 8]))
+    out_ds = grid_pair_blob_join(
+        rd.from_arrow(pairs_tbl),
+        rd.from_arrow(sets_tbl),
+        grid=grid,
+        dedup_pairs_in_cell=True,
+    )
+    tabs = [ray.get(r) for r in out_ds.to_arrow_refs()]
+    got = (
+        pa.concat_tables([t for t in tabs if t.num_rows])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        if any(t.num_rows for t in tabs)
+        else pd.DataFrame(columns=["a", "b", "n_a", "n_b"])
+    )
+    sd = sets_tbl.to_pandas()
+    exp = (
+        pairs_tbl.to_pandas()
+        .drop_duplicates()
+        .merge(sd.rename(columns={"doc_id": "a", "n": "n_a"}), on="a")
+        .merge(sd.rename(columns={"doc_id": "b", "n": "n_b"}), on="b")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got[["a", "b", "n_a", "n_b"]].values.tolist() == exp[
+        ["a", "b", "n_a", "n_b"]
+    ].values.tolist()
